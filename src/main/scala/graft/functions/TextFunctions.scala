@@ -1,0 +1,137 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis scalar functions for a training-data pipeline:
+  * tokenization, quality scoring, language ID, fingerprinting.
+  *
+  * Everything here is built from `org.apache.spark.sql.functions._`
+  * (codegen'd, whole-stage-compatible) — no Scala UDFs in the hot
+  * path. Each function is a pure Column expression, so it fuses into
+  * whatever scan/projection the caller builds and never forces a
+  * shuffle or materialization by itself.
+  */
+object TextFunctions {
+
+  /** Word tokens: maximal alphanumeric runs. Regex kept to character
+    * classes shared by Java regex and RE2 so the DuckDB oracle can
+    * reproduce it verbatim.
+    */
+  def tokens(text: Column): Column =
+    regexp_extract_all(text, lit("[A-Za-z0-9]+"), lit(0))
+
+  def tokenCount(text: Column): Column = size(tokens(text))
+
+  /** BPE-ish subword count: letter runs, digit runs, and single
+    * punctuation marks each count as one token — the usual cheap
+    * proxy for LLM token budgeting when no tokenizer is shipped.
+    */
+  def tokenCountBpe(text: Column): Column =
+    size(regexp_extract_all(text, lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]"), lit(0)))
+
+  def charCount(text: Column): Column = length(text)
+
+  def punctCount(text: Column): Column =
+    size(regexp_extract_all(text, lit("[.,;:!?]"), lit(0)))
+
+  def digitCount(text: Column): Column =
+    size(regexp_extract_all(text, lit("[0-9]"), lit(0)))
+
+  def upperCount(text: Column): Column =
+    size(regexp_extract_all(text, lit("[A-Z]"), lit(0)))
+
+  /** Mean token length in characters (0.0 for token-free text). */
+  def avgTokenLen(text: Column): Column = {
+    val ts = tokens(text)
+    when(size(ts) === 0, lit(0.0)).otherwise(
+      aggregate(ts, lit(0).cast("double"),
+        (acc, t) => acc + length(t)) / size(ts).cast("double"))
+  }
+
+  private val enStopwords: Seq[String] = Seq(
+    "the", "a", "an", "and", "or", "of", "to", "in", "is", "on",
+    "for", "with", "that", "this", "it", "as", "at", "by", "be", "are")
+
+  /** Count of tokens that are English stopwords (case-sensitive
+    * lowercase match — callers lowercase first if needed).
+    */
+  def stopwordCount(text: Column): Column =
+    size(filter(tokens(text), t => array_contains(
+      array(enStopwords.map(lit): _*), t)))
+
+  /** Composite quality score in [0,1] — the standard cheap heuristics
+    * (C4/Gopher-style): penalize token-free, very short, digit- or
+    * punctuation-heavy text; reward stopword presence.
+    * Pure per-row double arithmetic: deterministic and
+    * oracle-reproducible bit-for-bit.
+    */
+  def qualityScore(text: Column): Column = {
+    val nTok = tokenCount(text).cast("double")
+    val nChar = greatest(charCount(text), lit(1)).cast("double")
+    val stopRatio = when(nTok === 0.0, lit(0.0))
+      .otherwise(stopwordCount(text).cast("double") / nTok)
+    val digitRatio = digitCount(text).cast("double") / nChar
+    val punctRatio = punctCount(text).cast("double") / nChar
+    val lenScore = least(nTok / lit(100.0), lit(1.0))
+    val raw = lit(0.4) * lenScore +
+      lit(0.3) * least(stopRatio * lit(5.0), lit(1.0)) +
+      lit(0.15) * (lit(1.0) - least(digitRatio * lit(10.0), lit(1.0))) +
+      lit(0.15) * (lit(1.0) - least(punctRatio * lit(10.0), lit(1.0)))
+    round(raw, 4)
+  }
+
+  /** Language-marker stopword lists for the n-gram-free heuristic
+    * language ID. Tiny on purpose: the point is the Spark shape
+    * (score-per-language → argmax), not lexicon quality.
+    */
+  val langMarkers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "and", "of", "to", "is", "in", "that", "it", "for", "on"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "nicht", "ein", "ich", "zu", "mit"),
+    "es" -> Seq("el", "la", "los", "las", "es", "y", "en", "que", "de", "un"),
+    "fr" -> Seq("le", "la", "les", "et", "est", "dans", "que", "une", "des", "du"),
+    "zh" -> Seq("的", "是", "了", "在", "我", "有", "和", "不", "这", "他"))
+
+  /** Per-language marker-hit count over lowercase tokens. */
+  def langScore(text: Column, markers: Seq[String]): Column =
+    size(filter(tokensLower(text), t => array_contains(
+      array(markers.map(lit): _*), t)))
+
+  private def tokensLower(text: Column): Column =
+    regexp_extract_all(lower(text), lit("[a-z0-9]+|[\\u4e00-\\u9fff]"), lit(0))
+
+  /** Heuristic language ID: argmax of marker-hit counts, ties broken
+    * by language code order, "und" (undetermined) when nothing hits.
+    */
+  def langId(text: Column): Column = {
+    val scored = langMarkers.map { case (code, ms) =>
+      struct(langScore(text, ms).as("score"), lit(code).as("code"))
+    }
+    // array_max on struct(score, code): max score, then max code —
+    // invert code ordering deterministically by picking first match
+    // after sorting; instead fold explicitly for asc-code tie-break.
+    val best = scored.reduceLeft { (a, b) =>
+      when(b.getField("score") > a.getField("score"), b).otherwise(a)
+    }
+    when(best.getField("score") === 0, lit("und"))
+      .otherwise(best.getField("code"))
+  }
+
+  /** Canonical text normalization for fingerprinting: lowercase,
+    * strip non-alphanumerics to single spaces, trim.
+    */
+  def normalized(text: Column): Column =
+    trim(regexp_replace(lower(text), "[^a-z0-9]+", " "))
+
+  /** 128-bit content fingerprint of normalized text (md5 hex).
+    * Collision-safe enough to use as an exact-dedup grouping key at
+    * 100 TB (2^64 docs before birthday trouble), and reproducible in
+    * any SQL engine.
+    */
+  def fingerprintMd5(text: Column): Column = md5(normalized(text))
+
+  /** 64-bit xxhash fingerprint — cheaper shuffle key when 64 bits
+    * suffice (Spark-side only; not oracle-portable).
+    */
+  def fingerprint64(text: Column): Column = xxhash64(normalized(text))
+}

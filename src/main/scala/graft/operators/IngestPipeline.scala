@@ -1,0 +1,107 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** The reference pipeline's dataflow operators, re-expressed as
+  * declarative Spark transforms.
+  *
+  * Reference behavior being reproduced (SURVEY.md §2):
+  *  - F3/F4: empty-body and JSON-validity admission filters
+  *    (`publisher/internal/api/handler.go:67-78`)
+  *  - F5/F6: per-record parse-failure drop, PERMISSIVE decode
+  *    (`consumer/.../ClickHouseWriterService.kt:78-87`,
+  *    `consumer2/.../MessageProcessor.kt:36-52`)
+  *  - F1/F2/S5: API-key validation as a semi-join against the auth
+  *    dimension (`publisher/internal/auth/auth.go:33-59`)
+  *  - P1/P2: fixed projection in declared order with missing→null
+  *    (`consumer/.../ClickHouseWriterService.kt:53-56,107-119`)
+  *  - P3: ingest-time enrichment column
+  *    (`consumer2/.../ClickHouseRepository.kt:75`)
+  *  - P4: raw-payload retention (`consumer/clickhouse/init-db.sh:28`)
+  *
+  * Every operator is a pure `DataFrame => DataFrame` so the same code
+  * runs in batch and inside a Structured Streaming micro-batch
+  * (graft.streaming.IngestStream). All filters are Catalyst
+  * predicates — they push down to the source scan; the auth join
+  * broadcasts the (small) key dimension so validation never shuffles
+  * the event stream, which is the property that holds at 100 TB.
+  */
+object IngestPipeline {
+
+  /** Typed analog of the reference's `IngestedData.kt:7-16`: every
+    * field nullable, unknown JSON keys ignored (PERMISSIVE).
+    * The driver testdata carries `props` payloads of shape {"k": int};
+    * production payloads would extend this StructType.
+    */
+  val payloadSchema: StructType = StructType(Seq(
+    StructField("k", IntegerType, nullable = true)))
+
+  val corruptCol = "_corrupt_record"
+
+  /** PERMISSIVE parse with corrupt-record retention — `from_json`
+    * returns null on malformed input; the raw string is kept in
+    * [[corruptCol]] for DLQ routing (reference F5/F6 drop-and-log).
+    */
+  def parse(raw: DataFrame, jsonCol: String = "props"): DataFrame =
+    raw
+      .withColumn("parsed", from_json(col(jsonCol), payloadSchema))
+      .withColumn(corruptCol,
+        when(col(jsonCol).isNotNull && col("parsed").isNull, col(jsonCol)))
+
+  /** F3 + F4: admission filter — non-empty and well-formed JSON.
+    * (The reference returns 400 for both; here the rows simply do not
+    * enter the accepted stream.)
+    */
+  def admitted(parsed: DataFrame, jsonCol: String = "props"): DataFrame =
+    parsed.filter(
+      col(jsonCol).isNotNull &&
+      length(col(jsonCol)) > 0 &&
+      col("parsed").isNotNull)
+
+  /** F6/D3: the DLQ side — malformed or empty payloads. */
+  def rejectedMalformed(parsed: DataFrame, jsonCol: String = "props"): DataFrame =
+    parsed.filter(
+      col(jsonCol).isNull ||
+      length(col(jsonCol)) === 0 ||
+      col("parsed").isNull)
+
+  /** F1/F2/S5: API-key validation as a broadcast left-semi join.
+    * `keys` is the auth dimension (one row per active key). Broadcast
+    * is explicit: the dimension is small (≤ millions of keys) and the
+    * stream is huge, so the stream side must never shuffle.
+    */
+  def validated(events: DataFrame, keys: DataFrame, keyCol: String = "user_id"): DataFrame =
+    events.join(broadcast(keys), col(keyCol) === keys("api_key"), "left_semi")
+
+  /** The 401 path: events whose key is missing or not active. */
+  def rejectedAuth(events: DataFrame, keys: DataFrame, keyCol: String = "user_id"): DataFrame =
+    events.join(broadcast(keys), col(keyCol) === keys("api_key"), "left_anti")
+
+  /** P1/P2/P3/P4: fixed projection in declared order (missing keys →
+    * null), ingest-time enrichment, raw-payload retention.
+    *
+    * `receivedAt` is injectable for deterministic tests (the
+    * reference stamps wall-clock at insert, which is
+    * nondeterministic — SURVEY.md §7.4); pass None for
+    * `current_timestamp()` in production.
+    */
+  def enriched(parsed: DataFrame, receivedAt: Option[Column] = None): DataFrame =
+    parsed.select(
+      col("event_id"),
+      col("user_id"),
+      col("event_type"),
+      col("value"),
+      col("parsed.k").as("k"),
+      col("props").as("_raw_data"),
+      receivedAt.getOrElse(current_timestamp()).as("received_at"))
+
+  /** The full accepted-path DAG: parse → admit → auth → project.
+    * One declarative plan; Catalyst orders the cheap predicates first
+    * and pushes them into the scan.
+    */
+  def accepted(events: DataFrame, keys: DataFrame,
+               receivedAt: Option[Column] = None): DataFrame =
+    enriched(admitted(validated(parse(events), keys)), receivedAt)
+}

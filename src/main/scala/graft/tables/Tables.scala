@@ -1,0 +1,45 @@
+package graft.tables
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Loaders for the driver-generated parquet tables (TESTDATA.md).
+  *
+  * All readers are plain `spark.read.parquet` so Catalyst's
+  * vectorized parquet scan, predicate pushdown, and column pruning
+  * apply automatically. At cluster scale the same call works against
+  * any distributed FS path; nothing here assumes local mode.
+  */
+object Tables {
+  val names: Seq[String] = Seq(
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings")
+
+  def load(spark: SparkSession, sfDir: String, name: String): DataFrame =
+    spark.read.parquet(s"$sfDir/$name.parquet")
+
+  def region(s: SparkSession, d: String): DataFrame = load(s, d, "region")
+  def nation(s: SparkSession, d: String): DataFrame = load(s, d, "nation")
+  def customer(s: SparkSession, d: String): DataFrame = load(s, d, "customer")
+  def supplier(s: SparkSession, d: String): DataFrame = load(s, d, "supplier")
+  def part(s: SparkSession, d: String): DataFrame = load(s, d, "part")
+  def orders(s: SparkSession, d: String): DataFrame = load(s, d, "orders")
+  def lineitem(s: SparkSession, d: String): DataFrame = load(s, d, "lineitem")
+  def events(s: SparkSession, d: String): DataFrame = load(s, d, "events")
+  def documents(s: SparkSession, d: String): DataFrame = load(s, d, "documents")
+  def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")
+
+  /** The auth dimension analog of the reference's Postgres `api_keys`
+    * table (`publisher/migrations/001_create_api_keys.up.sql:2-9`):
+    * a small keyed dimension with an `is_active` predicate. Here the
+    * key space is `customer.c_custkey` and "active" is a positive
+    * account balance, so the events stream splits into accepted /
+    * rejected exactly like the reference's 202/401 paths.
+    *
+    * Small by construction (one row per key) — always broadcast it.
+    */
+  def activeKeys(s: SparkSession, d: String): DataFrame =
+    customer(s, d)
+      .filter(col("c_acctbal") > 0)
+      .select(col("c_custkey").as("api_key"))
+}
