@@ -1,0 +1,50 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Session tuning applied by every entry point (Verify, Bench, tests,
+  * and defensively inside each registered query, since the driver may
+  * hand us a session it built itself).
+  *
+  * All of these are dynamic SQLConf keys, so setting them repeatedly
+  * on a live session is safe and idempotent.
+  */
+object GraftSession {
+
+  /** Apply graft's required runtime confs to an existing session.
+    *
+    *  - `nanosAsLong`: the driver-generated `events.parquet` carries
+    *    TIMESTAMP(NANOS) which Spark 4.x refuses to read as a
+    *    timestamp ([PARQUET_TYPE_ILLEGAL]); this legacy flag surfaces
+    *    it as a plain nanos-since-epoch LongType, which we expose as
+    *    `ts_ns` (see [[graft.tables.Tables.eventsNorm]]).
+    *  - UTC session timezone: deterministic timestamp rendering vs
+    *    the DuckDB oracle.
+    *  - AQE on: runtime coalescing + skew-join handling — the
+    *    behavior we want on a real cluster, exercised in tests too.
+    */
+  def tune(spark: SparkSession): SparkSession = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    spark.conf.set("spark.sql.adaptive.enabled", "true")
+    spark
+  }
+
+  /** Build a local session for harness mains (Verify/Bench). Shuffle
+    * partitions sized to the local core count, not the 200 default —
+    * at sf0.1 on local[32] that keeps every partition comfortably in
+    * memory; on a real cluster this would be set per-job.
+    */
+  def build(master: String, shufflePartitions: String): SparkSession = {
+    val s = SparkSession.builder()
+      .master(master)
+      .config("spark.sql.shuffle.partitions", shufflePartitions)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+}

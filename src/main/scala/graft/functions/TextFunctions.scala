@@ -49,9 +49,13 @@ object TextFunctions {
         (acc, t) => acc + length(t)) / size(ts).cast("double"))
   }
 
-  private val enStopwords: Seq[String] = Seq(
+  /** English stopword list — public so the oracle SQL generator can
+    * splice the identical list into the DuckDB query.
+    */
+  val enStopwordList: Seq[String] = Seq(
     "the", "a", "an", "and", "or", "of", "to", "in", "is", "on",
     "for", "with", "that", "this", "it", "as", "at", "by", "be", "are")
+  private val enStopwords: Seq[String] = enStopwordList
 
   /** Count of tokens that are English stopwords (case-sensitive
     * lowercase match — callers lowercase first if needed).
@@ -65,12 +69,15 @@ object TextFunctions {
     * punctuation-heavy text; reward stopword presence.
     * Pure per-row double arithmetic: deterministic and
     * oracle-reproducible bit-for-bit.
+    *
+    * Stopwords are matched on `lower(text)` so sentence-initial
+    * "The"/"A" count (stopwordCount itself is case-sensitive).
     */
   def qualityScore(text: Column): Column = {
     val nTok = tokenCount(text).cast("double")
     val nChar = greatest(charCount(text), lit(1)).cast("double")
     val stopRatio = when(nTok === 0.0, lit(0.0))
-      .otherwise(stopwordCount(text).cast("double") / nTok)
+      .otherwise(stopwordCount(lower(text)).cast("double") / nTok)
     val digitRatio = digitCount(text).cast("double") / nChar
     val punctRatio = punctCount(text).cast("double") / nChar
     val lenScore = least(nTok / lit(100.0), lit(1.0))
@@ -82,34 +89,48 @@ object TextFunctions {
   }
 
   /** Language-marker stopword lists for the n-gram-free heuristic
-    * language ID. Tiny on purpose: the point is the Spark shape
-    * (score-per-language → argmax), not lexicon quality.
+    * language ID: the top function words of each language. Lexicon
+    * deliberately stays small enough to inline into one codegen'd
+    * `array_contains` per language; widen per-language as needed.
     */
   val langMarkers: Seq[(String, Seq[String])] = Seq(
-    "en" -> Seq("the", "and", "of", "to", "is", "in", "that", "it", "for", "on"),
-    "de" -> Seq("der", "die", "das", "und", "ist", "nicht", "ein", "ich", "zu", "mit"),
-    "es" -> Seq("el", "la", "los", "las", "es", "y", "en", "que", "de", "un"),
-    "fr" -> Seq("le", "la", "les", "et", "est", "dans", "que", "une", "des", "du"),
-    "zh" -> Seq("的", "是", "了", "在", "我", "有", "和", "不", "这", "他"))
+    "en" -> Seq("the", "and", "of", "to", "is", "in", "that", "it", "for", "on",
+      "was", "with", "as", "his", "he", "be", "at", "by", "had", "not",
+      "are", "but", "from", "or", "have", "an", "they", "which", "you", "were"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "nicht", "ein", "ich", "zu", "mit",
+      "den", "von", "sie", "des", "auf", "im", "dem", "sich", "als", "auch",
+      "es", "an", "werden", "aus", "er", "hat", "dass", "war", "eine", "wird"),
+    "es" -> Seq("el", "la", "los", "las", "es", "y", "en", "que", "de", "un",
+      "una", "del", "se", "por", "con", "no", "para", "su", "al", "lo",
+      "como", "pero", "sus", "le", "ya", "o", "este", "porque", "cuando", "muy"),
+    "fr" -> Seq("le", "la", "les", "et", "est", "dans", "que", "une", "des", "du",
+      "de", "un", "il", "ne", "se", "ce", "pas", "pour", "qui", "vous",
+      "sur", "par", "plus", "avec", "ou", "son", "au", "nous", "comme", "mais"),
+    "zh" -> Seq("的", "是", "了", "在", "我", "有", "和", "不", "这", "他",
+      "们", "你", "就", "也", "都", "要", "会", "对", "说", "能"))
 
   /** Per-language marker-hit count over lowercase tokens. */
   def langScore(text: Column, markers: Seq[String]): Column =
     size(filter(tokensLower(text), t => array_contains(
       array(markers.map(lit): _*), t)))
 
+  /** Lowercase tokens plus single CJK characters. The CJK range is
+    * written with literal characters (一 = U+4E00, 鿿 = U+9FFF) so the
+    * identical pattern string is valid in both Java regex and RE2 —
+    * the DuckDB oracle runs it verbatim.
+    */
   private def tokensLower(text: Column): Column =
-    regexp_extract_all(lower(text), lit("[a-z0-9]+|[\\u4e00-\\u9fff]"), lit(0))
+    regexp_extract_all(lower(text), lit("[a-z0-9]+|[一-鿿]"), lit(0))
 
-  /** Heuristic language ID: argmax of marker-hit counts, ties broken
-    * by language code order, "und" (undetermined) when nothing hits.
+  /** Heuristic language ID: argmax of marker-hit counts. Ties are
+    * broken by [[langMarkers]] declaration order (first language
+    * listed wins — the fold keeps `a` unless `b` is strictly
+    * greater), "und" (undetermined) when nothing hits.
     */
   def langId(text: Column): Column = {
     val scored = langMarkers.map { case (code, ms) =>
       struct(langScore(text, ms).as("score"), lit(code).as("code"))
     }
-    // array_max on struct(score, code): max score, then max code —
-    // invert code ordering deterministically by picking first match
-    // after sorting; instead fold explicitly for asc-code tie-break.
     val best = scored.reduceLeft { (a, b) =>
       when(b.getField("score") > a.getField("score"), b).otherwise(a)
     }

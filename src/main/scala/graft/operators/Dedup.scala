@@ -1,0 +1,131 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.functions.TextFunctions
+
+/** Deduplication operators for a training-data pipeline.
+  *
+  * Three tiers, all built as declarative plans that scale by
+  * shuffling on bounded keys — never an all-pairs crossJoin:
+  *
+  *  - [[exact]]: hash-groupBy on a 128-bit content fingerprint —
+  *    one shuffle keyed by md5, the canonical 100 TB exact-dedup.
+  *  - [[minhashPairs]]: MinHash + LSH banding. Shingle → k portable
+  *    min-hashes → b bands of r rows → shuffle ONLY by (band,
+  *    band-signature) bucket key → pair within buckets → verify
+  *    candidates with exact Jaccard. Cost is O(candidates), not
+  *    O(n²); bucket sizes are bounded by signature collisions.
+  *  - Hash functions are md5-based (not xxhash) so the DuckDB oracle
+  *    can reproduce every stage bit-for-bit.
+  */
+object Dedup {
+
+  /** Lowercase word tokens — identical pattern to the DuckDB oracle. */
+  def toks(text: Column): Column =
+    regexp_extract_all(lower(text), lit("[a-z0-9]+"), lit(0))
+
+  /** Distinct n-token shingles joined by single spaces. Guarded for
+    * short texts: Spark's `sequence(1, x)` generates a DESCENDING
+    * sequence when x < 1, so fewer-than-n tokens must short-circuit
+    * to an empty array.
+    */
+  def shingles(text: Column, n: Int = 3): Column = {
+    val t = toks(text)
+    when(size(t) < n, array().cast("array<string>")).otherwise(
+      array_distinct(
+        transform(sequence(lit(1), size(t) - lit(n - 1)),
+          i => concat_ws(" ", slice(t, i, lit(n))))))
+  }
+
+  /** Portable 32-bit hash: first 8 hex chars of md5(seed ':' s) as a
+    * long. Reproducible in any engine with md5 + hex parsing; 32 bits
+    * is plenty for min-hash ranking.
+    */
+  def hash32(s: Column, seed: Int): Column =
+    conv(substring(md5(concat(lit(seed.toString), lit(":"), s)), 1, 8), 16, 10)
+      .cast("long")
+
+  /** k-element MinHash signature over the shingle set. */
+  def minhashSignature(sh: Column, k: Int): Column =
+    array((0 until k).map(seed =>
+      array_min(transform(sh, s => hash32(s, seed)))): _*)
+
+  /** Exact dedup: keep the smallest id per content fingerprint.
+    * One hash-partitioned aggregation on the 128-bit key; at 100 TB
+    * this is the standard exact-dedup shuffle (partial aggregation
+    * map-side keeps the shuffle at one row per distinct fingerprint
+    * per task).
+    */
+  def exact(docs: DataFrame, textCol: String = "text",
+            idCol: String = "doc_id"): DataFrame =
+    docs
+      .select(col(idCol), TextFunctions.fingerprintMd5(col(textCol)).as("fingerprint"))
+      .groupBy(col("fingerprint"))
+      .agg(min(col(idCol)).as(idCol))
+
+  /** Near-duplicate pairs via MinHash + LSH banding, verified with
+    * exact Jaccard.
+    *
+    * @param threshold minimum exact Jaccard similarity of a reported
+    *                  pair. With the default k=48, bands=16 (r=3),
+    *                  a pair at J=0.8 is missed by all bands with
+    *                  probability (1-0.8³)ⁱ⁶ ≈ 2e-5 — and the verify
+    *                  step guarantees no false positives.
+    *
+    * Output: (id_a, id_b, jaccard) with id_a < id_b.
+    */
+  def minhashPairs(docs: DataFrame, threshold: Double = 0.7,
+                   k: Int = 48, bands: Int = 16,
+                   textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    require(k % bands == 0, "k must be a multiple of bands")
+    val r = k / bands
+
+    val withSig = docs
+      .select(col(idCol).as("id"), shingles(col(textCol)).as("sh"))
+      .filter(size(col("sh")) > 0)
+      .withColumn("sig", minhashSignature(col("sh"), k))
+
+    // Explode to (id, band, band_key): shuffle key is the band
+    // signature, NOT the document — bucket sizes stay bounded.
+    val banded = withSig.select(
+      col("id"),
+      explode(array((0 until bands).map(b =>
+        struct(lit(b).as("band"),
+          concat_ws("_", slice(col("sig"), b * r + 1, r)).as("key"))): _*)).as("bk"))
+      .select(col("id"), col("bk.band").as("band"), col("bk.key").as("key"))
+
+    // Candidate pairs: same (band, key) bucket, ordered, deduped
+    // across bands.
+    val left = banded.select(col("band"), col("key"), col("id").as("id_a"))
+    val right = banded.select(col("band"), col("key"), col("id").as("id_b"))
+    val candidates = left.join(right, Seq("band", "key"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b")
+      .distinct()
+
+    // Verify with exact Jaccard over the shingle sets (joins back to
+    // the shingle table — candidates are few, so these joins are
+    // small; broadcast kicks in automatically under AQE when so).
+    val sh = withSig.select(col("id"), col("sh"))
+    candidates
+      .join(sh.select(col("id").as("id_a"), col("sh").as("sh_a")), "id_a")
+      .join(sh.select(col("id").as("id_b"), col("sh").as("sh_b")), "id_b")
+      .withColumn("jaccard",
+        size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
+          size(array_union(col("sh_a"), col("sh_b"))).cast("double"))
+      .filter(col("jaccard") >= threshold)
+      .select("id_a", "id_b", "jaccard")
+  }
+
+  /** Keep-one projection of [[minhashPairs]]: drop every doc that
+    * near-duplicates a lower-id doc (the union-find-free greedy
+    * variant: b survives only if no a<b pairs with it).
+    */
+  def dropNearDuplicates(docs: DataFrame, threshold: Double = 0.7,
+                         textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    val losers = minhashPairs(docs, threshold, textCol = textCol, idCol = idCol)
+      .select(col("id_b").as(idCol)).distinct()
+    docs.join(losers, Seq(idCol), "left_anti")
+  }
+}

@@ -30,42 +30,48 @@ import org.apache.spark.sql.types._
   */
 object IngestPipeline {
 
-  /** Typed analog of the reference's `IngestedData.kt:7-16`: every
-    * field nullable, unknown JSON keys ignored (PERMISSIVE).
-    * The driver testdata carries `props` payloads of shape {"k": int};
-    * production payloads would extend this StructType.
+  /** Payload schema of the driver testdata's `events.props` column:
+    * {"k": int}. Production payloads pass their own schema.
     */
   val payloadSchema: StructType = StructType(Seq(
     StructField("k", IntegerType, nullable = true)))
 
   val corruptCol = "_corrupt_record"
 
-  /** PERMISSIVE parse with corrupt-record retention — `from_json`
-    * returns null on malformed input; the raw string is kept in
-    * [[corruptCol]] for DLQ routing (reference F5/F6 drop-and-log).
+  /** PERMISSIVE parse with explicit corrupt-record routing.
+    *
+    * In Spark 4.x PERMISSIVE mode, `from_json` on malformed input
+    * returns a struct of all-null FIELDS (not a null struct), so
+    * `parsed.isNull` does NOT detect malformed rows. The sanctioned
+    * detector is `columnNameOfCorruptRecord`: add the corrupt column
+    * to the parse schema and `from_json` populates it with the raw
+    * string iff the row failed to parse (reference F5/F6
+    * drop-and-log, `MessageProcessor.kt:64-71`).
     */
-  def parse(raw: DataFrame, jsonCol: String = "props"): DataFrame =
-    raw
-      .withColumn("parsed", from_json(col(jsonCol), payloadSchema))
-      .withColumn(corruptCol,
-        when(col(jsonCol).isNotNull && col("parsed").isNull, col(jsonCol)))
+  def parse(raw: DataFrame, jsonCol: String = "props",
+            schema: StructType = payloadSchema): DataFrame =
+    raw.withColumn("parsed",
+      from_json(col(jsonCol), schema.add(corruptCol, StringType),
+        Map("columnNameOfCorruptRecord" -> corruptCol)))
 
-  /** F3 + F4: admission filter — non-empty and well-formed JSON.
-    * (The reference returns 400 for both; here the rows simply do not
-    * enter the accepted stream.)
+  private def corrupt(c: Column): Column = c.getField(corruptCol)
+
+  /** F3 + F4: admission filter — non-null, non-empty, well-formed
+    * JSON. (The reference returns 400 for both; here the rows simply
+    * do not enter the accepted stream.)
     */
   def admitted(parsed: DataFrame, jsonCol: String = "props"): DataFrame =
     parsed.filter(
       col(jsonCol).isNotNull &&
       length(col(jsonCol)) > 0 &&
-      col("parsed").isNotNull)
+      corrupt(col("parsed")).isNull)
 
-  /** F6/D3: the DLQ side — malformed or empty payloads. */
+  /** F6/D3: the DLQ side — malformed, empty, or null payloads. */
   def rejectedMalformed(parsed: DataFrame, jsonCol: String = "props"): DataFrame =
     parsed.filter(
       col(jsonCol).isNull ||
       length(col(jsonCol)) === 0 ||
-      col("parsed").isNull)
+      corrupt(col("parsed")).isNotNull)
 
   /** F1/F2/S5: API-key validation as a broadcast left-semi join.
     * `keys` is the auth dimension (one row per active key). Broadcast

@@ -1,0 +1,486 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.GraftSession
+import graft.functions.TextFunctions
+import graft.operators.{Dedup, IngestPipeline, Similarity}
+import graft.tables.Tables
+
+/** The registered query surface: every entry pairs a Spark plan with
+  * ANSI SQL the DuckDB oracle can run on the same parquet tables.
+  *
+  * Determinism rules (the driver hash-compares cell values):
+  *  - every query ends in a TOTAL-order sort, mirrored in the SQL;
+  *  - no `current_timestamp()`/rand — enrichment timestamps are
+  *    injected literals;
+  *  - double aggregations go through DECIMAL(18,s) so the sum is
+  *    order-independent (Spark's partial aggregation order is not
+  *    deterministic; integer/decimal addition is associative);
+  *  - `events.ts` (parquet TIMESTAMP(NANOS)) crosses the oracle
+  *    boundary as nanos-since-epoch BIGINT: Spark reads it via
+  *    `nanosAsLong` ([[Tables.eventsNorm]]), DuckDB via `epoch_ns`.
+  */
+object Queries {
+
+  /** Fixed ingest-time enrichment value: 2024-01-01T00:00:00Z in
+    * epoch micros (the reference stamps wall-clock at insert —
+    * nondeterministic, SURVEY.md §7.4 — so tests inject a literal).
+    */
+  val receivedAtMicros = 1704067200000000L
+
+  private def ev(s: SparkSession, d: String): DataFrame = {
+    GraftSession.tune(s)
+    Tables.eventsNorm(s, d)
+  }
+  private def docs(s: SparkSession, d: String): DataFrame = {
+    GraftSession.tune(s)
+    Tables.documents(s, d)
+  }
+
+  // ---------------------------------------------------------------
+  // Reference query surface (SURVEY §2.6 Q1-Q4 + ingest DAG)
+  // ---------------------------------------------------------------
+
+  def q1Count(s: SparkSession, d: String): DataFrame =
+    ev(s, d).agg(count(lit(1)).as("cnt"))
+
+  val q1CountSql =
+    "SELECT count(*) AS cnt FROM events"
+
+  /** Q2 analog (`ClickHouseRepositoryIntegrationTest.kt:168`):
+    * equality filter + sort by event time.
+    */
+  def q2FilterSort(s: SparkSession, d: String): DataFrame =
+    ev(s, d)
+      .filter(col("event_type") === "click")
+      .select(col("event_id"), col("user_id"), col("value"),
+        expr("ts_ns div 1000").as("ts_us"))
+      .orderBy(col("ts_us"), col("event_id"))
+
+  val q2FilterSortSql =
+    """SELECT event_id, user_id, value, epoch_us(ts) AS ts_us FROM events
+      | WHERE event_type = 'click' ORDER BY ts_us, event_id""".stripMargin
+
+  /** Q3 analog (`:212`): projection + sort by (ingest) time. */
+  def q3ProjectSort(s: SparkSession, d: String): DataFrame =
+    ev(s, d)
+      .select(col("event_id"), col("event_type"), col("value"),
+        expr("ts_ns div 1000").as("ts_us"))
+      .orderBy(col("ts_us"), col("event_id"))
+
+  val q3ProjectSortSql =
+    """SELECT event_id, event_type, value, epoch_us(ts) AS ts_us FROM events
+      | ORDER BY ts_us, event_id""".stripMargin
+
+  /** Q4/F2/S5: auth existence semi-join (`auth.go:38`). */
+  def q4AuthSemi(s: SparkSession, d: String): DataFrame =
+    IngestPipeline
+      .validated(ev(s, d), Tables.activeKeys(s, d))
+      .select(col("event_id"), col("user_id"), col("event_type"))
+      .orderBy(col("event_id"))
+
+  val q4AuthSemiSql =
+    """SELECT event_id, user_id, event_type FROM events
+      | WHERE user_id IN (SELECT c_custkey FROM customer WHERE c_acctbal > 0)
+      | ORDER BY event_id""".stripMargin
+
+  /** The 401 path: left-anti of the same dimension. */
+  def q5AuthAnti(s: SparkSession, d: String): DataFrame =
+    IngestPipeline
+      .rejectedAuth(ev(s, d), Tables.activeKeys(s, d))
+      .select(col("event_id"), col("user_id"), col("event_type"))
+      .orderBy(col("event_id"))
+
+  val q5AuthAntiSql =
+    """SELECT event_id, user_id, event_type FROM events
+      | WHERE user_id NOT IN (SELECT c_custkey FROM customer WHERE c_acctbal > 0)
+      | ORDER BY event_id""".stripMargin
+
+  /** The full accepted-path ingest DAG: parse → admit → auth →
+    * project+enrich (S5, F1-F6, P1-P5 in one plan).
+    */
+  def q6IngestAccepted(s: SparkSession, d: String): DataFrame =
+    IngestPipeline
+      .accepted(ev(s, d), Tables.activeKeys(s, d), Some(lit(receivedAtMicros)))
+      .orderBy(col("event_id"))
+
+  val q6IngestAcceptedSql =
+    s"""SELECT event_id, user_id, event_type, value,
+       | CAST(props->>'$$.k' AS INTEGER) AS k, props AS _raw_data,
+       | $receivedAtMicros AS received_at FROM events
+       | WHERE props IS NOT NULL AND length(props) > 0 AND json_valid(props)
+       |   AND user_id IN (SELECT c_custkey FROM customer WHERE c_acctbal > 0)
+       | ORDER BY event_id""".stripMargin
+
+  // ---------------------------------------------------------------
+  // Analytical surface (the capability ClickHouse provided)
+  // ---------------------------------------------------------------
+
+  /** TPC-H Q1-shaped pricing summary over lineitem. Double sums go
+    * through DECIMAL so partial-aggregation order cannot change the
+    * result; per-row products are deterministic double math.
+    */
+  def q7PricingSummary(s: SparkSession, d: String): DataFrame = {
+    GraftSession.tune(s)
+    val l = Tables.lineitem(s, d)
+    val discPrice = col("l_extendedprice") * (lit(1.0) - col("l_discount"))
+    val charge = discPrice * (lit(1.0) + col("l_tax"))
+    l.groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        sum(col("l_quantity")).cast("long").as("sum_qty"),
+        sum(col("l_extendedprice").cast("decimal(18,2)")).cast("double").as("sum_base_price"),
+        sum(discPrice.cast("decimal(18,6)")).cast("double").as("sum_disc_price"),
+        sum(charge.cast("decimal(18,6)")).cast("double").as("sum_charge"),
+        avg(col("l_quantity")).as("avg_qty"),
+        count(lit(1)).as("count_order"))
+      .orderBy(col("l_returnflag"), col("l_linestatus"))
+  }
+
+  val q7PricingSummarySql =
+    """SELECT l_returnflag, l_linestatus,
+      | CAST(CAST(sum(l_quantity) AS DOUBLE) AS BIGINT) AS sum_qty,
+      | CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+      | CAST(sum(CAST(l_extendedprice * (1.0::DOUBLE - l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS sum_disc_price,
+      | CAST(sum(CAST(l_extendedprice * (1.0::DOUBLE - l_discount) * (1.0::DOUBLE + l_tax) AS DECIMAL(18,6))) AS DOUBLE) AS sum_charge,
+      | avg(l_quantity) AS avg_qty,
+      | count(*) AS count_order
+      | FROM lineitem GROUP BY l_returnflag, l_linestatus
+      | ORDER BY l_returnflag, l_linestatus""".stripMargin
+
+  /** Star-join revenue rollup: orders ⋈ customer ⋈ nation. Nation is
+    * explicitly broadcast; customer⋈orders is a shuffle hash join on
+    * the key both sides would already be partitioned by at scale.
+    */
+  def q8RevenueByNation(s: SparkSession, d: String): DataFrame = {
+    GraftSession.tune(s)
+    Tables.orders(s, d)
+      .join(Tables.customer(s, d), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(Tables.nation(s, d)), col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name"))
+      .agg(
+        sum(col("o_totalprice").cast("decimal(18,2)")).cast("double").as("revenue"),
+        count(lit(1)).as("n_orders"))
+      .orderBy(col("n_name"))
+  }
+
+  val q8RevenueByNationSql =
+    """SELECT n_name,
+      | CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+      | count(*) AS n_orders
+      | FROM orders JOIN customer ON o_custkey = c_custkey
+      | JOIN nation ON c_nationkey = n_nationkey
+      | GROUP BY n_name ORDER BY n_name""".stripMargin
+
+  /** Top-10 users by activity: group → total-order top-k. */
+  def q9TopUsers(s: SparkSession, d: String): DataFrame =
+    ev(s, d)
+      .groupBy(col("user_id"))
+      .agg(
+        count(lit(1)).as("cnt"),
+        sum(col("value").cast("decimal(18,2)")).cast("double").as("total_value"))
+      .orderBy(col("cnt").desc, col("user_id"))
+      .limit(10)
+
+  val q9TopUsersSql =
+    """SELECT user_id, count(*) AS cnt,
+      | CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+      | FROM events GROUP BY user_id
+      | ORDER BY cnt DESC, user_id LIMIT 10""".stripMargin
+
+  /** Window function: per event type, top-3 users by event count. */
+  def q10WindowRank(s: SparkSession, d: String): DataFrame = {
+    val counts = ev(s, d)
+      .groupBy(col("event_type"), col("user_id"))
+      .agg(count(lit(1)).as("cnt"))
+    val w = Window.partitionBy(col("event_type"))
+      .orderBy(col("cnt").desc, col("user_id"))
+    counts
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= 3)
+      .orderBy(col("event_type"), col("rnk"))
+  }
+
+  val q10WindowRankSql =
+    """SELECT event_type, user_id, cnt, rnk FROM (
+      |  SELECT event_type, user_id, count(*) AS cnt,
+      |   row_number() OVER (PARTITION BY event_type ORDER BY count(*) DESC, user_id) AS rnk
+      |  FROM events GROUP BY event_type, user_id)
+      | WHERE rnk <= 3 ORDER BY event_type, rnk""".stripMargin
+
+  /** Distinct cardinality per group. */
+  def q11DistinctUsers(s: SparkSession, d: String): DataFrame =
+    ev(s, d)
+      .groupBy(col("event_type"))
+      .agg(countDistinct(col("user_id")).as("uniq_users"))
+      .orderBy(col("event_type"))
+
+  val q11DistinctUsersSql =
+    """SELECT event_type, count(DISTINCT user_id) AS uniq_users
+      | FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
+
+  /** Event-time bucketing on the nanos timestamp (hour buckets). */
+  def q12HourlyCounts(s: SparkSession, d: String): DataFrame =
+    ev(s, d)
+      .groupBy(expr("ts_ns div 3600000000000").as("hour_bucket"))
+      .agg(
+        count(lit(1)).as("cnt"),
+        sum(col("value").cast("decimal(18,2)")).cast("double").as("total_value"))
+      .orderBy(col("hour_bucket"))
+
+  val q12HourlyCountsSql =
+    """SELECT epoch_ns(ts) // 3600000000000 AS hour_bucket, count(*) AS cnt,
+      | CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+      | FROM events GROUP BY hour_bucket ORDER BY hour_bucket""".stripMargin
+
+  // ---------------------------------------------------------------
+  // LLM-data-pipeline surface: text analysis
+  // ---------------------------------------------------------------
+
+  def docStats(s: SparkSession, d: String): DataFrame =
+    docs(s, d).select(
+      col("doc_id"),
+      TextFunctions.tokenCount(col("text")).cast("long").as("n_tokens"),
+      TextFunctions.tokenCountBpe(col("text")).cast("long").as("n_bpe_tokens"),
+      TextFunctions.charCount(col("text")).cast("long").as("n_chars"),
+      TextFunctions.punctCount(col("text")).cast("long").as("n_punct"),
+      TextFunctions.digitCount(col("text")).cast("long").as("n_digits"))
+      .orderBy(col("doc_id"))
+
+  val docStatsSql =
+    """SELECT doc_id,
+      | CAST(len(regexp_extract_all(text, '[A-Za-z0-9]+')) AS BIGINT) AS n_tokens,
+      | CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]')) AS BIGINT) AS n_bpe_tokens,
+      | CAST(length(text) AS BIGINT) AS n_chars,
+      | CAST(len(regexp_extract_all(text, '[.,;:!?]')) AS BIGINT) AS n_punct,
+      | CAST(len(regexp_extract_all(text, '[0-9]')) AS BIGINT) AS n_digits
+      | FROM documents ORDER BY doc_id""".stripMargin
+
+  private def sqlStringList(xs: Seq[String]): String =
+    xs.map(x => s"'$x'").mkString("(", ", ", ")")
+
+  def docQuality(s: SparkSession, d: String): DataFrame =
+    docs(s, d).select(
+      col("doc_id"),
+      TextFunctions.qualityScore(col("text")).as("quality"))
+      .orderBy(col("doc_id"))
+
+  /** Mirrors [[TextFunctions.qualityScore]] op-for-op (same double
+    * expression tree → same bits), stopword list spliced from the
+    * same Scala constant.
+    */
+  val docQualitySql: String = {
+    val stop = sqlStringList(TextFunctions.enStopwordList)
+    s"""WITH m AS (SELECT doc_id,
+       |  CAST(len(regexp_extract_all(text, '[A-Za-z0-9]+')) AS DOUBLE) AS n_tok,
+       |  CAST(greatest(length(text), 1) AS DOUBLE) AS n_char,
+       |  CAST(len(list_filter(regexp_extract_all(lower(text), '[A-Za-z0-9]+'),
+       |        t -> t IN $stop)) AS DOUBLE) AS n_stop,
+       |  CAST(len(regexp_extract_all(text, '[0-9]')) AS DOUBLE) AS n_digit,
+       |  CAST(len(regexp_extract_all(text, '[.,;:!?]')) AS DOUBLE) AS n_punct
+       | FROM documents)
+       |SELECT doc_id, round(
+       |  0.4::DOUBLE * least(n_tok / 100.0::DOUBLE, 1.0::DOUBLE)
+       |  + 0.3::DOUBLE * least((CASE WHEN n_tok = 0.0::DOUBLE THEN 0.0::DOUBLE ELSE n_stop / n_tok END) * 5.0::DOUBLE, 1.0::DOUBLE)
+       |  + 0.15::DOUBLE * (1.0::DOUBLE - least(n_digit / n_char * 10.0::DOUBLE, 1.0::DOUBLE))
+       |  + 0.15::DOUBLE * (1.0::DOUBLE - least(n_punct / n_char * 10.0::DOUBLE, 1.0::DOUBLE)), 4) AS quality
+       |FROM m ORDER BY doc_id""".stripMargin
+  }
+
+  def docLang(s: SparkSession, d: String): DataFrame =
+    docs(s, d).select(
+      col("doc_id"),
+      TextFunctions.langId(col("text")).as("lang_id"))
+      .orderBy(col("doc_id"))
+
+  /** Mirrors [[TextFunctions.langId]]: per-language marker-hit scores
+    * with first-declared-wins tie-breaking, marker lists spliced from
+    * the same constant.
+    */
+  val docLangSql: String = {
+    val scores = TextFunctions.langMarkers.map { case (code, ms) =>
+      s"CAST(len(list_filter(regexp_extract_all(lower(text), '[a-z0-9]+|[一-鿿]'), t -> t IN ${sqlStringList(ms)})) AS BIGINT) AS s_$code"
+    }.mkString(",\n  ")
+    val codes = TextFunctions.langMarkers.map(_._1)
+    val zeroCheck = codes.map(c => s"s_$c = 0").mkString(" AND ")
+    val branches = codes.zipWithIndex.map { case (c, i) =>
+      val rest = codes.drop(i + 1)
+      if (rest.isEmpty) s"ELSE '$c'"
+      else s"WHEN ${rest.map(r => s"s_$c >= s_$r").mkString(" AND ")} THEN '$c'"
+    }.mkString("\n  ")
+    s"""WITH m AS (SELECT doc_id,
+       |  $scores
+       | FROM documents)
+       |SELECT doc_id, CASE WHEN $zeroCheck THEN 'und'
+       |  $branches
+       |  END AS lang_id
+       |FROM m ORDER BY doc_id""".stripMargin
+  }
+
+  // ---------------------------------------------------------------
+  // LLM-data-pipeline surface: dedup
+  // ---------------------------------------------------------------
+
+  def dedupExact(s: SparkSession, d: String): DataFrame =
+    Dedup.exact(docs(s, d)).orderBy(col("fingerprint"))
+
+  val dedupExactSql =
+    """SELECT md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))) AS fingerprint,
+      | CAST(min(doc_id) AS BIGINT) AS doc_id
+      | FROM documents GROUP BY 1 ORDER BY fingerprint""".stripMargin
+
+  /** MinHash+LSH near-dup pairs, verified with exact Jaccard. The
+    * oracle computes ground-truth all-pairs Jaccard (fine at oracle
+    * scale); the LSH plan must recover every pair above threshold —
+    * miss probability ≈ 2e-5 per pair at J=0.8 with 16 bands × 3
+    * rows (see [[Dedup.minhashPairs]]).
+    */
+  def dedupMinhash(s: SparkSession, d: String): DataFrame =
+    Dedup.minhashPairs(docs(s, d), threshold = 0.7)
+      .orderBy(col("id_a"), col("id_b"))
+
+  val dedupMinhashSql =
+    """WITH toks AS (
+      |  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS t FROM documents),
+      |sh AS (
+      |  SELECT doc_id,
+      |   list_distinct([t[i] || ' ' || t[i+1] || ' ' || t[i+2] FOR i IN range(1, len(t) - 1)]) AS s
+      |  FROM toks),
+      |pairs AS (
+      |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+      |   CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) /
+      |   CAST(len(list_distinct(list_concat(a.s, b.s))) AS DOUBLE) AS jaccard
+      |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+      |  WHERE len(a.s) > 0 AND len(b.s) > 0)
+      |SELECT id_a, id_b, jaccard FROM pairs WHERE jaccard >= 0.7
+      |ORDER BY id_a, id_b""".stripMargin
+
+  // ---------------------------------------------------------------
+  // LLM-data-pipeline surface: similarity search
+  // ---------------------------------------------------------------
+
+  private def embQueries(s: SparkSession, d: String): DataFrame =
+    Tables.embeddings(s, d)
+      .filter(col("vec_id") < 5)
+      .select(col("vec_id").as("query_id"), col("embedding").as("query_vec"))
+
+  /** Exact top-10 cosine neighbors for the 5 fixed query vectors. */
+  def knnTop10(s: SparkSession, d: String): DataFrame = {
+    GraftSession.tune(s)
+    Similarity
+      .knnBruteForce(embQueries(s, d), Tables.embeddings(s, d), 10)
+      .withColumn("rank", col("rank").cast("long"))
+      .withColumn("sim", round(col("sim"), 6))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  val knnTop10Sql =
+    """WITH q AS (
+      |  SELECT vec_id AS query_id, embedding AS query_vec
+      |  FROM embeddings WHERE vec_id < 5),
+      |scored AS (
+      |  SELECT q.query_id, e.vec_id AS neighbor_id,
+      |   list_sum(list_transform(list_zip(q.query_vec, e.embedding),
+      |     p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))
+      |   / (sqrt(list_sum(list_transform(q.query_vec, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+      |      * sqrt(list_sum(list_transform(e.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))) AS sim
+      |  FROM embeddings e CROSS JOIN q WHERE e.vec_id <> q.query_id),
+      |ranked AS (
+      |  SELECT query_id, neighbor_id, sim,
+      |   row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rank
+      |  FROM scored)
+      |SELECT query_id, rank, neighbor_id, round(sim, 6) AS sim
+      |FROM ranked WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin
+
+  /** The ANN scale path (LSH-bucketed). No SQL oracle — the bucket
+    * probe is approximate by design; the driver records a rows-only
+    * check and the ScalaTest suite asserts recall against brute
+    * force.
+    */
+  def annLshTop5(s: SparkSession, d: String): DataFrame = {
+    GraftSession.tune(s)
+    Similarity
+      .annLsh(embQueries(s, d), Tables.embeddings(s, d), dim = 64,
+        kNeighbors = 5, nPlanes = 4)
+      .withColumn("rank", col("rank").cast("long"))
+      .withColumn("sim", round(col("sim"), 6))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  // ---------------------------------------------------------------
+  // Multimodal plumbing: binary columns + typed metadata
+  // ---------------------------------------------------------------
+
+  /** Binary-column plumbing demo on real tables: treat the document
+    * text's UTF-8 bytes as an opaque media blob and extract typed
+    * metadata (byte length, magic prefix, content digest) — the same
+    * schema/partitioning shape a real image/audio column would use
+    * (see graft.multimodal for the decode stubs).
+    */
+  def mediaMeta(s: SparkSession, d: String): DataFrame = {
+    val blob = encode(col("text"), "utf-8")
+    docs(s, d).select(
+      col("doc_id"),
+      length(blob).cast("long").as("byte_len"),
+      lower(substring(hex(blob), 1, 8)).as("magic_hex"),
+      md5(blob).as("digest"))
+      .orderBy(col("doc_id"))
+  }
+
+  val mediaMetaSql =
+    """SELECT doc_id,
+      | CAST(octet_length(encode(text)) AS BIGINT) AS byte_len,
+      | lower(substr(hex(encode(text)), 1, 8)) AS magic_hex,
+      | md5(text) AS digest
+      | FROM documents ORDER BY doc_id""".stripMargin
+
+  // ---------------------------------------------------------------
+  // Registry
+  // ---------------------------------------------------------------
+
+  val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q1_count" -> (q1Count _),
+    "q2_filter_sort" -> (q2FilterSort _),
+    "q3_project_sort" -> (q3ProjectSort _),
+    "q4_auth_semi" -> (q4AuthSemi _),
+    "q5_auth_anti" -> (q5AuthAnti _),
+    "q6_ingest_accepted" -> (q6IngestAccepted _),
+    "q7_pricing_summary" -> (q7PricingSummary _),
+    "q8_revenue_by_nation" -> (q8RevenueByNation _),
+    "q9_top_users" -> (q9TopUsers _),
+    "q10_window_rank" -> (q10WindowRank _),
+    "q11_distinct_users" -> (q11DistinctUsers _),
+    "q12_hourly_counts" -> (q12HourlyCounts _),
+    "doc_stats" -> (docStats _),
+    "doc_quality" -> (docQuality _),
+    "doc_lang" -> (docLang _),
+    "dedup_exact" -> (dedupExact _),
+    "dedup_minhash" -> (dedupMinhash _),
+    "knn_top10" -> (knnTop10 _),
+    "ann_lsh_top5" -> (annLshTop5 _),
+    "media_meta" -> (mediaMeta _))
+
+  val oracles: Map[String, String] = Map(
+    "q1_count" -> q1CountSql,
+    "q2_filter_sort" -> q2FilterSortSql,
+    "q3_project_sort" -> q3ProjectSortSql,
+    "q4_auth_semi" -> q4AuthSemiSql,
+    "q5_auth_anti" -> q5AuthAntiSql,
+    "q6_ingest_accepted" -> q6IngestAcceptedSql,
+    "q7_pricing_summary" -> q7PricingSummarySql,
+    "q8_revenue_by_nation" -> q8RevenueByNationSql,
+    "q9_top_users" -> q9TopUsersSql,
+    "q10_window_rank" -> q10WindowRankSql,
+    "q11_distinct_users" -> q11DistinctUsersSql,
+    "q12_hourly_counts" -> q12HourlyCountsSql,
+    "doc_stats" -> docStatsSql,
+    "doc_quality" -> docQualitySql,
+    "doc_lang" -> docLangSql,
+    "dedup_exact" -> dedupExactSql,
+    "dedup_minhash" -> dedupMinhashSql,
+    "knn_top10" -> knnTop10Sql,
+    // ann_lsh_top5: intentionally no oracle (approximate by design)
+    "media_meta" -> mediaMetaSql)
+}

@@ -42,4 +42,24 @@ object Tables {
     customer(s, d)
       .filter(col("c_acctbal") > 0)
       .select(col("c_custkey").as("api_key"))
+
+  /** `events` with its TIMESTAMP(NANOS) column surfaced portably.
+    *
+    * Spark 4.x cannot read parquet nano timestamps as TimestampType
+    * ([PARQUET_TYPE_ILLEGAL]); with
+    * `spark.sql.legacy.parquet.nanosAsLong=true` (set by
+    * [[graft.GraftSession.tune]]) the column arrives as LongType
+    * nanos-since-epoch. We expose it as:
+    *   - `ts_ns`: the raw nanos long — equals DuckDB's
+    *     `epoch_ns(ts)` bit-for-bit, so it is the oracle-portable
+    *     representation;
+    *   - `ts`: a proper TimestampType truncated to micros
+    *     (`timestamp_micros(ts_ns div 1000)`) for event-time
+    *     operations (windows, watermarks). Integer division — a
+    *     double round-trip would lose precision above 2^53 ns.
+    */
+  def eventsNorm(s: SparkSession, d: String): DataFrame =
+    events(s, d)
+      .withColumnRenamed("ts", "ts_ns")
+      .withColumn("ts", timestamp_micros(expr("ts_ns div 1000")))
 }
