@@ -40,21 +40,32 @@ object IngestPipeline {
 
   /** PERMISSIVE parse with explicit corrupt-record routing.
     *
-    * In Spark 4.x PERMISSIVE mode, `from_json` on malformed input
-    * returns a struct of all-null FIELDS (not a null struct), so
-    * `parsed.isNull` does NOT detect malformed rows. The sanctioned
-    * detector is `columnNameOfCorruptRecord`: add the corrupt column
-    * to the parse schema and `from_json` populates it with the raw
-    * string iff the row failed to parse (reference F5/F6
-    * drop-and-log, `MessageProcessor.kt:64-71`).
+    * Two detectors are needed to reproduce the reference's
+    * `json.Valid` + typed-decode semantics (`handler.go:74-78`,
+    * `MessageProcessor.kt:64-71`):
+    *  - `columnNameOfCorruptRecord`: in Spark 4.x PERMISSIVE mode,
+    *    `from_json` on malformed input returns a struct of all-null
+    *    FIELDS (not a null struct) — the corrupt column inside the
+    *    parse schema is the sanctioned malformed-row flag;
+    *  - [[graft.functions.GraftFunctions.jsonIsValid]]: Jackson
+    *    (hence `from_json`, and `try_parse_json` too) ACCEPTS
+    *    trailing garbage like `{"a":1}x`, which Go's `json.Valid`
+    *    rejects; the strict native expression closes that gap.
+    *
+    * The union lands in one top-level [[corruptCol]] holding the raw
+    * payload iff the row is malformed (DLQ retention).
     */
   def parse(raw: DataFrame, jsonCol: String = "props",
             schema: StructType = payloadSchema): DataFrame =
-    raw.withColumn("parsed",
-      from_json(col(jsonCol), schema.add(corruptCol, StringType),
-        Map("columnNameOfCorruptRecord" -> corruptCol)))
-
-  private def corrupt(c: Column): Column = c.getField(corruptCol)
+    raw
+      .withColumn("parsed",
+        from_json(col(jsonCol), schema.add(corruptCol, StringType),
+          Map("columnNameOfCorruptRecord" -> corruptCol)))
+      .withColumn(corruptCol,
+        when(col(jsonCol).isNotNull &&
+          (col("parsed").getField(corruptCol).isNotNull ||
+            !graft.functions.GraftFunctions.jsonIsValid(col(jsonCol))),
+          col(jsonCol)))
 
   /** F3 + F4: admission filter — non-null, non-empty, well-formed
     * JSON. (The reference returns 400 for both; here the rows simply
@@ -64,14 +75,14 @@ object IngestPipeline {
     parsed.filter(
       col(jsonCol).isNotNull &&
       length(col(jsonCol)) > 0 &&
-      corrupt(col("parsed")).isNull)
+      col(corruptCol).isNull)
 
   /** F6/D3: the DLQ side — malformed, empty, or null payloads. */
   def rejectedMalformed(parsed: DataFrame, jsonCol: String = "props"): DataFrame =
     parsed.filter(
       col(jsonCol).isNull ||
       length(col(jsonCol)) === 0 ||
-      corrupt(col("parsed")).isNotNull)
+      col(corruptCol).isNotNull)
 
   /** F1/F2/S5: API-key validation as a broadcast left-semi join.
     * `keys` is the auth dimension (one row per active key). Broadcast

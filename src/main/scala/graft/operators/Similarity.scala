@@ -66,36 +66,61 @@ object Similarity {
   }
 
   /** SimHash-style LSH bucket key: `nPlanes` sign bits of dot
-    * products with fixed ±1 hyperplanes. Vectors in the same bucket
-    * are likely neighbors; the bucket id is the shuffle key, so ANN
-    * probing shuffles each corpus row exactly once regardless of
-    * query count.
+    * products with fixed ±1 hyperplanes (plane set selected by
+    * `table` for multi-table amplification). Vectors in the same
+    * bucket are likely neighbors; the bucket id is the shuffle key.
+    *
+    * The plane is embedded as one array LITERAL folded with
+    * `zip_with`+`aggregate`, not `dim` unrolled `element_at` terms —
+    * the unrolled form ballooned to multi-MiB codegen blobs
+    * (dim × planes × tables leaf expressions) that spilled out of
+    * JIT budgets; the fold keeps the generated code O(planes).
     */
-  def lshBucket(vec: Column, dim: Int, nPlanes: Int = 8): Column = {
+  def lshBucket(vec: Column, dim: Int, nPlanes: Int, table: Int): Column = {
     val bits = (0 until nPlanes).map { p =>
-      val planeDot = (0 until dim).map { d =>
-        val s = planeComponent(p, d)
-        val e = element_at(vec, d + 1).cast("double")
-        if (s > 0) e else -e
-      }.reduce(_ + _)
+      val signs = Array.tabulate(dim)(d =>
+        planeComponent(table * nPlanes + p, d).toDouble)
+      val planeDot = aggregate(
+        zip_with(vec, lit(signs), (x, s) => x.cast("double") * s),
+        lit(0.0), (acc, v) => acc + v)
       when(planeDot >= 0, lit(1L << p)).otherwise(lit(0L))
     }
     bits.reduce((a, b) => a + b)
   }
 
-  /** ANN top-k: probe only the query's own LSH bucket. Recall < 1 by
-    * construction (neighbors straddling a hyperplane land in other
-    * buckets); raise recall with fewer planes or multiprobe. The
-    * join is a hash join on the bucket id — at 100 TB the corpus
-    * shuffles once by bucket, versus brute-force's full corpus scan
-    * per query batch.
+  /** All (table, bucket) probe keys for a vector — one row per hash
+    * table (OR-amplification: a candidate needs to collide in ANY
+    * table, so recall ≈ 1-(1-p^bits)^tables for per-plane agreement
+    * probability p).
+    */
+  private def lshKeys(vec: Column, dim: Int, nPlanes: Int, tables: Int): Column =
+    explode(array((0 until tables).map(t =>
+      struct(lit(t).as("tbl"), lshBucket(vec, dim, nPlanes, t).as("bucket"))): _*))
+
+  /** ANN top-k via multi-table random-hyperplane LSH.
+    *
+    * The corpus is exploded to `tables` rows each and hash-joined to
+    * the (broadcast) queries on (table, bucket) — each corpus row is
+    * scored at most once per colliding table and deduped before the
+    * exact-cosine ranking. At 100 TB this replaces brute-force's
+    * full-corpus scoring with |candidates| ≈ corpus/2^bits per
+    * table — the classic recall-vs-cost dial (`nPlanes` up = cheaper
+    * + lower recall; `tables` up = costlier + higher recall).
     */
   def annLsh(queries: DataFrame, corpus: DataFrame, dim: Int,
-             kNeighbors: Int = 10, nPlanes: Int = 8): DataFrame = {
-    val cb = corpus.withColumn("bucket", lshBucket(col("embedding"), dim, nPlanes))
-    val qb = queries.withColumn("bucket", lshBucket(col("query_vec"), dim, nPlanes))
-    val scored = cb.join(broadcast(qb), Seq("bucket"))
+             kNeighbors: Int = 10, nPlanes: Int = 4,
+             tables: Int = 16): DataFrame = {
+    val cb = corpus.select(col("vec_id"), col("embedding"),
+      lshKeys(col("embedding"), dim, nPlanes, tables).as("k"))
+      .select(col("vec_id"), col("embedding"), col("k.tbl").as("tbl"), col("k.bucket").as("bucket"))
+    val qb = queries.select(col("query_id"), col("query_vec"),
+      lshKeys(col("query_vec"), dim, nPlanes, tables).as("k"))
+      .select(col("query_id"), col("query_vec"), col("k.tbl").as("tbl"), col("k.bucket").as("bucket"))
+    val candidates = cb.join(broadcast(qb), Seq("tbl", "bucket"))
       .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("query_vec"), col("vec_id"), col("embedding"))
+      .dropDuplicates("query_id", "vec_id")
+    val scored = candidates
       .withColumn("sim", cosine(col("query_vec"), col("embedding")))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("sim").desc, col("vec_id").asc)
@@ -106,21 +131,27 @@ object Similarity {
   }
 
   /** All embedding pairs with cosine ≥ threshold, LSH-bucketed
-    * (embedding-based near-dup detection). Same band trick as
-    * MinHash: pair only within buckets, verify with exact cosine.
+    * (embedding-based near-dup detection). Same shape as MinHash
+    * banding: pair only within (table, bucket) groups, dedupe the
+    * candidates, verify with exact cosine. At the near-dup
+    * thresholds this targets (≥ 0.9, angle ≤ 26°) per-table
+    * collision is ≈ 0.85^bits, so a handful of tables reaches
+    * near-perfect recall while keeping buckets small.
     */
   def cosinePairs(corpus: DataFrame, dim: Int, threshold: Double = 0.95,
-                  nPlanes: Int = 8): DataFrame = {
+                  nPlanes: Int = 8, tables: Int = 8): DataFrame = {
     val cb = corpus
       .select(col("vec_id"), col("embedding"),
-        lshBucket(col("embedding"), dim, nPlanes).as("bucket"))
-    val a = cb.select(col("bucket"), col("vec_id").as("id_a"), col("embedding").as("e_a"))
-    val b = cb.select(col("bucket"), col("vec_id").as("id_b"), col("embedding").as("e_b"))
-    a.join(b, Seq("bucket"))
+        lshKeys(col("embedding"), dim, nPlanes, tables).as("k"))
+      .select(col("vec_id"), col("embedding"), col("k.tbl").as("tbl"), col("k.bucket").as("bucket"))
+    val a = cb.select(col("tbl"), col("bucket"), col("vec_id").as("id_a"), col("embedding").as("e_a"))
+    val b = cb.select(col("tbl"), col("bucket"), col("vec_id").as("id_b"), col("embedding").as("e_b"))
+    a.join(b, Seq("tbl", "bucket"))
       .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"), col("e_a"), col("e_b"))
+      .dropDuplicates("id_a", "id_b")
       .withColumn("sim", cosine(col("e_a"), col("e_b")))
       .filter(col("sim") >= threshold)
       .select("id_a", "id_b", "sim")
-      .distinct()
   }
 }

@@ -403,7 +403,7 @@ object Queries {
     GraftSession.tune(s)
     Similarity
       .annLsh(embQueries(s, d), Tables.embeddings(s, d), dim = 64,
-        kNeighbors = 5, nPlanes = 4)
+        kNeighbors = 5, nPlanes = 4, tables = 16)
       .withColumn("rank", col("rank").cast("long"))
       .withColumn("sim", round(col("sim"), 6))
       .orderBy(col("query_id"), col("rank"))

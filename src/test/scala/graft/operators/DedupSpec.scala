@@ -1,0 +1,72 @@
+package graft.operators
+
+import graft.SparkSpec
+
+class DedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val base = "the quick brown fox jumps over the lazy dog near the river bank every sunny morning in july"
+  private val nearDup = base.replace("sunny", "rainy") // one-token change
+  private val unrelated = "completely different content about databases indexes and query optimization at large scale"
+
+  test("exact dedup keeps the min id per normalized fingerprint") {
+    val docs = Seq(
+      (10L, "Hello, World!"),
+      (3L, "hello   world"), // same after normalization
+      (7L, "something else")).toDF("doc_id", "text")
+    val kept = Dedup.exact(docs).select("doc_id").as[Long].collect().sorted.toSeq
+    assert(kept === Seq(3L, 7L))
+  }
+
+  test("shingles of short texts are empty, not garbage (sequence guard)") {
+    val sh = Seq((1L, "one two"), (2L, "one two three four"))
+      .toDF("doc_id", "text")
+      .select($"doc_id", Dedup.shingles($"text").as("sh"))
+      .as[(Long, Seq[String])].collect().toMap
+    assert(sh(1L).isEmpty)
+    assert(sh(2L) === Seq("one two three", "two three four"))
+  }
+
+  test("minhashPairs finds the planted near-dup and nothing else") {
+    val docs = Seq((1L, base), (2L, nearDup), (3L, unrelated)).toDF("doc_id", "text")
+    val pairs = Dedup.minhashPairs(docs, threshold = 0.5)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSeq
+    assert(pairs === Seq((1L, 2L)))
+  }
+
+  test("minhash jaccard matches the exact set jaccard") {
+    val docs = Seq((1L, base), (2L, nearDup)).toDF("doc_id", "text")
+    val jac = Dedup.minhashPairs(docs, threshold = 0.1)
+      .select("jaccard").as[Double].collect().head
+    // one token changed in an 18-token text: shingle overlap is high but < 1
+    assert(jac > 0.5 && jac < 1.0)
+  }
+
+  test("dropNearDuplicates removes the higher id of a near-dup pair") {
+    val docs = Seq((1L, base), (2L, nearDup), (3L, unrelated)).toDF("doc_id", "text")
+    val kept = Dedup.dropNearDuplicates(docs, threshold = 0.5)
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    assert(kept === Seq(1L, 3L))
+  }
+
+  test("driver documents table: minhash recovers every >=0.7 ground-truth pair") {
+    graft.GraftSession.tune(spark)
+    val docs = graft.tables.Tables.documents(spark, sfSmoke)
+    // ground truth via brute-force exact jaccard on the shingle sets
+    val sh = docs.select($"doc_id", Dedup.shingles($"text").as("sh"))
+      .filter(org.apache.spark.sql.functions.size($"sh") > 0)
+    val a = sh.select($"doc_id".as("id_a"), $"sh".as("sh_a"))
+    val b = sh.select($"doc_id".as("id_b"), $"sh".as("sh_b"))
+    import org.apache.spark.sql.functions._
+    val truth = a.crossJoin(b).filter($"id_a" < $"id_b")
+      .withColumn("jaccard",
+        size(array_intersect($"sh_a", $"sh_b")).cast("double") /
+          size(array_union($"sh_a", $"sh_b")).cast("double"))
+      .filter($"jaccard" >= 0.7)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val found = Dedup.minhashPairs(docs, threshold = 0.7)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(truth.nonEmpty)
+    assert(found === truth)
+  }
+}
