@@ -12,6 +12,14 @@ object Bench {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = GraftSession.build(s"local[$cpus]", cpus)
+    // Warmup: absorb JVM/JIT/codegen/classloading and parquet footer
+    // reads so the first timed query isn't charged for session
+    // startup (it skewed whichever query sorted first by ~5 s).
+    try {
+      spark.range(1000000L).selectExpr("sum(id)").write
+        .format("noop").mode("overwrite").save()
+      SparkEntry.entry(spark).write.format("noop").mode("overwrite").save()
+    } catch { case _: Throwable => () }
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       try fn(spark, sfDir).write.format("noop").mode("overwrite").save()

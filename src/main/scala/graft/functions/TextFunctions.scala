@@ -62,7 +62,7 @@ object TextFunctions {
     */
   def stopwordCount(text: Column): Column =
     size(filter(tokens(text), t => array_contains(
-      array(enStopwords.map(lit): _*), t)))
+      lit(enStopwords.toArray), t)))
 
   /** Composite quality score in [0,1] — the standard cheap heuristics
     * (C4/Gopher-style): penalize token-free, very short, digit- or
@@ -109,17 +109,25 @@ object TextFunctions {
     "zh" -> Seq("的", "是", "了", "在", "我", "有", "和", "不", "这", "他",
       "们", "你", "就", "也", "都", "要", "会", "对", "说", "能"))
 
-  /** Per-language marker-hit count over lowercase tokens. */
+  /** Per-language marker-hit count over lowercase tokens.
+    *
+    * The marker list is ONE array literal (`lit(Array)`), not a
+    * `CreateArray` of k literals — the latter rebuilds the array per
+    * row per token and dominated the doc_lang bench.
+    */
   def langScore(text: Column, markers: Seq[String]): Column =
-    size(filter(tokensLower(text), t => array_contains(
-      array(markers.map(lit): _*), t)))
+    langScoreFromTokens(tokensLower(text), markers)
+
+  /** Marker-hit count over an already-extracted token array. */
+  def langScoreFromTokens(toks: Column, markers: Seq[String]): Column =
+    size(filter(toks, t => array_contains(lit(markers.toArray), t)))
 
   /** Lowercase tokens plus single CJK characters. The CJK range is
     * written with literal characters (一 = U+4E00, 鿿 = U+9FFF) so the
     * identical pattern string is valid in both Java regex and RE2 —
     * the DuckDB oracle runs it verbatim.
     */
-  private def tokensLower(text: Column): Column =
+  def tokensLower(text: Column): Column =
     regexp_extract_all(lower(text), lit("[a-z0-9]+|[一-鿿]"), lit(0))
 
   /** Heuristic language ID: argmax of marker-hit counts. Ties are
@@ -127,9 +135,15 @@ object TextFunctions {
     * listed wins — the fold keeps `a` unless `b` is strictly
     * greater), "und" (undetermined) when nothing hits.
     */
-  def langId(text: Column): Column = {
+  def langId(text: Column): Column = langIdFromTokens(tokensLower(text))
+
+  /** [[langId]] over an already-extracted token array — materialize
+    * the tokens in a projection first so the regex runs once, not
+    * once per language.
+    */
+  def langIdFromTokens(toks: Column): Column = {
     val scored = langMarkers.map { case (code, ms) =>
-      struct(langScore(text, ms).as("score"), lit(code).as("code"))
+      struct(langScoreFromTokens(toks, ms).as("score"), lit(code).as("code"))
     }
     val best = scored.reduceLeft { (a, b) =>
       when(b.getField("score") > a.getField("score"), b).otherwise(a)

@@ -38,18 +38,24 @@ object Dedup {
           i => concat_ws(" ", slice(t, i, lit(n))))))
   }
 
-  /** Portable 32-bit hash: first 8 hex chars of md5(seed ':' s) as a
-    * long. Reproducible in any engine with md5 + hex parsing; 32 bits
-    * is plenty for min-hash ranking.
+  /** k-element MinHash signature over the shingle set — the one-hash
+    * construction: each shingle is xxhash64'd ONCE (codegen'd), and
+    * the k "permutations" are derived by re-hashing the 8-byte base
+    * hash with a per-function seed. k string hashes per shingle
+    * (the naive family) benched 36 s at sf0.1; this is one string
+    * hash + k long hashes.
     */
-  def hash32(s: Column, seed: Int): Column =
-    conv(substring(md5(concat(lit(seed.toString), lit(":"), s)), 1, 8), 16, 10)
-      .cast("long")
-
-  /** k-element MinHash signature over the shingle set. */
   def minhashSignature(sh: Column, k: Int): Column =
-    array((0 until k).map(seed =>
-      array_min(transform(sh, s => hash32(s, seed)))): _*)
+    signatureFromHashes(transform(sh, s => xxhash64(s)), k)
+
+  /** Signature from pre-computed 64-bit shingle hashes — delegates to
+    * the native codegen'd expression
+    * [[org.apache.spark.sql.graft.MinHashSignature]] (the Column-fold
+    * formulation, k interpreted `array_min(transform(...))` passes,
+    * dominated the near-dup bench).
+    */
+  def signatureFromHashes(hs: Column, k: Int): Column =
+    org.apache.spark.sql.graft.MinHashSignature(hs, k)
 
   /** Exact dedup: keep the smallest id per content fingerprint.
     * One hash-partitioned aggregation on the 128-bit key; at 100 TB
@@ -81,10 +87,23 @@ object Dedup {
     require(k % bands == 0, "k must be a multiple of bands")
     val r = k / bands
 
-    val withSig = docs
-      .select(col(idCol).as("id"), shingles(col(textCol)).as("sh"))
-      .filter(size(col("sh")) > 0)
-      .withColumn("sig", minhashSignature(col("sh"), k))
+    // Everything downstream of shingling runs on the 64-bit shingle
+    // hashes, never the strings: the whole tokenize→shingle→hash→
+    // distinct pass is ONE native codegen'd expression
+    // ([[org.apache.spark.sql.graft.ShingleHashes]] — the Column
+    // formulation allocated ~shingle-count strings per row and
+    // benched ~5 s per scan at sf0.1), and |intersect|/|union| on
+    // the hash sets equals the string-set Jaccard up to 2^-64
+    // collisions. Cached because the plan reads it three times
+    // (banding + both verify sides); ~16 bytes × shingles per doc,
+    // far below executor memory even at bench scale.
+    val hashed = docs
+      .select(col(idCol).as("id"),
+        org.apache.spark.sql.graft.ShingleHashes(col(textCol), 3).as("hs"))
+      .filter(size(col("hs")) > 0)
+      .cache()
+
+    val withSig = hashed.withColumn("sig", signatureFromHashes(col("hs"), k))
 
     // Explode to (id, band, band_key): shuffle key is the band
     // signature, NOT the document — bucket sizes stay bounded.
@@ -104,16 +123,15 @@ object Dedup {
       .select("id_a", "id_b")
       .distinct()
 
-    // Verify with exact Jaccard over the shingle sets (joins back to
-    // the shingle table — candidates are few, so these joins are
-    // small; broadcast kicks in automatically under AQE when so).
-    val sh = withSig.select(col("id"), col("sh"))
+    // Verify with exact Jaccard over the hashed shingle sets (joins
+    // back to the cached table — candidates are few, so these joins
+    // are small; broadcast kicks in automatically under AQE).
     candidates
-      .join(sh.select(col("id").as("id_a"), col("sh").as("sh_a")), "id_a")
-      .join(sh.select(col("id").as("id_b"), col("sh").as("sh_b")), "id_b")
+      .join(hashed.select(col("id").as("id_a"), col("hs").as("hs_a")), "id_a")
+      .join(hashed.select(col("id").as("id_b"), col("hs").as("hs_b")), "id_b")
       .withColumn("jaccard",
-        size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
-          size(array_union(col("sh_a"), col("sh_b"))).cast("double"))
+        size(array_intersect(col("hs_a"), col("hs_b"))).cast("double") /
+          size(array_union(col("hs_a"), col("hs_b"))).cast("double"))
       .filter(col("jaccard") >= threshold)
       .select("id_a", "id_b", "jaccard")
   }

@@ -20,9 +20,8 @@ import org.apache.spark.sql.functions._
 object Similarity {
 
   /** Element-wise dot product folded left-to-right in double
-    * precision. `zip_with` + `aggregate` keeps everything inside
-    * codegen; the explicit fold order makes the float math
-    * deterministic.
+    * precision (deterministic fold order). Kept as the reference
+    * formulation; the hot path uses the fused native expression.
     */
   def dot(a: Column, b: Column): Column =
     aggregate(
@@ -31,7 +30,13 @@ object Similarity {
 
   def norm(a: Column): Column = sqrt(dot(a, a))
 
-  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+  /** Cosine similarity — native codegen'd expression
+    * ([[org.apache.spark.sql.graft.CosineSimilarity]]), bit-identical
+    * to the sequential Column fold it replaces (same left-to-right
+    * double accumulation), so oracle-compared values don't move.
+    */
+  def cosine(a: Column, b: Column): Column =
+    org.apache.spark.sql.graft.CosineSimilarity(a, b)
 
   /** Exact top-k cosine neighbors for each query vector.
     *
@@ -56,46 +61,16 @@ object Similarity {
       .select(col("query_id"), col("rank"), col("vec_id").as("neighbor_id"), col("sim"))
   }
 
-  /** Deterministic ±1 hyperplane component for (plane, dim): sign of
-    * a md5-derived bit. Cheap, stateless, reproducible.
+  /** Multi-table SimHash bucket ids — one long per hash table,
+    * computed by the native codegen'd expression
+    * [[org.apache.spark.sql.graft.SimHashBuckets]] (the Column-fold
+    * formulation ran interpreted and dominated the ANN bench).
+    * OR-amplification: a candidate needs to collide in ANY table, so
+    * recall ≈ 1-(1-p^bits)^tables for per-plane agreement
+    * probability p.
     */
-  private def planeComponent(plane: Int, dim: Int): Int = {
-    val h = java.security.MessageDigest.getInstance("MD5")
-      .digest(s"$plane:$dim".getBytes("UTF-8"))
-    if ((h(0) & 1) == 0) 1 else -1
-  }
-
-  /** SimHash-style LSH bucket key: `nPlanes` sign bits of dot
-    * products with fixed ±1 hyperplanes (plane set selected by
-    * `table` for multi-table amplification). Vectors in the same
-    * bucket are likely neighbors; the bucket id is the shuffle key.
-    *
-    * The plane is embedded as one array LITERAL folded with
-    * `zip_with`+`aggregate`, not `dim` unrolled `element_at` terms —
-    * the unrolled form ballooned to multi-MiB codegen blobs
-    * (dim × planes × tables leaf expressions) that spilled out of
-    * JIT budgets; the fold keeps the generated code O(planes).
-    */
-  def lshBucket(vec: Column, dim: Int, nPlanes: Int, table: Int): Column = {
-    val bits = (0 until nPlanes).map { p =>
-      val signs = Array.tabulate(dim)(d =>
-        planeComponent(table * nPlanes + p, d).toDouble)
-      val planeDot = aggregate(
-        zip_with(vec, lit(signs), (x, s) => x.cast("double") * s),
-        lit(0.0), (acc, v) => acc + v)
-      when(planeDot >= 0, lit(1L << p)).otherwise(lit(0L))
-    }
-    bits.reduce((a, b) => a + b)
-  }
-
-  /** All (table, bucket) probe keys for a vector — one row per hash
-    * table (OR-amplification: a candidate needs to collide in ANY
-    * table, so recall ≈ 1-(1-p^bits)^tables for per-plane agreement
-    * probability p).
-    */
-  private def lshKeys(vec: Column, dim: Int, nPlanes: Int, tables: Int): Column =
-    explode(array((0 until tables).map(t =>
-      struct(lit(t).as("tbl"), lshBucket(vec, dim, nPlanes, t).as("bucket"))): _*))
+  def lshBuckets(vec: Column, nPlanes: Int, tables: Int): Column =
+    org.apache.spark.sql.graft.SimHashBuckets(vec, nPlanes, tables)
 
   /** ANN top-k via multi-table random-hyperplane LSH.
     *
@@ -110,17 +85,22 @@ object Similarity {
   def annLsh(queries: DataFrame, corpus: DataFrame, dim: Int,
              kNeighbors: Int = 10, nPlanes: Int = 4,
              tables: Int = 16): DataFrame = {
-    val cb = corpus.select(col("vec_id"), col("embedding"),
-      lshKeys(col("embedding"), dim, nPlanes, tables).as("k"))
-      .select(col("vec_id"), col("embedding"), col("k.tbl").as("tbl"), col("k.bucket").as("bucket"))
-    val qb = queries.select(col("query_id"), col("query_vec"),
-      lshKeys(col("query_vec"), dim, nPlanes, tables).as("k"))
-      .select(col("query_id"), col("query_vec"), col("k.tbl").as("tbl"), col("k.bucket").as("bucket"))
+    // Bucket probing carries ONLY ids — exploding the corpus
+    // `tables`-fold with the embedding payload attached multiplies
+    // shuffle bytes by tables × vector-size (benched 7 s at sf0.1
+    // from payload copies alone); vectors join back in exactly once
+    // per surviving candidate.
+    val cb = corpus.select(col("vec_id"),
+      posexplode(lshBuckets(col("embedding"), nPlanes, tables)).as(Seq("tbl", "bucket")))
+    val qb = queries.select(col("query_id"),
+      posexplode(lshBuckets(col("query_vec"), nPlanes, tables)).as(Seq("tbl", "bucket")))
     val candidates = cb.join(broadcast(qb), Seq("tbl", "bucket"))
       .filter(col("vec_id") =!= col("query_id"))
-      .select(col("query_id"), col("query_vec"), col("vec_id"), col("embedding"))
-      .dropDuplicates("query_id", "vec_id")
+      .select(col("query_id"), col("vec_id"))
+      .distinct()
     val scored = candidates
+      .join(corpus, "vec_id")
+      .join(broadcast(queries), "query_id")
       .withColumn("sim", cosine(col("query_vec"), col("embedding")))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("sim").desc, col("vec_id").asc)
@@ -140,16 +120,19 @@ object Similarity {
     */
   def cosinePairs(corpus: DataFrame, dim: Int, threshold: Double = 0.95,
                   nPlanes: Int = 8, tables: Int = 8): DataFrame = {
+    // ids-only through the bucket self-join (see annLsh), vectors
+    // joined back for the exact-cosine verify
     val cb = corpus
-      .select(col("vec_id"), col("embedding"),
-        lshKeys(col("embedding"), dim, nPlanes, tables).as("k"))
-      .select(col("vec_id"), col("embedding"), col("k.tbl").as("tbl"), col("k.bucket").as("bucket"))
-    val a = cb.select(col("tbl"), col("bucket"), col("vec_id").as("id_a"), col("embedding").as("e_a"))
-    val b = cb.select(col("tbl"), col("bucket"), col("vec_id").as("id_b"), col("embedding").as("e_b"))
+      .select(col("vec_id"),
+        posexplode(lshBuckets(col("embedding"), nPlanes, tables)).as(Seq("tbl", "bucket")))
+    val a = cb.select(col("tbl"), col("bucket"), col("vec_id").as("id_a"))
+    val b = cb.select(col("tbl"), col("bucket"), col("vec_id").as("id_b"))
     a.join(b, Seq("tbl", "bucket"))
       .filter(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"), col("e_a"), col("e_b"))
-      .dropDuplicates("id_a", "id_b")
+      .select(col("id_a"), col("id_b"))
+      .distinct()
+      .join(corpus.select(col("vec_id").as("id_a"), col("embedding").as("e_a")), "id_a")
+      .join(corpus.select(col("vec_id").as("id_b"), col("embedding").as("e_b")), "id_b")
       .withColumn("sim", cosine(col("e_a"), col("e_b")))
       .filter(col("sim") >= threshold)
       .select("id_a", "id_b", "sim")

@@ -290,10 +290,7 @@ object Queries {
   }
 
   def docLang(s: SparkSession, d: String): DataFrame =
-    docs(s, d).select(
-      col("doc_id"),
-      TextFunctions.langId(col("text")).as("lang_id"))
-      .orderBy(col("doc_id"))
+    graft.operators.TextAnalysis.langId(docs(s, d)).orderBy(col("doc_id"))
 
   /** Mirrors [[TextFunctions.langId]]: per-language marker-hit scores
     * with first-declared-wins tie-breaking, marker lists spliced from

@@ -1,0 +1,118 @@
+/* Hosted under org.apache.spark.sql for the same reason as
+ * JsonIsValid: private[sql] helper access and Column wrapping.
+ */
+package org.apache.spark.sql.graft
+
+import java.util.concurrent.ConcurrentHashMap
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.classic.ExpressionUtils
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType, LongType}
+
+/** Multi-table SimHash (random-hyperplane LSH) bucket ids for an
+  * embedding vector: returns `tables` longs, each packing `nPlanes`
+  * sign bits of dot products with fixed ±1 hyperplanes.
+  *
+  * Why a native expression: the same computation as nested
+  * `zip_with`/`aggregate` Column folds runs INTERPRETED (Spark
+  * higher-order functions don't participate in whole-stage codegen)
+  * and benched ~9 s at sf0.1; this compiles to one tight
+  * float-multiply loop per row (tables × planes × dim fused, sign
+  * table memoized) — the dominant ANN cost disappears into the scan.
+  *
+  * Hyperplane components are derived deterministically from md5 of
+  * (plane, dim), so plans are reproducible across sessions and
+  * clusters with no RNG state to ship.
+  */
+case class SimHashBuckets(child: Expression, nPlanes: Int, tables: Int)
+    extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(FloatType | DoubleType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"simhash_buckets needs array<float|double>, got $other")
+    }
+
+  // lazy: child.dataType is only legal once the plan is resolved
+  // (the analyzer calls withNewChildInternal/copy on unresolved
+  // children first)
+  private lazy val isFloat: Boolean = child.dataType match {
+    case ArrayType(FloatType, _) => true
+    case _ => false
+  }
+
+  override protected def nullSafeEval(input: Any): Any =
+    SimHashBuckets.compute(input.asInstanceOf[ArrayData], nPlanes, tables, isFloat)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"org.apache.spark.sql.graft.SimHashBuckets.compute($c, $nPlanes, $tables, $isFloat)")
+
+  override protected def withNewChildInternal(newChild: Expression): SimHashBuckets =
+    copy(child = newChild)
+
+  override def prettyName: String = "simhash_buckets"
+}
+
+object SimHashBuckets {
+
+  /** ±1 hyperplane component for (global plane index, dimension) —
+    * low bit of md5("plane:dim").
+    */
+  def planeComponent(plane: Int, dim: Int): Int = {
+    val h = java.security.MessageDigest.getInstance("MD5")
+      .digest(s"$plane:$dim".getBytes("UTF-8"))
+    if ((h(0) & 1) == 0) 1 else -1
+  }
+
+  // sign rows memoized per (plane, dim-count) — a handful of small
+  // byte arrays shared by every row in the task
+  private val signCache = new ConcurrentHashMap[(Int, Int), Array[Byte]]()
+
+  private def signRow(plane: Int, n: Int): Array[Byte] =
+    signCache.computeIfAbsent((plane, n),
+      { key: (Int, Int) =>
+        Array.tabulate(key._2)(d => planeComponent(key._1, d).toByte)
+      })
+
+  /** One pass over the vector per (table, plane). Called from
+    * generated code — keep the signature JVM-friendly.
+    */
+  def compute(vec: ArrayData, nPlanes: Int, tables: Int, isFloat: Boolean): ArrayData = {
+    val n = vec.numElements()
+    val out = new Array[Long](tables)
+    var t = 0
+    while (t < tables) {
+      var bucket = 0L
+      var p = 0
+      while (p < nPlanes) {
+        val signs = signRow(t * nPlanes + p, n)
+        var dot = 0.0
+        var d = 0
+        while (d < n) {
+          val x = if (isFloat) vec.getFloat(d).toDouble else vec.getDouble(d)
+          dot += x * signs(d)
+          d += 1
+        }
+        if (dot >= 0) bucket |= (1L << p)
+        p += 1
+      }
+      out(t) = bucket
+      t += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  /** Column wrapper. */
+  def apply(vec: Column, nPlanes: Int, tables: Int): Column =
+    ExpressionUtils.column(
+      SimHashBuckets(ExpressionUtils.expression(vec), nPlanes, tables))
+}
