@@ -136,6 +136,42 @@ object Dedup {
       .select("id_a", "id_b", "jaccard")
   }
 
+  /** Near-duplicate pairs via 60-bit SimHash + chunk banding.
+    *
+    * Complementary to MinHash: SimHash weights by token frequency
+    * and detects small edits; MinHash measures set overlap. The
+    * fingerprint ([[org.apache.spark.sql.graft.SimHash64]]) is
+    * md5-derived and therefore DuckDB-oracle-portable.
+    *
+    * Banding: the 60 bits split into 4 chunks of 15; by pigeonhole,
+    * any pair with Hamming distance ≤ 3 agrees exactly on at least
+    * one chunk, so the (chunk_idx, chunk_value) self-join has 100%
+    * recall at `maxHamming` ≤ 3 — the shuffle key is the chunk,
+    * never the document pair space.
+    */
+  def simhashPairs(docs: DataFrame, maxHamming: Int = 3,
+                   textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    require(maxHamming <= 3, "4-chunk banding guarantees recall only for hamming <= 3")
+    val sh = docs
+      .select(col(idCol).as("id"),
+        org.apache.spark.sql.graft.SimHash64(col(textCol)).as("simhash"))
+      .cache()
+    val chunked = sh.select(
+      col("id"), col("simhash"),
+      explode(array((0 until 4).map(c =>
+        struct(lit(c).as("c"),
+          shiftright(col("simhash"), c * 15).bitwiseAND(lit(0x7fffL)).as("v"))): _*)).as("ck"))
+      .select(col("id"), col("simhash"), col("ck.c").as("c"), col("ck.v").as("v"))
+    val a = chunked.select(col("c"), col("v"), col("id").as("id_a"), col("simhash").as("sh_a"))
+    val b = chunked.select(col("c"), col("v"), col("id").as("id_b"), col("simhash").as("sh_b"))
+    a.join(b, Seq("c", "v"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        bit_count(col("sh_a").bitwiseXOR(col("sh_b"))).cast("long").as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+  }
+
   /** Keep-one projection of [[minhashPairs]]: drop every doc that
     * near-duplicates a lower-id doc (the union-find-free greedy
     * variant: b survives only if no a<b pairs with it).

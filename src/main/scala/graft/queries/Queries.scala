@@ -434,6 +434,271 @@ object Queries {
       | FROM documents ORDER BY doc_id""".stripMargin
 
   // ---------------------------------------------------------------
+  // Event-time windows / sessionization (Structured Streaming's
+  // window operators, exercised in batch for the oracle; the
+  // streaming variants with watermarks live in graft.streaming)
+  // ---------------------------------------------------------------
+
+  /** Tumbling 6-hour event-time windows via `window()` (epoch-aligned,
+    * like the streaming aggregation would be).
+    */
+  def q13TumblingWindow(s: SparkSession, d: String): DataFrame =
+    ev(s, d)
+      .groupBy(window(col("ts"), "6 hours"))
+      .agg(
+        count(lit(1)).as("cnt"),
+        sum(col("value").cast("decimal(18,2)")).cast("double").as("total_value"))
+      .select(unix_micros(col("window.start")).as("win_start_us"), col("cnt"), col("total_value"))
+      .orderBy(col("win_start_us"))
+
+  val q13TumblingWindowSql =
+    """SELECT (epoch_us(ts) // 21600000000) * 21600000000 AS win_start_us,
+      | count(*) AS cnt,
+      | CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+      | FROM events GROUP BY win_start_us ORDER BY win_start_us""".stripMargin
+
+  /** Session windows (30-minute gap) per user via `session_window()`.
+    * The oracle reproduces the gap semantics relationally: a new
+    * session starts when the time since the previous event reaches
+    * the gap.
+    */
+  def q14Sessionize(s: SparkSession, d: String): DataFrame =
+    ev(s, d)
+      .groupBy(col("user_id"), session_window(col("ts"), "30 minutes"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"),
+        unix_micros(col("session_window.start")).as("session_start_us"),
+        col("n_events"))
+      .orderBy(col("user_id"), col("session_start_us"))
+
+  val q14SessionizeSql =
+    """WITH e AS (
+      |  SELECT user_id, epoch_us(ts) AS t,
+      |   CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY epoch_us(ts)) >= 1800000000
+      |        OR lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY epoch_us(ts)) IS NULL
+      |        THEN 1 ELSE 0 END AS new_session
+      |  FROM events),
+      |se AS (
+      |  SELECT user_id, t,
+      |   sum(new_session) OVER (PARTITION BY user_id ORDER BY t ROWS UNBOUNDED PRECEDING) AS sess
+      |  FROM e)
+      |SELECT user_id, min(t) AS session_start_us, count(*) AS n_events
+      |FROM se GROUP BY user_id, sess
+      |ORDER BY user_id, session_start_us""".stripMargin
+
+  // ---------------------------------------------------------------
+  // Wider SQL surface: rollup, subqueries, set ops, scalar functions
+  // ---------------------------------------------------------------
+
+  /** ROLLUP grouping sets (group keys have no NULLs in the data, so
+    * the subtotal rows are unambiguous; they surface as 'ALL').
+    */
+  def q15Rollup(s: SparkSession, d: String): DataFrame = {
+    GraftSession.tune(s)
+    Tables.lineitem(s, d)
+      .rollup(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        sum(col("l_quantity")).cast("long").as("sum_qty"),
+        count(lit(1)).as("cnt"))
+      .select(
+        coalesce(col("l_returnflag"), lit("ALL")).as("rf"),
+        coalesce(col("l_linestatus"), lit("ALL")).as("ls"),
+        col("sum_qty"), col("cnt"))
+      .orderBy(col("rf"), col("ls"))
+  }
+
+  val q15RollupSql =
+    """SELECT coalesce(l_returnflag, 'ALL') AS rf, coalesce(l_linestatus, 'ALL') AS ls,
+      | CAST(CAST(sum(l_quantity) AS DOUBLE) AS BIGINT) AS sum_qty, count(*) AS cnt
+      | FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
+      | ORDER BY rf, ls""".stripMargin
+
+  /** Correlated EXISTS subquery, expressed through the SQL entry
+    * point (`spark.sql` over temp views) to exercise that API path.
+    */
+  def q16Exists(s: SparkSession, d: String): DataFrame = {
+    GraftSession.tune(s)
+    Tables.orders(s, d).createOrReplaceTempView("orders_v")
+    Tables.lineitem(s, d).createOrReplaceTempView("lineitem_v")
+    s.sql("""
+      SELECT o_orderkey, o_orderpriority, o_totalprice
+      FROM orders_v
+      WHERE EXISTS (SELECT 1 FROM lineitem_v
+                    WHERE l_orderkey = o_orderkey AND l_quantity >= 45)
+      ORDER BY o_orderkey""")
+  }
+
+  val q16ExistsSql =
+    """SELECT o_orderkey, o_orderpriority, o_totalprice FROM orders
+      | WHERE EXISTS (SELECT 1 FROM lineitem
+      |               WHERE l_orderkey = o_orderkey AND l_quantity >= 45)
+      | ORDER BY o_orderkey""".stripMargin
+
+  /** Set operations over derived cohorts: heavy clickers ∩ heavy
+    * error-reporters \ heavy purchasers (count thresholds keep each
+    * cohort selective — plain per-type membership is all-users in
+    * this data, which would make the result trivially empty).
+    */
+  def q17SetOps(s: SparkSession, d: String): DataFrame = {
+    val e = ev(s, d)
+    def heavy(t: String) =
+      e.filter(col("event_type") === t)
+        .groupBy(col("user_id")).agg(count(lit(1)).as("n"))
+        .filter(col("n") >= 15).select(col("user_id"))
+    heavy("click")
+      .intersect(heavy("error"))
+      .except(heavy("purchase"))
+      .orderBy(col("user_id"))
+  }
+
+  val q17SetOpsSql =
+    """(SELECT user_id FROM events WHERE event_type = 'click'
+      |  GROUP BY user_id HAVING count(*) >= 15
+      | INTERSECT
+      | SELECT user_id FROM events WHERE event_type = 'error'
+      |  GROUP BY user_id HAVING count(*) >= 15)
+      | EXCEPT
+      | SELECT user_id FROM events WHERE event_type = 'purchase'
+      |  GROUP BY user_id HAVING count(*) >= 15
+      | ORDER BY user_id""".stripMargin
+
+  /** Scalar function library sweep: string/math functions in one
+    * projection (all pure, all codegen'd).
+    */
+  def q18ScalarFuncs(s: SparkSession, d: String): DataFrame = {
+    GraftSession.tune(s)
+    Tables.part(s, d).select(
+      col("p_partkey"),
+      upper(col("p_brand")).as("brand_u"),
+      substring(col("p_name"), 1, 8).as("name8"),
+      regexp_replace(col("p_type"), " ", "_").as("type_u"),
+      concat_ws("|", col("p_brand"), col("p_type")).as("bt"),
+      length(col("p_name")).cast("long").as("name_len"),
+      round(col("p_retailprice") * lit(1.1), 2).as("marked_up"),
+      pmod(col("p_size"), lit(7)).cast("long").as("size_mod"))
+      .orderBy(col("p_partkey"))
+  }
+
+  val q18ScalarFuncsSql =
+    """SELECT p_partkey, upper(p_brand) AS brand_u, substr(p_name, 1, 8) AS name8,
+      | replace(p_type, ' ', '_') AS type_u,
+      | p_brand || '|' || p_type AS bt,
+      | CAST(length(p_name) AS BIGINT) AS name_len,
+      | round(p_retailprice * 1.1::DOUBLE, 2) AS marked_up,
+      | CAST(p_size % 7 AS BIGINT) AS size_mod
+      | FROM part ORDER BY p_partkey""".stripMargin
+
+  /** Exact interpolated percentiles (l_quantity is integral-valued,
+    * so the quartile interpolation is bit-exact in both engines).
+    */
+  def q19Percentiles(s: SparkSession, d: String): DataFrame = {
+    GraftSession.tune(s)
+    Tables.lineitem(s, d)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        expr("percentile(l_quantity, 0.25)").as("p25"),
+        expr("percentile(l_quantity, 0.5)").as("p50"),
+        expr("percentile(l_quantity, 0.75)").as("p75"),
+        count(lit(1)).as("cnt"))
+      .orderBy(col("l_returnflag"))
+  }
+
+  val q19PercentilesSql =
+    """SELECT l_returnflag,
+      | quantile_cont(l_quantity, 0.25) AS p25,
+      | quantile_cont(l_quantity, 0.5) AS p50,
+      | quantile_cont(l_quantity, 0.75) AS p75,
+      | count(*) AS cnt
+      | FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+
+  // ---------------------------------------------------------------
+  // SimHash fingerprinting + near-dup (third dedup family)
+  // ---------------------------------------------------------------
+
+  /** Oracle-reproducible simhash computation spliced into SQL (md5
+    * token hashes, bit-position cross join — see
+    * [[org.apache.spark.sql.graft.SimHash64]]).
+    */
+  private val simhashCte =
+    """WITH toks AS (
+      |  SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS t
+      |  FROM documents),
+      |th AS (SELECT doc_id, ('0x' || substr(md5(t), 1, 15))::BIGINT AS h FROM toks),
+      |bitsum AS (
+      |  SELECT doc_id, b.b,
+      |   sum(CASE WHEN (h >> b.b) & 1 = 1 THEN 1 ELSE -1 END) AS s
+      |  FROM th CROSS JOIN (SELECT unnest(range(60)) AS b) b
+      |  GROUP BY doc_id, b.b),
+      |sh AS (
+      |  SELECT doc_id, CAST(sum(CASE WHEN s >= 0 THEN 1::BIGINT << b ELSE 0::BIGINT END) AS BIGINT) AS simhash
+      |  FROM bitsum GROUP BY doc_id)""".stripMargin
+
+  def docSimhash(s: SparkSession, d: String): DataFrame =
+    docs(s, d).select(
+      col("doc_id"),
+      org.apache.spark.sql.graft.SimHash64(col("text")).as("simhash"))
+      .orderBy(col("doc_id"))
+
+  val docSimhashSql =
+    s"""$simhashCte
+       |SELECT doc_id, simhash FROM sh ORDER BY doc_id""".stripMargin
+
+  def docSimhashPairs(s: SparkSession, d: String): DataFrame =
+    Dedup.simhashPairs(docs(s, d), maxHamming = 3)
+      .orderBy(col("id_a"), col("id_b"))
+
+  val docSimhashPairsSql =
+    s"""$simhashCte
+       |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       | CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+       |FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+       |WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+       |ORDER BY id_a, id_b""".stripMargin
+
+  /** Multimodal decode plumbing: documents' bytes as opaque media
+    * blobs → typed metadata via the batched `mapPartitions` decode
+    * path ([[graft.multimodal.Multimodal]]). The decode itself is a
+    * deterministic byte-derived STUB, which makes it
+    * oracle-reproducible — the real point is the schema, the typed
+    * Dataset, and the batch shape.
+    */
+  def mediaDecode(s: SparkSession, d: String): DataFrame = {
+    GraftSession.tune(s)
+    graft.multimodal.Multimodal
+      .decodeMeta(graft.multimodal.Multimodal.fromDocuments(s, d))
+      .toDF()
+      .select(
+        col("mediaId").as("media_id"),
+        col("mediaType").as("media_type"),
+        col("byteLen").as("byte_len"),
+        col("format"),
+        col("width").cast("long").as("width"),
+        col("height").cast("long").as("height"),
+        col("durationMs").as("duration_ms"),
+        col("channels").cast("long").as("channels"))
+      .orderBy(col("media_id"))
+  }
+
+  val mediaDecodeSql =
+    """WITH m AS (
+      | SELECT doc_id AS media_id,
+      |  ['image','audio','video'][(doc_id % 3 + 1)::INT] AS media_type,
+      |  CAST(octet_length(encode(text)) AS BIGINT) AS byte_len,
+      |  ascii(substr(text,1,1)) AS b0, ascii(substr(text,2,1)) AS b1,
+      |  ascii(substr(text,3,1)) AS b2, ascii(substr(text,4,1)) AS b3,
+      |  ascii(substr(text,5,1)) AS b4
+      | FROM documents)
+      |SELECT media_id, media_type, byte_len,
+      | CASE WHEN media_type = 'image' THEN (CASE WHEN b0 % 2 = 0 THEN 'png' ELSE 'jpeg' END)
+      |      WHEN media_type = 'audio' THEN (CASE WHEN b0 % 2 = 0 THEN 'wav' ELSE 'flac' END)
+      |      ELSE 'mp4' END AS format,
+      | CAST(CASE WHEN media_type = 'audio' THEN 0 ELSE 16 * (1 + b1 % 120) END AS BIGINT) AS width,
+      | CAST(CASE WHEN media_type = 'audio' THEN 0 ELSE 16 * (1 + b2 % 68) END AS BIGINT) AS height,
+      | CAST(CASE WHEN media_type = 'image' THEN 0 ELSE 1000 * (1 + b3 % 300) END AS BIGINT) AS duration_ms,
+      | CAST(1 + b4 % 2 AS BIGINT) AS channels
+      |FROM m ORDER BY media_id""".stripMargin
+
+  // ---------------------------------------------------------------
   // Registry
   // ---------------------------------------------------------------
 
@@ -450,14 +715,24 @@ object Queries {
     "q10_window_rank" -> (q10WindowRank _),
     "q11_distinct_users" -> (q11DistinctUsers _),
     "q12_hourly_counts" -> (q12HourlyCounts _),
+    "q13_tumbling_window" -> (q13TumblingWindow _),
+    "q14_sessionize" -> (q14Sessionize _),
+    "q15_rollup" -> (q15Rollup _),
+    "q16_exists" -> (q16Exists _),
+    "q17_set_ops" -> (q17SetOps _),
+    "q18_scalar_funcs" -> (q18ScalarFuncs _),
+    "q19_percentiles" -> (q19Percentiles _),
     "doc_stats" -> (docStats _),
     "doc_quality" -> (docQuality _),
     "doc_lang" -> (docLang _),
     "dedup_exact" -> (dedupExact _),
     "dedup_minhash" -> (dedupMinhash _),
+    "doc_simhash" -> (docSimhash _),
+    "doc_simhash_pairs" -> (docSimhashPairs _),
     "knn_top10" -> (knnTop10 _),
     "ann_lsh_top5" -> (annLshTop5 _),
-    "media_meta" -> (mediaMeta _))
+    "media_meta" -> (mediaMeta _),
+    "media_decode" -> (mediaDecode _))
 
   val oracles: Map[String, String] = Map(
     "q1_count" -> q1CountSql,
@@ -472,12 +747,22 @@ object Queries {
     "q10_window_rank" -> q10WindowRankSql,
     "q11_distinct_users" -> q11DistinctUsersSql,
     "q12_hourly_counts" -> q12HourlyCountsSql,
+    "q13_tumbling_window" -> q13TumblingWindowSql,
+    "q14_sessionize" -> q14SessionizeSql,
+    "q15_rollup" -> q15RollupSql,
+    "q16_exists" -> q16ExistsSql,
+    "q17_set_ops" -> q17SetOpsSql,
+    "q18_scalar_funcs" -> q18ScalarFuncsSql,
+    "q19_percentiles" -> q19PercentilesSql,
     "doc_stats" -> docStatsSql,
     "doc_quality" -> docQualitySql,
     "doc_lang" -> docLangSql,
     "dedup_exact" -> dedupExactSql,
     "dedup_minhash" -> dedupMinhashSql,
+    "doc_simhash" -> docSimhashSql,
+    "doc_simhash_pairs" -> docSimhashPairsSql,
     "knn_top10" -> knnTop10Sql,
     // ann_lsh_top5: intentionally no oracle (approximate by design)
-    "media_meta" -> mediaMetaSql)
+    "media_meta" -> mediaMetaSql,
+    "media_decode" -> mediaDecodeSql)
 }

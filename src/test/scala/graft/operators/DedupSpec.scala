@@ -49,6 +49,20 @@ class DedupSpec extends SparkSpec {
     assert(kept === Seq(1L, 3L))
   }
 
+  test("simhashPairs finds the planted near-dup via chunk banding") {
+    val docs = Seq((1L, base), (2L, nearDup), (3L, unrelated)).toDF("doc_id", "text")
+    val pairs = Dedup.simhashPairs(docs, maxHamming = 3)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSeq
+    assert(pairs === Seq((1L, 2L)))
+  }
+
+  test("simhash is stable and sensitive: identical text → hamming 0") {
+    val docs = Seq((1L, base), (2L, base), (3L, unrelated)).toDF("doc_id", "text")
+    val pairs = Dedup.simhashPairs(docs, maxHamming = 0)
+      .select("id_a", "id_b", "hamming").as[(Long, Long, Long)].collect().toSeq
+    assert(pairs === Seq((1L, 2L, 0L)))
+  }
+
   test("driver documents table: minhash recovers every >=0.7 ground-truth pair") {
     graft.GraftSession.tune(spark)
     val docs = graft.tables.Tables.documents(spark, sfSmoke)
