@@ -655,6 +655,48 @@ object Queries {
        |WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
        |ORDER BY id_a, id_b""".stripMargin
 
+  /** Per-document n-gram profile: distinct 3-token shingles and
+    * token counts (the raw material of n-gram Jaccard dedup; the
+    * pairwise form is oracle-checked end-to-end in dedup_minhash's
+    * verify stage).
+    */
+  def docNgramProfile(s: SparkSession, d: String): DataFrame =
+    docs(s, d).select(
+      col("doc_id"),
+      size(Dedup.shingles(col("text"))).cast("long").as("n_shingles"),
+      TextFunctions.tokenCount(col("text")).cast("long").as("n_tokens"))
+      .orderBy(col("doc_id"))
+
+  val docNgramProfileSql =
+    """WITH toks AS (
+      |  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS t,
+      |   CAST(len(regexp_extract_all(text, '[A-Za-z0-9]+')) AS BIGINT) AS n_tokens
+      |  FROM documents)
+      |SELECT doc_id,
+      | CAST(len(list_distinct([t[i] || ' ' || t[i+1] || ' ' || t[i+2]
+      |   FOR i IN range(1, len(t) - 1)])) AS BIGINT) AS n_shingles,
+      | n_tokens
+      |FROM toks ORDER BY doc_id""".stripMargin
+
+  /** Embedding-cosine near-duplicate pairs (LSH-bucketed, exact
+    * verify). The driver embeddings are near-orthogonal, so at the
+    * 0.95 near-dup threshold both engines agree on the (empty) pair
+    * set; the operator's recall behavior is asserted on planted
+    * duplicates in SimilaritySpec.
+    */
+  def embCosinePairs(s: SparkSession, d: String): DataFrame = {
+    GraftSession.tune(s)
+    Similarity.cosinePairs(Tables.embeddings(s, d), dim = 64, threshold = 0.95)
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
+  val embCosinePairsSql =
+    """SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+      | list_cosine_similarity(a.embedding, b.embedding) AS sim
+      | FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+      | WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.95
+      | ORDER BY id_a, id_b""".stripMargin
+
   /** Multimodal decode plumbing: documents' bytes as opaque media
     * blobs → typed metadata via the batched `mapPartitions` decode
     * path ([[graft.multimodal.Multimodal]]). The decode itself is a
@@ -729,6 +771,8 @@ object Queries {
     "dedup_minhash" -> (dedupMinhash _),
     "doc_simhash" -> (docSimhash _),
     "doc_simhash_pairs" -> (docSimhashPairs _),
+    "doc_ngram_profile" -> (docNgramProfile _),
+    "emb_cosine_pairs" -> (embCosinePairs _),
     "knn_top10" -> (knnTop10 _),
     "ann_lsh_top5" -> (annLshTop5 _),
     "media_meta" -> (mediaMeta _),
@@ -761,6 +805,8 @@ object Queries {
     "dedup_minhash" -> dedupMinhashSql,
     "doc_simhash" -> docSimhashSql,
     "doc_simhash_pairs" -> docSimhashPairsSql,
+    "doc_ngram_profile" -> docNgramProfileSql,
+    "emb_cosine_pairs" -> embCosinePairsSql,
     "knn_top10" -> knnTop10Sql,
     // ann_lsh_top5: intentionally no oracle (approximate by design)
     "media_meta" -> mediaMetaSql,

@@ -1,0 +1,53 @@
+package graft.streaming
+
+import java.util.Properties
+
+import org.apache.spark.sql.{DataFrame, SaveMode}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.DataStreamWriter
+
+/** Sink configurations mirroring the reference's delivery targets
+  * (SURVEY §2.4 K1-K3). These compile against stock Spark; the Kafka
+  * connector / JDBC driver jars are deploy-time classpath additions.
+  */
+object Sinks {
+
+  /** K1: async batched Kafka sink with the reference publisher's
+    * tuning (`publisher/internal/kafka/publisher.go:34-49`:
+    * BatchSize 100, BatchTimeout 1 s, acks=1; null keys —
+    * `handler.go:81` publishes with nil key, so we only emit a
+    * `value` column and let the default partitioner spread load,
+    * the `LeastBytes` analog).
+    */
+  def kafkaSink(df: DataFrame, bootstrap: String,
+                topic: String = "ingest-topic",
+                checkpointDir: String = "/tmp/graft-kafka-sink"): DataStreamWriter[org.apache.spark.sql.Row] =
+    df.select(to_json(struct(df.columns.map(col): _*)).as("value"))
+      .writeStream
+      .format("kafka")
+      .option("kafka.bootstrap.servers", bootstrap)
+      .option("topic", topic)
+      .option("kafka.batch.size", "16384")
+      .option("kafka.linger.ms", "1000") // BatchTimeout 1 s analog
+      .option("kafka.acks", "1")         // RequireOne
+      .option("checkpointLocation", checkpointDir)
+
+  /** K2/K3: JDBC batch INSERT sink for a micro-batch — the
+    * `foreachBatch` body (`writeStream.foreachBatch(jdbcBatch(url,
+    * table, props))`). Batch size 100 matches both reference
+    * consumers (`application.yml:53`,
+    * `consumer2/.../KafkaMessageConsumer.kt:30`); `numPartitions`
+    * caps writer-side connections like their Hikari pools (max 10).
+    */
+  def jdbcBatch(url: String, table: String, connProps: Properties,
+                batchSize: Int = 100, maxConnections: Int = 10): (DataFrame, Long) => Unit =
+    (batch: DataFrame, _: Long) =>
+      if (!batch.isEmpty) {
+        batch
+          .coalesce(maxConnections)
+          .write
+          .mode(SaveMode.Append)
+          .option("batchsize", batchSize)
+          .jdbc(url, table, connProps)
+      }
+}

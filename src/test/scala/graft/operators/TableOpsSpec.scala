@@ -1,0 +1,57 @@
+package graft.operators
+
+import graft.SparkSpec
+
+/** Q5/Q6/Q7: catalog DDL + append/truncate/overwrite semantics,
+  * mirroring `ClickHouseRepositoryIntegrationTest.kt` (create →
+  * insert → count → truncate → empty).
+  */
+class TableOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val db = "graft_test"
+  private val table = "ingest_data"
+
+  test("create/insert/truncate/overwrite round-trip through the catalog") {
+    TableOps.dropTable(spark, db, table)
+    TableOps.createTable(spark, db, table,
+      "sensor_id STRING, temperature DOUBLE, value INT")
+    assert(spark.catalog.tableExists(s"$db.$table"))
+    assert(spark.table(s"$db.$table").count() === 0)
+
+    val batch1 = Seq(("s1", 20.5, 1), ("s2", 21.0, 2))
+      .toDF("sensor_id", "temperature", "value")
+    TableOps.insertAppend(batch1, db, table)
+    assert(spark.table(s"$db.$table").count() === 2)
+
+    // Q7: append accumulates (batched INSERT semantics)
+    TableOps.insertAppend(batch1, db, table)
+    assert(spark.table(s"$db.$table").count() === 4)
+
+    // Q5: TRUNCATE empties but keeps the table
+    TableOps.truncate(spark, db, table)
+    assert(spark.catalog.tableExists(s"$db.$table"))
+    assert(spark.table(s"$db.$table").count() === 0)
+
+    // overwrite variant
+    TableOps.overwrite(batch1, db, table)
+    assert(spark.table(s"$db.$table").count() === 2)
+
+    TableOps.dropTable(spark, db, table)
+    assert(!spark.catalog.tableExists(s"$db.$table"))
+  }
+
+  test("null fields survive the insert round-trip (P5 null binding)") {
+    TableOps.dropTable(spark, db, "nulls_t")
+    TableOps.createTable(spark, db, "nulls_t",
+      "sensor_id STRING, temperature DOUBLE")
+    TableOps.insertAppend(
+      Seq(("s1", Option.empty[Double]), (null: String, Some(1.5)))
+        .toDF("sensor_id", "temperature"),
+      db, "nulls_t")
+    val rows = spark.table(s"$db.nulls_t")
+      .collect().map(r => (r.getAs[String](0), Option(r.get(1)))).toSet
+    assert(rows === Set(("s1", None), (null, Some(1.5))))
+    TableOps.dropTable(spark, db, "nulls_t")
+  }
+}
