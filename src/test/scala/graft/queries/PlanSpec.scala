@@ -1,0 +1,68 @@
+package graft.queries
+
+import org.apache.spark.sql.DataFrame
+
+import graft.SparkSpec
+
+/** Physical-plan audit as regression tests: the properties that make
+  * these plans survive a 100× scale-up — filter pushdown, column
+  * pruning, broadcast joins on dimensions, no accidental cartesian
+  * products — asserted on the actual executed plans.
+  */
+class PlanSpec extends SparkSpec {
+
+  private def plan(df: DataFrame): String =
+    df.queryExecution.executedPlan.toString
+
+  test("q2: event_type filter pushes into the parquet scan; props column pruned") {
+    val p = plan(Queries.q2FilterSort(spark, sfSmoke))
+    assert(p.contains("PushedFilters") && p.contains("event_type"), p.take(800))
+    assert(p.contains("ReadSchema") && !p.contains("props"),
+      "projection must prune unreferenced columns\n" + p.take(800))
+  }
+
+  test("q4: auth validation is a broadcast left-semi join — the stream never shuffles") {
+    val p = plan(Queries.q4AuthSemi(spark, sfSmoke))
+    assert(p.contains("BroadcastHashJoin") && p.contains("LeftSemi"), p.take(800))
+    assert(!p.contains("SortMergeJoin"), "dimension join must not sort-merge\n" + p.take(800))
+  }
+
+  test("q6: full ingest DAG keeps the broadcast join and pushes the payload predicates") {
+    val p = plan(Queries.q6IngestAccepted(spark, sfSmoke))
+    assert(p.contains("BroadcastHashJoin"), p.take(800))
+    assert(!p.contains("CartesianProduct"), p.take(800))
+  }
+
+  test("q8: nation dimension broadcasts in the star join") {
+    val p = plan(Queries.q8RevenueByNation(spark, sfSmoke))
+    assert(p.contains("BroadcastHashJoin"), p.take(800))
+  }
+
+  test("q7: aggregation is partial+final hash aggregate (map-side combine)") {
+    val p = plan(Queries.q7PricingSummary(spark, sfSmoke))
+    assert("HashAggregate".r.findAllIn(p).size >= 2,
+      "expect partial + final HashAggregate\n" + p.take(800))
+  }
+
+  test("dedup_minhash: banded self-join is a hash join, never a cartesian product") {
+    val p = plan(Queries.dedupMinhash(spark, sfSmoke))
+    assert(!p.contains("CartesianProduct"), p.take(1200))
+    assert(!p.contains("BroadcastNestedLoopJoin"), p.take(1200))
+  }
+
+  test("ann_lsh: bucket probe is a hash join, never a cartesian product") {
+    val p = plan(Queries.annLshTop5(spark, sfSmoke))
+    assert(!p.contains("CartesianProduct"), p.take(1200))
+  }
+
+  test("whole-stage codegen covers the text-analysis projections") {
+    val df = Queries.docStats(spark, sfSmoke)
+    // AQE finalizes the plan only on execution — run THIS query
+    // execution's plan (a fresh action like count() would build a
+    // new one and leave this AdaptiveSparkPlan unfinalized)
+    df.queryExecution.executedPlan.execute().count()
+    val p = plan(df)
+    // executedPlan.toString renders WholeStageCodegen stages as "*(n)"
+    assert(p.contains("*(1)"), p.take(800))
+  }
+}
