@@ -1,0 +1,46 @@
+package graft.streaming
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+
+import graft.SparkSpec
+
+case class KeyedRow(k: String, payload: Long)
+
+class KeyedStateSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("flatMapGroupsWithState dedups by key across micro-batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val ms = MemoryStream[KeyedRow]
+    // ttl <= 0 → NoTimeout: processing-time timeouts keep scheduling
+    // no-data micro-batches, which deadlocks processAllAvailable()
+    // under the default trigger in a test harness
+    val q = KeyedState.dedupeByKey[KeyedRow](ms.toDS(), _.k, ttlMs = 0L)
+      .writeStream.format("memory").queryName("keyed_dedup")
+      .outputMode("append").start()
+    try {
+      ms.addData(KeyedRow("a", 1), KeyedRow("a", 2), KeyedRow("b", 3))
+      q.processAllAvailable()
+      // repeats in a LATER micro-batch are still dropped (state persists)
+      ms.addData(KeyedRow("a", 4), KeyedRow("c", 5))
+      q.processAllAvailable()
+      val out = spark.table("keyed_dedup").as[KeyedRow].collect()
+        .map(r => r.k -> r.payload).toMap
+      assert(out.keySet === Set("a", "b", "c"))
+      assert(out("a") === 1L, "first occurrence wins")
+      assert(out("c") === 5L)
+    } finally q.stop()
+  }
+
+  test("sketch parity: approx_count_distinct lands within its error bound of the exact count") {
+    graft.GraftSession.tune(spark)
+    val ev = graft.tables.Tables.eventsNorm(spark, sfSmoke)
+    import org.apache.spark.sql.functions._
+    val (approx, exact) = ev
+      .agg(approx_count_distinct(col("user_id"), 0.05).as("a"),
+        countDistinct(col("user_id")).as("e"))
+      .as[(Long, Long)].collect().head
+    assert(math.abs(approx - exact).toDouble / exact <= 0.10,
+      s"approx $approx vs exact $exact")
+  }
+}
