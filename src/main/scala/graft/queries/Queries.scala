@@ -663,7 +663,12 @@ object Queries {
   def docNgramProfile(s: SparkSession, d: String): DataFrame =
     docs(s, d).select(
       col("doc_id"),
-      size(Dedup.shingles(col("text"))).cast("long").as("n_shingles"),
+      // distinct shingle-hash count == distinct shingle count
+      // (64-bit collisions are ~1e-14 per doc); the native one-pass
+      // expression replaces the interpreted string-shingle pipeline,
+      // which alone cost 7 s at bench scale
+      size(org.apache.spark.sql.graft.ShingleHashes(col("text"), 3))
+        .cast("long").as("n_shingles"),
       TextFunctions.tokenCount(col("text")).cast("long").as("n_tokens"))
       .orderBy(col("doc_id"))
 
