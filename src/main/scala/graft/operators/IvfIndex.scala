@@ -1,0 +1,79 @@
+package graft.operators
+
+import org.apache.spark.ml.clustering.KMeans
+import org.apache.spark.ml.functions.array_to_vector
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** IVF (inverted-file) approximate nearest neighbor — the
+  * clustering-based alternative to the hyperplane LSH in
+  * [[Similarity.annLsh]].
+  *
+  * Index build: k-means coarse quantizer (spark.ml, seeded →
+  * deterministic) assigns every corpus vector to one of `nCells`
+  * cells — at 100 TB the assignment is one narrow pass and cells
+  * shard naturally across executors.
+  *
+  * Search: each query scores only the `nProbe` nearest cells'
+  * vectors — the centroid table is tiny and lives on the driver, so
+  * probe selection is free, and the corpus join is a hash join on
+  * the cell id. Cost ≈ nProbe/nCells of brute force; recall grows
+  * with nProbe (the classic IVF dial).
+  */
+object IvfIndex {
+
+  /** Corpus with an assigned `cell` column + the centroid matrix. */
+  case class Index(assigned: DataFrame, centroids: Array[Array[Double]])
+
+  def build(corpus: DataFrame, nCells: Int = 16, seed: Long = 42L): Index = {
+    val vecs = corpus.withColumn("features", array_to_vector(col("embedding")))
+    val model = new KMeans()
+      .setK(nCells).setSeed(seed).setFeaturesCol("features").setPredictionCol("cell")
+      .fit(vecs)
+    val assigned = model.transform(vecs).drop("features")
+    Index(assigned, model.clusterCenters.map(_.toArray))
+  }
+
+  private def cosineArr(a: Array[Double], b: Array[Double]): Double = {
+    var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+    while (i < math.min(a.length, b.length)) {
+      dot += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1
+    }
+    dot / (math.sqrt(na) * math.sqrt(nb))
+  }
+
+  /** Top-k cosine neighbors probing the `nProbe` closest cells per
+    * query. `queries` must be small (collected to pick probes and
+    * broadcast into the scoring join).
+    */
+  def search(index: Index, queries: DataFrame, kNeighbors: Int = 10,
+             nProbe: Int = 4): DataFrame = {
+    val spark = queries.sparkSession
+    import spark.implicits._
+
+    // driver-side probe selection against the tiny centroid table
+    val q = queries.select(col("query_id"), col("query_vec")).collect()
+    val probes = q.flatMap { row =>
+      val qid = row.getLong(0)
+      val qv = row.getSeq[Float](1).map(_.toDouble).toArray
+      index.centroids.zipWithIndex
+        .map { case (c, i) => (i, cosineArr(qv, c)) }
+        .sortBy(-_._2).take(nProbe)
+        .map { case (cell, _) => (qid, cell) }
+    }.toSeq.toDF("query_id", "cell")
+
+    val candidates = index.assigned
+      .join(broadcast(probes), "cell")
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"), col("embedding"))
+      .join(broadcast(queries), "query_id")
+      .withColumn("sim", Similarity.cosine(col("query_vec"), col("embedding")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("sim").desc, col("vec_id").asc)
+    candidates
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= kNeighbors)
+      .select(col("query_id"), col("rank"), col("vec_id").as("neighbor_id"), col("sim"))
+  }
+}
