@@ -27,6 +27,9 @@ object GraftSession {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     spark.conf.set("spark.sql.adaptive.enabled", "true")
+    // SQL names for graft's native expressions (json_is_valid,
+    // simhash64, cosine_similarity, ...) — idempotent
+    org.apache.spark.sql.graft.GraftSqlFunctions.register(spark)
     spark
   }
 

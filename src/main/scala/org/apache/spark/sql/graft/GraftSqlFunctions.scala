@@ -1,0 +1,70 @@
+/* Hosted under org.apache.spark.sql for private[sql] access
+ * (sessionState, FunctionRegistry internals).
+ */
+package org.apache.spark.sql.graft
+
+import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+/** SQL registration of graft's native expressions, so the pure-SQL
+  * surface (`spark.sql`, JDBC/Thrift clients) can call them:
+  *
+  *  - `json_is_valid(s)` — strict whole-string JSON validity
+  *  - `simhash64(s)` — 60-bit oracle-portable SimHash fingerprint
+  *  - `cosine_similarity(a, b)` — fused double-precision cosine
+  *  - `shingle_hashes(s, n)` — distinct n-token shingle hash set
+  *  - `minhash_signature(hs, k)` — k-function MinHash signature
+  *  - `simhash_buckets(vec, planes, tables)` — multi-table LSH keys
+  *
+  * Two wiring paths:
+  *  - [[GraftExtensions]] for `spark.sql.extensions` at session
+  *    build (the standard deploy-time config);
+  *  - [[GraftSqlFunctions.register]] for a live session (what
+  *    `GraftSession.tune` uses — the driver hands us sessions we
+  *    didn't build).
+  */
+object GraftSqlFunctions {
+
+  private def intArg(e: Expression, what: String): Int = {
+    require(e.foldable, s"$what must be a literal")
+    e.eval().asInstanceOf[Number].intValue()
+  }
+
+  val all: Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] = Seq(
+    (FunctionIdentifier("json_is_valid"),
+      new ExpressionInfo(classOf[JsonIsValid].getName, "json_is_valid"),
+      (es: Seq[Expression]) => JsonIsValid(es.head)),
+    (FunctionIdentifier("simhash64"),
+      new ExpressionInfo(classOf[SimHash64].getName, "simhash64"),
+      (es: Seq[Expression]) => SimHash64(es.head)),
+    (FunctionIdentifier("cosine_similarity"),
+      new ExpressionInfo(classOf[CosineSimilarity].getName, "cosine_similarity"),
+      (es: Seq[Expression]) => CosineSimilarity(es(0), es(1))),
+    (FunctionIdentifier("shingle_hashes"),
+      new ExpressionInfo(classOf[ShingleHashes].getName, "shingle_hashes"),
+      (es: Seq[Expression]) => ShingleHashes(es(0), intArg(es(1), "shingle size"))),
+    (FunctionIdentifier("minhash_signature"),
+      new ExpressionInfo(classOf[MinHashSignature].getName, "minhash_signature"),
+      (es: Seq[Expression]) => MinHashSignature(es(0), intArg(es(1), "k"))),
+    (FunctionIdentifier("simhash_buckets"),
+      new ExpressionInfo(classOf[SimHashBuckets].getName, "simhash_buckets"),
+      (es: Seq[Expression]) =>
+        SimHashBuckets(es(0), intArg(es(1), "planes"), intArg(es(2), "tables"))))
+
+  /** Idempotent runtime registration into an existing session. */
+  def register(spark: SparkSession): Unit = {
+    val registry = spark.sessionState.functionRegistry
+    all.foreach { case (id, info, builder) =>
+      if (!registry.functionExists(id)) {
+        registry.registerFunction(id, info, builder)
+      }
+    }
+  }
+}
+
+/** `spark.sql.extensions=org.apache.spark.sql.graft.GraftExtensions` */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit =
+    GraftSqlFunctions.all.foreach(ext.injectFunction)
+}

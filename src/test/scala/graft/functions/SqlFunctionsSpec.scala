@@ -1,0 +1,40 @@
+package graft.functions
+
+import graft.SparkSpec
+
+/** The pure-SQL surface of the native expressions (registered by
+  * GraftSession.tune / GraftExtensions).
+  */
+class SqlFunctionsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def sql1[T](q: String): T = {
+    graft.GraftSession.tune(spark)
+    spark.sql(q).collect().head.getAs[T](0)
+  }
+
+  test("json_is_valid is strict about trailing garbage in SQL") {
+    assert(sql1[Boolean]("""SELECT json_is_valid('{"a": 1}')"""))
+    assert(!sql1[Boolean]("""SELECT json_is_valid('{"a": 1}x')"""))
+    assert(!sql1[Boolean]("SELECT json_is_valid('')"))
+    assert(sql1[Boolean]("SELECT json_is_valid('42')"))
+  }
+
+  test("simhash64 and cosine_similarity are callable from SQL") {
+    val h1 = sql1[Long]("SELECT simhash64('the quick brown fox')")
+    val h2 = sql1[Long]("SELECT simhash64('THE  quick   BROWN fox!')")
+    assert(h1 === h2, "tokenizer normalizes case/whitespace")
+    val sim = sql1[Double](
+      "SELECT cosine_similarity(array(1.0D, 0.0D), array(1.0D, 0.0D))")
+    assert(math.abs(sim - 1.0) < 1e-12)
+  }
+
+  test("shingle_hashes / minhash_signature / simhash_buckets compose in SQL") {
+    val sigLen = sql1[scala.collection.Seq[Long]](
+      "SELECT minhash_signature(shingle_hashes('a b c d e f', 3), 8)").length
+    assert(sigLen === 8)
+    val buckets = sql1[scala.collection.Seq[Long]](
+      "SELECT simhash_buckets(array(0.5F, -0.25F, 1.0F, 0.0F), 4, 3)")
+    assert(buckets.length === 3)
+  }
+}
