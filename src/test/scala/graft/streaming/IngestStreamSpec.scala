@@ -91,6 +91,37 @@ class IngestStreamSpec extends SparkSpec {
     assert(!Files.list(java.nio.file.Paths.get(out)).findFirst().isPresent)
   }
 
+  test("ingested output answers the reference's integration queries (count / filter+sort / order by ingest time)") {
+    // mirrors ClickHouseRepositoryIntegrationTest.kt:110,168,212 —
+    // the full loop: stream in, then query the sink like ClickHouse
+    val (out, dlq, ckpt) = (tmp(), tmp(), tmp())
+    implicit val sqlCtx = spark.sqlContext
+    val ms = MemoryStream[RawEvent]
+    ms.addData(
+      RawEvent(3L, 1L, "view", 30.0, """{"k": 3}"""),
+      RawEvent(1L, 1L, "click", 10.0, """{"k": 1}"""),
+      RawEvent(2L, 2L, "click", 20.0, """{"k": 2}"""),
+      RawEvent(4L, 3L, "click", 40.0, """not json"""))
+    val q = IngestStream.start(ms.toDF(), keysDf, out, dlq, ckpt,
+      Trigger.AvailableNow(), Some(lit(777L)))
+    q.awaitTermination(60000)
+
+    val t = spark.read.parquet(out)
+    // Q1: count()
+    assert(t.count() === 3)
+    // Q2: equality filter + sort
+    val clicks = t.filter(col("event_type") === "click")
+      .orderBy(col("event_id"))
+      .select(col("event_id"), col("value"))
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(clicks === Seq((1L, 10.0), (2L, 20.0)))
+    // Q3: projection + sort by ingest-time enrichment column
+    assert(t.orderBy(col("received_at"), col("event_id"))
+      .select(col("k")).collect().map(_.getInt(0)).toSeq === Seq(1, 2, 3))
+    // and the DLQ holds exactly the malformed payload
+    assert(spark.read.parquet(dlq).count() === 1)
+  }
+
   test("runWithRetry restarts a failing query and finishes within the retry budget (D5)") {
     val (out, dlq, ckpt) = (tmp(), tmp(), tmp())
     implicit val sqlCtx = spark.sqlContext
