@@ -655,6 +655,40 @@ object Queries {
        |WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
        |ORDER BY id_a, id_b""".stripMargin
 
+  /** AS-OF join: attach each event's customer's most recent order at
+    * or before the event time ([[graft.operators.AsOfJoin]] — union
+    * + keyed window, one shuffle). Right (key, time) pairs are
+    * pre-aggregated to max(o_orderkey) so ties are deterministic;
+    * the oracle uses DuckDB's native ASOF LEFT JOIN.
+    */
+  def q20AsOf(s: SparkSession, d: String): DataFrame = {
+    val left = ev(s, d).select(
+      col("event_id"), col("user_id"), expr("ts_ns div 1000").as("ts_us"))
+    val right = Tables.orders(s, d)
+      .groupBy(col("o_custkey"), col("o_orderdate"))
+      .agg(max(col("o_orderkey")).as("last_orderkey"))
+      // o_orderdate is TIMESTAMP_NTZ; the session is pinned to UTC,
+      // so the LTZ cast makes unix_micros equal DuckDB's epoch_us
+      .withColumn("order_us", unix_micros(col("o_orderdate").cast("timestamp")))
+      .select(col("o_custkey"), col("order_us"), col("last_orderkey"))
+    graft.operators.AsOfJoin
+      .asOf(left, right, "user_id", "ts_us", "o_custkey", "order_us",
+        Seq("last_orderkey", "order_us"))
+      .withColumnRenamed("order_us", "last_order_us")
+      .orderBy(col("event_id"))
+  }
+
+  val q20AsOfSql =
+    """WITH r AS (
+      |  SELECT o_custkey, epoch_us(o_orderdate) AS order_us,
+      |   max(o_orderkey) AS last_orderkey
+      |  FROM orders GROUP BY 1, 2)
+      |SELECT e.event_id, e.user_id, epoch_us(e.ts) AS ts_us,
+      | r.last_orderkey, r.order_us AS last_order_us
+      |FROM events e ASOF LEFT JOIN r
+      |  ON e.user_id = r.o_custkey AND epoch_us(e.ts) >= r.order_us
+      |ORDER BY event_id""".stripMargin
+
   /** Per-document n-gram profile: distinct 3-token shingles and
     * token counts (the raw material of n-gram Jaccard dedup; the
     * pairwise form is oracle-checked end-to-end in dedup_minhash's
@@ -769,6 +803,7 @@ object Queries {
     "q17_set_ops" -> (q17SetOps _),
     "q18_scalar_funcs" -> (q18ScalarFuncs _),
     "q19_percentiles" -> (q19Percentiles _),
+    "q20_asof_join" -> (q20AsOf _),
     "doc_stats" -> (docStats _),
     "doc_quality" -> (docQuality _),
     "doc_lang" -> (docLang _),
@@ -803,6 +838,7 @@ object Queries {
     "q17_set_ops" -> q17SetOpsSql,
     "q18_scalar_funcs" -> q18ScalarFuncsSql,
     "q19_percentiles" -> q19PercentilesSql,
+    "q20_asof_join" -> q20AsOfSql,
     "doc_stats" -> docStatsSql,
     "doc_quality" -> docQualitySql,
     "doc_lang" -> docLangSql,
