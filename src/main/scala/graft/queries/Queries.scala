@@ -655,6 +655,54 @@ object Queries {
        |WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
        |ORDER BY id_a, id_b""".stripMargin
 
+  /** TPC-H Q3-shaped shipping priority: 3-way join with date
+    * predicates on both fact tables, revenue rollup, top-10.
+    */
+  def q21ShippingPriority(s: SparkSession, d: String): DataFrame = {
+    GraftSession.tune(s)
+    val cutoff = "1997-01-01"
+    Tables.customer(s, d).filter(col("c_mktsegment") === "BUILDING")
+      .join(Tables.orders(s, d), col("c_custkey") === col("o_custkey"))
+      .filter(col("o_orderdate") < lit(cutoff).cast("timestamp_ntz"))
+      .join(Tables.lineitem(s, d), col("o_orderkey") === col("l_orderkey"))
+      .filter(col("l_shipdate") > lit(cutoff).cast("timestamp_ntz"))
+      .groupBy(col("o_orderkey"), col("o_orderpriority"))
+      .agg(sum((col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+        .cast("decimal(18,6)")).cast("double").as("revenue"))
+      .orderBy(col("revenue").desc, col("o_orderkey"))
+      .limit(10)
+  }
+
+  val q21ShippingPrioritySql =
+    """SELECT o_orderkey, o_orderpriority,
+      | CAST(sum(CAST(l_extendedprice * (1.0::DOUBLE - l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS revenue
+      | FROM customer
+      | JOIN orders ON c_custkey = o_custkey
+      | JOIN lineitem ON o_orderkey = l_orderkey
+      | WHERE c_mktsegment = 'BUILDING'
+      |   AND o_orderdate < TIMESTAMP '1997-01-01'
+      |   AND l_shipdate > TIMESTAMP '1997-01-01'
+      | GROUP BY o_orderkey, o_orderpriority
+      | ORDER BY revenue DESC, o_orderkey LIMIT 10""".stripMargin
+
+  /** Calendar rollup on the order-date dimension. */
+  def q22OrdersByMonth(s: SparkSession, d: String): DataFrame = {
+    GraftSession.tune(s)
+    Tables.orders(s, d)
+      .groupBy(year(col("o_orderdate")).cast("long").as("yr"),
+        month(col("o_orderdate")).cast("long").as("mo"))
+      .agg(count(lit(1)).as("n_orders"),
+        sum(col("o_totalprice").cast("decimal(18,2)")).cast("double").as("revenue"))
+      .orderBy(col("yr"), col("mo"))
+  }
+
+  val q22OrdersByMonthSql =
+    """SELECT CAST(year(o_orderdate) AS BIGINT) AS yr,
+      | CAST(month(o_orderdate) AS BIGINT) AS mo,
+      | count(*) AS n_orders,
+      | CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+      | FROM orders GROUP BY yr, mo ORDER BY yr, mo""".stripMargin
+
   /** AS-OF join: attach each event's customer's most recent order at
     * or before the event time ([[graft.operators.AsOfJoin]] — union
     * + keyed window, one shuffle). Right (key, time) pairs are
@@ -804,6 +852,8 @@ object Queries {
     "q18_scalar_funcs" -> (q18ScalarFuncs _),
     "q19_percentiles" -> (q19Percentiles _),
     "q20_asof_join" -> (q20AsOf _),
+    "q21_shipping_priority" -> (q21ShippingPriority _),
+    "q22_orders_by_month" -> (q22OrdersByMonth _),
     "doc_stats" -> (docStats _),
     "doc_quality" -> (docQuality _),
     "doc_lang" -> (docLang _),
@@ -839,6 +889,8 @@ object Queries {
     "q18_scalar_funcs" -> q18ScalarFuncsSql,
     "q19_percentiles" -> q19PercentilesSql,
     "q20_asof_join" -> q20AsOfSql,
+    "q21_shipping_priority" -> q21ShippingPrioritySql,
+    "q22_orders_by_month" -> q22OrdersByMonthSql,
     "doc_stats" -> docStatsSql,
     "doc_quality" -> docQualitySql,
     "doc_lang" -> docLangSql,
