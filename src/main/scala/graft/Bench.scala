@@ -19,6 +19,17 @@ object Bench {
       spark.range(1000000L).selectExpr("sum(id)").write
         .format("noop").mode("overwrite").save()
       SparkEntry.entry(spark).write.format("noop").mode("overwrite").save()
+      // vector-kernel warmup (JIT for the native expressions used by
+      // the similarity/dedup queries)
+      import org.apache.spark.sql.functions._
+      val vecs = spark.range(2000L)
+        .selectExpr("id AS vec_id",
+          "transform(sequence(1, 64), x -> cast(x * (id + 1) % 97 as float)) AS embedding")
+      vecs.select(
+        graft.operators.Similarity.lshBuckets(col("embedding"), 4, 16).as("b"),
+        graft.operators.Similarity.cosine(col("embedding"), col("embedding")).as("c"),
+        org.apache.spark.sql.graft.ShingleHashes(col("vec_id").cast("string"), 3).as("s"))
+        .write.format("noop").mode("overwrite").save()
     } catch { case _: Throwable => () }
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
