@@ -31,18 +31,28 @@ object Bench {
         org.apache.spark.sql.graft.ShingleHashes(col("vec_id").cast("string"), 3).as("s"))
         .write.format("noop").mode("overwrite").save()
     } catch { case _: Throwable => () }
+    // n=3 runs per query, report the MEDIAN: single runs at
+    // sub-second scale are dominated by JIT/GC noise, and a median
+    // makes round-over-round comparisons detect real regressions.
+    val runs = 3
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-      catch { case e: Throwable =>
-        System.err.println(s"[bench] $name failed: ${e.getMessage}")
-      }
-      name -> (System.nanoTime() - t0) / 1e9
+      val times = (1 to runs).map { _ =>
+        val t0 = System.nanoTime()
+        try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+        catch { case e: Throwable =>
+          System.err.println(s"[bench] $name failed: ${e.getMessage}")
+        }
+        // release per-query caches (Dedup.minhashPairs etc.) so runs
+        // are independent and nothing pins executor memory
+        spark.catalog.clearCache()
+        (System.nanoTime() - t0) / 1e9
+      }.sorted
+      name -> times(runs / 2)
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","runs_per_query":$runs,"stat":"median"}""")
     spark.stop()
   }
 }

@@ -15,6 +15,10 @@ object Verify {
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
+      // queries own their caches only for the duration of one run
+      // (Dedup.minhashPairs etc.) — release between queries so the
+      // batch neither re-caches identical plans nor pins memory
+      spark.catalog.clearCache()
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the

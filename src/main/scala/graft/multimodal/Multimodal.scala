@@ -136,15 +136,23 @@ object Multimodal {
     media.mapPartitions(it => it.flatMap(MediaCodec.sampleFrames(_, stride)))
   }
 
-  /** Balance partitions by declared blob size instead of row count —
+  /** Size partition count by total blob bytes instead of row count —
     * with skewed media (a few 4K videos among thumbnails), row-count
-    * partitioning leaves stragglers. `targetBytes` is the partition
-    * byte budget.
+    * sizing leaves stragglers. `targetBytes` is the partition byte
+    * budget.
+    *
+    * Rows spread by hash(media_id): a uniform deterministic scatter,
+    * so each partition's expected byte load is totalBytes/parts and
+    * large blobs land independently of each other. (Range-
+    * partitioning on blob length — the previous formulation — is the
+    * OPPOSITE of balance: it clusters all the biggest blobs into the
+    * same partition.) Residual imbalance is bounded by the single
+    * largest blob, the floor for any row-granularity scheme.
     */
   def repartitionByBytes(media: DataFrame, totalBytes: Long,
                          targetBytes: Long = 128L << 20): DataFrame = {
     val parts = math.max(1, (totalBytes / targetBytes).toInt)
-    media.repartitionByRange(parts, length(col("content")), col("media_id"))
+    media.repartition(parts, col("media_id"))
   }
 
   /** Build a MediaRecord dataset from the driver testdata's documents

@@ -3,6 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StructType
 
 /** AS-OF join: for each left row, attach the most recent right row
   * with the same key and right.time <= left.time — the canonical
@@ -37,31 +38,37 @@ object AsOfJoin {
            rightKey: String, rightTime: String,
            payload: Seq[String]): DataFrame = {
     val leftCols = left.columns.toSeq
+    // The payload travels as ONE struct so the matched right row
+    // attaches ATOMICALLY: carrying each column through its own
+    // last(..., ignoreNulls) would back-fill a NULL field of the
+    // matched row from an OLDER right row, silently mixing values
+    // from different rows (true AS-OF semantics — and DuckDB's
+    // ASOF JOIN — keep the matched row's NULLs).
+    val payloadType = StructType(payload.map(p => right.schema(p)))
     val l = left
       .withColumn("_k", col(leftKey))
       .withColumn("_t", col(leftTime))
       .withColumn("_is_right", lit(0))
       .select((Seq(col("_k"), col("_t"), col("_is_right")) ++
-        leftCols.map(col) ++
-        payload.map(p => lit(null).cast(right.schema(p).dataType).as(p + "_r"))): _*)
+        leftCols.map(col) :+
+        lit(null).cast(payloadType).as("_payload_r")): _*)
     val r = right
       .withColumn("_k", col(rightKey))
       .withColumn("_t", col(rightTime))
       .withColumn("_is_right", lit(1))
       .select((Seq(col("_k"), col("_t"), col("_is_right")) ++
-        leftCols.map(c => lit(null).cast(left.schema(c).dataType).as(c)) ++
-        payload.map(p => col(p).as(p + "_r"))): _*)
+        leftCols.map(c => lit(null).cast(left.schema(c).dataType).as(c)) :+
+        struct(payload.map(col): _*).as("_payload_r")): _*)
 
     // rights first at equal time → inclusive match
     val w = Window.partitionBy(col("_k"))
       .orderBy(col("_t").asc, col("_is_right").desc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
 
-    val carried = payload.foldLeft(l.unionByName(r)) { (df, p) =>
-      df.withColumn(p, last(col(p + "_r"), ignoreNulls = true).over(w))
-    }
-    carried
+    l.unionByName(r)
+      .withColumn("_payload", last(col("_payload_r"), ignoreNulls = true).over(w))
       .filter(col("_is_right") === 0)
-      .select((leftCols ++ payload).map(col): _*)
+      .select((leftCols.map(col) ++
+        payload.map(p => col("_payload." + p).as(p))): _*)
   }
 }

@@ -96,7 +96,12 @@ object Dedup {
     // the hash sets equals the string-set Jaccard up to 2^-64
     // collisions. Cached because the plan reads it three times
     // (banding + both verify sides); ~16 bytes × shingles per doc,
-    // far below executor memory even at bench scale.
+    // far below executor memory even at bench scale. Cache lifetime
+    // is owned by the SESSION: batch harnesses that run many
+    // queries (Verify/Bench) call spark.catalog.clearCache()
+    // between queries so repeated invocations neither re-cache the
+    // same plan (the "already cached" warning) nor pin executor
+    // memory for the session lifetime.
     val hashed = docs
       .select(col(idCol).as("id"),
         org.apache.spark.sql.graft.ShingleHashes(col(textCol), 3).as("hs"))
@@ -175,11 +180,71 @@ object Dedup {
   /** Keep-one projection of [[minhashPairs]]: drop every doc that
     * near-duplicates a lower-id doc (the union-find-free greedy
     * variant: b survives only if no a<b pairs with it).
+    *
+    * NOTE the chain instability: b drops because it pairs with a, c
+    * drops because it pairs with b, even when a~c are NOT near-dups.
+    * Deterministic and cheap, but for cluster-faithful semantics use
+    * [[nearDupClusters]] (connected components) and keep one doc per
+    * cluster.
     */
   def dropNearDuplicates(docs: DataFrame, threshold: Double = 0.7,
                          textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
     val losers = minhashPairs(docs, threshold, textCol = textCol, idCol = idCol)
       .select(col("id_b").as(idCol)).distinct()
     docs.join(losers, Seq(idCol), "left_anti")
+  }
+
+  /** Connected-components clustering of the near-dup graph: every
+    * doc gets `cluster_id` = the smallest doc id reachable through
+    * verified near-dup pairs (singletons label themselves) — the
+    * semantics a real corpus pipeline wants for keep-one-per-cluster
+    * dedup, where greedy pair-dropping is chain-unstable.
+    *
+    * Iterative min-label propagation: each round updates
+    * `label(v) ← min(label(v), min over neighbors label(u))` with
+    * ONE keyed aggregation + one join — both shuffles keyed on the
+    * doc id, never the pair space — and converges in
+    * O(component diameter) rounds (near-dup components are chains of
+    * a handful of docs, so 2-4 rounds in practice; `maxIters` bounds
+    * pathological graphs). `localCheckpoint` truncates lineage each
+    * round so the plan stays constant-size; the driver only
+    * orchestrates — labels and edges stay distributed. The
+    * convergence check is an aggregated count, not a collect.
+    */
+  def nearDupClusters(docs: DataFrame, threshold: Double = 0.7,
+                      textCol: String = "text", idCol: String = "doc_id",
+                      maxIters: Int = 20): DataFrame = {
+    val pairs = minhashPairs(docs, threshold, textCol = textCol, idCol = idCol)
+      .select(col("id_a"), col("id_b"))
+    val edges = pairs
+      .unionByName(pairs.select(col("id_b").as("id_a"), col("id_a").as("id_b")))
+      .toDF("src", "dst")
+      .localCheckpoint(true)
+    var labels = docs
+      .select(col(idCol).as("id"), col(idCol).cast("long").as("lbl"))
+      .localCheckpoint(true)
+    var converged = false
+    var iter = 0
+    while (!converged && iter < maxIters) {
+      val fromNeighbors = edges
+        .join(labels.select(col("id").as("src"), col("lbl").as("nlbl")), "src")
+        .groupBy(col("dst").as("id"))
+        .agg(min(col("nlbl")).as("nmin"))
+      val updated = labels
+        .join(fromNeighbors, Seq("id"), "left")
+        .select(col("id"),
+          least(col("lbl"), coalesce(col("nmin"), col("lbl"))).as("lbl"))
+        .localCheckpoint(true)
+      val changed = updated
+        .join(labels.select(col("id"), col("lbl").as("old")), "id")
+        .filter(col("lbl") =!= col("old"))
+        .limit(1).count()
+      labels.unpersist()
+      labels = updated
+      converged = changed == 0L
+      iter += 1
+    }
+    edges.unpersist()
+    labels.select(col("id").as(idCol), col("lbl").as("cluster_id"))
   }
 }

@@ -3,7 +3,6 @@ package graft.operators
 import org.apache.spark.ml.clustering.KMeans
 import org.apache.spark.ml.functions.array_to_vector
 import org.apache.spark.sql.DataFrame
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** IVF (inverted-file) approximate nearest neighbor — the
@@ -69,11 +68,7 @@ object IvfIndex {
       .select(col("query_id"), col("vec_id"), col("embedding"))
       .join(broadcast(queries), "query_id")
       .withColumn("sim", Similarity.cosine(col("query_vec"), col("embedding")))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("sim").desc, col("vec_id").asc)
-    candidates
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= kNeighbors)
-      .select(col("query_id"), col("rank"), col("vec_id").as("neighbor_id"), col("sim"))
+    // two-phase top-k (map-side k-heaps) — see Similarity.topKPerQuery
+    Similarity.topKPerQuery(candidates, kNeighbors)
   }
 }

@@ -1,7 +1,6 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Similarity search over embedding columns (`Array[Float]`).
@@ -38,13 +37,32 @@ object Similarity {
   def cosine(a: Column, b: Column): Column =
     org.apache.spark.sql.graft.CosineSimilarity(a, b)
 
+  /** Two-phase distributed top-k: reduce scored (query_id, vec_id,
+    * sim) rows to the k best per query via the bounded-heap aggregate
+    * [[org.apache.spark.sql.graft.TopKByScore]]. The partial
+    * (map-side) phase shrinks every input partition to one k-sized
+    * heap per query BEFORE the shuffle, so the full scored set never
+    * funnels into |queries| window partitions — only
+    * |queries| × |partitions| heaps of k pairs move. Ordering matches
+    * `ORDER BY sim DESC, vec_id ASC` exactly (ties by id).
+    */
+  private[graft] def topKPerQuery(scored: DataFrame, kNeighbors: Int): DataFrame =
+    scored
+      .groupBy(col("query_id"))
+      .agg(org.apache.spark.sql.graft.TopKByScore(
+        col("sim"), col("vec_id"), kNeighbors).as("topk"))
+      .select(col("query_id"), posexplode(col("topk")).as(Seq("pos", "nb")))
+      .select(col("query_id"), (col("pos") + 1).as("rank"),
+        col("nb.id").as("neighbor_id"), col("nb.score").as("sim"))
+
   /** Exact top-k cosine neighbors for each query vector.
     *
     * Plan shape: broadcast-nested-loop of (tiny) queries × corpus —
-    * the corpus scan is embarrassingly parallel and partial top-k
-    * could be pushed per-partition; the final per-query reduction
-    * shuffles only corpus×|queries| rows already filtered to
-    * candidate scores. Ties broken by neighbor id for determinism.
+    * the corpus scan is embarrassingly parallel, and the per-query
+    * reduction is the two-phase [[topKPerQuery]] aggregate: each scan
+    * partition emits at most k candidates per query map-side, so the
+    * scored corpus itself never shuffles. Ties broken by neighbor id
+    * for determinism.
     *
     * @param queries  (query_id, query_vec) — must be small (broadcast)
     * @param corpus   (vec_id, embedding)
@@ -53,12 +71,7 @@ object Similarity {
     val scored = corpus.crossJoin(broadcast(queries))
       .filter(col("vec_id") =!= col("query_id"))
       .withColumn("sim", cosine(col("query_vec"), col("embedding")))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("sim").desc, col("vec_id").asc)
-    scored
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= kNeighbors)
-      .select(col("query_id"), col("rank"), col("vec_id").as("neighbor_id"), col("sim"))
+    topKPerQuery(scored, kNeighbors)
   }
 
   /** Multi-table SimHash bucket ids — one long per hash table,
@@ -102,12 +115,7 @@ object Similarity {
       .join(corpus, "vec_id")
       .join(broadcast(queries), "query_id")
       .withColumn("sim", cosine(col("query_vec"), col("embedding")))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("sim").desc, col("vec_id").asc)
-    scored
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= kNeighbors)
-      .select(col("query_id"), col("rank"), col("vec_id").as("neighbor_id"), col("sim"))
+    topKPerQuery(scored, kNeighbors)
   }
 
   /** All embedding pairs with cosine ≥ threshold, LSH-bucketed

@@ -94,9 +94,15 @@ object Queries {
       .select(col("event_id"), col("user_id"), col("event_type"))
       .orderBy(col("event_id"))
 
+  /** NOT EXISTS (not NOT IN): Spark's left_anti keeps rows with NULL
+    * user_id (the F1 null-key 401 path), and `NOT IN` over a NULL
+    * evaluates to NULL and would silently drop them — NOT EXISTS has
+    * the matching NULL semantics.
+    */
   val q5AuthAntiSql =
-    """SELECT event_id, user_id, event_type FROM events
-      | WHERE user_id NOT IN (SELECT c_custkey FROM customer WHERE c_acctbal > 0)
+    """SELECT event_id, user_id, event_type FROM events e
+      | WHERE NOT EXISTS (SELECT 1 FROM customer
+      |                   WHERE c_custkey = e.user_id AND c_acctbal > 0)
       | ORDER BY event_id""".stripMargin
 
   /** The full accepted-path ingest DAG: parse → admit → auth →
@@ -107,11 +113,21 @@ object Queries {
       .accepted(ev(s, d), Tables.activeKeys(s, d), Some(lit(receivedAtMicros)))
       .orderBy(col("event_id"))
 
+  /** `json_type(props) = 'OBJECT'` matches from_json's semantics:
+    * Spark parses against a struct schema, so valid-but-non-object
+    * JSON (`42`, `[1]`) is corrupt → rejected, while bare
+    * `json_valid` would admit it. TRY_CAST mirrors the permissive
+    * field decode (a non-integer k yields NULL, not a query error).
+    * Payloads with an object-typed k would still diverge (from_json
+    * marks the row corrupt; the oracle keeps it with k NULL) — the
+    * driver data has only scalar k values.
+    */
   val q6IngestAcceptedSql =
     s"""SELECT event_id, user_id, event_type, value,
-       | CAST(props->>'$$.k' AS INTEGER) AS k, props AS _raw_data,
+       | TRY_CAST(props->>'$$.k' AS INTEGER) AS k, props AS _raw_data,
        | $receivedAtMicros AS received_at FROM events
        | WHERE props IS NOT NULL AND length(props) > 0 AND json_valid(props)
+       |   AND json_type(props) = 'OBJECT'
        |   AND user_id IN (SELECT c_custkey FROM customer WHERE c_acctbal > 0)
        | ORDER BY event_id""".stripMargin
 
@@ -391,10 +407,14 @@ object Queries {
       |SELECT query_id, rank, neighbor_id, round(sim, 6) AS sim
       |FROM ranked WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin
 
-  /** The ANN scale path (LSH-bucketed). No SQL oracle — the bucket
-    * probe is approximate by design; the driver records a rows-only
-    * check and the ScalaTest suite asserts recall against brute
-    * force.
+  /** The ANN scale path (LSH-bucketed). Approximate relative to
+    * brute force, but fully DETERMINISTIC: the hyperplanes are
+    * md5-derived ([[org.apache.spark.sql.graft.SimHashBuckets]]), so
+    * the oracle mirrors the exact bucket computation in SQL (sign =
+    * low bit of the first md5 byte of "plane:dim"; dot folded
+    * left-to-right in doubles, bit-identical to the native
+    * expression) and the result hash-compares like any exact query.
+    * Recall vs brute force is separately asserted in SimilaritySpec.
     */
   def annLshTop5(s: SparkSession, d: String): DataFrame = {
     GraftSession.tune(s)
@@ -405,6 +425,46 @@ object Queries {
       .withColumn("sim", round(col("sim"), 6))
       .orderBy(col("query_id"), col("rank"))
   }
+
+  /** Mirrors [[Similarity.annLsh]] stage by stage: 64 sign rows
+    * (16 tables × 4 planes) from md5, per-(vec, plane) sequential
+    * dot folds, bucket bit-packing, the (tbl, bucket) candidate
+    * join, exact cosine, top-5. Plane p of table t is global plane
+    * t*4+p, so tbl = p // 4 and the bucket bit is p % 4.
+    */
+  val annLshTop5Sql =
+    """WITH signrows AS (
+      |  SELECT p, [CASE WHEN (('0x' || substr(md5(CAST(p AS VARCHAR) || ':' || CAST(i - 1 AS VARCHAR)), 1, 2))::INT & 1) = 0
+      |             THEN 1.0::DOUBLE ELSE -1.0::DOUBLE END FOR i IN range(1, 65)] AS sr
+      |  FROM range(64) t(p)),
+      |dots AS (
+      |  SELECT e.vec_id, s.p,
+      |   list_sum(list_transform(range(1, 65),
+      |     i -> CAST(e.embedding[i] AS DOUBLE) * s.sr[i])) AS dot
+      |  FROM embeddings e CROSS JOIN signrows s),
+      |buckets AS (
+      |  SELECT vec_id, p // 4 AS tbl,
+      |   CAST(sum(CASE WHEN dot >= 0 THEN 1 << (p % 4) ELSE 0 END) AS BIGINT) AS bucket
+      |  FROM dots GROUP BY vec_id, p // 4),
+      |cand AS (
+      |  SELECT DISTINCT qb.vec_id AS query_id, cb.vec_id
+      |  FROM buckets cb JOIN buckets qb ON cb.tbl = qb.tbl AND cb.bucket = qb.bucket
+      |  WHERE qb.vec_id < 5 AND cb.vec_id <> qb.vec_id),
+      |scored AS (
+      |  SELECT c.query_id, c.vec_id AS neighbor_id,
+      |   list_sum(list_transform(list_zip(qe.embedding, e.embedding),
+      |     p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))
+      |   / (sqrt(list_sum(list_transform(qe.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+      |      * sqrt(list_sum(list_transform(e.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))) AS sim
+      |  FROM cand c
+      |  JOIN embeddings e ON e.vec_id = c.vec_id
+      |  JOIN embeddings qe ON qe.vec_id = c.query_id),
+      |ranked AS (
+      |  SELECT query_id, neighbor_id, sim,
+      |   row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rank
+      |  FROM scored)
+      |SELECT query_id, rank, neighbor_id, round(sim, 6) AS sim
+      |FROM ranked WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
 
   // ---------------------------------------------------------------
   // Multimodal plumbing: binary columns + typed metadata
@@ -766,23 +826,40 @@ object Queries {
       |FROM toks ORDER BY doc_id""".stripMargin
 
   /** Embedding-cosine near-duplicate pairs (LSH-bucketed, exact
-    * verify). The driver embeddings are near-orthogonal, so at the
-    * 0.95 near-dup threshold both engines agree on the (empty) pair
-    * set; the operator's recall behavior is asserted on planted
-    * duplicates in SimilaritySpec.
+    * verify). The driver embeddings are near-orthogonal (zero pairs
+    * at the 0.95 threshold — a vacuously-green oracle), so the query
+    * plants deterministic duplicates: an exact copy of every
+    * vec_id < 20 shifted to id+100000. Identical vectors land in the
+    * same LSH bucket in EVERY table, so each planted pair must
+    * survive the bucket join, the exact-cosine verify, and the
+    * threshold — a non-empty, hash-compared result. The oracle
+    * computes ground-truth all-pairs cosine over the same augmented
+    * corpus with the identical sequential double fold.
     */
   def embCosinePairs(s: SparkSession, d: String): DataFrame = {
     GraftSession.tune(s)
-    Similarity.cosinePairs(Tables.embeddings(s, d), dim = 64, threshold = 0.95)
+    val base = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
+    val planted = base.filter(col("vec_id") < 20)
+      .select((col("vec_id") + lit(100000L)).as("vec_id"), col("embedding"))
+    Similarity.cosinePairs(base.unionByName(planted), dim = 64, threshold = 0.95)
+      .withColumn("sim", round(col("sim"), 6))
       .orderBy(col("id_a"), col("id_b"))
   }
 
   val embCosinePairsSql =
-    """SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-      | list_cosine_similarity(a.embedding, b.embedding) AS sim
-      | FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
-      | WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.95
-      | ORDER BY id_a, id_b""".stripMargin
+    """WITH corpus AS (
+      |  SELECT vec_id, embedding FROM embeddings
+      |  UNION ALL
+      |  SELECT vec_id + 100000 AS vec_id, embedding FROM embeddings WHERE vec_id < 20),
+      |pairs AS (
+      |  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+      |   list_sum(list_transform(list_zip(a.embedding, b.embedding),
+      |     p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))
+      |   / (sqrt(list_sum(list_transform(a.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+      |      * sqrt(list_sum(list_transform(b.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))) AS sim
+      |  FROM corpus a JOIN corpus b ON a.vec_id < b.vec_id)
+      |SELECT id_a, id_b, round(sim, 6) AS sim FROM pairs WHERE sim >= 0.95
+      |ORDER BY id_a, id_b""".stripMargin
 
   /** The composed corpus-cleaning pipeline: exact dedup → near-dup
     * removal → quality gate in one plan
@@ -873,6 +950,64 @@ object Queries {
       | CAST(1 + b4 % 2 AS BIGINT) AS channels
       |FROM m ORDER BY media_id""".stripMargin
 
+  /** Connected-components near-dup clustering: every document
+    * labeled with the smallest doc id in its near-dup component
+    * ([[Dedup.nearDupClusters]] — iterative min-label propagation,
+    * one keyed shuffle per round). The oracle computes the same
+    * components with a recursive transitive-closure CTE over the
+    * ground-truth all-pairs Jaccard graph.
+    */
+  def dedupClusters(s: SparkSession, d: String): DataFrame =
+    Dedup.nearDupClusters(docs(s, d), threshold = 0.7)
+      .orderBy(col("doc_id"))
+
+  val dedupClustersSql =
+    """WITH RECURSIVE toks AS (
+      |  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS t FROM documents),
+      |sh AS (
+      |  SELECT doc_id,
+      |   list_distinct([t[i] || ' ' || t[i+1] || ' ' || t[i+2] FOR i IN range(1, len(t) - 1)]) AS s
+      |  FROM toks),
+      |pairs AS (
+      |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+      |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+      |  WHERE len(a.s) > 0 AND len(b.s) > 0
+      |    AND CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) /
+      |        CAST(len(list_distinct(list_concat(a.s, b.s))) AS DOUBLE) >= 0.7),
+      |edges AS (
+      |  SELECT id_a AS src, id_b AS dst FROM pairs
+      |  UNION ALL
+      |  SELECT id_b AS src, id_a AS dst FROM pairs),
+      |reach(src, dst) AS (
+      |  SELECT doc_id, doc_id FROM documents
+      |  UNION
+      |  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src)
+      |SELECT src AS doc_id, CAST(min(dst) AS BIGINT) AS cluster_id
+      |FROM reach GROUP BY src ORDER BY doc_id""".stripMargin
+
+  /** Deliberately-skewed aggregation through the two-phase salted
+    * shape ([[graft.operators.Skew.saltedCountSum]]): events has
+    * only 5 event_type keys, so a plain groupBy funnels the whole
+    * table into 5 reduce groups — the deterministic salt
+    * (hash(event_id) mod 16) spreads each hot key over 16 partial
+    * groups first. DECIMAL sums make the result independent of the
+    * extra aggregation layer (associative), so the oracle is the
+    * plain unsalted GROUP BY.
+    */
+  def q23SkewAgg(s: SparkSession, d: String): DataFrame =
+    graft.operators.Skew
+      .saltedCountSum(
+        ev(s, d).withColumn("v", col("value").cast("decimal(18,2)")),
+        Seq("event_type"), "v", "event_id", saltBuckets = 16)
+      .select(col("event_type"), col("cnt"),
+        col("total").cast("double").as("total_value"))
+      .orderBy(col("event_type"))
+
+  val q23SkewAggSql =
+    """SELECT event_type, count(*) AS cnt,
+      | CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+      | FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
+
   // ---------------------------------------------------------------
   // Registry
   // ---------------------------------------------------------------
@@ -905,6 +1040,8 @@ object Queries {
     "doc_lang" -> (docLang _),
     "dedup_exact" -> (dedupExact _),
     "dedup_minhash" -> (dedupMinhash _),
+    "dedup_clusters" -> (dedupClusters _),
+    "q23_skew_agg" -> (q23SkewAgg _),
     "doc_simhash" -> (docSimhash _),
     "doc_simhash_pairs" -> (docSimhashPairs _),
     "doc_ngram_profile" -> (docNgramProfile _),
@@ -943,13 +1080,15 @@ object Queries {
     "doc_lang" -> docLangSql,
     "dedup_exact" -> dedupExactSql,
     "dedup_minhash" -> dedupMinhashSql,
+    "dedup_clusters" -> dedupClustersSql,
+    "q23_skew_agg" -> q23SkewAggSql,
     "doc_simhash" -> docSimhashSql,
     "doc_simhash_pairs" -> docSimhashPairsSql,
     "doc_ngram_profile" -> docNgramProfileSql,
     "emb_cosine_pairs" -> embCosinePairsSql,
     "corpus_clean" -> corpusCleanSql,
     "knn_top10" -> knnTop10Sql,
-    // ann_lsh_top5: intentionally no oracle (approximate by design)
+    "ann_lsh_top5" -> annLshTop5Sql,
     "media_meta" -> mediaMetaSql,
     "media_decode" -> mediaDecodeSql)
 }

@@ -55,6 +55,29 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), p.take(1200))
   }
 
+  test("knn: top-k is a two-phase aggregate, not a per-query window over the scored corpus") {
+    val p = plan(Queries.knnTop10(spark, sfSmoke))
+    // the bounded-heap TopKByScore aggregate plans as partial + final
+    // ObjectHashAggregate: the map side reduces every scan partition
+    // to one k-heap per query BEFORE the shuffle
+    assert("ObjectHashAggregate".r.findAllIn(p).size >= 2,
+      "expect partial + final ObjectHashAggregate\n" + p.take(1200))
+    assert(p.contains("partial_top_k_by_score"),
+      "expect a map-side partial top-k phase\n" + p.take(1200))
+    // no Window node anywhere: the full scored corpus must never
+    // shuffle into |queries| ranking partitions
+    assert(!p.contains("Window"), "scored corpus must not rank via window\n" + p.take(1200))
+  }
+
+  test("q23: skewed aggregation takes the two-phase salted shape") {
+    val p = plan(Queries.q23SkewAgg(spark, sfSmoke))
+    // phase 1 groups by (event_type, _salt), phase 2 merges partials:
+    // two aggregation layers, each partial+final
+    assert(p.contains("_salt"), "expect the salt grouping column\n" + p.take(1200))
+    assert("HashAggregate".r.findAllIn(p).size >= 4,
+      "expect two partial+final aggregation layers\n" + p.take(1200))
+  }
+
   test("whole-stage codegen covers the text-analysis projections") {
     val df = Queries.docStats(spark, sfSmoke)
     // AQE finalizes the plan only on execution — run THIS query
