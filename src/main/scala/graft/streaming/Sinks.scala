@@ -39,15 +39,24 @@ object Sinks {
     * `consumer2/.../KafkaMessageConsumer.kt:30`); `numPartitions`
     * caps writer-side connections like their Hikari pools (max 10).
     */
+  /** @param columnTypes optional explicit DDL column types for the
+    *   auto-created table (`createTableColumnTypes`), the analog of
+    *   the reference's hand-written ClickHouse DDL
+    *   (`consumer/clickhouse/init-db.sh:20-36`) — e.g. Derby/most
+    *   RDBMS want `VARCHAR(n)` where Spark would default string
+    *   columns to unindexable CLOB/TEXT.
+    */
   def jdbcBatch(url: String, table: String, connProps: Properties,
-                batchSize: Int = 100, maxConnections: Int = 10): (DataFrame, Long) => Unit =
+                batchSize: Int = 100, maxConnections: Int = 10,
+                columnTypes: Option[String] = None): (DataFrame, Long) => Unit =
     (batch: DataFrame, _: Long) =>
       if (!batch.isEmpty) {
-        batch
+        val w = batch
           .coalesce(maxConnections)
           .write
           .mode(SaveMode.Append)
           .option("batchsize", batchSize)
+        columnTypes.fold(w)(t => w.option("createTableColumnTypes", t))
           .jdbc(url, table, connProps)
       }
 }

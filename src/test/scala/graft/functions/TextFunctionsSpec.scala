@@ -62,6 +62,77 @@ class TextFunctionsSpec extends SparkSpec {
     }
   }
 
+  test("langId accuracy >= 90% on a labeled sentence fixture (non-circular evaluation)") {
+    // The doc_lang oracle re-implements the same marker algorithm, so
+    // its green row proves consistency, not accuracy. This fixture is
+    // labeled by LANGUAGE, not by the algorithm — natural sentences a
+    // human would tag — so it actually grades the classifier.
+    val labeled: Seq[(String, String)] = Seq(
+      "en" -> "The children were playing in the garden when it started to rain.",
+      "en" -> "She said that they would have to leave for the station at noon.",
+      "en" -> "He was not sure which of the books you wanted from the library.",
+      "en" -> "They are planning to visit an old friend who lives by the sea.",
+      "en" -> "It is hard to say what the weather will be like on Sunday.",
+      "en" -> "The report was written by a committee and published on Friday.",
+      "en" -> "You should have seen the look on his face at the meeting.",
+      "en" -> "There was nothing in the box but an old photograph and a key.",
+      "en" -> "We knew that the road to the village was closed for repairs.",
+      "en" -> "From the top of the hill you can see the whole valley.",
+      "de" -> "Der Hund läuft durch den Garten und bellt die Katze an.",
+      "de" -> "Ich habe nicht gewusst, dass sie schon nach Hause gegangen ist.",
+      "de" -> "Das Wetter wird morgen besser, sagte er mit einem Lächeln.",
+      "de" -> "Die Kinder spielen auf der Straße, weil die Schule geschlossen ist.",
+      "de" -> "Er hat mir ein Buch aus der Bibliothek mitgebracht.",
+      "de" -> "Wir werden uns am Bahnhof treffen, wenn der Zug ankommt.",
+      "de" -> "Sie wollte wissen, warum das Fenster offen war.",
+      "de" -> "Aus dem Bericht geht hervor, dass die Kosten gestiegen sind.",
+      "de" -> "Am Abend war es im Dorf ganz still und dunkel.",
+      "de" -> "Der alte Mann saß auf der Bank und las eine Zeitung.",
+      "es" -> "El perro corre por el jardín y ladra a los gatos.",
+      "es" -> "No sabía que ella ya se había ido a su casa.",
+      "es" -> "Los niños juegan en la calle porque no hay clases hoy.",
+      "es" -> "El tiempo va a mejorar mañana, dijo con una sonrisa.",
+      "es" -> "Me trajo un libro de la biblioteca para el verano.",
+      "es" -> "Nos vemos en la estación cuando llegue el tren de Madrid.",
+      "es" -> "Ella quería saber por qué la ventana estaba abierta.",
+      "es" -> "Del informe se desprende que los costos han subido mucho.",
+      "es" -> "Por la noche el pueblo estaba muy tranquilo y oscuro.",
+      "es" -> "El viejo estaba sentado en el banco leyendo un periódico.",
+      "fr" -> "Le chien court dans le jardin et aboie sur les chats.",
+      "fr" -> "Je ne savais pas qu'elle était déjà rentrée chez elle.",
+      "fr" -> "Les enfants jouent dans la rue parce que l'école est fermée.",
+      "fr" -> "Le temps va s'améliorer demain, dit-il avec un sourire.",
+      "fr" -> "Il m'a apporté un livre de la bibliothèque pour l'été.",
+      "fr" -> "Nous nous verrons à la gare quand le train arrivera.",
+      "fr" -> "Elle voulait savoir pourquoi la fenêtre était ouverte.",
+      "fr" -> "Le rapport montre que les coûts ont beaucoup augmenté.",
+      "fr" -> "Le soir, le village était calme et il ne se passait rien.",
+      "fr" -> "Le vieil homme était assis sur le banc avec son journal.",
+      "zh" -> "我今天要去学校，因为有一个很重要的考试。",
+      "zh" -> "他说他不知道你已经回家了。",
+      "zh" -> "孩子们在街上玩，因为学校今天不上课。",
+      "zh" -> "明天的天气会更好，他笑着说。",
+      "zh" -> "他给我带来了一本图书馆的书。",
+      "zh" -> "火车到的时候我们在车站见面。",
+      "zh" -> "她想知道窗户为什么是开着的。",
+      "zh" -> "报告说成本已经涨了很多。",
+      "zh" -> "晚上的村子很安静，也很黑。",
+      "zh" -> "老人坐在长椅上看报纸。")
+    val scored = labeled.toDF("expected", "t")
+      .withColumn("got", TextFunctions.langId($"t"))
+    val perLang = scored
+      .groupBy($"expected")
+      .agg(avg(when($"got" === $"expected", 1.0).otherwise(0.0)).as("acc"))
+      .as[(String, Double)].collect().toMap
+    val overall = scored
+      .agg(avg(when($"got" === $"expected", 1.0).otherwise(0.0)))
+      .as[Double].collect().head
+    assert(overall >= 0.9, s"overall accuracy $overall; per-language: $perLang")
+    perLang.foreach { case (lang, acc) =>
+      assert(acc >= 0.8, s"$lang accuracy $acc; per-language: $perLang")
+    }
+  }
+
   test("fingerprint is normalization-invariant (case, punctuation, whitespace)") {
     val f1 = one[String](TextFunctions.fingerprintMd5($"t"), "Hello,   World!")
     val f2 = one[String](TextFunctions.fingerprintMd5($"t"), "hello world")

@@ -31,6 +31,20 @@ class AsOfJoinSpec extends SparkSpec {
       (4L, None)))       // no C quotes
   }
 
+  test("asOf attaches the matched row ATOMICALLY: its NULL fields stay NULL, never back-filled from older rows") {
+    // latest A quote before t=100 has px NULL but note set; per-column
+    // carry would back-fill px=10.0 from the OLDER 90-quote — true
+    // AS-OF (and DuckDB ASOF) keeps the matched row's NULL
+    val q = Seq(
+      ("A", 90L, Some(10.0), Some("old")),
+      ("A", 95L, None: Option[Double], Some("newest"))
+    ).toDF("sym", "qt", "px", "note")
+    val out = AsOfJoin.asOf(
+        trades.filter($"trade_id" === 1L), q, "sym", "t", "sym", "qt", Seq("px", "note"))
+      .collect().map(r => (Option(r.get(3)), Option(r.get(4))))
+    assert(out.toSeq === Seq((None, Some("newest"))))
+  }
+
   test("asOf attaches multiple payload columns consistently") {
     val q2 = quotes.withColumn("src", org.apache.spark.sql.functions.concat(
       $"sym", org.apache.spark.sql.functions.lit("@"), $"qt"))

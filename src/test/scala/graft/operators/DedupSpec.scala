@@ -83,4 +83,25 @@ class DedupSpec extends SparkSpec {
     assert(truth.nonEmpty)
     assert(found === truth)
   }
+
+  test("nearDupClusters labels transitive chains with one component id (a~b~c with a!~c)") {
+    // a~b and b~c exceed the threshold, a~c does NOT — the chain the
+    // greedy dropper mishandles. Connected components must still put
+    // all three in one cluster, labeled by the min id.
+    val t = "alpha bravo charlie delta echo foxtrot golf hotel india juliet kilo lima mike november oscar papa quebec romeo sierra tango"
+    val docA = t
+    val docB = t.replace("echo", "zulu")            // J(a,b) ≈ 0.71
+    val docC = docB.replace("oscar", "yankee")      // J(b,c) ≈ 0.71, J(a,c) ≈ 0.5
+    val docs = Seq(
+      (1L, docA), (2L, docB), (3L, docC),
+      (9L, "completely different content about databases and indexes and planners"))
+      .toDF("doc_id", "text")
+    // sanity: the chain's middle pair set really is {ab, bc}
+    val pairs = Dedup.minhashPairs(docs, threshold = 0.7)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs === Set((1L, 2L), (2L, 3L)))
+    val clusters = Dedup.nearDupClusters(docs, threshold = 0.7)
+      .as[(Long, Long)].collect().toMap
+    assert(clusters === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 9L -> 9L))
+  }
 }

@@ -1,13 +1,34 @@
 package graft.streaming
 
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.scalatest.BeforeAndAfterAll
 
 import graft.SparkSpec
 
 case class KeyedRow(k: String, payload: Long)
 
-class KeyedStateSpec extends SparkSpec {
+class KeyedStateSpec extends SparkSpec with BeforeAndAfterAll {
   import spark.implicits._
+
+  // run keyed state on RocksDB — the provider a 100 TB deployment
+  // uses (bounded heap, state spills to local disk, changelog
+  // checkpointing); restored after the suite so other suites keep
+  // the default provider
+  private val providerKey = "spark.sql.streaming.stateStore.providerClass"
+  private var prevProvider: Option[String] = None
+  override def beforeAll(): Unit = {
+    prevProvider = spark.conf.getOption(providerKey)
+    spark.conf.set(providerKey,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    super.beforeAll()
+  }
+  override def afterAll(): Unit = {
+    prevProvider match {
+      case Some(p) => spark.conf.set(providerKey, p)
+      case None => spark.conf.unset(providerKey)
+    }
+    super.afterAll()
+  }
 
   test("flatMapGroupsWithState dedups by key across micro-batches") {
     implicit val sqlCtx = spark.sqlContext
@@ -29,6 +50,13 @@ class KeyedStateSpec extends SparkSpec {
       assert(out.keySet === Set("a", "b", "c"))
       assert(out("a") === 1L, "first occurrence wins")
       assert(out("c") === 5L)
+      // positive proof the state actually lives in RocksDB (its
+      // provider exposes rocksdb* custom metrics; the HDFS-backed
+      // default exposes none)
+      import scala.jdk.CollectionConverters._
+      val metricKeys = q.lastProgress.stateOperators.head.customMetrics.keySet().asScala
+      assert(metricKeys.exists(_.toLowerCase.contains("rocksdb")),
+        s"expected RocksDB state store metrics, got $metricKeys")
     } finally q.stop()
   }
 

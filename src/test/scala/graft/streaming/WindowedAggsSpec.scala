@@ -19,8 +19,26 @@ case class TimedEvent(ts: Timestamp, user_id: Long, event_type: String, value: D
   * no-data batches that advance the watermark and flush finalized
   * windows.
   */
-class WindowedAggsSpec extends SparkSpec {
+class WindowedAggsSpec extends SparkSpec with org.scalatest.BeforeAndAfterAll {
   import spark.implicits._
+
+  // windowed/session state on RocksDB (the at-scale provider);
+  // restored after the suite
+  private val providerKey = "spark.sql.streaming.stateStore.providerClass"
+  private var prevProvider: Option[String] = None
+  override def beforeAll(): Unit = {
+    prevProvider = spark.conf.getOption(providerKey)
+    spark.conf.set(providerKey,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    super.beforeAll()
+  }
+  override def afterAll(): Unit = {
+    prevProvider match {
+      case Some(p) => spark.conf.set(providerKey, p)
+      case None => spark.conf.unset(providerKey)
+    }
+    super.afterAll()
+  }
 
   private def t(hhmm: String): Timestamp =
     Timestamp.valueOf(s"2024-01-01 $hhmm:00")
@@ -49,6 +67,12 @@ class WindowedAggsSpec extends SparkSpec {
         .selectExpr("window.start", "cnt", "total_value")
         .as[(Timestamp, Long, Double)].collect()
       assert(rows.toSeq === Seq((t("00:00"), 2L, 3.0)))
+      // windowed-agg state really runs on RocksDB (provider-specific
+      // custom metrics present)
+      import scala.jdk.CollectionConverters._
+      val metricKeys = q.lastProgress.stateOperators.head.customMetrics.keySet().asScala
+      assert(metricKeys.exists(_.toLowerCase.contains("rocksdb")),
+        s"expected RocksDB state store metrics, got $metricKeys")
     } finally q.stop()
   }
 
