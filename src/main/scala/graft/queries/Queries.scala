@@ -1008,6 +1008,207 @@ object Queries {
       | CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
       | FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
 
+  /** TPC-H Q5-shaped regional volume: 6-table star join (region →
+    * nation → customer → orders → lineitem → supplier with the
+    * supplier-in-customer-nation co-location predicate), date-bounded
+    * fact scan, revenue rollup. The region/nation dimension and the
+    * supplier table broadcast; the orders⋈lineitem join shuffles on
+    * the key both sides are naturally partitioned by.
+    */
+  def q24RegionVolume(s: SparkSession, d: String): DataFrame = {
+    GraftSession.tune(s)
+    val asiaNations = broadcast(
+      Tables.nation(s, d).join(
+        Tables.region(s, d).filter(col("r_name") === "ASIA"),
+        col("n_regionkey") === col("r_regionkey")))
+    Tables.customer(s, d)
+      .join(asiaNations, col("c_nationkey") === col("n_nationkey"))
+      .join(Tables.orders(s, d), col("o_custkey") === col("c_custkey"))
+      .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp_ntz") &&
+        col("o_orderdate") < lit("1997-01-01").cast("timestamp_ntz"))
+      .join(Tables.lineitem(s, d), col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(Tables.supplier(s, d)),
+        col("l_suppkey") === col("s_suppkey") &&
+          col("s_nationkey") === col("c_nationkey"))
+      .groupBy(col("n_name"))
+      .agg(
+        sum((col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+          .cast("decimal(18,6)")).cast("double").as("revenue"),
+        count(lit(1)).as("n_items"))
+      .orderBy(col("revenue").desc, col("n_name"))
+  }
+
+  val q24RegionVolumeSql =
+    """SELECT n_name,
+      | CAST(sum(CAST(l_extendedprice * (1.0::DOUBLE - l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS revenue,
+      | count(*) AS n_items
+      | FROM region
+      | JOIN nation ON n_regionkey = r_regionkey
+      | JOIN customer ON c_nationkey = n_nationkey
+      | JOIN orders ON o_custkey = c_custkey
+      | JOIN lineitem ON l_orderkey = o_orderkey
+      | JOIN supplier ON l_suppkey = s_suppkey AND s_nationkey = c_nationkey
+      | WHERE r_name = 'ASIA'
+      |   AND o_orderdate >= TIMESTAMP '1996-01-01'
+      |   AND o_orderdate < TIMESTAMP '1997-01-01'
+      | GROUP BY n_name ORDER BY revenue DESC, n_name""".stripMargin
+
+  /** TPC-H Q17-shaped small-quantity revenue: correlated per-part
+    * average (decorrelated into an aggregate + self-join — the plan
+    * Catalyst produces for the subquery form as well), brand-filtered
+    * probe side. avg(l_quantity) is exact (integral values in
+    * doubles), so no decimal routing is needed on the limit.
+    */
+  def q25SmallQtyRevenue(s: SparkSession, d: String): DataFrame = {
+    GraftSession.tune(s)
+    val l = Tables.lineitem(s, d)
+    val limits = l.groupBy(col("l_partkey").as("pk"))
+      .agg((lit(0.2) * avg(col("l_quantity"))).as("qty_limit"))
+    l.join(broadcast(Tables.part(s, d).filter(col("p_brand") === "Brand#1")),
+        col("l_partkey") === col("p_partkey"))
+      .join(limits, col("l_partkey") === col("pk"))
+      .filter(col("l_quantity") < col("qty_limit"))
+      .agg(
+        (sum(col("l_extendedprice").cast("decimal(18,2)")).cast("double") / lit(7.0))
+          .as("avg_yearly"),
+        count(lit(1)).as("n_items"))
+  }
+
+  val q25SmallQtyRevenueSql =
+    """SELECT
+      | CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / 7.0 AS avg_yearly,
+      | count(*) AS n_items
+      | FROM lineitem
+      | JOIN part ON p_partkey = l_partkey
+      | JOIN (SELECT l_partkey AS pk, 0.2 * avg(l_quantity) AS qty_limit
+      |       FROM lineitem GROUP BY 1) a ON a.pk = l_partkey
+      | WHERE p_brand = 'Brand#1' AND l_quantity < qty_limit""".stripMargin
+
+  /** Corpus-level top-k terms (stopwords excluded) — the term-
+    * frequency profile a data-curation pipeline reports per corpus
+    * snapshot. One explode + one hash-partitioned count with map-side
+    * partial aggregation; top-k is TakeOrderedAndProject, never a
+    * global sort.
+    */
+  def docTopTerms(s: SparkSession, d: String): DataFrame =
+    docs(s, d)
+      .select(explode(Dedup.toks(col("text"))).as("term"))
+      .filter(!col("term").isin(TextFunctions.enStopwordList: _*))
+      .groupBy(col("term"))
+      .agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("term"))
+      .limit(50)
+
+  val docTopTermsSql: String = {
+    val stop = sqlStringList(TextFunctions.enStopwordList)
+    s"""SELECT t AS term, count(*) AS cnt
+       |FROM (SELECT unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS t
+       |      FROM documents)
+       |WHERE t NOT IN $stop
+       |GROUP BY t ORDER BY cnt DESC, term LIMIT 50""".stripMargin
+  }
+
+  /** Per-label embedding centroids (class prototypes — the reduction
+    * behind nearest-class-mean classifiers and IVF-style coarse
+    * codebooks). Components accumulate as FIXED-POINT integers
+    * (floor(v·2²⁴) — float inputs are exact at 24 mantissa bits), so
+    * the sum is associative and the result independent of partial-
+    * aggregation order, with no decimal-rounding ambiguity; the mean
+    * converts back to double once per (label, dim).
+    */
+  def embCentroids(s: SparkSession, d: String): DataFrame =
+    Tables.embeddings(s, d)
+      .select(col("label"), posexplode(col("embedding")).as(Seq("dim_idx", "v")))
+      .groupBy(col("label"), col("dim_idx"))
+      .agg(
+        sum(floor(col("v").cast("double") * lit(16777216.0)).cast("long")).as("sq"),
+        count(lit(1)).as("n"))
+      .select(
+        col("label").cast("long").as("label"),
+        col("dim_idx").cast("long").as("dim_idx"),
+        (col("sq").cast("double") / (col("n").cast("double") * lit(16777216.0)))
+          .as("centroid_q"))
+      .orderBy(col("label"), col("dim_idx"))
+
+  val embCentroidsSql =
+    """SELECT CAST(label AS BIGINT) AS label, i - 1 AS dim_idx,
+      | CAST(sum(CAST(floor(CAST(embedding[i] AS DOUBLE) * 16777216.0) AS BIGINT)) AS DOUBLE)
+      |  / (CAST(count(*) AS DOUBLE) * 16777216.0) AS centroid_q
+      | FROM embeddings CROSS JOIN range(1, 65) t(i)
+      | GROUP BY label, i ORDER BY label, dim_idx""".stripMargin
+
+  /** Frame sampling through the real multimodal operator
+    * ([[graft.multimodal.Multimodal.sampleFrames]], batched
+    * `mapPartitions`): every stride-th 1 KiB slice of each blob,
+    * digested. The oracle mirrors the slicing on the hex encoding
+    * (DuckDB can't substring blobs), so digests compare as
+    * md5-of-lowercase-hex on both sides.
+    */
+  def mediaFrames(s: SparkSession, d: String): DataFrame = {
+    GraftSession.tune(s)
+    graft.multimodal.Multimodal
+      .sampleFrames(graft.multimodal.Multimodal.fromDocuments(s, d), stride = 2)
+      .toDF()
+      .select(
+        col("mediaId").as("media_id"),
+        col("frameIdx").cast("long").as("frame_idx"),
+        md5(lower(hex(col("frame")))).as("digest"),
+        length(col("frame")).cast("long").as("frame_len"))
+      .orderBy(col("media_id"), col("frame_idx"))
+  }
+
+  val mediaFramesSql =
+    """WITH m AS (
+      |  SELECT doc_id AS media_id, hex(encode(text)) AS h,
+      |   octet_length(encode(text)) AS len
+      |  FROM documents),
+      |f AS (
+      |  SELECT media_id, i AS frame_idx,
+      |   lower(substr(h, CAST(i * 4096 + 1 AS INT), 2048)) AS fh,
+      |   least(1024, len - i * 2048) AS flen
+      |  FROM m CROSS JOIN range(0, 1000) t(i)
+      |  WHERE i * 2048 < len)
+      |SELECT media_id, frame_idx, md5(fh) AS digest,
+      | CAST(flen AS BIGINT) AS frame_len
+      |FROM f ORDER BY media_id, frame_idx""".stripMargin
+
+  /** Per-source corpus quality rollup: document count and mean
+    * quality score per source — the curation dashboard aggregate.
+    * Quality scores are already rounded to 4 decimals, so they sum
+    * exactly as DECIMAL(18,4) (associative) before the single final
+    * division.
+    */
+  def docSourceQuality(s: SparkSession, d: String): DataFrame =
+    docs(s, d)
+      .select(col("source"), TextFunctions.qualityScore(col("text")).as("q"))
+      .groupBy(col("source"))
+      .agg(
+        count(lit(1)).as("cnt"),
+        (sum(col("q").cast("decimal(18,4)")).cast("double") /
+          count(lit(1)).cast("double")).as("avg_quality"))
+      .orderBy(col("source"))
+
+  val docSourceQualitySql: String = {
+    val stop = sqlStringList(TextFunctions.enStopwordList)
+    s"""WITH m AS (SELECT doc_id, source,
+       |  CAST(len(regexp_extract_all(text, '[A-Za-z0-9]+')) AS DOUBLE) AS n_tok,
+       |  CAST(greatest(length(text), 1) AS DOUBLE) AS n_char,
+       |  CAST(len(list_filter(regexp_extract_all(lower(text), '[A-Za-z0-9]+'),
+       |        t -> t IN $stop)) AS DOUBLE) AS n_stop,
+       |  CAST(len(regexp_extract_all(text, '[0-9]')) AS DOUBLE) AS n_digit,
+       |  CAST(len(regexp_extract_all(text, '[.,;:!?]')) AS DOUBLE) AS n_punct
+       | FROM documents),
+       |q AS (SELECT doc_id, source, round(
+       |  0.4::DOUBLE * least(n_tok / 100.0::DOUBLE, 1.0::DOUBLE)
+       |  + 0.3::DOUBLE * least((CASE WHEN n_tok = 0.0::DOUBLE THEN 0.0::DOUBLE ELSE n_stop / n_tok END) * 5.0::DOUBLE, 1.0::DOUBLE)
+       |  + 0.15::DOUBLE * (1.0::DOUBLE - least(n_digit / n_char * 10.0::DOUBLE, 1.0::DOUBLE))
+       |  + 0.15::DOUBLE * (1.0::DOUBLE - least(n_punct / n_char * 10.0::DOUBLE, 1.0::DOUBLE)), 4) AS quality
+       | FROM m)
+       |SELECT source, count(*) AS cnt,
+       | CAST(sum(CAST(quality AS DECIMAL(18,4))) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS avg_quality
+       |FROM q GROUP BY source ORDER BY source""".stripMargin
+  }
+
   // ---------------------------------------------------------------
   // Registry
   // ---------------------------------------------------------------
@@ -1042,6 +1243,12 @@ object Queries {
     "dedup_minhash" -> (dedupMinhash _),
     "dedup_clusters" -> (dedupClusters _),
     "q23_skew_agg" -> (q23SkewAgg _),
+    "q24_region_volume" -> (q24RegionVolume _),
+    "q25_small_qty_revenue" -> (q25SmallQtyRevenue _),
+    "doc_top_terms" -> (docTopTerms _),
+    "doc_source_quality" -> (docSourceQuality _),
+    "emb_centroids" -> (embCentroids _),
+    "media_frames" -> (mediaFrames _),
     "doc_simhash" -> (docSimhash _),
     "doc_simhash_pairs" -> (docSimhashPairs _),
     "doc_ngram_profile" -> (docNgramProfile _),
@@ -1082,6 +1289,12 @@ object Queries {
     "dedup_minhash" -> dedupMinhashSql,
     "dedup_clusters" -> dedupClustersSql,
     "q23_skew_agg" -> q23SkewAggSql,
+    "q24_region_volume" -> q24RegionVolumeSql,
+    "q25_small_qty_revenue" -> q25SmallQtyRevenueSql,
+    "doc_top_terms" -> docTopTermsSql,
+    "doc_source_quality" -> docSourceQualitySql,
+    "emb_centroids" -> embCentroidsSql,
+    "media_frames" -> mediaFramesSql,
     "doc_simhash" -> docSimhashSql,
     "doc_simhash_pairs" -> docSimhashPairsSql,
     "doc_ngram_profile" -> docNgramProfileSql,
