@@ -33,4 +33,28 @@ object CorpusPipeline {
       .withColumn("quality", TextFunctions.qualityScore(col("text")))
       .filter(col("quality") >= minQuality)
   }
+
+  /** [[clean]] with CLUSTER-faithful near-dup semantics: instead of
+    * greedily dropping any doc that pairs with a lower id (which can
+    * orphan a~b~c chains where a!~c), compute connected components
+    * over the verified pair graph ([[Dedup.nearDupClusters]]) and
+    * keep exactly the min-id doc of each component.
+    *
+    * The component min is always kept by exact dedup too (its exact-
+    * dup group — Jaccard 1 pairs — is a subset of its component, so
+    * the component min is also its fingerprint group's min), which
+    * makes the two keep-sets compose cleanly.
+    */
+  def cleanClustered(docs: DataFrame, minQuality: Double = 0.5,
+                     nearDupThreshold: Double = 0.7): DataFrame = {
+    val exactKept = Dedup.exact(docs).select("doc_id")
+    val clusterKeepers = Dedup.nearDupClusters(docs, nearDupThreshold)
+      .filter(col("doc_id") === col("cluster_id"))
+      .select("doc_id")
+    docs
+      .join(exactKept, "doc_id")
+      .join(clusterKeepers, "doc_id")
+      .withColumn("quality", TextFunctions.qualityScore(col("text")))
+      .filter(col("quality") >= minQuality)
+  }
 }

@@ -44,15 +44,24 @@ object IvfIndex {
 
   /** Top-k cosine neighbors probing the `nProbe` closest cells per
     * query. `queries` must be small (collected to pick probes and
-    * broadcast into the scoring join).
+    * broadcast into the scoring join) — `maxDriverQueries` fences the
+    * only driver-side collect in main-path code: exceeding it fails
+    * fast instead of silently materializing an unbounded query set
+    * on the driver.
     */
   def search(index: Index, queries: DataFrame, kNeighbors: Int = 10,
-             nProbe: Int = 4): DataFrame = {
+             nProbe: Int = 4, maxDriverQueries: Int = 10000): DataFrame = {
     val spark = queries.sparkSession
     import spark.implicits._
 
-    // driver-side probe selection against the tiny centroid table
-    val q = queries.select(col("query_id"), col("query_vec")).collect()
+    // driver-side probe selection against the tiny centroid table;
+    // limit+1 bounds the fetch itself, not just the post-hoc check
+    val q = queries.select(col("query_id"), col("query_vec"))
+      .limit(maxDriverQueries + 1).collect()
+    require(q.length <= maxDriverQueries,
+      s"IvfIndex.search collects queries to the driver for probe selection; " +
+        s"got more than $maxDriverQueries — raise maxDriverQueries deliberately " +
+        s"or pre-partition the query set")
     val probes = q.flatMap { row =>
       val qid = row.getLong(0)
       val qv = row.getSeq[Float](1).map(_.toDouble).toArray

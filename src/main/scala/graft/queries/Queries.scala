@@ -1008,6 +1008,66 @@ object Queries {
       | CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
       | FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
 
+  /** The cluster-faithful corpus cleaning variant
+    * ([[graft.operators.CorpusPipeline.cleanClustered]]): exact dedup
+    * ∩ keep-min-per-near-dup-component ∩ quality gate. Unlike the
+    * greedy `corpus_clean`, a~b~c chains keep exactly one survivor
+    * even when a!~c. Oracle: the recursive transitive-closure CTE
+    * composed with the exact-dedup and quality CTEs.
+    */
+  def corpusCleanCc(s: SparkSession, d: String): DataFrame =
+    graft.operators.CorpusPipeline.cleanClustered(docs(s, d))
+      .select(col("doc_id"), col("quality"))
+      .orderBy(col("doc_id"))
+
+  val corpusCleanCcSql: String = {
+    val stop = sqlStringList(TextFunctions.enStopwordList)
+    s"""WITH RECURSIVE toks AS (
+       |  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS t FROM documents),
+       |sh AS (
+       |  SELECT doc_id,
+       |   list_distinct([t[i] || ' ' || t[i+1] || ' ' || t[i+2] FOR i IN range(1, len(t) - 1)]) AS s
+       |  FROM toks),
+       |pairs AS (
+       |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+       |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+       |  WHERE len(a.s) > 0 AND len(b.s) > 0
+       |    AND CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) /
+       |        CAST(len(list_distinct(list_concat(a.s, b.s))) AS DOUBLE) >= 0.7),
+       |edges AS (
+       |  SELECT id_a AS src, id_b AS dst FROM pairs
+       |  UNION ALL
+       |  SELECT id_b AS src, id_a AS dst FROM pairs),
+       |reach(src, dst) AS (
+       |  SELECT doc_id, doc_id FROM documents
+       |  UNION
+       |  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src),
+       |cm AS (SELECT src AS doc_id, min(dst) AS cluster_id FROM reach GROUP BY src),
+       |fp AS (SELECT doc_id,
+       |  md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))) AS f
+       | FROM documents),
+       |keep1 AS (SELECT min(doc_id) AS doc_id FROM fp GROUP BY f),
+       |m AS (SELECT doc_id,
+       |  CAST(len(regexp_extract_all(text, '[A-Za-z0-9]+')) AS DOUBLE) AS n_tok,
+       |  CAST(greatest(length(text), 1) AS DOUBLE) AS n_char,
+       |  CAST(len(list_filter(regexp_extract_all(lower(text), '[A-Za-z0-9]+'),
+       |        t -> t IN $stop)) AS DOUBLE) AS n_stop,
+       |  CAST(len(regexp_extract_all(text, '[0-9]')) AS DOUBLE) AS n_digit,
+       |  CAST(len(regexp_extract_all(text, '[.,;:!?]')) AS DOUBLE) AS n_punct
+       | FROM documents),
+       |q AS (SELECT doc_id, round(
+       |  0.4::DOUBLE * least(n_tok / 100.0::DOUBLE, 1.0::DOUBLE)
+       |  + 0.3::DOUBLE * least((CASE WHEN n_tok = 0.0::DOUBLE THEN 0.0::DOUBLE ELSE n_stop / n_tok END) * 5.0::DOUBLE, 1.0::DOUBLE)
+       |  + 0.15::DOUBLE * (1.0::DOUBLE - least(n_digit / n_char * 10.0::DOUBLE, 1.0::DOUBLE))
+       |  + 0.15::DOUBLE * (1.0::DOUBLE - least(n_punct / n_char * 10.0::DOUBLE, 1.0::DOUBLE)), 4) AS quality
+       | FROM m)
+       |SELECT q.doc_id, q.quality FROM q
+       | JOIN keep1 USING (doc_id)
+       | JOIN cm ON cm.doc_id = q.doc_id AND cm.cluster_id = q.doc_id
+       | WHERE q.quality >= 0.5
+       |ORDER BY doc_id""".stripMargin
+  }
+
   /** TPC-H Q5-shaped regional volume: 6-table star join (region →
     * nation → customer → orders → lineitem → supplier with the
     * supplier-in-customer-nation co-location predicate), date-bounded
@@ -1254,6 +1314,7 @@ object Queries {
     "doc_ngram_profile" -> (docNgramProfile _),
     "emb_cosine_pairs" -> (embCosinePairs _),
     "corpus_clean" -> (corpusClean _),
+    "corpus_clean_cc" -> (corpusCleanCc _),
     "knn_top10" -> (knnTop10 _),
     "ann_lsh_top5" -> (annLshTop5 _),
     "media_meta" -> (mediaMeta _),
@@ -1300,6 +1361,7 @@ object Queries {
     "doc_ngram_profile" -> docNgramProfileSql,
     "emb_cosine_pairs" -> embCosinePairsSql,
     "corpus_clean" -> corpusCleanSql,
+    "corpus_clean_cc" -> corpusCleanCcSql,
     "knn_top10" -> knnTop10Sql,
     "ann_lsh_top5" -> annLshTop5Sql,
     "media_meta" -> mediaMetaSql,

@@ -16,6 +16,8 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
   *  - `shingle_hashes(s, n)` — distinct n-token shingle hash set
   *  - `minhash_signature(hs, k)` — k-function MinHash signature
   *  - `simhash_buckets(vec, planes, tables)` — multi-table LSH keys
+  *  - `top_k_by_score(score, id, k)` — bounded-heap per-group top-k
+  *    aggregate (map-side k-heaps; see [[TopKByScore]])
   *
   * Two wiring paths:
   *  - [[GraftExtensions]] for `spark.sql.extensions` at session
@@ -50,7 +52,11 @@ object GraftSqlFunctions {
     (FunctionIdentifier("simhash_buckets"),
       new ExpressionInfo(classOf[SimHashBuckets].getName, "simhash_buckets"),
       (es: Seq[Expression]) =>
-        SimHashBuckets(es(0), intArg(es(1), "planes"), intArg(es(2), "tables"))))
+        SimHashBuckets(es(0), intArg(es(1), "planes"), intArg(es(2), "tables"))),
+    (FunctionIdentifier("top_k_by_score"),
+      new ExpressionInfo(classOf[TopKByScore].getName, "top_k_by_score"),
+      (es: Seq[Expression]) =>
+        TopKByScore(es(0), es(1), intArg(es(2), "k"))))
 
   /** Idempotent runtime registration into an existing session. */
   def register(spark: SparkSession): Unit = {

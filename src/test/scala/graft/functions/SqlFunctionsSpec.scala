@@ -29,6 +29,22 @@ class SqlFunctionsSpec extends SparkSpec {
     assert(math.abs(sim - 1.0) < 1e-12)
   }
 
+  test("top_k_by_score aggregates per group in SQL with score-desc id-asc order") {
+    graft.GraftSession.tune(spark)
+    Seq(("a", 1L, 0.5), ("a", 2L, 0.9), ("a", 3L, 0.9), ("a", 4L, 0.1),
+        ("b", 5L, 0.7))
+      .toDF("g", "id", "score").createOrReplaceTempView("scores_v")
+    val rows = spark.sql("""
+      SELECT g, nb.id, nb.score
+      FROM (SELECT g, top_k_by_score(score, id, 2) AS tk
+            FROM scores_v GROUP BY g)
+      LATERAL VIEW explode(tk) AS nb
+      ORDER BY g, nb.score DESC, nb.id""")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSeq
+    // ties (2,0.9) vs (3,0.9) break by lower id; k=2 truncates
+    assert(rows === Seq(("a", 2L, 0.9), ("a", 3L, 0.9), ("b", 5L, 0.7)))
+  }
+
   test("shingle_hashes / minhash_signature / simhash_buckets compose in SQL") {
     val sigLen = sql1[scala.collection.Seq[Long]](
       "SELECT minhash_signature(shingle_hashes('a b c d e f', 3), 8)").length
