@@ -230,18 +230,20 @@ object Dedup {
         .join(labels.select(col("id").as("src"), col("lbl").as("nlbl")), "src")
         .groupBy(col("dst").as("id"))
         .agg(min(col("nlbl")).as("nmin"))
+      // carry the changed-flag through the same pass so convergence
+      // costs one cheap aggregation over the checkpointed result,
+      // not an extra join against the previous labels
       val updated = labels
         .join(fromNeighbors, Seq("id"), "left")
         .select(col("id"),
-          least(col("lbl"), coalesce(col("nmin"), col("lbl"))).as("lbl"))
+          least(col("lbl"), coalesce(col("nmin"), col("lbl"))).as("new_lbl"),
+          (coalesce(col("nmin"), col("lbl")) < col("lbl")).as("chg"))
         .localCheckpoint(true)
-      val changed = updated
-        .join(labels.select(col("id"), col("lbl").as("old")), "id")
-        .filter(col("lbl") =!= col("old"))
-        .limit(1).count()
+      val changed = updated.agg(coalesce(max(col("chg")), lit(false)))
+        .collect()(0).getBoolean(0)
       labels.unpersist()
-      labels = updated
-      converged = changed == 0L
+      labels = updated.select(col("id"), col("new_lbl").as("lbl"))
+      converged = !changed
       iter += 1
     }
     edges.unpersist()

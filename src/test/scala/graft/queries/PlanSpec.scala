@@ -78,6 +78,15 @@ class PlanSpec extends SparkSpec {
       "expect two partial+final aggregation layers\n" + p.take(1200))
   }
 
+  test("q24: region/nation and supplier dimensions broadcast; fact join is never a cartesian") {
+    val p = plan(Queries.q24RegionVolume(spark, sfSmoke))
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 2,
+      "expect broadcast joins for both dimension sides\n" + p.take(1200))
+    assert(!p.contains("CartesianProduct"), p.take(1200))
+    assert(p.contains("PushedFilters") && p.contains("o_orderdate"),
+      "date predicate must push into the orders scan\n" + p.take(1200))
+  }
+
   test("whole-stage codegen covers the text-analysis projections") {
     val df = Queries.docStats(spark, sfSmoke)
     // AQE finalizes the plan only on execution — run THIS query
