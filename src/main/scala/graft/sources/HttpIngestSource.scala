@@ -1,0 +1,201 @@
+package graft.sources
+
+import java.net.InetSocketAddress
+import java.nio.charset.StandardCharsets
+import java.util.concurrent.ConcurrentHashMap
+
+import scala.collection.mutable.ArrayBuffer
+
+import com.sun.net.httpserver.{HttpExchange, HttpServer}
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read.{InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder}
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset}
+import org.apache.spark.sql.sources.DataSourceRegister
+import org.apache.spark.sql.types.{StringType, StructField, StructType}
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+
+/** S1 — the HTTP ingest endpoint as a Structured Streaming SOURCE
+  * (`spark.readStream.format("http-ingest").option("port", …)`):
+  * a custom DSv2 `MicroBatchStream` over the JDK's built-in
+  * `com.sun.net.httpserver` (zero extra dependencies).
+  *
+  * Request semantics mirror the reference publisher's handler
+  * (`publisher/internal/api/handler.go:30-93`), checks in the same
+  * cheapest-first order:
+  *   - non-POST → 405 (F8 method guard, `handler.go:32-35`)
+  *   - missing `X-API-Key` → 401 (F1, `handler.go:38-43`)
+  *   - key not in the configured active set → 401 (F2, `:46-56`)
+  *   - empty body → 400 (F3, `:67-71`)
+  *   - invalid JSON (strict, Go `json.Valid` semantics via
+  *     [[org.apache.spark.sql.graft.JsonIsValid]]) → 400 (F4, `:74-78`)
+  *   - accepted → **202 "queued"** — the same at-most-once edge as
+  *     the reference's async publish (`handler.go:89-92`): the
+  *     payload is buffered in the driver, and durability starts at
+  *     the FIRST checkpointed micro-batch commit, exactly like the
+  *     reference's durability starting at the Kafka broker. From the
+  *     first commit onward the stream is at-least-once.
+  *
+  * Execution model: the server + buffer live on the driver (the same
+  * design as Spark's socket source); each micro-batch ships its slice
+  * to executors inside the `InputPartition`. `commit(end)` truncates
+  * the buffer, bounding driver memory to in-flight batches. This is
+  * an ingest-edge source — the Kafka source remains the bulk path;
+  * at 100 TB you run many of these behind a load balancer, each
+  * feeding the same checkpointed pipeline.
+  */
+object HttpIngest {
+
+  val schema: StructType = StructType(Seq(
+    StructField("value", StringType, nullable = false),
+    StructField("api_key", StringType, nullable = false)))
+
+  final case class Received(value: String, apiKey: String)
+
+  /** One running endpoint: HTTP server + offset-addressed buffer. */
+  final class State(val server: HttpServer, validKeys: Set[String]) {
+    val port: Int = server.getAddress.getPort
+    private val buf = ArrayBuffer.empty[Received]
+    private var base = 0L // global offset of buf(0)
+
+    def append(r: Received): Unit = synchronized { buf += r }
+    def count: Long = synchronized { base + buf.size }
+    def slice(from: Long, until: Long): Array[Received] = synchronized {
+      val s = math.max(from - base, 0L).toInt
+      val u = math.max(until - base, 0L).toInt
+      buf.slice(s, u).toArray
+    }
+    /** Drop everything below `upTo` — called on checkpoint commit. */
+    def truncate(upTo: Long): Unit = synchronized {
+      val n = math.max(math.min(upTo - base, buf.size.toLong), 0L).toInt
+      buf.remove(0, n)
+      base += n
+    }
+    def keyValid(k: String): Boolean = validKeys.isEmpty || validKeys(k)
+    def stop(): Unit = server.stop(0)
+  }
+
+  // one server per port per driver JVM; streams attach by port
+  private val states = new ConcurrentHashMap[Int, State]()
+
+  /** Start (or reuse) the endpoint on `port` (0 = ephemeral; the
+    * bound port is in the returned state). `validKeys` empty = any
+    * present key accepted (auth delegated to the in-stream semi-join).
+    */
+  def getOrStart(port: Int, validKeys: Set[String] = Set.empty): State = {
+    if (port != 0) {
+      val existing = states.get(port)
+      if (existing != null) return existing
+    }
+    val server = HttpServer.create(new InetSocketAddress(port), 0)
+    val state = new State(server, validKeys)
+    server.createContext("/ingest", (ex: HttpExchange) => handle(state, ex))
+    server.setExecutor(null)
+    server.start()
+    states.put(state.port, state)
+    state
+  }
+
+  def stop(port: Int): Unit = {
+    val s = states.remove(port)
+    if (s != null) s.stop()
+  }
+
+  private def respond(ex: HttpExchange, code: Int, body: String): Unit = {
+    val bytes = body.getBytes(StandardCharsets.UTF_8)
+    ex.sendResponseHeaders(code, bytes.length)
+    ex.getResponseBody.write(bytes)
+    ex.close()
+  }
+
+  private def handle(state: State, ex: HttpExchange): Unit =
+    try {
+      if (ex.getRequestMethod != "POST") { respond(ex, 405, "method not allowed"); return }
+      val key = ex.getRequestHeaders.getFirst("X-API-Key")
+      if (key == null || key.isEmpty) { respond(ex, 401, "missing API key"); return }
+      if (!state.keyValid(key)) { respond(ex, 401, "invalid API key"); return }
+      val body = new String(ex.getRequestBody.readAllBytes(), StandardCharsets.UTF_8)
+      if (body.isEmpty) { respond(ex, 400, "empty body"); return }
+      if (!org.apache.spark.sql.graft.JsonIsValid.isValid(body)) {
+        respond(ex, 400, "invalid JSON"); return
+      }
+      state.append(Received(body, key))
+      respond(ex, 202, "queued")
+    } catch {
+      case e: Exception => respond(ex, 500, s"internal error: ${e.getMessage}")
+    }
+}
+
+case class HttpIngestOffset(n: Long) extends Offset {
+  override def json(): String = n.toString
+}
+
+case class HttpIngestPartition(rows: Array[HttpIngest.Received]) extends InputPartition
+
+object HttpIngestReaderFactory extends PartitionReaderFactory {
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
+    val rows = partition.asInstanceOf[HttpIngestPartition].rows
+    new PartitionReader[InternalRow] {
+      private var i = -1
+      override def next(): Boolean = { i += 1; i < rows.length }
+      override def get(): InternalRow = new GenericInternalRow(Array[Any](
+        UTF8String.fromString(rows(i).value),
+        UTF8String.fromString(rows(i).apiKey)))
+      override def close(): Unit = ()
+    }
+  }
+}
+
+class HttpIngestMicroBatchStream(port: Int, validKeys: Set[String])
+    extends MicroBatchStream {
+  private val state = HttpIngest.getOrStart(port, validKeys)
+
+  override def initialOffset(): Offset = HttpIngestOffset(0L)
+  override def latestOffset(): Offset = HttpIngestOffset(state.count)
+  override def deserializeOffset(json: String): Offset = HttpIngestOffset(json.toLong)
+  override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] =
+    Array(HttpIngestPartition(state.slice(
+      start.asInstanceOf[HttpIngestOffset].n,
+      end.asInstanceOf[HttpIngestOffset].n)))
+  override def createReaderFactory(): PartitionReaderFactory = HttpIngestReaderFactory
+  override def commit(end: Offset): Unit =
+    state.truncate(end.asInstanceOf[HttpIngestOffset].n)
+  override def stop(): Unit = () // server lifetime is owned by HttpIngest.stop
+}
+
+class HttpIngestTable(options: CaseInsensitiveStringMap)
+    extends Table with SupportsRead {
+  private def port: Int = options.getInt("port", 0)
+  private def validKeys: Set[String] =
+    Option(options.get("validKeys")).map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+      .getOrElse(Set.empty)
+
+  override def name(): String = s"http-ingest:$port"
+  override def schema(): StructType = HttpIngest.schema
+  override def capabilities(): java.util.Set[TableCapability] =
+    java.util.EnumSet.of(TableCapability.MICRO_BATCH_READ)
+  override def newScanBuilder(opts: CaseInsensitiveStringMap): ScanBuilder =
+    new ScanBuilder {
+      override def build(): Scan = new Scan {
+        override def readSchema(): StructType = HttpIngest.schema
+        override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
+          new HttpIngestMicroBatchStream(port, validKeys)
+      }
+    }
+}
+
+/** `spark.readStream.format("http-ingest")` (registered via
+  * META-INF/services) or the fully-qualified class name.
+  */
+class HttpIngestTableProvider extends TableProvider with DataSourceRegister {
+  override def shortName(): String = "http-ingest"
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    HttpIngest.schema
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+                        properties: java.util.Map[String, String]): Table =
+    new HttpIngestTable(new CaseInsensitiveStringMap(properties))
+}

@@ -1,0 +1,111 @@
+package graft.sources
+
+import java.net.URI
+import java.net.http.{HttpClient, HttpRequest, HttpResponse}
+import java.nio.file.Files
+
+import org.apache.spark.sql.streaming.Trigger
+import org.scalatest.BeforeAndAfterAll
+
+import graft.SparkSpec
+
+/** S1 end-to-end: the HTTP ingest endpoint as a DSv2 micro-batch
+  * source. The request matrix mirrors the reference's handler table
+  * test (`publisher/internal/api/handler_test.go:45-182`: 202 / 401
+  * missing / 401 invalid / 400 empty / 400 bad JSON / 405 method),
+  * then the buffered payloads are consumed as a checkpointed stream.
+  */
+class HttpIngestSourceSpec extends SparkSpec with BeforeAndAfterAll {
+
+  private val client = HttpClient.newHttpClient()
+  private var state: HttpIngest.State = _
+  private def port: Int = state.port
+
+  override def beforeAll(): Unit = {
+    state = HttpIngest.getOrStart(0, Set("key-1", "key-2"))
+    super.beforeAll()
+  }
+  override def afterAll(): Unit = {
+    HttpIngest.stop(port)
+    super.afterAll()
+  }
+
+  private def post(body: String, key: Option[String]): Int = {
+    val b = HttpRequest.newBuilder(URI.create(s"http://localhost:$port/ingest"))
+      .POST(HttpRequest.BodyPublishers.ofString(body))
+    key.foreach(b.header("X-API-Key", _))
+    client.send(b.build(), HttpResponse.BodyHandlers.ofString()).statusCode()
+  }
+
+  test("handler matrix: 202 queued / 401 missing / 401 invalid / 400 empty / 400 bad JSON / 405 method") {
+    assert(post("""{"sensor_id": "s1", "temperature": 21.5}""", Some("key-1")) === 202)
+    assert(post("""{"k": 1}""", None) === 401)
+    assert(post("""{"k": 1}""", Some("wrong-key")) === 401)
+    assert(post("", Some("key-1")) === 400)
+    assert(post("""{"k": }""", Some("key-1")) === 400)
+    // strict whole-string validity, like Go json.Valid (Jackson would accept this)
+    assert(post("""{"k": 1}trailing""", Some("key-2")) === 400)
+    val get = client.send(
+      HttpRequest.newBuilder(URI.create(s"http://localhost:$port/ingest")).GET().build(),
+      HttpResponse.BodyHandlers.ofString())
+    assert(get.statusCode() === 405)
+  }
+
+  test("accepted payloads flow through a checkpointed micro-batch stream; rejects never enter") {
+    import spark.implicits._
+    // the matrix test already queued exactly one valid payload; add two more
+    assert(post("""{"sensor_id": "s2", "temperature": 22.0}""", Some("key-2")) === 202)
+    assert(post("""{"sensor_id": "s3"}""", Some("key-1")) === 202)
+    assert(post("""not json""", Some("key-1")) === 400) // must NOT appear downstream
+
+    val ckpt = Files.createTempDirectory("graft-http-src").toString
+    val q = spark.readStream.format("http-ingest")
+      .option("port", port.toString)
+      .load()
+      .writeStream.format("memory").queryName("http_out")
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(60000)
+
+    val rows = spark.table("http_out").as[(String, String)].collect().sortBy(_._1)
+    assert(rows.length === 3)
+    assert(rows.map(_._2).toSet === Set("key-1", "key-2"))
+    assert(rows.exists(r => r._1.contains("s2") && r._2 == "key-2"))
+
+    // restart from the SAME checkpoint: the WAL has batch 0's end
+    // offset, so the resumed query reads only what arrived after it
+    // (at-least-once from the first commit on, D1/D2 over HTTP)
+    assert(post("""{"sensor_id": "s4"}""", Some("key-2")) === 202)
+    // (foreachBatch: the memory sink refuses checkpoint recovery)
+    val resumed = new java.util.concurrent.ConcurrentLinkedQueue[(String, String)]()
+    val q2 = spark.readStream.format("http-ingest")
+      .option("port", port.toString)
+      .load()
+      .writeStream
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        batch.as[(String, String)].collect().foreach(resumed.add)
+      }
+      .start()
+    q2.awaitTermination(60000)
+    assert(resumed.toArray.toSeq === Seq(("""{"sensor_id": "s4"}""", "key-2")))
+  }
+
+  test("commit truncates the driver buffer but offsets stay global (memory bound)") {
+    val s = HttpIngest.getOrStart(0, Set.empty)
+    try {
+      s.append(HttpIngest.Received("""{"a":1}""", "k"))
+      s.append(HttpIngest.Received("""{"b":2}""", "k"))
+      s.append(HttpIngest.Received("""{"c":3}""", "k"))
+      assert(s.count === 3)
+      // what the stream's commit(end=2) does after a checkpointed batch
+      new HttpIngestMicroBatchStream(s.port, Set.empty).commit(HttpIngestOffset(2))
+      assert(s.count === 3, "count is a global offset, not a buffer size")
+      assert(s.slice(0, 3).map(_.value).toSeq === Seq("""{"c":3}"""),
+        "committed prefix is gone; requests below base clamp to what remains")
+      assert(s.slice(2, 3).map(_.value).toSeq === Seq("""{"c":3}"""))
+    } finally HttpIngest.stop(s.port)
+  }
+}
