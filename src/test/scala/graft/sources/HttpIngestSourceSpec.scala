@@ -93,6 +93,55 @@ class HttpIngestSourceSpec extends SparkSpec with BeforeAndAfterAll {
     assert(resumed.toArray.toSeq === Seq(("""{"sensor_id": "s4"}""", "key-2")))
   }
 
+  test("curl-to-parquet: HTTP POSTs flow through the full ingest DAG (auth semi-join, DLQ) and answer the reference queries") {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.types._
+    import spark.implicits._
+    // fresh endpoint so the other tests' payloads don't interleave
+    val st = HttpIngest.getOrStart(0, Set("key-1"))
+    try {
+      def postTo(body: String): Int = {
+        val b = HttpRequest.newBuilder(URI.create(s"http://localhost:${st.port}/ingest"))
+          .POST(HttpRequest.BodyPublishers.ofString(body))
+          .header("X-API-Key", "key-1")
+        client.send(b.build(), HttpResponse.BodyHandlers.ofString()).statusCode()
+      }
+      // full event envelopes, inner props as an escaped JSON string —
+      // the publisher README's curl walkthrough (publisher/README.md:106-155)
+      assert(postTo("""{"event_id":1,"user_id":1,"event_type":"click","value":1.5,"props":"{\"k\":1}"}""") === 202)
+      assert(postTo("""{"event_id":2,"user_id":2,"event_type":"view","value":2.0,"props":"{\"k\": }"}""") === 202) // inner props malformed → DLQ
+      assert(postTo("""{"event_id":3,"user_id":99,"event_type":"click","value":3.0,"props":"{\"k\":3}"}""") === 202) // unknown user → auth reject
+
+      val envelope = StructType(Seq(
+        StructField("event_id", LongType), StructField("user_id", LongType),
+        StructField("event_type", StringType), StructField("value", DoubleType),
+        StructField("props", StringType)))
+      val (out, dlq, ckpt) = (
+        Files.createTempDirectory("http-e2e-out").toString,
+        Files.createTempDirectory("http-e2e-dlq").toString,
+        Files.createTempDirectory("http-e2e-ckpt").toString)
+      val events = spark.readStream.format("http-ingest")
+        .option("port", st.port.toString).load()
+        .select(from_json(col("value"), envelope).as("e"))
+        .select(col("e.event_id"), col("e.user_id"), col("e.event_type"),
+          col("e.value"), col("e.props"))
+      val q = graft.streaming.IngestStream.start(
+        events, Seq(1L, 2L).toDF("api_key"), out, dlq, ckpt,
+        Trigger.AvailableNow(), Some(lit(777L)))
+      q.awaitTermination(60000)
+
+      val t = spark.read.parquet(out)
+      // Q1/Q2-style read-back: only event 1 survives parse+auth
+      assert(t.count() === 1)
+      val r = t.collect().head
+      assert(r.getAs[Long]("event_id") === 1L)
+      assert(r.getAs[Int]("k") === 1)
+      assert(r.getAs[String]("_raw_data") === """{"k":1}""")
+      // the malformed-inner-props event landed in the DLQ with its raw payload
+      assert(spark.read.parquet(dlq).count() === 1)
+    } finally HttpIngest.stop(st.port)
+  }
+
   test("commit truncates the driver buffer but offsets stay global (memory bound)") {
     val s = HttpIngest.getOrStart(0, Set.empty)
     try {
