@@ -56,13 +56,23 @@ object HttpIngest {
 
   final case class Received(value: String, apiKey: String)
 
-  /** One running endpoint: HTTP server + offset-addressed buffer. */
-  final class State(val server: HttpServer, validKeys: Set[String]) {
+  /** One running endpoint: HTTP server + offset-addressed buffer.
+    * `maxBuffered` bounds driver memory between commits: when the
+    * stream isn't draining fast enough the endpoint sheds load with
+    * 503 instead of growing without bound — the backpressure analog
+    * of the reference's bounded Kafka producer queue.
+    */
+  final class State(val server: HttpServer, validKeys: Set[String],
+                    val maxBuffered: Int = 100000) {
     val port: Int = server.getAddress.getPort
     private val buf = ArrayBuffer.empty[Received]
     private var base = 0L // global offset of buf(0)
 
-    def append(r: Received): Unit = synchronized { buf += r }
+    /** false when the buffer is full (caller responds 503). */
+    def append(r: Received): Boolean = synchronized {
+      if (buf.size >= maxBuffered) false
+      else { buf += r; true }
+    }
     def count: Long = synchronized { base + buf.size }
     def slice(from: Long, until: Long): Array[Received] = synchronized {
       val s = math.max(from - base, 0L).toInt
@@ -86,13 +96,14 @@ object HttpIngest {
     * bound port is in the returned state). `validKeys` empty = any
     * present key accepted (auth delegated to the in-stream semi-join).
     */
-  def getOrStart(port: Int, validKeys: Set[String] = Set.empty): State = {
+  def getOrStart(port: Int, validKeys: Set[String] = Set.empty,
+                 maxBuffered: Int = 100000): State = {
     if (port != 0) {
       val existing = states.get(port)
       if (existing != null) return existing
     }
     val server = HttpServer.create(new InetSocketAddress(port), 0)
-    val state = new State(server, validKeys)
+    val state = new State(server, validKeys, maxBuffered)
     server.createContext("/ingest", (ex: HttpExchange) => handle(state, ex))
     server.setExecutor(null)
     server.start()
@@ -123,7 +134,9 @@ object HttpIngest {
       if (!org.apache.spark.sql.graft.JsonIsValid.isValid(body)) {
         respond(ex, 400, "invalid JSON"); return
       }
-      state.append(Received(body, key))
+      if (!state.append(Received(body, key))) {
+        respond(ex, 503, "buffer full, retry later"); return
+      }
       respond(ex, 202, "queued")
     } catch {
       case e: Exception => respond(ex, 500, s"internal error: ${e.getMessage}")
@@ -150,9 +163,10 @@ object HttpIngestReaderFactory extends PartitionReaderFactory {
   }
 }
 
-class HttpIngestMicroBatchStream(port: Int, validKeys: Set[String])
+class HttpIngestMicroBatchStream(port: Int, validKeys: Set[String],
+                                 maxBuffered: Int = 100000)
     extends MicroBatchStream {
-  private val state = HttpIngest.getOrStart(port, validKeys)
+  private val state = HttpIngest.getOrStart(port, validKeys, maxBuffered)
 
   override def initialOffset(): Offset = HttpIngestOffset(0L)
   override def latestOffset(): Offset = HttpIngestOffset(state.count)
@@ -183,7 +197,8 @@ class HttpIngestTable(options: CaseInsensitiveStringMap)
       override def build(): Scan = new Scan {
         override def readSchema(): StructType = HttpIngest.schema
         override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
-          new HttpIngestMicroBatchStream(port, validKeys)
+          new HttpIngestMicroBatchStream(port, validKeys,
+            options.getInt("maxBuffered", 100000))
       }
     }
 }

@@ -142,6 +142,24 @@ class HttpIngestSourceSpec extends SparkSpec with BeforeAndAfterAll {
     } finally HttpIngest.stop(st.port)
   }
 
+  test("full buffer sheds load with 503 instead of growing without bound") {
+    val s = HttpIngest.getOrStart(0, Set.empty, maxBuffered = 2)
+    try {
+      def postTo(body: String): Int = {
+        val b = HttpRequest.newBuilder(URI.create(s"http://localhost:${s.port}/ingest"))
+          .POST(HttpRequest.BodyPublishers.ofString(body))
+          .header("X-API-Key", "any")
+        client.send(b.build(), HttpResponse.BodyHandlers.ofString()).statusCode()
+      }
+      assert(postTo("""{"a":1}""") === 202)
+      assert(postTo("""{"a":2}""") === 202)
+      assert(postTo("""{"a":3}""") === 503)
+      // commit drains the buffer → capacity frees up
+      s.truncate(2)
+      assert(postTo("""{"a":4}""") === 202)
+    } finally HttpIngest.stop(s.port)
+  }
+
   test("commit truncates the driver buffer but offsets stay global (memory bound)") {
     val s = HttpIngest.getOrStart(0, Set.empty)
     try {
