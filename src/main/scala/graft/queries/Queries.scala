@@ -1269,6 +1269,39 @@ object Queries {
        |FROM q GROUP BY source ORDER BY source""".stripMargin
   }
 
+  /** Interval (range) join: attribute each purchase to the same
+    * user's clicks in the preceding hour — the batch analog of the
+    * watermarked stream-stream join
+    * ([[graft.streaming.StreamJoins.attribution]]). The equi-key
+    * (user_id) carries the shuffle; the time predicate filters
+    * within each key group, so this is a hash/sort-merge join plus a
+    * range filter — never a cartesian.
+    */
+  def q26Attribution(s: SparkSession, d: String): DataFrame = {
+    val e = ev(s, d)
+    val clicks = e.filter(col("event_type") === "click")
+      .select(col("user_id"), col("event_id").as("click_id"),
+        expr("ts_ns div 1000").as("click_us"))
+    val purchases = e.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id").as("purchase_id"),
+        expr("ts_ns div 1000").as("purchase_us"))
+    clicks.join(purchases, Seq("user_id"))
+      .filter(col("purchase_us") >= col("click_us") &&
+        col("purchase_us") <= col("click_us") + lit(3600000000L))
+      .select(col("user_id"), col("click_id"), col("purchase_id"),
+        (col("purchase_us") - col("click_us")).as("gap_us"))
+      .orderBy(col("user_id"), col("click_id"), col("purchase_id"))
+  }
+
+  val q26AttributionSql =
+    """SELECT c.user_id AS user_id, c.event_id AS click_id, p.event_id AS purchase_id,
+      | epoch_us(p.ts) - epoch_us(c.ts) AS gap_us
+      | FROM events c JOIN events p ON c.user_id = p.user_id
+      | WHERE c.event_type = 'click' AND p.event_type = 'purchase'
+      |   AND epoch_us(p.ts) >= epoch_us(c.ts)
+      |   AND epoch_us(p.ts) <= epoch_us(c.ts) + 3600000000
+      | ORDER BY c.user_id, click_id, purchase_id""".stripMargin
+
   // ---------------------------------------------------------------
   // Registry
   // ---------------------------------------------------------------
@@ -1305,6 +1338,7 @@ object Queries {
     "q23_skew_agg" -> (q23SkewAgg _),
     "q24_region_volume" -> (q24RegionVolume _),
     "q25_small_qty_revenue" -> (q25SmallQtyRevenue _),
+    "q26_attribution" -> (q26Attribution _),
     "doc_top_terms" -> (docTopTerms _),
     "doc_source_quality" -> (docSourceQuality _),
     "emb_centroids" -> (embCentroids _),
@@ -1352,6 +1386,7 @@ object Queries {
     "q23_skew_agg" -> q23SkewAggSql,
     "q24_region_volume" -> q24RegionVolumeSql,
     "q25_small_qty_revenue" -> q25SmallQtyRevenueSql,
+    "q26_attribution" -> q26AttributionSql,
     "doc_top_terms" -> docTopTermsSql,
     "doc_source_quality" -> docSourceQualitySql,
     "emb_centroids" -> embCentroidsSql,
