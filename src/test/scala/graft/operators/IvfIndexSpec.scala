@@ -25,6 +25,19 @@ class IvfIndexSpec extends SparkSpec {
     assert(recall >= 0.3, s"IVF recall degraded: $recall")
   }
 
+  test("search fails fast when the query set exceeds the driver-collect cap") {
+    graft.GraftSession.tune(spark)
+    val emb = graft.tables.Tables.embeddings(spark, sfSmoke)
+    val queries = emb.filter($"vec_id" < 10)
+      .select($"vec_id".as("query_id"), $"embedding".as("query_vec"))
+    val index = IvfIndex.build(emb, nCells = 4)
+    val e = intercept[IllegalArgumentException] {
+      IvfIndex.search(index, queries, kNeighbors = 3, nProbe = 2,
+        maxDriverQueries = 5)
+    }
+    assert(e.getMessage.contains("maxDriverQueries"))
+  }
+
   test("probing all cells recovers brute force exactly") {
     graft.GraftSession.tune(spark)
     val emb = graft.tables.Tables.embeddings(spark, sfSmoke)
