@@ -1302,6 +1302,29 @@ object Queries {
       |   AND epoch_us(p.ts) <= epoch_us(c.ts) + 3600000000
       | ORDER BY c.user_id, click_id, purchase_id""".stripMargin
 
+  /** Pivot (`groupBy().pivot()`): daily event counts with one column
+    * per event type. The value list is explicit, so the plan is a
+    * single pass with conditional aggregation — no extra distinct-
+    * values job, which is the form that scales. Missing combinations
+    * fill as 0 to match SQL's `count(*) FILTER`.
+    */
+  def q27Pivot(s: SparkSession, d: String): DataFrame =
+    ev(s, d)
+      .groupBy(expr("ts_ns div 86400000000000").as("day_bucket"))
+      .pivot("event_type", Seq("click", "error", "purchase", "signup", "view"))
+      .agg(count(lit(1)))
+      .na.fill(0L)
+      .orderBy(col("day_bucket"))
+
+  val q27PivotSql =
+    """SELECT epoch_ns(ts) // 86400000000000 AS day_bucket,
+      | count(*) FILTER (WHERE event_type = 'click') AS click,
+      | count(*) FILTER (WHERE event_type = 'error') AS error,
+      | count(*) FILTER (WHERE event_type = 'purchase') AS purchase,
+      | count(*) FILTER (WHERE event_type = 'signup') AS signup,
+      | count(*) FILTER (WHERE event_type = 'view') AS view
+      | FROM events GROUP BY day_bucket ORDER BY day_bucket""".stripMargin
+
   // ---------------------------------------------------------------
   // Registry
   // ---------------------------------------------------------------
@@ -1339,6 +1362,7 @@ object Queries {
     "q24_region_volume" -> (q24RegionVolume _),
     "q25_small_qty_revenue" -> (q25SmallQtyRevenue _),
     "q26_attribution" -> (q26Attribution _),
+    "q27_pivot" -> (q27Pivot _),
     "doc_top_terms" -> (docTopTerms _),
     "doc_source_quality" -> (docSourceQuality _),
     "emb_centroids" -> (embCentroids _),
@@ -1387,6 +1411,7 @@ object Queries {
     "q24_region_volume" -> q24RegionVolumeSql,
     "q25_small_qty_revenue" -> q25SmallQtyRevenueSql,
     "q26_attribution" -> q26AttributionSql,
+    "q27_pivot" -> q27PivotSql,
     "doc_top_terms" -> docTopTermsSql,
     "doc_source_quality" -> docSourceQualitySql,
     "emb_centroids" -> embCentroidsSql,
