@@ -1325,6 +1325,56 @@ object Queries {
       | count(*) FILTER (WHERE event_type = 'view') AS view
       | FROM events GROUP BY day_bucket ORDER BY day_bucket""".stripMargin
 
+  /** Window FRAMES (beyond q10's ranking): per-customer running
+    * revenue (`ROWS UNBOUNDED PRECEDING` prefix sum, decimal-routed
+    * so the incremental sum is exact) and lag-based inter-order gap.
+    * One shuffle on the partition key; the frame scan is sequential
+    * within each sorted partition.
+    */
+  def q28RunningTotal(s: SparkSession, d: String): DataFrame = {
+    GraftSession.tune(s)
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+    val orderUs = unix_micros(col("o_orderdate").cast("timestamp"))
+    Tables.orders(s, d).select(
+      col("o_custkey"), col("o_orderkey"), orderUs.as("order_us"),
+      sum(col("o_totalprice").cast("decimal(18,2)"))
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .cast("double").as("running_rev"),
+      (orderUs - lag(orderUs, 1).over(w)).as("gap_us"))
+      .orderBy(col("o_custkey"), col("o_orderkey"))
+  }
+
+  val q28RunningTotalSql =
+    """SELECT o_custkey, o_orderkey, epoch_us(o_orderdate) AS order_us,
+      | CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)))
+      |   OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+      |         ROWS UNBOUNDED PRECEDING) AS DOUBLE) AS running_rev,
+      | epoch_us(o_orderdate) - lag(epoch_us(o_orderdate))
+      |   OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS gap_us
+      | FROM orders ORDER BY o_custkey, o_orderkey""".stripMargin
+
+  /** UNPIVOT (wide → long): part's numeric attributes melted to
+    * (key, attr, val) rows — the `Dataset.unpivot` API, a narrow
+    * per-row expansion (no shuffle).
+    */
+  def q29Unpivot(s: SparkSession, d: String): DataFrame = {
+    GraftSession.tune(s)
+    Tables.part(s, d)
+      .select(col("p_partkey"),
+        col("p_size").cast("double").as("p_size"),
+        col("p_retailprice").cast("double").as("p_retailprice"))
+      .unpivot(Array(col("p_partkey")),
+        Array(col("p_size"), col("p_retailprice")), "attr", "val")
+      .orderBy(col("p_partkey"), col("attr"))
+  }
+
+  val q29UnpivotSql =
+    """SELECT p_partkey, 'p_size' AS attr, CAST(p_size AS DOUBLE) AS val FROM part
+      | UNION ALL
+      | SELECT p_partkey, 'p_retailprice' AS attr, p_retailprice AS val FROM part
+      | ORDER BY p_partkey, attr""".stripMargin
+
   // ---------------------------------------------------------------
   // Registry
   // ---------------------------------------------------------------
@@ -1363,6 +1413,8 @@ object Queries {
     "q25_small_qty_revenue" -> (q25SmallQtyRevenue _),
     "q26_attribution" -> (q26Attribution _),
     "q27_pivot" -> (q27Pivot _),
+    "q28_running_total" -> (q28RunningTotal _),
+    "q29_unpivot" -> (q29Unpivot _),
     "doc_top_terms" -> (docTopTerms _),
     "doc_source_quality" -> (docSourceQuality _),
     "emb_centroids" -> (embCentroids _),
@@ -1412,6 +1464,8 @@ object Queries {
     "q25_small_qty_revenue" -> q25SmallQtyRevenueSql,
     "q26_attribution" -> q26AttributionSql,
     "q27_pivot" -> q27PivotSql,
+    "q28_running_total" -> q28RunningTotalSql,
+    "q29_unpivot" -> q29UnpivotSql,
     "doc_top_terms" -> docTopTermsSql,
     "doc_source_quality" -> docSourceQualitySql,
     "emb_centroids" -> embCentroidsSql,
