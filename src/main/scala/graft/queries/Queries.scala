@@ -1375,6 +1375,80 @@ object Queries {
       | SELECT p_partkey, 'p_retailprice' AS attr, p_retailprice AS val FROM part
       | ORDER BY p_partkey, attr""".stripMargin
 
+  /** PII redaction — the compliance pass of a training-data pipeline:
+    * count and mask emails / phone numbers / IPs (codegen'd regex
+    * projection, no shuffle). The driver corpus contains no PII, so
+    * the query plants three deterministic rows (doc_id ≥ 100001) to
+    * keep the oracle comparison non-vacuous; output carries the md5
+    * of the redacted text rather than the text itself.
+    */
+  def docRedact(s: SparkSession, d: String): DataFrame = {
+    val emailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+    val phoneRe = "\\b\\d{3}[-.]\\d{3}[-.]\\d{4}\\b"
+    val ipRe = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+    import s.implicits._
+    val planted = Seq(
+      (100001L, "Contact john.doe@example.com or call 555-123-4567 for details"),
+      (100002L, "Multiple emails: a.b@test.org and c_d@mail.co plus host 192.168.1.100"),
+      (100003L, "no pii in this row at all")).toDF("doc_id", "text")
+    val all = docs(s, d).select(col("doc_id"), col("text")).unionByName(planted)
+    val redacted = regexp_replace(
+      regexp_replace(
+        regexp_replace(col("text"), emailRe, "[EMAIL]"),
+        phoneRe, "[PHONE]"),
+      ipRe, "[IP]")
+    all.select(
+      col("doc_id"),
+      size(regexp_extract_all(col("text"), lit(emailRe), lit(0))).cast("long").as("n_emails"),
+      size(regexp_extract_all(col("text"), lit(phoneRe), lit(0))).cast("long").as("n_phones"),
+      size(regexp_extract_all(col("text"), lit(ipRe), lit(0))).cast("long").as("n_ips"),
+      md5(redacted).as("redacted_digest"))
+      .orderBy(col("doc_id"))
+  }
+
+  val docRedactSql =
+    """WITH allc AS (
+      |  SELECT doc_id, text FROM documents
+      |  UNION ALL
+      |  SELECT * FROM (VALUES
+      |   (100001, 'Contact john.doe@example.com or call 555-123-4567 for details'),
+      |   (100002, 'Multiple emails: a.b@test.org and c_d@mail.co plus host 192.168.1.100'),
+      |   (100003, 'no pii in this row at all')) v(doc_id, text))
+      |SELECT doc_id,
+      | CAST(len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_emails,
+      | CAST(len(regexp_extract_all(text, '\b\d{3}[-.]\d{3}[-.]\d{4}\b')) AS BIGINT) AS n_phones,
+      | CAST(len(regexp_extract_all(text, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS BIGINT) AS n_ips,
+      | md5(regexp_replace(regexp_replace(regexp_replace(text,
+      |   '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '[EMAIL]', 'g'),
+      |   '\b\d{3}[-.]\d{3}[-.]\d{4}\b', '[PHONE]', 'g'),
+      |   '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '[IP]', 'g')) AS redacted_digest
+      |FROM allc ORDER BY doc_id""".stripMargin
+
+  /** Boilerplate detection: the 20 most document-frequent 3-token
+    * shingles — repeated phrasing across a corpus is the signature of
+    * boilerplate (headers, licenses, templates) that a cleaning
+    * pipeline strips. Per-doc-DISTINCT shingles (so a phrase repeated
+    * within one doc counts once), then one hash-partitioned distinct
+    * count and a top-k.
+    */
+  def docCommonShingles(s: SparkSession, d: String): DataFrame =
+    docs(s, d)
+      .select(col("doc_id"), explode(Dedup.shingles(col("text"))).as("shingle"))
+      .groupBy(col("shingle"))
+      .agg(countDistinct(col("doc_id")).as("n_docs"))
+      .orderBy(col("n_docs").desc, col("shingle"))
+      .limit(20)
+
+  val docCommonShinglesSql =
+    """WITH toks AS (
+      |  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS t FROM documents),
+      |sh AS (
+      |  SELECT doc_id,
+      |   unnest(list_distinct([t[i] || ' ' || t[i+1] || ' ' || t[i+2] FOR i IN range(1, len(t) - 1)])) AS shingle
+      |  FROM toks WHERE len(t) >= 3)
+      |SELECT shingle, count(DISTINCT doc_id) AS n_docs
+      |FROM sh GROUP BY shingle ORDER BY n_docs DESC, shingle LIMIT 20""".stripMargin
+
   // ---------------------------------------------------------------
   // Registry
   // ---------------------------------------------------------------
@@ -1417,6 +1491,8 @@ object Queries {
     "q29_unpivot" -> (q29Unpivot _),
     "doc_top_terms" -> (docTopTerms _),
     "doc_source_quality" -> (docSourceQuality _),
+    "doc_redact" -> (docRedact _),
+    "doc_common_shingles" -> (docCommonShingles _),
     "emb_centroids" -> (embCentroids _),
     "media_frames" -> (mediaFrames _),
     "doc_simhash" -> (docSimhash _),
@@ -1468,6 +1544,8 @@ object Queries {
     "q29_unpivot" -> q29UnpivotSql,
     "doc_top_terms" -> docTopTermsSql,
     "doc_source_quality" -> docSourceQualitySql,
+    "doc_redact" -> docRedactSql,
+    "doc_common_shingles" -> docCommonShinglesSql,
     "emb_centroids" -> embCentroidsSql,
     "media_frames" -> mediaFramesSql,
     "doc_simhash" -> docSimhashSql,
