@@ -1449,6 +1449,37 @@ object Queries {
       |SELECT shingle, count(DISTINCT doc_id) AS n_docs
       |FROM sh GROUP BY shingle ORDER BY n_docs DESC, shingle LIMIT 20""".stripMargin
 
+  /** Calendar gap fill: a generated day spine (`sequence` + explode
+    * over the observed range) left-joined to daily signup counts, so
+    * zero-activity days appear as explicit 0 rows — the time-series
+    * densification every dashboard needs. The spine is tiny (one row
+    * per day), so the join broadcasts it against the aggregated side.
+    */
+  def q30GapFill(s: SparkSession, d: String): DataFrame = {
+    val dayExpr = expr("ts_ns div 86400000000000")
+    val e = ev(s, d)
+    val daily = e.filter(col("event_type") === "signup")
+      .groupBy(dayExpr.as("day"))
+      .agg(count(lit(1)).as("cnt"))
+    val spine = e.agg(min(dayExpr).as("lo"), max(dayExpr).as("hi"))
+      .select(explode(sequence(col("lo"), col("hi"))).as("day"))
+    broadcast(spine).join(daily, Seq("day"), "left")
+      .select(col("day"), coalesce(col("cnt"), lit(0L)).as("n_signups"))
+      .orderBy(col("day"))
+  }
+
+  val q30GapFillSql =
+    """WITH b AS (
+      |  SELECT min(epoch_ns(ts) // 86400000000000) AS lo,
+      |         max(epoch_ns(ts) // 86400000000000) AS hi
+      |  FROM events),
+      |spine AS (SELECT unnest(range(lo, hi + 1)) AS day FROM b),
+      |daily AS (
+      |  SELECT epoch_ns(ts) // 86400000000000 AS day, count(*) AS cnt
+      |  FROM events WHERE event_type = 'signup' GROUP BY 1)
+      |SELECT s.day AS day, CAST(coalesce(cnt, 0) AS BIGINT) AS n_signups
+      |FROM spine s LEFT JOIN daily USING (day) ORDER BY day""".stripMargin
+
   // ---------------------------------------------------------------
   // Registry
   // ---------------------------------------------------------------
@@ -1489,6 +1520,7 @@ object Queries {
     "q27_pivot" -> (q27Pivot _),
     "q28_running_total" -> (q28RunningTotal _),
     "q29_unpivot" -> (q29Unpivot _),
+    "q30_gap_fill" -> (q30GapFill _),
     "doc_top_terms" -> (docTopTerms _),
     "doc_source_quality" -> (docSourceQuality _),
     "doc_redact" -> (docRedact _),
@@ -1542,6 +1574,7 @@ object Queries {
     "q27_pivot" -> q27PivotSql,
     "q28_running_total" -> q28RunningTotalSql,
     "q29_unpivot" -> q29UnpivotSql,
+    "q30_gap_fill" -> q30GapFillSql,
     "doc_top_terms" -> docTopTermsSql,
     "doc_source_quality" -> docSourceQualitySql,
     "doc_redact" -> docRedactSql,

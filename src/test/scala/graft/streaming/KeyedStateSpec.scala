@@ -60,6 +60,27 @@ class KeyedStateSpec extends SparkSpec with BeforeAndAfterAll {
     } finally q.stop()
   }
 
+  test("dropDuplicatesWithinWatermark dedups across batches with watermark-bounded state") {
+    import org.apache.spark.sql.functions._
+    implicit val sqlCtx = spark.sqlContext
+    val ms = MemoryStream[(Long, java.sql.Timestamp)]
+    def t(hhmm: String) = java.sql.Timestamp.valueOf(s"2024-01-01 $hhmm:00")
+    val q = ms.toDF().toDF("id", "ts")
+      .withWatermark("ts", "1 hour")
+      .dropDuplicatesWithinWatermark("id")
+      .writeStream.format("memory").queryName("wm_dedup")
+      .outputMode("append").start()
+    try {
+      ms.addData((1L, t("01:00")), (1L, t("01:05")), (2L, t("01:10")))
+      q.processAllAvailable()
+      // same id in a LATER batch, still within the watermark window → dropped
+      ms.addData((1L, t("01:20")))
+      q.processAllAvailable()
+      val ids = spark.table("wm_dedup").select(col("id")).as[Long].collect().toSeq
+      assert(ids.sorted === Seq(1L, 2L))
+    } finally q.stop()
+  }
+
   test("sketch parity: approx_count_distinct lands within its error bound of the exact count") {
     graft.GraftSession.tune(spark)
     val ev = graft.tables.Tables.eventsNorm(spark, sfSmoke)
