@@ -1480,6 +1480,59 @@ object Queries {
       |SELECT s.day AS day, CAST(coalesce(cnt, 0) AS BIGINT) AS n_signups
       |FROM spine s LEFT JOIN daily USING (day) ORDER BY day""".stripMargin
 
+  /** Class cohesion: mean cosine of every vector to its label's
+    * centroid — the nearest-class-mean diagnostic of embedding
+    * quality. Composes the fixed-point centroids (bit-exact on both
+    * engines, see [[embCentroids]]) with the sequential-fold cosine;
+    * per-vector cosines round to 6 decimals and then sum as
+    * DECIMAL(18,6), so the per-label mean is aggregation-order
+    * independent. The 25-row centroid table broadcasts.
+    */
+  def q31ClassCohesion(s: SparkSession, d: String): DataFrame = {
+    GraftSession.tune(s)
+    val cents = embCentroids(s, d) // (label, dim_idx, centroid_q), ordered
+      .groupBy(col("label"))
+      .agg(array_sort(collect_list(struct(col("dim_idx"), col("centroid_q"))))
+        .as("cs"))
+      .select(col("label"),
+        transform(col("cs"), c => c.getField("centroid_q")).as("centroid"))
+    Tables.embeddings(s, d)
+      .select(col("label").cast("long").as("label"), col("embedding"))
+      .join(broadcast(cents), "label")
+      .select(col("label"),
+        round(Similarity.cosine(col("embedding"), col("centroid")), 6).as("cos"))
+      .groupBy(col("label"))
+      .agg(
+        count(lit(1)).as("n_vecs"),
+        (sum(col("cos").cast("decimal(18,6)")).cast("double") /
+          count(lit(1)).cast("double")).as("mean_cos"))
+      .orderBy(col("label"))
+  }
+
+  val q31ClassCohesionSql =
+    """WITH cent AS (
+      |  SELECT CAST(label AS BIGINT) AS label, i - 1 AS dim_idx,
+      |   CAST(sum(CAST(floor(CAST(embedding[i] AS DOUBLE) * 16777216.0) AS BIGINT)) AS DOUBLE)
+      |    / (CAST(count(*) AS DOUBLE) * 16777216.0) AS centroid_q
+      |  FROM embeddings CROSS JOIN range(1, 65) t(i)
+      |  GROUP BY label, i),
+      |cvec AS (
+      |  SELECT label, list(centroid_q ORDER BY dim_idx) AS centroid
+      |  FROM cent GROUP BY label),
+      |scored AS (
+      |  SELECT CAST(e.label AS BIGINT) AS label,
+      |   round(
+      |    list_sum(list_transform(range(1, 65),
+      |      i -> CAST(e.embedding[i] AS DOUBLE) * c.centroid[i]))
+      |    / (sqrt(list_sum(list_transform(range(1, 65),
+      |         i -> CAST(e.embedding[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE))))
+      |       * sqrt(list_sum(list_transform(range(1, 65),
+      |           i -> c.centroid[i] * c.centroid[i])))), 6) AS cos
+      |  FROM embeddings e JOIN cvec c ON c.label = CAST(e.label AS BIGINT))
+      |SELECT label, count(*) AS n_vecs,
+      | CAST(sum(CAST(cos AS DECIMAL(18,6))) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS mean_cos
+      |FROM scored GROUP BY label ORDER BY label""".stripMargin
+
   // ---------------------------------------------------------------
   // Registry
   // ---------------------------------------------------------------
@@ -1526,6 +1579,7 @@ object Queries {
     "doc_redact" -> (docRedact _),
     "doc_common_shingles" -> (docCommonShingles _),
     "emb_centroids" -> (embCentroids _),
+    "q31_class_cohesion" -> (q31ClassCohesion _),
     "media_frames" -> (mediaFrames _),
     "doc_simhash" -> (docSimhash _),
     "doc_simhash_pairs" -> (docSimhashPairs _),
@@ -1580,6 +1634,7 @@ object Queries {
     "doc_redact" -> docRedactSql,
     "doc_common_shingles" -> docCommonShinglesSql,
     "emb_centroids" -> embCentroidsSql,
+    "q31_class_cohesion" -> q31ClassCohesionSql,
     "media_frames" -> mediaFramesSql,
     "doc_simhash" -> docSimhashSql,
     "doc_simhash_pairs" -> docSimhashPairsSql,
