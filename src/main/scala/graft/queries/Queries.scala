@@ -1533,6 +1533,31 @@ object Queries {
       | CAST(sum(CAST(cos AS DECIMAL(18,6))) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS mean_cos
       |FROM scored GROUP BY label ORDER BY label""".stripMargin
 
+  /** Deterministic stratified train/test split: assignment is a pure
+    * function of the row id (first md5 byte mod 10 → ~80/20), so the
+    * split is reproducible across runs, engines, and cluster sizes —
+    * no RNG state, no sampling seed to ship. Output: per-label split
+    * sizes (the stratification report).
+    */
+  def q32SplitStats(s: SparkSession, d: String): DataFrame = {
+    val bucket = conv(substring(md5(col("vec_id").cast("string")), 1, 2), 16, 10)
+      .cast("int") % 10
+    Tables.embeddings(s, d)
+      .select(col("label").cast("long").as("label"),
+        when(bucket < 8, lit("train")).otherwise(lit("test")).as("split"))
+      .groupBy(col("label"))
+      .agg(
+        count(when(col("split") === "train", 1)).as("n_train"),
+        count(when(col("split") === "test", 1)).as("n_test"))
+      .orderBy(col("label"))
+  }
+
+  val q32SplitStatsSql =
+    """SELECT CAST(label AS BIGINT) AS label,
+      | count(*) FILTER (WHERE ('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 2))::INT % 10 < 8) AS n_train,
+      | count(*) FILTER (WHERE ('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 2))::INT % 10 >= 8) AS n_test
+      | FROM embeddings GROUP BY label ORDER BY label""".stripMargin
+
   // ---------------------------------------------------------------
   // Registry
   // ---------------------------------------------------------------
@@ -1580,6 +1605,7 @@ object Queries {
     "doc_common_shingles" -> (docCommonShingles _),
     "emb_centroids" -> (embCentroids _),
     "q31_class_cohesion" -> (q31ClassCohesion _),
+    "q32_split_stats" -> (q32SplitStats _),
     "media_frames" -> (mediaFrames _),
     "doc_simhash" -> (docSimhash _),
     "doc_simhash_pairs" -> (docSimhashPairs _),
@@ -1635,6 +1661,7 @@ object Queries {
     "doc_common_shingles" -> docCommonShinglesSql,
     "emb_centroids" -> embCentroidsSql,
     "q31_class_cohesion" -> q31ClassCohesionSql,
+    "q32_split_stats" -> q32SplitStatsSql,
     "media_frames" -> mediaFramesSql,
     "doc_simhash" -> docSimhashSql,
     "doc_simhash_pairs" -> docSimhashPairsSql,
