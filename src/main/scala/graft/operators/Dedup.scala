@@ -25,18 +25,14 @@ object Dedup {
   def toks(text: Column): Column =
     regexp_extract_all(lower(text), lit("[a-z0-9]+"), lit(0))
 
-  /** Distinct n-token shingles joined by single spaces. Guarded for
-    * short texts: Spark's `sequence(1, x)` generates a DESCENDING
-    * sequence when x < 1, so fewer-than-n tokens must short-circuit
-    * to an empty array.
+  /** Distinct n-token shingles joined by single spaces — the native
+    * one-pass expression ([[org.apache.spark.sql.graft.ShingleStrings]]);
+    * the interpreted `transform`/`concat_ws` formulation it replaces
+    * cost ~5 s per sf0.1 scan. Fewer than n tokens yields an empty
+    * array; first-occurrence order is preserved.
     */
-  def shingles(text: Column, n: Int = 3): Column = {
-    val t = toks(text)
-    when(size(t) < n, array().cast("array<string>")).otherwise(
-      array_distinct(
-        transform(sequence(lit(1), size(t) - lit(n - 1)),
-          i => concat_ws(" ", slice(t, i, lit(n))))))
-  }
+  def shingles(text: Column, n: Int = 3): Column =
+    org.apache.spark.sql.graft.ShingleStrings(text, n)
 
   /** k-element MinHash signature over the shingle set — the one-hash
     * construction: each shingle is xxhash64'd ONCE (codegen'd), and

@@ -53,6 +53,9 @@ object GraftSqlFunctions {
       new ExpressionInfo(classOf[SimHashBuckets].getName, "simhash_buckets"),
       (es: Seq[Expression]) =>
         SimHashBuckets(es(0), intArg(es(1), "planes"), intArg(es(2), "tables"))),
+    (FunctionIdentifier("shingle_strings"),
+      new ExpressionInfo(classOf[ShingleStrings].getName, "shingle_strings"),
+      (es: Seq[Expression]) => ShingleStrings(es(0), intArg(es(1), "shingle size"))),
     (FunctionIdentifier("top_k_by_score"),
       new ExpressionInfo(classOf[TopKByScore].getName, "top_k_by_score"),
       (es: Seq[Expression]) =>
