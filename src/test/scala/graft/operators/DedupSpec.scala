@@ -84,6 +84,33 @@ class DedupSpec extends SparkSpec {
     assert(found === truth)
   }
 
+  test("native shingle strings equal the Column-pipeline specification on randomized texts") {
+    import org.apache.spark.sql.functions._
+    // the interpreted formulation ShingleStrings replaced, kept here
+    // as the executable specification
+    def spec(text: org.apache.spark.sql.Column, n: Int) = {
+      val t = regexp_extract_all(lower(text), lit("[a-z0-9]+"), lit(0))
+      when(size(t) < n, array().cast("array<string>")).otherwise(
+        array_distinct(
+          transform(sequence(lit(1), size(t) - lit(n - 1)),
+            i => concat_ws(" ", slice(t, i, lit(n))))))
+    }
+    val rnd = new scala.util.Random(11)
+    val alphabet = "ab1 .!攻AB-\t"
+    val texts = Seq.tabulate(300)(i =>
+      (i.toLong, Seq.fill(rnd.nextInt(120))(alphabet(rnd.nextInt(alphabet.length))).mkString))
+    val df = texts.toDF("id", "text")
+    for (n <- Seq(2, 3)) {
+      val rows = df.select(
+        Dedup.shingles($"text", n).as("native"),
+        spec($"text", n).as("spec"))
+        .as[(Seq[String], Seq[String])].collect()
+      rows.zipWithIndex.foreach { case ((nat, sp), i) =>
+        assert(nat === sp, s"n=$n text #$i: ${texts(i)._2.take(80)}")
+      }
+    }
+  }
+
   test("nearDupClusters labels transitive chains with one component id (a~b~c with a!~c)") {
     // a~b and b~c exceed the threshold, a~c does NOT — the chain the
     // greedy dropper mishandles. Connected components must still put
