@@ -12,6 +12,26 @@ class TableOpsSpec extends SparkSpec {
   private val db = "graft_test"
   private val table = "ingest_data"
 
+  test("parquet schema evolution: mergeSchema unions batch schemas, absent columns read as NULL") {
+    // the lenient-ingest story at the storage layer: later batches may
+    // carry new payload fields (SURVEY §1.3); existing files stay
+    // valid and the union schema reads them with NULLs
+    import org.apache.spark.sql.functions.col
+    val dir = java.nio.file.Files.createTempDirectory("graft-evolve").toString
+    Seq((1L, "a")).toDF("id", "c_old").write.mode("append").parquet(dir)
+    Seq((2L, 5.5)).toDF("id", "c_new").write.mode("append").parquet(dir)
+    val merged = spark.read.option("mergeSchema", "true").parquet(dir)
+    assert(merged.columns.sorted.toSeq === Seq("c_new", "c_old", "id"))
+    val byId = merged.collect().map(r => r.getAs[Long]("id") -> r).toMap
+    assert(byId(1L).getAs[String]("c_old") === "a")
+    assert(byId(1L).isNullAt(byId(1L).fieldIndex("c_new")))
+    assert(byId(2L).getAs[Double]("c_new") === 5.5)
+    assert(byId(2L).isNullAt(byId(2L).fieldIndex("c_old")))
+    // and column pruning still reaches the scan on the merged schema
+    val p = merged.select(col("id")).queryExecution.executedPlan.toString
+    assert(p.contains("ReadSchema") && !p.contains("c_old"), p.take(600))
+  }
+
   test("create/insert/truncate/overwrite round-trip through the catalog") {
     TableOps.dropTable(spark, db, table)
     TableOps.createTable(spark, db, table,
