@@ -136,6 +136,15 @@ object Multimodal {
     media.mapPartitions(it => it.flatMap(MediaCodec.sampleFrames(_, stride)))
   }
 
+  /** Resize every blob to a fixed byte budget — same batched
+    * per-partition shape as decode (a real impl rescales pixels; the
+    * stub truncates/zero-pads deterministically).
+    */
+  def resize(media: Dataset[MediaRecord], targetBytes: Int): Dataset[MediaRecord] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions(it => it.map(MediaCodec.resize(_, targetBytes)))
+  }
+
   /** Size partition count by total blob bytes instead of row count —
     * with skewed media (a few 4K videos among thumbnails), row-count
     * sizing leaves stragglers. `targetBytes` is the partition byte

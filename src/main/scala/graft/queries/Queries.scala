@@ -1558,6 +1558,33 @@ object Queries {
       | count(*) FILTER (WHERE ('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 2))::INT % 10 >= 8) AS n_test
       | FROM embeddings GROUP BY label ORDER BY label""".stripMargin
 
+  /** Blob resize through the batched multimodal operator
+    * ([[graft.multimodal.Multimodal.resize]]): every blob normalized
+    * to a 256-byte budget (truncate/zero-pad in the stub codec; a
+    * real codec would rescale). The oracle mirrors the byte math on
+    * the hex encoding: first 512 hex chars, zero-padded.
+    */
+  def mediaResize(s: SparkSession, d: String): DataFrame = {
+    GraftSession.tune(s)
+    graft.multimodal.Multimodal
+      .resize(graft.multimodal.Multimodal.fromDocuments(s, d), targetBytes = 256)
+      .toDF()
+      .select(
+        col("mediaId").as("media_id"),
+        length(col("content")).cast("long").as("resized_len"),
+        md5(lower(hex(col("content")))).as("digest"))
+      .orderBy(col("media_id"))
+  }
+
+  val mediaResizeSql =
+    """WITH m AS (
+      |  SELECT doc_id AS media_id, hex(encode(text)) AS h,
+      |   octet_length(encode(text)) AS len
+      |  FROM documents)
+      |SELECT media_id, CAST(256 AS BIGINT) AS resized_len,
+      | md5(lower(substr(h, 1, 512)) || repeat('00', greatest(0, 256 - len))) AS digest
+      |FROM m ORDER BY media_id""".stripMargin
+
   // ---------------------------------------------------------------
   // Registry
   // ---------------------------------------------------------------
@@ -1616,7 +1643,8 @@ object Queries {
     "knn_top10" -> (knnTop10 _),
     "ann_lsh_top5" -> (annLshTop5 _),
     "media_meta" -> (mediaMeta _),
-    "media_decode" -> (mediaDecode _))
+    "media_decode" -> (mediaDecode _),
+    "media_resize" -> (mediaResize _))
 
   val oracles: Map[String, String] = Map(
     "q1_count" -> q1CountSql,
@@ -1672,5 +1700,6 @@ object Queries {
     "knn_top10" -> knnTop10Sql,
     "ann_lsh_top5" -> annLshTop5Sql,
     "media_meta" -> mediaMetaSql,
-    "media_decode" -> mediaDecodeSql)
+    "media_decode" -> mediaDecodeSql,
+    "media_resize" -> mediaResizeSql)
 }

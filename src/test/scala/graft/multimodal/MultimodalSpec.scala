@@ -43,6 +43,16 @@ class MultimodalSpec extends SparkSpec {
     assert(frames.forall(_.frame.length <= 1024))
   }
 
+  test("resize truncates long blobs and zero-pads short ones to the byte budget") {
+    val ds = media((1L, "image", "x" * 500), (2L, "image", "ab"))
+    val out = resize(ds, targetBytes = 16).collect().map(r => r.mediaId -> r.content).toMap
+    assert(out(1L).length === 16)
+    assert(out(1L).forall(_ == 'x'.toByte))
+    assert(out(2L).length === 16)
+    assert(out(2L).take(2).toSeq === "ab".getBytes("UTF-8").toSeq)
+    assert(out(2L).drop(2).forall(_ == 0.toByte), "padding must be zero bytes")
+  }
+
   test("fromDocuments maps driver docs into the media schema") {
     graft.GraftSession.tune(spark)
     val ds = fromDocuments(spark, sfSmoke)
