@@ -42,10 +42,12 @@ object Bench {
         catch { case e: Throwable =>
           System.err.println(s"[bench] $name failed: ${e.getMessage}")
         }
+        val elapsed = (System.nanoTime() - t0) / 1e9
         // release per-query caches (Dedup.minhashPairs etc.) so runs
-        // are independent and nothing pins executor memory
+        // are independent and nothing pins executor memory — OUTSIDE
+        // the timed window, so medians measure the query alone
         spark.catalog.clearCache()
-        (System.nanoTime() - t0) / 1e9
+        elapsed
       }.sorted
       name -> times(runs / 2)
     }

@@ -243,6 +243,12 @@ object Dedup {
       iter += 1
     }
     edges.unpersist()
+    // propagation needs O(component diameter) rounds; returning
+    // partially-propagated labels would be SILENTLY wrong (one
+    // component, several cluster ids) — fail loudly instead
+    require(converged,
+      s"nearDupClusters did not converge within maxIters=$maxIters rounds — " +
+        s"a near-dup chain longer than that exists; raise maxIters")
     labels.select(col("id").as(idCol), col("lbl").as("cluster_id"))
   }
 }

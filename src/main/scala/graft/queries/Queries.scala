@@ -127,7 +127,7 @@ object Queries {
        | TRY_CAST(props->>'$$.k' AS INTEGER) AS k, props AS _raw_data,
        | $receivedAtMicros AS received_at FROM events
        | WHERE props IS NOT NULL AND length(props) > 0 AND json_valid(props)
-       |   AND json_type(props) = 'OBJECT'
+       |   AND CASE WHEN json_valid(props) THEN json_type(props) = 'OBJECT' ELSE FALSE END
        |   AND user_id IN (SELECT c_custkey FROM customer WHERE c_acctbal > 0)
        | ORDER BY event_id""".stripMargin
 
@@ -1222,12 +1222,18 @@ object Queries {
       |  SELECT doc_id AS media_id, hex(encode(text)) AS h,
       |   octet_length(encode(text)) AS len
       |  FROM documents),
+      |idx AS (
+      |  -- per-row frame spine via the list-range + unnest (exactly
+      |  -- ceil(len/2048) frames, no silent cap however large a blob
+      |  -- grows — the Spark operator is unbounded too)
+      |  SELECT media_id, h, len,
+      |   unnest(range(0, (len + 2047) // 2048)) AS i
+      |  FROM m),
       |f AS (
       |  SELECT media_id, i AS frame_idx,
       |   lower(substr(h, CAST(i * 4096 + 1 AS INT), 2048)) AS fh,
       |   least(1024, len - i * 2048) AS flen
-      |  FROM m CROSS JOIN range(0, 1000) t(i)
-      |  WHERE i * 2048 < len)
+      |  FROM idx)
       |SELECT media_id, frame_idx, md5(fh) AS digest,
       | CAST(flen AS BIGINT) AS frame_len
       |FROM f ORDER BY media_id, frame_idx""".stripMargin
@@ -1452,8 +1458,10 @@ object Queries {
   /** Calendar gap fill: a generated day spine (`sequence` + explode
     * over the observed range) left-joined to daily signup counts, so
     * zero-activity days appear as explicit 0 rows — the time-series
-    * densification every dashboard needs. The spine is tiny (one row
-    * per day), so the join broadcasts it against the aggregated side.
+    * densification every dashboard needs. Both sides are tiny after
+    * aggregation; the broadcast hint goes on the RIGHT (aggregated)
+    * side — a LEFT OUTER join can only broadcast its right side, a
+    * hint on the preserved side would be silently dropped.
     */
   def q30GapFill(s: SparkSession, d: String): DataFrame = {
     val dayExpr = expr("ts_ns div 86400000000000")
@@ -1463,7 +1471,7 @@ object Queries {
       .agg(count(lit(1)).as("cnt"))
     val spine = e.agg(min(dayExpr).as("lo"), max(dayExpr).as("hi"))
       .select(explode(sequence(col("lo"), col("hi"))).as("day"))
-    broadcast(spine).join(daily, Seq("day"), "left")
+    spine.join(broadcast(daily), Seq("day"), "left")
       .select(col("day"), coalesce(col("cnt"), lit(0L)).as("n_signups"))
       .orderBy(col("day"))
   }

@@ -85,6 +85,22 @@ object HttpIngest {
       buf.remove(0, n)
       base += n
     }
+
+    /** Adopt a recovered checkpoint offset that is AHEAD of this
+      * (fresh) JVM's state: the base shifts to the recovered offset,
+      * so anything already buffered (arrivals between server start
+      * and query resume) renumbers AFTER it and stays deliverable,
+      * and the resumed query's committed range can never swallow new
+      * data. (Payloads accepted before a crash but not yet committed
+      * are lost — the same at-most-once edge as the reference's
+      * 202-on-enqueue; durability starts at the first checkpointed
+      * commit.)
+      */
+    def rebaseTo(offset: Long): Unit = synchronized {
+      if (offset > base + buf.size) {
+        base = offset
+      }
+    }
     def keyValid(k: String): Boolean = validKeys.isEmpty || validKeys(k)
     def stop(): Unit = server.stop(0)
   }
@@ -95,9 +111,16 @@ object HttpIngest {
   /** Start (or reuse) the endpoint on `port` (0 = ephemeral; the
     * bound port is in the returned state). `validKeys` empty = any
     * present key accepted (auth delegated to the in-stream semi-join).
+    *
+    * FIRST-CREATOR-WINS: if a server already runs on `port`, it is
+    * returned as-is — `validKeys`/`maxBuffered` from later callers
+    * (e.g. a stream attaching by port) are ignored, because auth and
+    * buffering are properties of the ENDPOINT, owned by whoever
+    * started it. Synchronized so concurrent starts of the same port
+    * can't race into a BindException.
     */
   def getOrStart(port: Int, validKeys: Set[String] = Set.empty,
-                 maxBuffered: Int = 100000): State = {
+                 maxBuffered: Int = 100000): State = synchronized {
     if (port != 0) {
       val existing = states.get(port)
       if (existing != null) return existing
@@ -170,7 +193,14 @@ class HttpIngestMicroBatchStream(port: Int, validKeys: Set[String],
 
   override def initialOffset(): Offset = HttpIngestOffset(0L)
   override def latestOffset(): Offset = HttpIngestOffset(state.count)
-  override def deserializeOffset(json: String): Offset = HttpIngestOffset(json.toLong)
+  override def deserializeOffset(json: String): Offset = {
+    val n = json.toLong
+    // a checkpointed offset ahead of this JVM's state means the
+    // driver restarted: rebase so new arrivals number after it and
+    // the recovered range can never swallow them
+    state.rebaseTo(n)
+    HttpIngestOffset(n)
+  }
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] =
     Array(HttpIngestPartition(state.slice(
       start.asInstanceOf[HttpIngestOffset].n,

@@ -38,8 +38,8 @@ object Sinks {
     * consumers (`application.yml:53`,
     * `consumer2/.../KafkaMessageConsumer.kt:30`); `numPartitions`
     * caps writer-side connections like their Hikari pools (max 10).
-    */
-  /** @param columnTypes optional explicit DDL column types for the
+    *
+    * @param columnTypes optional explicit DDL column types for the
     *   auto-created table (`createTableColumnTypes`), the analog of
     *   the reference's hand-written ClickHouse DDL
     *   (`consumer/clickhouse/init-db.sh:20-36`) — e.g. Derby/most

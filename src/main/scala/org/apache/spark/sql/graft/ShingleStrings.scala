@@ -29,6 +29,14 @@ import org.apache.spark.unsafe.types.UTF8String
   * Sibling of [[ShingleHashes]] (which skips the strings entirely) —
   * use THIS only when the shingle text itself is the output, e.g.
   * corpus boilerplate reports.
+  *
+  * Known divergence (shared with [[ShingleHashes]]): lowercasing is
+  * byte-level ASCII. The handful of non-ASCII codepoints whose FULL
+  * Unicode lowercase is ASCII (U+212A KELVIN SIGN → 'k',
+  * U+0130 'İ' → "i̇") tokenize under `lower()`+regex but are token
+  * breaks here. No such codepoint appears in the oracle corpora;
+  * callers needing exact Unicode parity should use the Column
+  * pipeline this replaces.
   */
 case class ShingleStrings(child: Expression, n: Int)
     extends UnaryExpression {

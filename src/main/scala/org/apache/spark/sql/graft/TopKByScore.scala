@@ -79,11 +79,16 @@ final class TopKState(val k: Int) {
       siftDown(0)
     }
 
-  /** (score, id) pairs best-first. */
+  /** (score, id) pairs best-first — the SAME total order as the
+    * heap's `worse` (Double.compare, so NaN sorts as the largest
+    * score, matching Spark's `ORDER BY score DESC` NaN placement);
+    * a `>`-based comparator would be intransitive under NaN.
+    */
   def sortedPairs: Array[(Double, Long)] = {
     val out = Array.tabulate(size)(i => (scores(i), ids(i)))
     out.sortWith { case ((sa, ia), (sb, ib)) =>
-      sa > sb || (sa == sb && ia < ib)
+      val c = java.lang.Double.compare(sa, sb)
+      c > 0 || (c == 0 && ia < ib)
     }
   }
 }

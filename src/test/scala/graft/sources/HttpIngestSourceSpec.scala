@@ -160,6 +160,26 @@ class HttpIngestSourceSpec extends SparkSpec with BeforeAndAfterAll {
     } finally HttpIngest.stop(s.port)
   }
 
+  test("recovered checkpoint offsets ahead of a fresh buffer rebase it (driver-restart safety)") {
+    val s = HttpIngest.getOrStart(0, Set.empty)
+    try {
+      // arrivals between server start and query resume
+      s.append(HttpIngest.Received("""{"pre":1}""", "k"))
+      // resumed query hands the stream its checkpointed offset (5)
+      // from before the restart — the fresh buffer must renumber
+      // AFTER it, not alias into the already-committed range
+      new HttpIngestMicroBatchStream(s.port, Set.empty).deserializeOffset("5")
+      s.append(HttpIngest.Received("""{"post":2}""", "k"))
+      assert(s.count === 7)
+      assert(s.slice(5, 7).map(_.value).toSeq ===
+        Seq("""{"pre":1}""", """{"post":2}"""),
+        "pre-resume arrivals renumber after the recovered offset and stay deliverable")
+      // committing the recovered range must not destroy them
+      s.truncate(5)
+      assert(s.slice(5, 7).length === 2)
+    } finally HttpIngest.stop(s.port)
+  }
+
   test("commit truncates the driver buffer but offsets stay global (memory bound)") {
     val s = HttpIngest.getOrStart(0, Set.empty)
     try {
