@@ -26,6 +26,11 @@ import org.apache.spark.unsafe.types.UTF8String
   * equality — in exchange for skipping ~shingle-count string
   * allocations per row; the Column form benched ~5 s per scan at
   * sf0.1 versus sub-second here.
+  *
+  * Known divergence (shared with [[ShingleStrings]], documented
+  * there): lowercasing is byte-level ASCII, so the rare non-ASCII
+  * codepoints whose full Unicode lowercase is ASCII (U+212A → 'k')
+  * are token breaks here but tokens under `lower()`+regex.
   */
 case class ShingleHashes(child: Expression, n: Int)
     extends UnaryExpression {

@@ -47,6 +47,13 @@ class TopKByScoreSpec extends SparkSpec {
     }
   }
 
+  test("NaN scores rank first (Double.compare total order, matching ORDER BY DESC)") {
+    val st = new TopKState(3)
+    st.insert(0.5, 1L); st.insert(Double.NaN, 2L)
+    st.insert(0.9, 3L); st.insert(0.1, 4L)
+    assert(st.sortedPairs.toSeq.map(_._2) === Seq(2L, 3L, 1L))
+  }
+
   test("aggregate equals the window-rank formulation on a DataFrame") {
     val rnd = new Random(3)
     // unique id per row: ties on score break by id on both paths
