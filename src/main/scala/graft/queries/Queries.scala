@@ -1593,6 +1593,39 @@ object Queries {
       | md5(lower(substr(h, 1, 512)) || repeat('00', greatest(0, 256 - len))) AS digest
       |FROM m ORDER BY media_id""".stripMargin
 
+  /** Month-over-month revenue change: window lag OVER an aggregate
+    * (the composition dashboards live on). Monthly revenue is the
+    * DECIMAL-routed exact sum, so the single pct division per row is
+    * the only float op — deterministic on both engines. First month's
+    * delta is NULL.
+    */
+  def q33MonthlyDelta(s: SparkSession, d: String): DataFrame = {
+    GraftSession.tune(s)
+    val monthly = Tables.orders(s, d)
+      .groupBy(year(col("o_orderdate")).cast("long").as("yr"),
+        month(col("o_orderdate")).cast("long").as("mo"))
+      .agg(sum(col("o_totalprice").cast("decimal(18,2)")).as("rev"))
+    val w = Window.orderBy(col("yr"), col("mo"))
+    monthly
+      .withColumn("prev", lag(col("rev"), 1).over(w))
+      .select(col("yr"), col("mo"),
+        col("rev").cast("double").as("revenue"),
+        round((col("rev").cast("double") - col("prev").cast("double")) /
+          col("prev").cast("double") * lit(100.0), 4).as("pct_change"))
+      .orderBy(col("yr"), col("mo"))
+  }
+
+  val q33MonthlyDeltaSql =
+    """WITH m AS (
+      |  SELECT CAST(year(o_orderdate) AS BIGINT) AS yr,
+      |   CAST(month(o_orderdate) AS BIGINT) AS mo,
+      |   sum(CAST(o_totalprice AS DECIMAL(18,2))) AS rev
+      |  FROM orders GROUP BY yr, mo)
+      |SELECT yr, mo, CAST(rev AS DOUBLE) AS revenue,
+      | round((CAST(rev AS DOUBLE) - CAST(lag(rev) OVER (ORDER BY yr, mo) AS DOUBLE))
+      |   / CAST(lag(rev) OVER (ORDER BY yr, mo) AS DOUBLE) * 100.0, 4) AS pct_change
+      |FROM m ORDER BY yr, mo""".stripMargin
+
   // ---------------------------------------------------------------
   // Registry
   // ---------------------------------------------------------------
@@ -1634,6 +1667,7 @@ object Queries {
     "q28_running_total" -> (q28RunningTotal _),
     "q29_unpivot" -> (q29Unpivot _),
     "q30_gap_fill" -> (q30GapFill _),
+    "q33_monthly_delta" -> (q33MonthlyDelta _),
     "doc_top_terms" -> (docTopTerms _),
     "doc_source_quality" -> (docSourceQuality _),
     "doc_redact" -> (docRedact _),
@@ -1691,6 +1725,7 @@ object Queries {
     "q28_running_total" -> q28RunningTotalSql,
     "q29_unpivot" -> q29UnpivotSql,
     "q30_gap_fill" -> q30GapFillSql,
+    "q33_monthly_delta" -> q33MonthlyDeltaSql,
     "doc_top_terms" -> docTopTermsSql,
     "doc_source_quality" -> docSourceQualitySql,
     "doc_redact" -> docRedactSql,
