@@ -1626,6 +1626,54 @@ object Queries {
       |   / CAST(lag(rev) OVER (ORDER BY yr, mo) AS DOUBLE) * 100.0, 4) AS pct_change
       |FROM m ORDER BY yr, mo""".stripMargin
 
+  /** Dynamic-schema overflow (SURVEY §1.3): the reference projects a
+    * fixed key list and DISCARDS everything else
+    * (`ClickHouseWriterService.kt:107-119`); the idiomatic upgrade
+    * keeps un-projected JSON keys in a map column. Payloads are
+    * parsed to `map<string,string>` and the projected key filtered
+    * out; the driver payloads carry only `k`, so two planted rows
+    * (event_id ≥ 100001) keep the overflow comparison non-vacuous.
+    * Keys-only output (sorted, joined) — value stringification rules
+    * differ across engines.
+    */
+  def q34OverflowKeys(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val planted = Seq(
+      (100001L, """{"k": 1, "extra": "x", "zkey": 2}"""),
+      (100002L, """{"k": 2}""")).toDF("event_id", "props")
+    val all = ev(s, d).select(col("event_id"), col("props")).unionByName(planted)
+    val ov = map_filter(
+      from_json(col("props"), org.apache.spark.sql.types.MapType(
+        org.apache.spark.sql.types.StringType, org.apache.spark.sql.types.StringType)),
+      (k, _) => k =!= "k")
+    all
+      .filter(col("props").isNotNull && length(col("props")) > 0 &&
+        graft.functions.GraftFunctions.jsonIsValid(col("props")))
+      .withColumn("ov", ov)
+      // a null map = valid-but-non-object JSON (from_json map-mode
+      // rejects scalars/arrays), mirroring the oracle's json_type gate
+      .filter(col("ov").isNotNull)
+      .select(col("event_id"),
+        size(map_keys(col("ov"))).cast("long").as("n_overflow"),
+        concat_ws(",", sort_array(map_keys(col("ov")))).as("overflow_keys"))
+      .orderBy(col("event_id"))
+  }
+
+  val q34OverflowKeysSql =
+    """WITH allc AS (
+      |  SELECT event_id, props FROM events
+      |  UNION ALL
+      |  SELECT * FROM (VALUES
+      |   (100001, '{"k": 1, "extra": "x", "zkey": 2}'),
+      |   (100002, '{"k": 2}')) v(event_id, props))
+      |SELECT event_id,
+      | CAST(len(list_filter(json_keys(props), x -> x <> 'k')) AS BIGINT) AS n_overflow,
+      | coalesce(array_to_string(list_sort(list_filter(json_keys(props), x -> x <> 'k')), ','), '') AS overflow_keys
+      |FROM allc
+      |WHERE props IS NOT NULL AND length(props) > 0 AND json_valid(props)
+      |  AND CASE WHEN json_valid(props) THEN json_type(props) = 'OBJECT' ELSE FALSE END
+      |ORDER BY event_id""".stripMargin
+
   // ---------------------------------------------------------------
   // Registry
   // ---------------------------------------------------------------
@@ -1668,6 +1716,7 @@ object Queries {
     "q29_unpivot" -> (q29Unpivot _),
     "q30_gap_fill" -> (q30GapFill _),
     "q33_monthly_delta" -> (q33MonthlyDelta _),
+    "q34_overflow_keys" -> (q34OverflowKeys _),
     "doc_top_terms" -> (docTopTerms _),
     "doc_source_quality" -> (docSourceQuality _),
     "doc_redact" -> (docRedact _),
@@ -1726,6 +1775,7 @@ object Queries {
     "q29_unpivot" -> q29UnpivotSql,
     "q30_gap_fill" -> q30GapFillSql,
     "q33_monthly_delta" -> q33MonthlyDeltaSql,
+    "q34_overflow_keys" -> q34OverflowKeysSql,
     "doc_top_terms" -> docTopTermsSql,
     "doc_source_quality" -> docSourceQualitySql,
     "doc_redact" -> docRedactSql,
