@@ -2,13 +2,19 @@ package graft.functions
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graft.{LangIdOf, TextTokens, TokensInSetCount}
 
 /** Text-analysis scalar functions for a training-data pipeline:
   * tokenization, quality scoring, language ID, fingerprinting.
   *
   * Everything here is built from `org.apache.spark.sql.functions._`
   * (codegen'd, whole-stage-compatible) — no Scala UDFs in the hot
-  * path. Each function is a pure Column expression, so it fuses into
+  * path. The set-membership counters (stopwords, language markers)
+  * are native Catalyst expressions ([[TokensInSetCount]],
+  * [[LangIdOf]]): Spark's higher-order-function lambdas
+  * (`filter`/`transform`) run interpreted outside whole-stage
+  * codegen and benched ~4× slower on the quality-score hot path.
+  * Each function is a pure Column expression, so it fuses into
   * whatever scan/projection the caller builds and never forces a
   * shuffle or materialization by itself.
   */
@@ -57,12 +63,12 @@ object TextFunctions {
     "for", "with", "that", "this", "it", "as", "at", "by", "be", "are")
   private val enStopwords: Seq[String] = enStopwordList
 
-  /** Count of tokens that are English stopwords (case-sensitive
-    * lowercase match — callers lowercase first if needed).
+  /** Count of tokens that are English stopwords. Case-insensitive:
+    * the native scan folds case itself, so callers pass the raw text
+    * (no pre-`lower()` projection needed).
     */
   def stopwordCount(text: Column): Column =
-    size(filter(tokens(text), t => array_contains(
-      lit(enStopwords.toArray), t)))
+    TokensInSetCount(text, enStopwords)
 
   /** Composite quality score in [0,1] — the standard cheap heuristics
     * (C4/Gopher-style): penalize token-free, very short, digit- or
@@ -70,14 +76,14 @@ object TextFunctions {
     * Pure per-row double arithmetic: deterministic and
     * oracle-reproducible bit-for-bit.
     *
-    * Stopwords are matched on `lower(text)` so sentence-initial
-    * "The"/"A" count (stopwordCount itself is case-sensitive).
+    * Stopword matching is case-folded inside the native scan, so
+    * sentence-initial "The"/"A" count.
     */
   def qualityScore(text: Column): Column = {
     val nTok = tokenCount(text).cast("double")
     val nChar = greatest(charCount(text), lit(1)).cast("double")
     val stopRatio = when(nTok === 0.0, lit(0.0))
-      .otherwise(stopwordCount(lower(text)).cast("double") / nTok)
+      .otherwise(stopwordCount(text).cast("double") / nTok)
     val digitRatio = digitCount(text).cast("double") / nChar
     val punctRatio = punctCount(text).cast("double") / nChar
     val lenScore = least(nTok / lit(100.0), lit(1.0))
@@ -89,9 +95,22 @@ object TextFunctions {
   }
 
   /** Language-marker stopword lists for the n-gram-free heuristic
-    * language ID: the top function words of each language. Lexicon
-    * deliberately stays small enough to inline into one codegen'd
-    * `array_contains` per language; widen per-language as needed.
+    * language ID: the top function words of each language.
+    *
+    * Constraints the token grammar imposes (see
+    * [[org.apache.spark.sql.graft.TextTokens.TokenPattern]]):
+    *  - Latin/Cyrillic markers must be ASCII or Cyrillic letters only
+    *    (accented Latin letters — é, ã, ü, è — are token BREAKS, so a
+    *    marker containing one would never match; pt/it/fr/es lists
+    *    stay accent-free);
+    *  - zh/ja/ko markers are SINGLE characters: those scripts
+    *    tokenize one codepoint at a time (no word boundaries), so ja
+    *    markers are the high-frequency hiragana particles and ko
+    *    markers the high-frequency syllable blocks.
+    *
+    * Declaration order is the tie-break order (first listed wins);
+    * appended languages therefore never change the classification of
+    * text that scores zero on them.
     */
   val langMarkers: Seq[(String, Seq[String])] = Seq(
     "en" -> Seq("the", "and", "of", "to", "is", "in", "that", "it", "for", "on",
@@ -107,50 +126,46 @@ object TextFunctions {
       "de", "un", "il", "ne", "se", "ce", "pas", "pour", "qui", "vous",
       "sur", "par", "plus", "avec", "ou", "son", "au", "nous", "comme", "mais"),
     "zh" -> Seq("的", "是", "了", "在", "我", "有", "和", "不", "这", "他",
-      "们", "你", "就", "也", "都", "要", "会", "对", "说", "能"))
+      "们", "你", "就", "也", "都", "要", "会", "对", "说", "能"),
+    "ru" -> Seq("и", "в", "не", "на", "я", "что", "он", "с", "как", "это",
+      "по", "но", "она", "к", "у", "из", "его", "за", "то", "же",
+      "вы", "мы", "был", "была", "о", "так", "для", "от", "они", "есть"),
+    "pt" -> Seq("o", "os", "as", "do", "da", "dos", "das", "que", "um", "uma",
+      "para", "com", "em", "no", "na", "por", "se", "mais", "como", "mas",
+      "foi", "ele", "ela", "isso", "muito", "quando", "sobre", "entre", "depois", "anos"),
+    "it" -> Seq("il", "lo", "gli", "di", "che", "per", "con", "non", "del", "della",
+      "si", "da", "come", "anche", "ma", "sono", "alla", "nel", "questo", "hanno",
+      "essere", "dei", "delle", "nella", "al", "ha", "sia", "dopo", "quando", "molto"),
+    "ja" -> Seq("の", "に", "は", "を", "た", "が", "で", "て", "と", "し",
+      "も", "な", "い", "か", "る", "す", "ん", "ま", "こ", "う"),
+    "ko" -> Seq("이", "다", "는", "을", "를", "가", "에", "하", "고", "의",
+      "지", "한", "서", "도", "은", "로", "기", "들", "어", "있"))
 
-  /** Per-language marker-hit count over lowercase tokens.
-    *
-    * The marker list is ONE array literal (`lit(Array)`), not a
-    * `CreateArray` of k literals — the latter rebuilds the array per
-    * row per token and dominated the doc_lang bench.
+  /** Per-language marker-hit count — one native token scan probing a
+    * hash set ([[TokensInSetCount]]), replacing the interpreted
+    * `filter` + `array_contains` pipeline.
     */
   def langScore(text: Column, markers: Seq[String]): Column =
-    langScoreFromTokens(tokensLower(text), markers)
+    TokensInSetCount(text, markers)
 
-  /** Marker-hit count over an already-extracted token array. */
-  def langScoreFromTokens(toks: Column, markers: Seq[String]): Column =
-    size(filter(toks, t => array_contains(lit(markers.toArray), t)))
-
-  /** Lowercase tokens plus single CJK characters. The CJK range is
-    * written with literal characters (一 = U+4E00, 鿿 = U+9FFF) so the
-    * identical pattern string is valid in both Java regex and RE2 —
-    * the DuckDB oracle runs it verbatim.
+  /** Lowercase tokens: ASCII/Cyrillic alnum runs plus single
+    * CJK/kana/hangul characters. The pattern is written with literal
+    * characters so the identical string is valid in both Java regex
+    * and RE2 — the DuckDB oracle runs it verbatim. Kept as the
+    * relational tokenizer ([[graft.operators.TextAnalysis.langId]]
+    * explodes it); the per-row scoring path uses the native scan
+    * instead.
     */
   def tokensLower(text: Column): Column =
-    regexp_extract_all(lower(text), lit("[a-z0-9]+|[一-鿿]"), lit(0))
+    regexp_extract_all(lower(text), lit(TextTokens.TokenPattern), lit(0))
 
-  /** Heuristic language ID: argmax of marker-hit counts. Ties are
-    * broken by [[langMarkers]] declaration order (first language
-    * listed wins — the fold keeps `a` unless `b` is strictly
-    * greater), "und" (undetermined) when nothing hits.
+  /** Heuristic language ID: argmax of marker-hit counts, in ONE
+    * codegen'd expression (single token scan probing every
+    * language's set). Ties are broken by [[langMarkers]] declaration
+    * order (first language listed wins — strictly-greater
+    * replacement), "und" (undetermined) when nothing hits.
     */
-  def langId(text: Column): Column = langIdFromTokens(tokensLower(text))
-
-  /** [[langId]] over an already-extracted token array — materialize
-    * the tokens in a projection first so the regex runs once, not
-    * once per language.
-    */
-  def langIdFromTokens(toks: Column): Column = {
-    val scored = langMarkers.map { case (code, ms) =>
-      struct(langScoreFromTokens(toks, ms).as("score"), lit(code).as("code"))
-    }
-    val best = scored.reduceLeft { (a, b) =>
-      when(b.getField("score") > a.getField("score"), b).otherwise(a)
-    }
-    when(best.getField("score") === 0, lit("und"))
-      .otherwise(best.getField("code"))
-  }
+  def langId(text: Column): Column = LangIdOf(text, langMarkers)
 
   /** Canonical text normalization for fingerprinting: lowercase,
     * strip non-alphanumerics to single spaces, trim.

@@ -206,18 +206,31 @@ object Queries {
       | FROM events GROUP BY user_id
       | ORDER BY cnt DESC, user_id LIMIT 10""".stripMargin
 
-  /** Window function: per event type, top-3 users by event count. */
-  def q10WindowRank(s: SparkSession, d: String): DataFrame = {
-    val counts = ev(s, d)
+  /** Ranking: per event type, top-3 users by event count.
+    *
+    * The final ranking is the bounded-heap [[org.apache.spark.sql.graft.TopKByScore]]
+    * aggregate, not `row_number() OVER (PARTITION BY event_type)`: a
+    * ranking window must shuffle EVERY (event_type, user) count into
+    * |event_type| partitions and sort them — with millions of users
+    * per type that is the scale bottleneck — while the aggregate's
+    * map side reduces each partition to one 3-slot heap per type
+    * before the shuffle. Heap order (score DESC, id ASC) is exactly
+    * the window's (cnt DESC, user_id ASC), so results are identical,
+    * ties included. Counts round-trip exactly through the double
+    * score slot below 2^53.
+    */
+  def q10WindowRank(s: SparkSession, d: String): DataFrame =
+    ev(s, d)
       .groupBy(col("event_type"), col("user_id"))
       .agg(count(lit(1)).as("cnt"))
-    val w = Window.partitionBy(col("event_type"))
-      .orderBy(col("cnt").desc, col("user_id"))
-    counts
-      .withColumn("rnk", row_number().over(w).cast("long"))
-      .filter(col("rnk") <= 3)
+      .groupBy(col("event_type"))
+      .agg(org.apache.spark.sql.graft.TopKByScore(
+        col("cnt").cast("double"), col("user_id"), 3).as("top"))
+      .select(col("event_type"), posexplode(col("top")).as(Seq("pos", "t")))
+      .select(col("event_type"), col("t.id").as("user_id"),
+        col("t.score").cast("long").as("cnt"),
+        (col("pos") + 1).cast("long").as("rnk"))
       .orderBy(col("event_type"), col("rnk"))
-  }
 
   val q10WindowRankSql =
     """SELECT event_type, user_id, cnt, rnk FROM (
@@ -314,7 +327,7 @@ object Queries {
     */
   val docLangSql: String = {
     val scores = TextFunctions.langMarkers.map { case (code, ms) =>
-      s"CAST(len(list_filter(regexp_extract_all(lower(text), '[a-z0-9]+|[一-鿿]'), t -> t IN ${sqlStringList(ms)})) AS BIGINT) AS s_$code"
+      s"CAST(len(list_filter(regexp_extract_all(lower(text), '${org.apache.spark.sql.graft.TextTokens.TokenPattern}'), t -> t IN ${sqlStringList(ms)})) AS BIGINT) AS s_$code"
     }.mkString(",\n  ")
     val codes = TextFunctions.langMarkers.map(_._1)
     val zeroCheck = codes.map(c => s"s_$c = 0").mkString(" AND ")
@@ -1593,11 +1606,22 @@ object Queries {
       | md5(lower(substr(h, 1, 512)) || repeat('00', greatest(0, 256 - len))) AS digest
       |FROM m ORDER BY media_id""".stripMargin
 
-  /** Month-over-month revenue change: window lag OVER an aggregate
-    * (the composition dashboards live on). Monthly revenue is the
-    * DECIMAL-routed exact sum, so the single pct division per row is
-    * the only float op — deterministic on both engines. First month's
-    * delta is NULL.
+  /** Month-over-month revenue change (the composition dashboards
+    * live on). Monthly revenue is the DECIMAL-routed exact sum, so
+    * the single pct division per row is the only float op —
+    * deterministic on both engines.
+    *
+    * The previous month attaches via a broadcast self-join on the
+    * linearized month index (yr*12+mo), NOT `lag` over an
+    * unpartitioned window: a global window moves all rows to one
+    * partition (the bench log's only scale warning in r3), while the
+    * join keeps the plan shuffle-free on the already-tiny monthly
+    * aggregate and stays correct at any cardinality. Semantics =
+    * CALENDAR-previous month; a missing month yields NULL pct_change
+    * for its successor (same as the first month) rather than lag's
+    * silent skip-over — for gap-free calendars (this data) the two
+    * are identical, and month-over-month against a 2-month-old value
+    * is the wrong dashboard number anyway.
     */
   def q33MonthlyDelta(s: SparkSession, d: String): DataFrame = {
     GraftSession.tune(s)
@@ -1605,9 +1629,11 @@ object Queries {
       .groupBy(year(col("o_orderdate")).cast("long").as("yr"),
         month(col("o_orderdate")).cast("long").as("mo"))
       .agg(sum(col("o_totalprice").cast("decimal(18,2)")).as("rev"))
-    val w = Window.orderBy(col("yr"), col("mo"))
+    val prev = monthly.select(
+      (col("yr") * 12 + col("mo")).as("idx_p"), col("rev").as("prev"))
     monthly
-      .withColumn("prev", lag(col("rev"), 1).over(w))
+      .withColumn("idx_prev", col("yr") * 12 + col("mo") - 1)
+      .join(broadcast(prev), col("idx_prev") === col("idx_p"), "left")
       .select(col("yr"), col("mo"),
         col("rev").cast("double").as("revenue"),
         round((col("rev").cast("double") - col("prev").cast("double")) /
@@ -1621,10 +1647,11 @@ object Queries {
       |   CAST(month(o_orderdate) AS BIGINT) AS mo,
       |   sum(CAST(o_totalprice AS DECIMAL(18,2))) AS rev
       |  FROM orders GROUP BY yr, mo)
-      |SELECT yr, mo, CAST(rev AS DOUBLE) AS revenue,
-      | round((CAST(rev AS DOUBLE) - CAST(lag(rev) OVER (ORDER BY yr, mo) AS DOUBLE))
-      |   / CAST(lag(rev) OVER (ORDER BY yr, mo) AS DOUBLE) * 100.0, 4) AS pct_change
-      |FROM m ORDER BY yr, mo""".stripMargin
+      |SELECT a.yr, a.mo, CAST(a.rev AS DOUBLE) AS revenue,
+      | round((CAST(a.rev AS DOUBLE) - CAST(b.rev AS DOUBLE))
+      |   / CAST(b.rev AS DOUBLE) * 100.0, 4) AS pct_change
+      |FROM m a LEFT JOIN m b ON a.yr * 12 + a.mo = b.yr * 12 + b.mo + 1
+      |ORDER BY a.yr, a.mo""".stripMargin
 
   /** Dynamic-schema overflow (SURVEY §1.3): the reference projects a
     * fixed key list and DISCARDS everything else
@@ -1674,6 +1701,40 @@ object Queries {
       |  AND CASE WHEN json_valid(props) THEN json_type(props) = 'OBJECT' ELSE FALSE END
       |ORDER BY event_id""".stripMargin
 
+  /** Approximate distinct cardinality (HyperLogLog++) next to the
+    * exact count — the sketch that replaces count(DISTINCT) at
+    * 100 TB, where the exact path shuffles every distinct key and the
+    * sketch ships one ~kilobyte buffer per group per partition
+    * (`rsd=0.05` → 2^11 registers), merged map-side.
+    *
+    * The estimate itself is engine-specific (Spark HLL++ vs DuckDB
+    * HLL differ by design), so the hash-compared surface is the
+    * engine-independent part: the exact count plus a BOOLEAN that the
+    * engine's own estimate lands within 3σ (15% at rsd 5%) of exact —
+    * true on both engines unless a sketch is actually broken.
+    * `ApproxDistinctSpec` additionally pins the Spark-side relative
+    * error and the map-side partial-merge plan shape.
+    */
+  def q35ApproxDistinct(s: SparkSession, d: String): DataFrame = {
+    val exactD = col("exact_users").cast("double")
+    ev(s, d)
+      .groupBy(col("event_type"))
+      .agg(
+        countDistinct(col("user_id")).as("exact_users"),
+        approx_count_distinct(col("user_id"), rsd = 0.05).as("approx_users"))
+      .select(col("event_type"), col("exact_users"),
+        (abs(col("approx_users").cast("double") - exactD) <= exactD * lit(0.15))
+          .as("approx_within_bound"))
+      .orderBy(col("event_type"))
+  }
+
+  val q35ApproxDistinctSql =
+    """SELECT event_type, count(DISTINCT user_id) AS exact_users,
+      | abs(CAST(approx_count_distinct(user_id) AS DOUBLE)
+      |     - CAST(count(DISTINCT user_id) AS DOUBLE))
+      |   <= CAST(count(DISTINCT user_id) AS DOUBLE) * 0.15 AS approx_within_bound
+      | FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
+
   // ---------------------------------------------------------------
   // Registry
   // ---------------------------------------------------------------
@@ -1717,6 +1778,7 @@ object Queries {
     "q30_gap_fill" -> (q30GapFill _),
     "q33_monthly_delta" -> (q33MonthlyDelta _),
     "q34_overflow_keys" -> (q34OverflowKeys _),
+    "q35_approx_distinct" -> (q35ApproxDistinct _),
     "doc_top_terms" -> (docTopTerms _),
     "doc_source_quality" -> (docSourceQuality _),
     "doc_redact" -> (docRedact _),
@@ -1776,6 +1838,7 @@ object Queries {
     "q30_gap_fill" -> q30GapFillSql,
     "q33_monthly_delta" -> q33MonthlyDeltaSql,
     "q34_overflow_keys" -> q34OverflowKeysSql,
+    "q35_approx_distinct" -> q35ApproxDistinctSql,
     "doc_top_terms" -> docTopTermsSql,
     "doc_source_quality" -> docSourceQualitySql,
     "doc_redact" -> docRedactSql,

@@ -18,6 +18,10 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
   *  - `simhash_buckets(vec, planes, tables)` — multi-table LSH keys
   *  - `top_k_by_score(score, id, k)` — bounded-heap per-group top-k
   *    aggregate (map-side k-heaps; see [[TopKByScore]])
+  *  - `tokens_in_set_count(s, 'w1,w2,…')` — case-folded token-in-set
+  *    count in one scan (see [[TokensInSetCount]])
+  *  - `lang_id(s)` — single-scan heuristic language ID over the
+  *    default marker lexicon (see [[LangIdOf]])
   *
   * Two wiring paths:
   *  - [[GraftExtensions]] for `spark.sql.extensions` at session
@@ -59,7 +63,18 @@ object GraftSqlFunctions {
     (FunctionIdentifier("top_k_by_score"),
       new ExpressionInfo(classOf[TopKByScore].getName, "top_k_by_score"),
       (es: Seq[Expression]) =>
-        TopKByScore(es(0), es(1), intArg(es(2), "k"))))
+        TopKByScore(es(0), es(1), intArg(es(2), "k"))),
+    (FunctionIdentifier("tokens_in_set_count"),
+      new ExpressionInfo(classOf[TokensInSetCount].getName, "tokens_in_set_count"),
+      (es: Seq[Expression]) => {
+        require(es(1).foldable, "word list must be a literal")
+        val words = es(1).eval().toString.split(',').toSeq
+        TokensInSetCount(es(0), words)
+      }),
+    (FunctionIdentifier("lang_id"),
+      new ExpressionInfo(classOf[LangIdOf].getName, "lang_id"),
+      (es: Seq[Expression]) =>
+        LangIdOf(es.head, graft.functions.TextFunctions.langMarkers)))
 
   /** Idempotent runtime registration into an existing session. */
   def register(spark: SparkSession): Unit = {

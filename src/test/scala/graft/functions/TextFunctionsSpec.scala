@@ -55,11 +55,35 @@ class TextFunctionsSpec extends SparkSpec {
       "el perro es muy grande y la casa es de un amigo" -> "es",
       "le chien est dans la maison et il est avec nous" -> "fr",
       "我 是 他 的 朋友 他 有 不 一样 的 想法" -> "zh",
+      "я не знаю что он сказал но это было смешно" -> "ru",
+      "ele foi para casa porque estava muito cansado depois do trabalho" -> "pt",
+      "sono andato alla stazione con il treno di mattina" -> "it",
+      "彼は本を読んでいた" -> "ja",
+      "아이들은 학교가 쉬는 날이라 거리에서 놀고 있다" -> "ko",
       "zzz qqq xxx" -> "und",
       "" -> "und")
     cases.foreach { case (text, expected) =>
       assert(one[String](TextFunctions.langId($"t"), text) === expected, s"for: $text")
     }
+  }
+
+  test("native stopwordCount matches the regex/HOF pipeline") {
+    // TokensInSetCount replaced size(filter(tokens, array_contains))
+    // for codegen; this pins the equivalence on representative text
+    // (ASCII corpus shapes + case folding + token breaks).
+    val texts = Seq(
+      "The quick brown fox jumps over the lazy dog",
+      "THE AND OF to In THAT", "a an and", "", "no stop words here!!",
+      "the,and;of:to.in", "42 the 99 and", "café the naïve and",
+      "x" * 5000 + " the and")
+    val df = texts.toDF("t")
+    val hof = df.select(size(filter(
+      regexp_extract_all(lower($"t"), lit("[A-Za-z0-9]+"), lit(0)),
+      tk => array_contains(lit(TextFunctions.enStopwordList.toArray), tk))).as("v"))
+      .collect().map(_.getInt(0)).toSeq
+    val native = df.select(TextFunctions.stopwordCount($"t").as("v"))
+      .collect().map(_.getInt(0)).toSeq
+    assert(native === hof)
   }
 
   test("langId accuracy >= 90% on a labeled sentence fixture (non-circular evaluation)") {
@@ -117,7 +141,57 @@ class TextFunctionsSpec extends SparkSpec {
       "zh" -> "她想知道窗户为什么是开着的。",
       "zh" -> "报告说成本已经涨了很多。",
       "zh" -> "晚上的村子很安静，也很黑。",
-      "zh" -> "老人坐在长椅上看报纸。")
+      "zh" -> "老人坐在长椅上看报纸。",
+      "ru" -> "Я не знаю, что он сказал на собрании.",
+      "ru" -> "Мы были в городе, но она осталась дома.",
+      "ru" -> "Это было так давно, что никто не помнит.",
+      "ru" -> "Он взял книгу из библиотеки для своего брата.",
+      "ru" -> "Вы же сказали, что у вас есть время.",
+      "ru" -> "Дети играют на улице, потому что в школе каникулы.",
+      "ru" -> "Она сказала, что это был его дом.",
+      "ru" -> "Из отчета видно, что расходы выросли за год.",
+      "ru" -> "Мы с ним так и не поговорили о работе.",
+      "ru" -> "Поезд приходит утром, и мы встретим его на вокзале.",
+      "pt" -> "Ele foi para casa porque estava muito cansado depois do trabalho.",
+      "pt" -> "Os meninos estavam brincando na rua quando começou a chover.",
+      "pt" -> "Ela disse que vai viajar com os amigos em janeiro.",
+      "pt" -> "O relatório mostra que os custos aumentaram muito este ano.",
+      "pt" -> "Nós vamos nos encontrar na estação quando o trem chegar.",
+      "pt" -> "Ele trouxe um livro da biblioteca para o verão.",
+      "pt" -> "Foi uma noite muito tranquila na aldeia depois da festa.",
+      "pt" -> "As crianças gostam de brincar no jardim depois das aulas.",
+      "pt" -> "Isso aconteceu há muitos anos, quando ele era jovem.",
+      "pt" -> "Muito obrigado por tudo o que você fez.",
+      "it" -> "Il cane corre nel giardino e abbaia ai gatti.",
+      "it" -> "Non sapevo che lei fosse già tornata a casa.",
+      "it" -> "I bambini giocano nel cortile della scuola dopo le lezioni.",
+      "it" -> "Questo libro è molto interessante e anche facile da leggere.",
+      "it" -> "Sono andato alla stazione con il treno di mattina.",
+      "it" -> "Il vecchio era seduto sulla panchina a leggere il giornale.",
+      "it" -> "Non hanno capito quello che il professore ha detto.",
+      "it" -> "La casa dei nonni si trova vicino al mare.",
+      "it" -> "Dopo cena siamo andati a fare due passi nel parco con il cane.",
+      "it" -> "Anche questo problema sarà risolto quando avremo i dati.",
+      "ja" -> "私は学校に行きます。",
+      "ja" -> "彼は本を読んでいた。",
+      "ja" -> "子供たちは学校が休みなので外で遊んでいる。",
+      "ja" -> "明日の天気はもっと良くなると彼は言った。",
+      "ja" -> "彼女は窓がなぜ開いているのか知りたかった。",
+      "ja" -> "電車が着いたとき、私たちは駅で会いました。",
+      "ja" -> "報告書によるとコストが大幅に上がっている。",
+      "ja" -> "夜になると村はとても静かで暗かった。",
+      "ja" -> "老人はベンチに座って新聞を読んでいた。",
+      "ja" -> "図書館から本を借りてきてくれました。",
+      "ko" -> "아이들은 학교가 쉬는 날이라 거리에서 놀고 있다.",
+      "ko" -> "그는 그녀가 이미 집에 갔다는 것을 몰랐다.",
+      "ko" -> "내일은 날씨가 더 좋아질 것이라고 그가 말했다.",
+      "ko" -> "그녀는 창문이 왜 열려 있는지 알고 싶어했다.",
+      "ko" -> "보고서에 따르면 비용이 많이 올랐다고 한다.",
+      "ko" -> "저녁이 되자 마을은 아주 조용하고 어두웠다.",
+      "ko" -> "노인은 벤치에 앉아서 신문을 읽고 있었다.",
+      "ko" -> "기차가 도착했을 때 우리는 역에서 만났다.",
+      "ko" -> "그는 도서관에서 책 한 권을 빌려 왔다.",
+      "ko" -> "우리는 바다 근처에 사는 오랜 친구를 방문할 계획이다.")
     val scored = labeled.toDF("expected", "t")
       .withColumn("got", TextFunctions.langId($"t"))
     val perLang = scored

@@ -87,6 +87,47 @@ class PlanSpec extends SparkSpec {
       "date predicate must push into the orders scan\n" + p.take(1200))
   }
 
+  test("q9: top-10 is TakeOrderedAndProject (distributed top-k), never a global sort") {
+    val df = Queries.q9TopUsers(spark, sfSmoke)
+    df.queryExecution.executedPlan.execute().count()
+    val p = plan(df)
+    assert(p.contains("TakeOrderedAndProject"),
+      "group+orderBy+limit must plan as distributed top-k\n" + p.take(1200))
+  }
+
+  test("q10: per-group ranking is the bounded-heap aggregate, not a ranking window") {
+    val p = plan(Queries.q10WindowRank(spark, sfSmoke))
+    assert(p.contains("partial_top_k_by_score"),
+      "expect a map-side partial top-k phase\n" + p.take(1200))
+    assert(!p.contains("Window"),
+      "per-type user counts must not shuffle into a ranking window\n" + p.take(1200))
+  }
+
+  test("q33: month-over-month lag is a broadcast self-join, not a single-partition window") {
+    val p = plan(Queries.q33MonthlyDelta(spark, sfSmoke))
+    assert(!p.contains("Window"),
+      "no unpartitioned window allowed\n" + p.take(1200))
+    assert(p.contains("BroadcastHashJoin"), p.take(1200))
+  }
+
+  test("q35: approx distinct aggregates partial+final (sketches merge map-side)") {
+    val p = plan(Queries.q35ApproxDistinct(spark, sfSmoke))
+    assert(p.contains("approx_count_distinct"), p.take(1200))
+    assert("HashAggregate".r.findAllIn(p).size >= 2,
+      "expect partial + final aggregation\n" + p.take(1200))
+  }
+
+  test("doc_quality: the scoring projection is native and fully codegen'd (no interpreted HOFs)") {
+    val df = Queries.docQuality(spark, sfSmoke)
+    df.queryExecution.executedPlan.execute().count()
+    val p = plan(df)
+    assert(p.contains("tokens_in_set_count"),
+      "stopword scoring must be the native expression\n" + p.take(1200))
+    assert(!p.contains("ArrayFilter") && !p.contains("lambdafunction"),
+      "no interpreted higher-order functions in the hot path\n" + p.take(1200))
+    assert(p.contains("*(1)"), "projection must be whole-stage codegen\n" + p.take(800))
+  }
+
   test("whole-stage codegen covers the text-analysis projections") {
     val df = Queries.docStats(spark, sfSmoke)
     // AQE finalizes the plan only on execution — run THIS query
