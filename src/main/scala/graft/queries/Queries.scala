@@ -1656,12 +1656,18 @@ object Queries {
   /** Dynamic-schema overflow (SURVEY §1.3): the reference projects a
     * fixed key list and DISCARDS everything else
     * (`ClickHouseWriterService.kt:107-119`); the idiomatic upgrade
-    * keeps un-projected JSON keys in a map column. Payloads are
-    * parsed to `map<string,string>` and the projected key filtered
-    * out; the driver payloads carry only `k`, so two planted rows
-    * (event_id ≥ 100001) keep the overflow comparison non-vacuous.
-    * Keys-only output (sorted, joined) — value stringification rules
-    * differ across engines.
+    * keeps un-projected JSON keys in a map column. The driver
+    * payloads carry only `k`, so two planted rows (event_id ≥ 100001)
+    * keep the overflow comparison non-vacuous. Keys-only output
+    * (sorted, joined) — value stringification rules differ across
+    * engines.
+    *
+    * Key extraction is ONE native pass
+    * ([[org.apache.spark.sql.graft.JsonObjectKeys]]: strict validity
+    * + object gate + sorted distinct keys), fusing the former
+    * `json_is_valid(props)` + `from_json(props, map)` + `map_keys`
+    * chain that parsed every payload twice and materialized a map
+    * per row just to drop it.
     */
   def q34OverflowKeys(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
@@ -1669,20 +1675,16 @@ object Queries {
       (100001L, """{"k": 1, "extra": "x", "zkey": 2}"""),
       (100002L, """{"k": 2}""")).toDF("event_id", "props")
     val all = ev(s, d).select(col("event_id"), col("props")).unionByName(planted)
-    val ov = map_filter(
-      from_json(col("props"), org.apache.spark.sql.types.MapType(
-        org.apache.spark.sql.types.StringType, org.apache.spark.sql.types.StringType)),
-      (k, _) => k =!= "k")
     all
-      .filter(col("props").isNotNull && length(col("props")) > 0 &&
-        graft.functions.GraftFunctions.jsonIsValid(col("props")))
-      .withColumn("ov", ov)
-      // a null map = valid-but-non-object JSON (from_json map-mode
-      // rejects scalars/arrays), mirroring the oracle's json_type gate
-      .filter(col("ov").isNotNull)
+      .filter(col("props").isNotNull && length(col("props")) > 0)
+      .withColumn("ks",
+        array_remove(org.apache.spark.sql.graft.JsonObjectKeys(col("props")), "k"))
+      // null keys = invalid JSON, trailing garbage, or non-object top
+      // level — same rejects as the json_valid + json_type oracle gate
+      .filter(col("ks").isNotNull)
       .select(col("event_id"),
-        size(map_keys(col("ov"))).cast("long").as("n_overflow"),
-        concat_ws(",", sort_array(map_keys(col("ov")))).as("overflow_keys"))
+        size(col("ks")).cast("long").as("n_overflow"),
+        concat_ws(",", col("ks")).as("overflow_keys"))
       .orderBy(col("event_id"))
   }
 

@@ -22,6 +22,10 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
   *    count in one scan (see [[TokensInSetCount]])
   *  - `lang_id(s)` — single-scan heuristic language ID over the
   *    default marker lexicon (see [[LangIdOf]])
+  *  - `json_keys_strict(s)` — sorted distinct top-level keys of a
+  *    strictly-valid JSON object, NULL otherwise (distinct name: the
+  *    built-in `json_object_keys` is lenient and insertion-ordered;
+  *    see [[JsonObjectKeys]])
   *
   * Two wiring paths:
   *  - [[GraftExtensions]] for `spark.sql.extensions` at session
@@ -74,7 +78,13 @@ object GraftSqlFunctions {
     (FunctionIdentifier("lang_id"),
       new ExpressionInfo(classOf[LangIdOf].getName, "lang_id"),
       (es: Seq[Expression]) =>
-        LangIdOf(es.head, graft.functions.TextFunctions.langMarkers)))
+        LangIdOf(es.head, graft.functions.TextFunctions.langMarkers)),
+    // named json_keys_strict: Spark ships a BUILT-IN json_object_keys
+    // (lenient parse, insertion order) that the idempotent register()
+    // would otherwise defer to silently
+    (FunctionIdentifier("json_keys_strict"),
+      new ExpressionInfo(classOf[JsonObjectKeys].getName, "json_keys_strict"),
+      (es: Seq[Expression]) => JsonObjectKeys(es.head)))
 
   /** Idempotent runtime registration into an existing session. */
   def register(spark: SparkSession): Unit = {

@@ -45,6 +45,33 @@ class SqlFunctionsSpec extends SparkSpec {
     assert(rows === Seq(("a", 2L, 0.9), ("a", 3L, 0.9), ("b", 5L, 0.7)))
   }
 
+  test("json_object_keys: strict object gate, sorted distinct keys, NULL otherwise") {
+    assert(sql1[scala.collection.Seq[String]](
+      """SELECT json_keys_strict('{"zk": 1, "a": {"nested": 2}, "m": [1,2]}')""")
+      === Seq("a", "m", "zk"))
+    // duplicate keys collapse (from_json-to-map semantics)
+    assert(sql1[scala.collection.Seq[String]](
+      """SELECT json_keys_strict('{"a": 1, "a": 2}')""") === Seq("a"))
+    // NULL for: trailing garbage, non-object top level, invalid JSON
+    assert(sql1[scala.collection.Seq[String]](
+      """SELECT json_keys_strict('{"a": 1}x')""") === null)
+    assert(sql1[scala.collection.Seq[String]](
+      "SELECT json_keys_strict('42')") === null)
+    assert(sql1[scala.collection.Seq[String]](
+      "SELECT json_keys_strict('[1, 2]')") === null)
+    assert(sql1[scala.collection.Seq[String]](
+      "SELECT json_keys_strict('{broken')") === null)
+    assert(sql1[scala.collection.Seq[String]](
+      "SELECT json_keys_strict('{}')") === Seq.empty)
+  }
+
+  test("tokens_in_set_count and lang_id are callable from SQL") {
+    assert(sql1[Int](
+      "SELECT tokens_in_set_count('The cat AND the dog', 'the,and')") === 3)
+    assert(sql1[String]("SELECT lang_id('the cat is on the mat')") === "en")
+    assert(sql1[String]("SELECT lang_id('zzz qqq')") === "und")
+  }
+
   test("shingle_hashes / minhash_signature / simhash_buckets compose in SQL") {
     val sigLen = sql1[scala.collection.Seq[Long]](
       "SELECT minhash_signature(shingle_hashes('a b c d e f', 3), 8)").length
