@@ -207,6 +207,38 @@ class TextFunctionsSpec extends SparkSpec {
     }
   }
 
+  test("native langId agrees with the relational broadcast-join form on every fixture sentence") {
+    // Two independent implementations of the same marker algorithm:
+    // LangIdOf (native byte-scan tokenizer) and TextAnalysis.langId
+    // (regex tokensLower + explode + broadcast join). The DuckDB
+    // oracle checks only the relational form; this pins the native
+    // form to it across all 10 languages' scripts (ASCII, Cyrillic,
+    // CJK, kana, hangul) so the two tokenizers cannot drift apart.
+    val sentences = Seq(
+      "The children were playing in the garden when it started to rain.",
+      "Der Hund läuft durch den Garten und bellt die Katze an.",
+      "El perro corre por el jardín y ladra a los gatos.",
+      "Le chien court dans le jardin et aboie sur les chats.",
+      "我今天要去学校，因为有一个很重要的考试。",
+      "Я не знаю, что он сказал на собрании.",
+      "Ele foi para casa porque estava muito cansado depois do trabalho.",
+      "Il cane corre nel giardino e abbaia ai gatti.",
+      "彼は本を読んでいた。",
+      "아이들은 학교가 쉬는 날이라 거리에서 놀고 있다.",
+      "zzz qqq xxx", "", "42 999 13", "mixed 的 text и 이 bag こ")
+    val df = sentences.zipWithIndex
+      .map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+    val native = df.select($"doc_id", TextFunctions.langId($"text").as("lang_native"))
+    val relational = graft.operators.TextAnalysis.langId(df)
+      .withColumnRenamed("lang_id", "lang_rel")
+    val joined = native.join(relational, "doc_id")
+      .select($"doc_id", $"lang_native", $"lang_rel").collect()
+    joined.foreach { r =>
+      assert(r.getAs[String]("lang_native") === r.getAs[String]("lang_rel"),
+        s"divergence on doc ${r.getAs[Long]("doc_id")}: ${sentences(r.getAs[Long]("doc_id").toInt)}")
+    }
+  }
+
   test("fingerprint is normalization-invariant (case, punctuation, whitespace)") {
     val f1 = one[String](TextFunctions.fingerprintMd5($"t"), "Hello,   World!")
     val f2 = one[String](TextFunctions.fingerprintMd5($"t"), "hello world")
