@@ -54,4 +54,54 @@ class AsOfJoinSpec extends SparkSpec {
     assert(out(0) === ((1L, Some(10.0), Some("A@90"))))
     assert(out(3) === ((4L, None, None)))
   }
+
+  test("asOfBucketed handles carry-in, empty buckets, bucket-floor ties, and no-match") {
+    // bucketWidth=100 → quotes at 90 (bucket 0) must carry into
+    // bucket 1 and 2 across the EMPTY bucket for trade t=205;
+    // quote at exactly 200 (bucket floor) must override the carry
+    val out = AsOfJoin.asOfBucketed(
+        trades, quotes, "sym", "t", "sym", "qt", Seq("px"), bucketWidth = 100L)
+      .orderBy($"trade_id")
+      .collect().map(r => (r.getLong(0), Option(r.get(3)).map(_.asInstanceOf[Double])))
+    assert(out.toSeq === Seq(
+      (1L, Some(10.0)), (2L, Some(12.0)), (3L, Some(20.0)), (4L, None)))
+  }
+
+  test("asOfBucketed is equivalent to asOf on dense pseudo-random data (skewed keys, all widths)") {
+    // 3 hot keys × hundreds of rows — exactly the shape asOf's
+    // per-key window serializes and the bucketed variant exists for.
+    // Deterministic LCG so the case is reproducible.
+    def lcg(seed: Long): LazyList[Long] =
+      LazyList.iterate(seed)(x => (x * 6364136223846793005L + 1442695040888963407L))
+    val rnd = lcg(42L).map(x => math.abs(x % 1000L))
+    val lefts = (0 until 400).map { i =>
+      (i.toLong, "K" + (rnd(i) % 3), rnd(i + 1000)) }.toDF("id", "k", "t")
+    // unique right (k, t): index-stamped times, some NULL payload fields
+    val rights = (0 until 300).map { i =>
+      ("K" + (rnd(i + 2000) % 3), rnd(i + 3000) * 10 + i % 10,
+        if (i % 7 == 0) None else Some(i.toDouble), "n" + i)
+    }.distinctBy(r => (r._1, r._2)) // right (k, t) must be unique (API precondition)
+      .toDF("k", "rt", "px", "note")
+
+    val base = AsOfJoin.asOf(lefts, rights, "k", "t", "k", "rt", Seq("px", "note"))
+      .orderBy($"id").collect().map(_.toSeq).toSeq
+    for (w <- Seq(1L, 7L, 100L, 1000000L)) { // width 1, odd, mid, single-bucket
+      val b = AsOfJoin.asOfBucketed(
+          lefts, rights, "k", "t", "k", "rt", Seq("px", "note"), bucketWidth = w)
+        .orderBy($"id").collect().map(_.toSeq).toSeq
+      assert(b === base, s"divergence at bucketWidth=$w")
+    }
+  }
+
+  test("asOfBucketed buckets exactly above 2^53 (no double-division drift)") {
+    // nanosecond-scale epochs: a double round-trip of t/W drifts at
+    // these magnitudes; the decimal floor-div must not
+    val base = 1_700_000_000_000_000_000L // ~2023 in epoch nanos
+    val l = Seq((1L, "A", base + 3_600_000_000_000L)).toDF("id", "k", "t")
+    val r = Seq(("A", base + 1L, 42.0)).toDF("k", "rt", "px")
+    val out = AsOfJoin.asOfBucketed(
+        l, r, "k", "t", "k", "rt", Seq("px"), bucketWidth = 3_600_000_000_000L)
+      .collect().map(row => Option(row.get(3)))
+    assert(out.toSeq === Seq(Some(42.0)))
+  }
 }
