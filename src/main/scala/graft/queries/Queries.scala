@@ -810,6 +810,44 @@ object Queries {
       |  ON e.user_id = r.o_custkey AND epoch_us(e.ts) >= r.order_us
       |ORDER BY event_id""".stripMargin
 
+  /** AS-OF join on a SKEWED key — 5 event types carry all 100k+ rows,
+    * the shape where [[graft.operators.AsOfJoin.asOf]]'s per-key
+    * window would serialize each type into a single partition. Runs
+    * through [[graft.operators.AsOfJoin.asOfBucketed]] (6-hour
+    * buckets): per-bucket max_by finals → per-key carry over the
+    * bucket spine → seeded per-bucket windows, so no partition holds
+    * more than one (type, bucket). Semantics: attach to each event
+    * the latest hourly checkpoint (max event_id of the hour) at or
+    * before its timestamp; the oracle is DuckDB's native ASOF LEFT
+    * JOIN over the same checkpoint table.
+    */
+  def q36AsofBucketed(s: SparkSession, d: String): DataFrame = {
+    val e = ev(s, d)
+    val left = e.select(
+      col("event_id"), col("event_type"), expr("ts_ns div 1000").as("ts_us"))
+    val right = e
+      .groupBy(col("event_type"),
+        expr("ts_ns div 3600000000000 * 3600000000").as("hour_us"))
+      .agg(max(col("event_id")).as("checkpoint_id"))
+    graft.operators.AsOfJoin
+      .asOfBucketed(left, right, "event_type", "ts_us", "event_type", "hour_us",
+        Seq("checkpoint_id", "hour_us"), bucketWidth = 6L * 3600L * 1000000L)
+      .withColumnRenamed("hour_us", "checkpoint_us")
+      .orderBy(col("event_id"))
+  }
+
+  val q36AsofBucketedSql =
+    """WITH r AS (
+      |  SELECT event_type AS rtype,
+      |   (epoch_ns(ts) // 3600000000000) * 3600000000 AS hour_us,
+      |   max(event_id) AS checkpoint_id
+      |  FROM events GROUP BY 1, 2)
+      |SELECT e.event_id, e.event_type, epoch_us(e.ts) AS ts_us,
+      | r.checkpoint_id, r.hour_us AS checkpoint_us
+      |FROM events e ASOF LEFT JOIN r
+      |  ON e.event_type = r.rtype AND epoch_us(e.ts) >= r.hour_us
+      |ORDER BY event_id""".stripMargin
+
   /** Per-document n-gram profile: distinct 3-token shingles and
     * token counts (the raw material of n-gram Jaccard dedup; the
     * pairwise form is oracle-checked end-to-end in dedup_minhash's
@@ -1781,6 +1819,7 @@ object Queries {
     "q33_monthly_delta" -> (q33MonthlyDelta _),
     "q34_overflow_keys" -> (q34OverflowKeys _),
     "q35_approx_distinct" -> (q35ApproxDistinct _),
+    "q36_asof_bucketed" -> (q36AsofBucketed _),
     "doc_top_terms" -> (docTopTerms _),
     "doc_source_quality" -> (docSourceQuality _),
     "doc_redact" -> (docRedact _),
@@ -1841,6 +1880,7 @@ object Queries {
     "q33_monthly_delta" -> q33MonthlyDeltaSql,
     "q34_overflow_keys" -> q34OverflowKeysSql,
     "q35_approx_distinct" -> q35ApproxDistinctSql,
+    "q36_asof_bucketed" -> q36AsofBucketedSql,
     "doc_top_terms" -> docTopTermsSql,
     "doc_source_quality" -> docSourceQualitySql,
     "doc_redact" -> docRedactSql,
