@@ -1775,6 +1775,50 @@ object Queries {
       |   <= CAST(count(DISTINCT user_id) AS DOUBLE) * 0.15 AS approx_within_bound
       | FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
 
+  /** Sequence packing: assign documents to fixed token-budget packs
+    * (4096 BPE-ish tokens) — the shard-assembly step before writing
+    * training batches. Deterministic contiguous chunking: docs order
+    * by doc_id within their source stream, a doc's pack is its start
+    * offset (prefix token count) div budget, so packs are stable
+    * under re-runs and docs may straddle a boundary (real packers
+    * truncate/continue the straddler; pack membership is what's
+    * computed here).
+    *
+    * The prefix sum windows per SOURCE: packing inherently needs a
+    * total order per stream, and real deployments run it per shard —
+    * partition size is bounded by shard size by construction, never
+    * by corpus size (this is the justified-bounded window case, not
+    * an unpartitioned global sort).
+    */
+  def q37PackBudget(s: SparkSession, d: String): DataFrame = {
+    val budget = 4096L
+    val w = Window.partitionBy(col("source")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    docs(s, d)
+      .select(col("source"), col("doc_id"),
+        TextFunctions.tokenCountBpe(col("text")).cast("long").as("n_tok"))
+      .withColumn("cum_before", coalesce(sum(col("n_tok")).over(w), lit(0L)))
+      .withColumn("pack_id", expr(s"cum_before div $budget"))
+      .groupBy(col("source"), col("pack_id"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tok")).as("pack_tokens"))
+      .orderBy(col("source"), col("pack_id"))
+  }
+
+  val q37PackBudgetSql =
+    """WITH t AS (
+      |  SELECT source, doc_id,
+      |   len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]')) AS n_tok
+      |  FROM documents),
+      |c AS (
+      |  SELECT source, doc_id, n_tok,
+      |   coalesce(sum(n_tok) OVER (PARTITION BY source ORDER BY doc_id
+      |     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before
+      |  FROM t)
+      |SELECT source, CAST(cum_before // 4096 AS BIGINT) AS pack_id,
+      | count(*) AS n_docs, CAST(sum(n_tok) AS BIGINT) AS pack_tokens
+      |FROM c GROUP BY source, pack_id ORDER BY source, pack_id""".stripMargin
+
   // ---------------------------------------------------------------
   // Registry
   // ---------------------------------------------------------------
@@ -1820,6 +1864,7 @@ object Queries {
     "q34_overflow_keys" -> (q34OverflowKeys _),
     "q35_approx_distinct" -> (q35ApproxDistinct _),
     "q36_asof_bucketed" -> (q36AsofBucketed _),
+    "q37_pack_budget" -> (q37PackBudget _),
     "doc_top_terms" -> (docTopTerms _),
     "doc_source_quality" -> (docSourceQuality _),
     "doc_redact" -> (docRedact _),
@@ -1881,6 +1926,7 @@ object Queries {
     "q34_overflow_keys" -> q34OverflowKeysSql,
     "q35_approx_distinct" -> q35ApproxDistinctSql,
     "q36_asof_bucketed" -> q36AsofBucketedSql,
+    "q37_pack_budget" -> q37PackBudgetSql,
     "doc_top_terms" -> docTopTermsSql,
     "doc_source_quality" -> docSourceQualitySql,
     "doc_redact" -> docRedactSql,
