@@ -1775,6 +1775,61 @@ object Queries {
       |   <= CAST(count(DISTINCT user_id) AS DOUBLE) * 0.15 AS approx_within_bound
       | FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
 
+  /** Train/test DECONTAMINATION: test-split documents that near-
+    * duplicate a train-split document — the eval-integrity check
+    * every training-data pipeline runs before publishing a split.
+    * Composes the deterministic md5-bucket split (q32's function,
+    * keyed on doc_id) with the MinHash+LSH near-dup machinery
+    * ([[Dedup.minhashPairs]]: band-bucket join, ids-only in flight,
+    * exact-Jaccard verify), then keeps only cross-split pairs. The
+    * oracle recomputes ground-truth all-pairs Jaccard and the same
+    * split function — the LSH plan must recover every contaminated
+    * pair.
+    */
+  def q38Decontamination(s: SparkSession, d: String): DataFrame = {
+    val dcs = docs(s, d)
+    val bucket = conv(substring(md5(col("doc_id").cast("string")), 1, 2), 16, 10)
+      .cast("int") % 10
+    val split = dcs.select(col("doc_id"),
+      when(bucket < 8, lit("train")).otherwise(lit("test")).as("split"))
+    Dedup.minhashPairs(dcs, threshold = 0.7)
+      .join(split.select(col("doc_id").as("id_a"), col("split").as("split_a")), "id_a")
+      .join(split.select(col("doc_id").as("id_b"), col("split").as("split_b")), "id_b")
+      .filter(col("split_a") =!= col("split_b"))
+      .select(
+        when(col("split_a") === "test", col("id_a")).otherwise(col("id_b")).as("test_doc_id"),
+        when(col("split_a") === "test", col("id_b")).otherwise(col("id_a")).as("train_doc_id"),
+        col("jaccard"))
+      .orderBy(col("test_doc_id"), col("train_doc_id"))
+  }
+
+  val q38DecontaminationSql =
+    """WITH toks AS (
+      |  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS t FROM documents),
+      |sh AS (
+      |  SELECT doc_id,
+      |   list_distinct([t[i] || ' ' || t[i+1] || ' ' || t[i+2] FOR i IN range(1, len(t) - 1)]) AS s
+      |  FROM toks),
+      |pairs AS (
+      |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+      |   CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) /
+      |   CAST(len(list_distinct(list_concat(a.s, b.s))) AS DOUBLE) AS jaccard
+      |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+      |  WHERE len(a.s) > 0 AND len(b.s) > 0),
+      |sp AS (
+      |  SELECT doc_id,
+      |   CASE WHEN ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 2))::INT % 10 < 8
+      |    THEN 'train' ELSE 'test' END AS split
+      |  FROM documents)
+      |SELECT CASE WHEN sa.split = 'test' THEN p.id_a ELSE p.id_b END AS test_doc_id,
+      |  CASE WHEN sa.split = 'test' THEN p.id_b ELSE p.id_a END AS train_doc_id,
+      |  p.jaccard
+      |FROM pairs p
+      |JOIN sp sa ON sa.doc_id = p.id_a
+      |JOIN sp sb ON sb.doc_id = p.id_b
+      |WHERE p.jaccard >= 0.7 AND sa.split <> sb.split
+      |ORDER BY test_doc_id, train_doc_id""".stripMargin
+
   /** Sequence packing: assign documents to fixed token-budget packs
     * (4096 BPE-ish tokens) — the shard-assembly step before writing
     * training batches. Deterministic contiguous chunking: docs order
@@ -1865,6 +1920,7 @@ object Queries {
     "q35_approx_distinct" -> (q35ApproxDistinct _),
     "q36_asof_bucketed" -> (q36AsofBucketed _),
     "q37_pack_budget" -> (q37PackBudget _),
+    "q38_decontamination" -> (q38Decontamination _),
     "doc_top_terms" -> (docTopTerms _),
     "doc_source_quality" -> (docSourceQuality _),
     "doc_redact" -> (docRedact _),
@@ -1927,6 +1983,7 @@ object Queries {
     "q35_approx_distinct" -> q35ApproxDistinctSql,
     "q36_asof_bucketed" -> q36AsofBucketedSql,
     "q37_pack_budget" -> q37PackBudgetSql,
+    "q38_decontamination" -> q38DecontaminationSql,
     "doc_top_terms" -> docTopTermsSql,
     "doc_source_quality" -> docSourceQualitySql,
     "doc_redact" -> docRedactSql,
