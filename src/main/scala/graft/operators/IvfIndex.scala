@@ -25,10 +25,12 @@ object IvfIndex {
   /** Corpus with an assigned `cell` column + the centroid matrix. */
   case class Index(assigned: DataFrame, centroids: Array[Array[Double]])
 
-  def build(corpus: DataFrame, nCells: Int = 16, seed: Long = 42L): Index = {
+  def build(corpus: DataFrame, nCells: Int = 16, seed: Long = 42L,
+            maxIter: Int = 20): Index = {
     val vecs = corpus.withColumn("features", array_to_vector(col("embedding")))
     val model = new KMeans()
-      .setK(nCells).setSeed(seed).setFeaturesCol("features").setPredictionCol("cell")
+      .setK(nCells).setSeed(seed).setMaxIter(maxIter)
+      .setFeaturesCol("features").setPredictionCol("cell")
       .fit(vecs)
     val assigned = model.transform(vecs).drop("features")
     Index(assigned, model.clusterCenters.map(_.toArray))

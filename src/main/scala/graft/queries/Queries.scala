@@ -420,6 +420,31 @@ object Queries {
       |SELECT query_id, rank, neighbor_id, round(sim, 6) AS sim
       |FROM ranked WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin
 
+  /** IVF ANN at the exact end of its recall dial: probing ALL cells
+    * (`nProbe = nCells`) makes the candidate set the full corpus, so
+    * the result must equal brute-force kNN bit-for-bit — which is
+    * exactly what the oracle checks (same SQL as `knn_top10`). The
+    * plan still runs the whole IVF machinery — k-means coarse
+    * quantizer, per-query probe selection, cell-id hash join,
+    * two-phase top-k — so this pins the index's correctness while
+    * `IvfIndexSpec` pins the recall curve at partial probes. k-means
+    * iterations are capped low: with a full probe the output is
+    * clustering-independent by construction.
+    */
+  def q39IvfFullprobe(s: SparkSession, d: String): DataFrame = {
+    GraftSession.tune(s)
+    val idx = graft.operators.IvfIndex.build(
+      Tables.embeddings(s, d).select(col("vec_id"), col("embedding")),
+      nCells = 8, maxIter = 2)
+    graft.operators.IvfIndex
+      .search(idx, embQueries(s, d), kNeighbors = 10, nProbe = 8)
+      .withColumn("rank", col("rank").cast("long"))
+      .withColumn("sim", round(col("sim"), 6))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  val q39IvfFullprobeSql: String = knnTop10Sql
+
   /** The ANN scale path (LSH-bucketed). Approximate relative to
     * brute force, but fully DETERMINISTIC: the hyperplanes are
     * md5-derived ([[org.apache.spark.sql.graft.SimHashBuckets]]), so
@@ -1937,6 +1962,7 @@ object Queries {
     "corpus_clean_cc" -> (corpusCleanCc _),
     "knn_top10" -> (knnTop10 _),
     "ann_lsh_top5" -> (annLshTop5 _),
+    "q39_ivf_fullprobe" -> (q39IvfFullprobe _),
     "media_meta" -> (mediaMeta _),
     "media_decode" -> (mediaDecode _),
     "media_resize" -> (mediaResize _))
@@ -2000,6 +2026,7 @@ object Queries {
     "corpus_clean_cc" -> corpusCleanCcSql,
     "knn_top10" -> knnTop10Sql,
     "ann_lsh_top5" -> annLshTop5Sql,
+    "q39_ivf_fullprobe" -> q39IvfFullprobeSql,
     "media_meta" -> mediaMetaSql,
     "media_decode" -> mediaDecodeSql,
     "media_resize" -> mediaResizeSql)
