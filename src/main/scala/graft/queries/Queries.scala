@@ -318,8 +318,18 @@ object Queries {
        |FROM m ORDER BY doc_id""".stripMargin
   }
 
+  /** Native single-scan language ID: one codegen'd expression per
+    * row, NO shuffle — for a fixed marker lexicon this beats the
+    * relational explode→broadcast-join form
+    * ([[graft.operators.TextAnalysis.langId]], kept for dynamic
+    * marker dimensions and pinned equivalent in `TextFunctionsSpec`)
+    * at any scale: the join form shuffles (doc, lang) count pairs
+    * twice, the expression form is pure map-side work.
+    */
   def docLang(s: SparkSession, d: String): DataFrame =
-    graft.operators.TextAnalysis.langId(docs(s, d)).orderBy(col("doc_id"))
+    docs(s, d)
+      .select(col("doc_id"), TextFunctions.langId(col("text")).as("lang_id"))
+      .orderBy(col("doc_id"))
 
   /** Mirrors [[TextFunctions.langId]]: per-language marker-hit scores
     * with first-declared-wins tie-breaking, marker lists spliced from

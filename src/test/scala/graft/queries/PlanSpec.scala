@@ -128,6 +128,22 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("*(1)"), "projection must be whole-stage codegen\n" + p.take(800))
   }
 
+  test("doc_lang: 10-language ID is one shuffle-free codegen'd scan (no explode, no join)") {
+    val df = Queries.docLang(spark, sfSmoke)
+    df.queryExecution.executedPlan.execute().count()
+    val p = plan(df)
+    assert(p.contains("lang_id"), p.take(800))
+    assert(!p.contains("Exchange hashpartitioning") || !p.contains("Join"),
+      "native langId must not shuffle count pairs through a join\n" + p.take(1200))
+    assert(!p.contains("Generate"), "no explode in the native path\n" + p.take(1200))
+  }
+
+  test("q38: cross-split near-dup detection stays a hash join (no cartesian)") {
+    val p = plan(Queries.q38Decontamination(spark, sfSmoke))
+    assert(!p.contains("CartesianProduct"), p.take(1200))
+    assert(!p.contains("BroadcastNestedLoopJoin"), p.take(1200))
+  }
+
   test("whole-stage codegen covers the text-analysis projections") {
     val df = Queries.docStats(spark, sfSmoke)
     // AQE finalizes the plan only on execution — run THIS query
