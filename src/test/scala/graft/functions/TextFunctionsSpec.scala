@@ -86,6 +86,61 @@ class TextFunctionsSpec extends SparkSpec {
     assert(native === hof)
   }
 
+  test("native scan matches the regex pipeline on random multi-script text (property)") {
+    // Property form of the fixed-string test above: random strings
+    // over the token grammar's full contract alphabet — ASCII
+    // upper/lower/digits, Cyrillic upper/lower (fold targets), CJK /
+    // kana / hangul singles, accented-Latin token BREAKS, punctuation
+    // and range-boundary chars — with real stopwords and language
+    // markers spliced in so hit counts are non-trivial. Pins BOTH
+    // native expressions (TokensInSetCount, LangIdOf) to their
+    // regex/relational reference forms. Excluded by design: exotic
+    // codepoints whose full-Unicode lowercase enters a token class
+    // (U+212A KELVIN, U+0130 İ) — the documented divergence.
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    val fragment: Gen[String] = Gen.frequency(
+      6 -> Gen.listOfN(4, Gen.frequency[Char](
+        6 -> Gen.alphaChar,
+        2 -> Gen.numChar,
+        3 -> Gen.choose(0x0410.toChar, 0x044F.toChar), // Cyrillic А-я
+        1 -> Gen.oneOf('Ё', 'ё'),
+        2 -> Gen.choose(0x4E00.toChar, 0x4E40.toChar), // CJK sample
+        1 -> Gen.choose(0x3041.toChar, 0x30FE.toChar), // kana
+        1 -> Gen.choose(0xAC00.toChar, 0xAC40.toChar), // hangul
+        1 -> Gen.oneOf('é', 'ü', 'ñ', 'ß', 'ç'), // breaks in both
+        1 -> Gen.oneOf('@', '[', '`', '{', '~', '0' - 1, '9' + 1))).map(_.mkString),
+      3 -> Gen.oneOf(TextFunctions.enStopwordList),
+      3 -> Gen.oneOf(TextFunctions.langMarkers.flatMap(_._2)),
+      1 -> Gen.const(""))
+    val sep = Gen.oneOf(" ", "", ", ", "\n", "\t", "。", " - ")
+    val genText: Gen[String] = for {
+      n <- Gen.choose(0, 12)
+      frags <- Gen.listOfN(n, fragment)
+      seps <- Gen.listOfN(n, sep)
+    } yield frags.zip(seps).map { case (f, s) => f + s }.mkString
+    val texts = Gen.listOfN(400, genText)
+      .pureApply(Gen.Parameters.default, Seed(42L))
+    val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("doc_id", "text")
+    val regexForm = df.select($"doc_id", size(filter(
+      TextFunctions.tokensLower($"text"),
+      tk => array_contains(lit(TextFunctions.enStopwordList.toArray), tk))).as("hof"))
+    val nativeForm = df.select($"doc_id",
+      TextFunctions.stopwordCount($"text").as("native"),
+      TextFunctions.langId($"text").as("lang_native"))
+    val relational = graft.operators.TextAnalysis.langId(df)
+      .withColumnRenamed("lang_id", "lang_rel")
+    nativeForm.join(regexForm, "doc_id").join(relational, "doc_id")
+      .collect().foreach { r =>
+        val id = r.getAs[Long]("doc_id").toInt
+        assert(r.getAs[Int]("native") === r.getAs[Int]("hof"),
+          s"stopword count divergence on: '${texts(id)}'")
+        assert(r.getAs[String]("lang_native") === r.getAs[String]("lang_rel"),
+          s"langId divergence on: '${texts(id)}'")
+      }
+  }
+
   test("langId accuracy >= 90% on a labeled sentence fixture (non-circular evaluation)") {
     // The doc_lang oracle re-implements the same marker algorithm, so
     // its green row proves consistency, not accuracy. This fixture is
