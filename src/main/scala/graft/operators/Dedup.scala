@@ -173,6 +173,47 @@ object Dedup {
       .filter(col("hamming") <= maxHamming)
   }
 
+  /** Per-document winnowing fingerprints
+    * ([[org.apache.spark.sql.graft.WinnowFingerprints]] — the MOSS
+    * algorithm, Schleimer et al. SIGMOD 2003): ascending distinct
+    * window-min shingle hashes. Deterministic substring-match
+    * detection, complementary to [[minhashPairs]] (set overlap) and
+    * [[simhashPairs]] (small edits).
+    */
+  def winnowFingerprints(text: Column, n: Int = 3, w: Int = 4): Column =
+    org.apache.spark.sql.graft.WinnowFingerprints(text, n, w)
+
+  /** Document pairs sharing at least `minShared` winnowing
+    * fingerprints — the MOSS match report. Fingerprints whose
+    * document frequency exceeds `maxDf` are dropped BEFORE the
+    * self-join (corpus boilerplate: a license header's fingerprints
+    * appear in thousands of docs and would both blow up the
+    * fingerprint-keyed join buckets and report meaningless matches —
+    * the same stop-key cap every plagiarism detector applies). The
+    * shuffle key is the fingerprint, never the pair space, and with
+    * the cap each bucket joins ≤ maxDf ids.
+    */
+  def winnowPairs(docs: DataFrame, minShared: Long = 5, maxDf: Long = 50,
+                  n: Int = 3, w: Int = 4,
+                  textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    val fps = docs
+      .select(col(idCol).as("id"),
+        explode(winnowFingerprints(col(textCol), n, w)).as("fp"))
+    // fingerprints are distinct per doc, so count(*) is doc frequency
+    val keep = fps.groupBy(col("fp"))
+      .agg(count(lit(1)).as("df"))
+      .filter(col("df") <= maxDf)
+      .select(col("fp"))
+    val kept = fps.join(keep, "fp")
+    val a = kept.select(col("fp"), col("id").as("id_a"))
+    val b = kept.select(col("fp"), col("id").as("id_b"))
+    a.join(b, "fp")
+      .filter(col("id_a") < col("id_b"))
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+  }
+
   /** Keep-one projection of [[minhashPairs]]: drop every doc that
     * near-duplicates a lower-id doc (the union-find-free greedy
     * variant: b survives only if no a<b pairs with it).

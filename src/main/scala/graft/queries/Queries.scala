@@ -1541,6 +1541,114 @@ object Queries {
       |SELECT shingle, count(DISTINCT doc_id) AS n_docs
       |FROM sh GROUP BY shingle ORDER BY n_docs DESC, shingle LIMIT 20""".stripMargin
 
+  /** Intra-document repetition ratio — the Gopher-style quality rule
+    * "fraction of duplicate word n-grams within a document" (Rae et
+    * al. 2021, §A1.1): `1 − |distinct trigrams| / |trigrams|`.
+    * Templated/boilerplate text scores high; natural prose near 0.
+    * Both counts come from native one-pass expressions (tokenCount,
+    * ShingleStrings — total trigrams is `tokens − 2` by construction,
+    * distinct trigrams is the size of the distinct-shingle array), so
+    * the whole query is a scan + codegen'd projection: no explode, no
+    * shuffle before the output sort. At 100 TB this is the cheapest
+    * possible shape — pure per-row scalar work.
+    */
+  def docRepetition(s: SparkSession, d: String): DataFrame =
+    docs(s, d).select(
+      col("doc_id"),
+      greatest(TextFunctions.tokenCount(col("text")) - lit(2), lit(0))
+        .cast("long").as("total_ngrams"),
+      size(Dedup.shingles(col("text"))).cast("long").as("uniq_ngrams"))
+      .withColumn("rep_ratio",
+        when(col("total_ngrams") === 0, lit(0.0))
+          .otherwise(round(lit(1.0) -
+            col("uniq_ngrams").cast("double") /
+              col("total_ngrams").cast("double"), 4)))
+      .orderBy(col("doc_id"))
+
+  val docRepetitionSql =
+    """WITH toks AS (
+      |  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS t FROM documents),
+      |m AS (
+      |  SELECT doc_id,
+      |   CAST(greatest(len(t) - 2, 0) AS BIGINT) AS total_ngrams,
+      |   CAST(CASE WHEN len(t) >= 3
+      |     THEN len(list_distinct([t[i] || ' ' || t[i+1] || ' ' || t[i+2] FOR i IN range(1, len(t) - 1)]))
+      |     ELSE 0 END AS BIGINT) AS uniq_ngrams
+      |  FROM toks)
+      |SELECT doc_id, total_ngrams, uniq_ngrams,
+      | CASE WHEN total_ngrams = 0 THEN 0.0
+      |   ELSE round(1.0 - CAST(uniq_ngrams AS DOUBLE) / total_ngrams, 4)
+      | END AS rep_ratio
+      |FROM m ORDER BY doc_id""".stripMargin
+
+  /** Per-document winnowing fingerprint summary (MOSS, Schleimer et
+    * al. SIGMOD 2003 — [[Dedup.winnowFingerprints]]): fingerprint
+    * count plus min/max, enough for the oracle to pin both the
+    * selection (which window minima) and the values (the 60-bit md5
+    * hashes, bit-identical in DuckDB). Scan + codegen'd projection —
+    * no shuffle before the output sort.
+    */
+  def docWinnow(s: SparkSession, d: String): DataFrame =
+    docs(s, d)
+      .select(col("doc_id"), Dedup.winnowFingerprints(col("text")).as("fp"))
+      .select(col("doc_id"),
+        size(col("fp")).cast("long").as("n_fp"),
+        array_min(col("fp")).as("fp_min"),
+        array_max(col("fp")).as("fp_max"))
+      .orderBy(col("doc_id"))
+
+  /** Shared CTE prefix: tokens → 1-indexed shingle positions → 60-bit
+    * md5 shingle hashes → window minima (full w=4 windows only, i ≥ 4)
+    * → distinct per-doc fingerprints. Mirrors WinnowFingerprints
+    * step for step; `range` is the scalar list form (the table
+    * function can't take lateral column args).
+    */
+  private val winnowFpCte =
+    """WITH toks AS (
+      |  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS t FROM documents),
+      |pos AS (
+      |  SELECT doc_id, t, unnest(range(1, greatest(len(t) - 1, 1))) AS i FROM toks),
+      |sh AS (
+      |  SELECT doc_id, i,
+      |   ('0x' || substr(md5(t[i] || ' ' || t[i+1] || ' ' || t[i+2]), 1, 15))::BIGINT AS h
+      |  FROM pos),
+      |wm AS (
+      |  SELECT doc_id, i,
+      |   min(h) OVER (PARTITION BY doc_id ORDER BY i
+      |     ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS fp
+      |  FROM sh),
+      |fps AS (SELECT DISTINCT doc_id, fp FROM wm WHERE i >= 4)""".stripMargin
+
+  val docWinnowSql: String =
+    s"""$winnowFpCte,
+       |agg AS (
+       |  SELECT doc_id, count(*) AS n, min(fp) AS mn, max(fp) AS mx
+       |  FROM fps GROUP BY doc_id)
+       |SELECT d.doc_id, CAST(coalesce(a.n, 0) AS BIGINT) AS n_fp,
+       | a.mn AS fp_min, a.mx AS fp_max
+       |FROM documents d LEFT JOIN agg a ON d.doc_id = a.doc_id
+       |ORDER BY d.doc_id""".stripMargin
+
+  /** MOSS match report ([[Dedup.winnowPairs]]): document pairs
+    * sharing ≥ 5 winnowing fingerprints, with corpus-boilerplate
+    * fingerprints (doc frequency > 50) dropped before the self-join.
+    * Deterministic near-dup detection — any shared run of ≥ w+n−1 =
+    * 6 tokens is guaranteed to share a fingerprint, so the planted
+    * near-duplicate docs surface with high n_shared.
+    */
+  def winnowPairs(s: SparkSession, d: String): DataFrame =
+    Dedup.winnowPairs(docs(s, d))
+      .orderBy(col("id_a"), col("id_b"))
+
+  val winnowPairsSql: String =
+    s"""$winnowFpCte,
+       |keep AS (SELECT fp FROM fps GROUP BY fp HAVING count(*) <= 50),
+       |kept AS (SELECT f.doc_id, f.fp FROM fps f JOIN keep k ON f.fp = k.fp)
+       |SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_shared
+       |FROM kept a JOIN kept b ON a.fp = b.fp AND a.doc_id < b.doc_id
+       |GROUP BY id_a, id_b HAVING count(*) >= 5
+       |ORDER BY id_a, id_b""".stripMargin
+
   /** Calendar gap fill: a generated day spine (`sequence` + explode
     * over the observed range) left-joined to daily signup counts, so
     * zero-activity days appear as explicit 0 rows — the time-series
@@ -1960,6 +2068,9 @@ object Queries {
     "doc_source_quality" -> (docSourceQuality _),
     "doc_redact" -> (docRedact _),
     "doc_common_shingles" -> (docCommonShingles _),
+    "doc_repetition" -> (docRepetition _),
+    "doc_winnow" -> (docWinnow _),
+    "winnow_pairs" -> (winnowPairs _),
     "emb_centroids" -> (embCentroids _),
     "q31_class_cohesion" -> (q31ClassCohesion _),
     "q32_split_stats" -> (q32SplitStats _),
@@ -2024,6 +2135,9 @@ object Queries {
     "doc_source_quality" -> docSourceQualitySql,
     "doc_redact" -> docRedactSql,
     "doc_common_shingles" -> docCommonShinglesSql,
+    "doc_repetition" -> docRepetitionSql,
+    "doc_winnow" -> docWinnowSql,
+    "winnow_pairs" -> winnowPairsSql,
     "emb_centroids" -> embCentroidsSql,
     "q31_class_cohesion" -> q31ClassCohesionSql,
     "q32_split_stats" -> q32SplitStatsSql,
