@@ -90,6 +90,7 @@ object StressBench {
       "dedup_minhash" -> docReplicas,
       "dedup_clusters" -> docReplicas,
       "corpus_clean_cc" -> docReplicas,
+      "winnow_pairs" -> docReplicas,
       "ann_lsh_top5" -> docReplicas,
       "q14_sessionize" -> evReplicas)
 
