@@ -1649,6 +1649,159 @@ object Queries {
        |GROUP BY id_a, id_b HAVING count(*) >= 5
        |ORDER BY id_a, id_b""".stripMargin
 
+  /** Per-document top-5 salient terms by TF-IDF, linear-idf variant:
+    * `score = tf · (N / df)`. Linear idf instead of `ln(N/df)` is
+    * deliberate: `/` and `·` are IEEE-754 correctly-rounded (bit-
+    * identical in any engine) while `ln` is libm-dependent, so the
+    * score — not just the ranking — is oracle-reproducible. Monotone
+    * in `1/df` like log-idf, so rankings agree except across extreme
+    * df gaps.
+    *
+    * Shape: one token explode → (doc, term) count, a term-keyed join
+    * against the derived document frequencies (vocabulary-sized —
+    * shuffle join, NOT broadcast: at corpus scale the vocab is
+    * gigabytes), and a per-doc ranking window. The window's
+    * `partitionBy(doc_id)` is justified-small: per-partition
+    * cardinality is the doc's distinct-term count, bounded by
+    * document length — never corpus-shaped (contrast q10, where
+    * groups are few and huge → TopKByScore).
+    */
+  def docTfidf(s: SparkSession, d: String): DataFrame = {
+    val dd = docs(s, d)
+    val tf = dd
+      .select(col("doc_id"), explode(Dedup.toks(col("text"))).as("term"))
+      .filter(!col("term").isin(TextFunctions.enStopwordList: _*))
+      .groupBy(col("doc_id"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val n = dd.agg(count(lit(1)).as("n_docs"))
+    val w = Window.partitionBy(col("doc_id"))
+      .orderBy(col("score").desc, col("term"))
+    tf.join(dfreq, "term")
+      .crossJoin(broadcast(n))
+      .withColumn("score",
+        col("tf").cast("double") *
+          (col("n_docs").cast("double") / col("df").cast("double")))
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= 5)
+      .select(col("doc_id"), col("term"), col("tf"), col("df"),
+        col("score"), col("rnk"))
+      .orderBy(col("doc_id"), col("rnk"))
+  }
+
+  val docTfidfSql: String = {
+    val stop = sqlStringList(TextFunctions.enStopwordList)
+    s"""WITH tf AS (
+       |  SELECT doc_id, t AS term, count(*) AS tf
+       |  FROM (SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS t
+       |        FROM documents)
+       |  WHERE t NOT IN $stop
+       |  GROUP BY doc_id, t),
+       |dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+       |n AS (SELECT count(*) AS n_docs FROM documents),
+       |r AS (
+       |  SELECT tf.doc_id, tf.term, tf.tf, dfreq.df,
+       |   CAST(tf.tf AS DOUBLE) * (CAST(n.n_docs AS DOUBLE) / CAST(dfreq.df AS DOUBLE)) AS score,
+       |   row_number() OVER (PARTITION BY tf.doc_id
+       |     ORDER BY CAST(tf.tf AS DOUBLE) * (CAST(n.n_docs AS DOUBLE) / CAST(dfreq.df AS DOUBLE)) DESC,
+       |       tf.term) AS rnk
+       |  FROM tf JOIN dfreq USING (term) CROSS JOIN n)
+       |SELECT doc_id, term, tf, df, score, CAST(rnk AS BIGINT) AS rnk
+       |FROM r WHERE rnk <= 5 ORDER BY doc_id, rnk""".stripMargin
+  }
+
+  /** Temperature-balanced corpus mixing (α = 0.5): the multilingual
+    * training-mix rebalance that upsamples low-resource languages —
+    * here as deterministic DOWN-sampling, the only direction a filter
+    * can implement: each language keeps `sqrt(n_min / n_lang)` of its
+    * docs, so the smallest language keeps 100% and a language k×
+    * larger keeps √(1/k) — flattening the mix toward the α = 0.5
+    * power law. Membership is a portable hash coin, not `rand()`:
+    * doc_id's md5 top-60-bits mod 10⁴ against
+    * `floor(10⁴·sqrt(n_min/n_lang))` — sqrt and / are IEEE
+    * correctly-rounded, md5 is engine-independent, so the SAMPLE
+    * ITSELF (not just its size) is reproducible anywhere, the
+    * property that makes a training mix auditable. Scan-shaped:
+    * one tiny per-lang aggregate broadcast back, no other shuffle.
+    */
+  def corpusMixSample(s: SparkSession, d: String): DataFrame = {
+    val dd = docs(s, d)
+    val perLang = dd.groupBy(col("lang")).agg(count(lit(1)).as("n_lang"))
+    val minN = perLang.agg(min(col("n_lang")).as("n_min"))
+    val rates = perLang.crossJoin(broadcast(minN))
+      .withColumn("thr",
+        floor(lit(10000.0) *
+          sqrt(col("n_min").cast("double") / col("n_lang").cast("double"))))
+    dd.join(broadcast(rates), "lang")
+      .filter(
+        expr("conv(substr(md5(cast(doc_id as string)), 1, 15), 16, 10)")
+          .cast("long") % 10000 < col("thr"))
+      .select(col("doc_id"), col("lang"), col("n_lang"), col("thr"))
+      .orderBy(col("doc_id"))
+  }
+
+  val corpusMixSampleSql: String =
+    """WITH per_lang AS (
+      |  SELECT lang, count(*) AS n_lang FROM documents GROUP BY lang),
+      |mn AS (SELECT min(n_lang) AS n_min FROM per_lang),
+      |rates AS (
+      |  SELECT lang, n_lang,
+      |   CAST(floor(10000.0 * sqrt(CAST(n_min AS DOUBLE) / CAST(n_lang AS DOUBLE))) AS BIGINT) AS thr
+      |  FROM per_lang CROSS JOIN mn)
+      |SELECT d.doc_id, d.lang, r.n_lang, r.thr
+      |FROM documents d JOIN rates r ON d.lang = r.lang
+      |WHERE ('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 15))::BIGINT % 10000 < r.thr
+      |ORDER BY d.doc_id""".stripMargin
+
+  /** Per-source curation: the k highest-quality documents of each
+    * source (the "keep the best of every provider" selection step a
+    * mix builder runs after scoring). Ranking is the bounded-heap
+    * [[org.apache.spark.sql.graft.TopKByScore]] aggregate, NOT a
+    * `row_number` window: sources are few and corpus-sized (millions
+    * of docs per source at 100 TB), exactly the shape where the
+    * map-side k-heap reduction wins — only |sources|·|partitions|
+    * 5-slot heaps ever shuffle. Heap order (score DESC, id ASC)
+    * matches the oracle window's (quality DESC, doc_id ASC) exactly,
+    * ties included; quality round-trips exactly through the double
+    * slot (it is round(·,4)).
+    */
+  def curateTopDocs(s: SparkSession, d: String): DataFrame =
+    docs(s, d)
+      .select(col("source"), col("doc_id"),
+        TextFunctions.qualityScore(col("text")).as("quality"))
+      .groupBy(col("source"))
+      .agg(org.apache.spark.sql.graft.TopKByScore(
+        col("quality"), col("doc_id"), 5).as("top"))
+      .select(col("source"), posexplode(col("top")).as(Seq("pos", "t")))
+      .select(col("source"), col("t.id").as("doc_id"),
+        col("t.score").as("quality"),
+        (col("pos") + 1).cast("long").as("rnk"))
+      .orderBy(col("source"), col("rnk"))
+
+  /** Quality CTE mirrors [[docQualitySql]] op-for-op. */
+  val curateTopDocsSql: String = {
+    val stop = sqlStringList(TextFunctions.enStopwordList)
+    s"""WITH m AS (SELECT source, doc_id,
+       |  CAST(len(regexp_extract_all(text, '[A-Za-z0-9]+')) AS DOUBLE) AS n_tok,
+       |  CAST(greatest(length(text), 1) AS DOUBLE) AS n_char,
+       |  CAST(len(list_filter(regexp_extract_all(lower(text), '[A-Za-z0-9]+'),
+       |        t -> t IN $stop)) AS DOUBLE) AS n_stop,
+       |  CAST(len(regexp_extract_all(text, '[0-9]')) AS DOUBLE) AS n_digit,
+       |  CAST(len(regexp_extract_all(text, '[.,;:!?]')) AS DOUBLE) AS n_punct
+       | FROM documents),
+       |q AS (SELECT source, doc_id, round(
+       |  0.4::DOUBLE * least(n_tok / 100.0::DOUBLE, 1.0::DOUBLE)
+       |  + 0.3::DOUBLE * least((CASE WHEN n_tok = 0.0::DOUBLE THEN 0.0::DOUBLE ELSE n_stop / n_tok END) * 5.0::DOUBLE, 1.0::DOUBLE)
+       |  + 0.15::DOUBLE * (1.0::DOUBLE - least(n_digit / n_char * 10.0::DOUBLE, 1.0::DOUBLE))
+       |  + 0.15::DOUBLE * (1.0::DOUBLE - least(n_punct / n_char * 10.0::DOUBLE, 1.0::DOUBLE)), 4) AS quality
+       | FROM m),
+       |r AS (SELECT source, doc_id, quality,
+       |  row_number() OVER (PARTITION BY source ORDER BY quality DESC, doc_id) AS rnk
+       | FROM q)
+       |SELECT source, doc_id, quality, CAST(rnk AS BIGINT) AS rnk
+       |FROM r WHERE rnk <= 5 ORDER BY source, rnk""".stripMargin
+  }
+
   /** Calendar gap fill: a generated day spine (`sequence` + explode
     * over the observed range) left-joined to daily signup counts, so
     * zero-activity days appear as explicit 0 rows — the time-series
@@ -2071,6 +2224,9 @@ object Queries {
     "doc_repetition" -> (docRepetition _),
     "doc_winnow" -> (docWinnow _),
     "winnow_pairs" -> (winnowPairs _),
+    "doc_tfidf" -> (docTfidf _),
+    "corpus_mix_sample" -> (corpusMixSample _),
+    "curate_top_docs" -> (curateTopDocs _),
     "emb_centroids" -> (embCentroids _),
     "q31_class_cohesion" -> (q31ClassCohesion _),
     "q32_split_stats" -> (q32SplitStats _),
@@ -2138,6 +2294,9 @@ object Queries {
     "doc_repetition" -> docRepetitionSql,
     "doc_winnow" -> docWinnowSql,
     "winnow_pairs" -> winnowPairsSql,
+    "doc_tfidf" -> docTfidfSql,
+    "corpus_mix_sample" -> corpusMixSampleSql,
+    "curate_top_docs" -> curateTopDocsSql,
     "emb_centroids" -> embCentroidsSql,
     "q31_class_cohesion" -> q31ClassCohesionSql,
     "q32_split_stats" -> q32SplitStatsSql,
