@@ -1802,6 +1802,103 @@ object Queries {
        |FROM r WHERE rnk <= 5 ORDER BY source, rnk""".stripMargin
   }
 
+  /** Full CUBE over (event_type, day): every grouping-set aggregate
+    * in ONE pass — Spark expands the cube into a union of grouping
+    * sets fed by a single scan + one shuffle (each map task emits one
+    * partial per set), the OLAP-report shape that beats running 4
+    * separate groupBys. ALL-sentinels make the set id part of the
+    * total order; the day key crosses as a string so the sentinel
+    * shares its type.
+    */
+  def q40Cube(s: SparkSession, d: String): DataFrame =
+    ev(s, d)
+      .select(col("event_type"),
+        expr("ts_ns div 86400000000000").cast("string").as("day"),
+        col("value"))
+      .cube(col("event_type"), col("day"))
+      .agg(
+        count(lit(1)).as("cnt"),
+        sum(col("value").cast("decimal(18,2)")).cast("double").as("total_value"))
+      .select(
+        coalesce(col("event_type"), lit("ALL")).as("et"),
+        coalesce(col("day"), lit("ALL")).as("day"),
+        col("cnt"), col("total_value"))
+      .orderBy(col("et"), col("day"))
+
+  val q40CubeSql =
+    """SELECT coalesce(event_type, 'ALL') AS et,
+      | coalesce(CAST(ts_day AS VARCHAR), 'ALL') AS day,
+      | count(*) AS cnt,
+      | CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+      |FROM (SELECT event_type, epoch_ns(ts) // 86400000000000 AS ts_day, value
+      |      FROM events)
+      |GROUP BY CUBE(event_type, ts_day)
+      |ORDER BY et, day""".stripMargin
+
+  /** Int8 scalar quantization of the embedding corpus (the SQ in
+    * IVF+SQ: 4× memory cut before ANN probing). Per-dimension min/max
+    * come from one 64-group aggregate (map-side partials, broadcast
+    * back — never a wide shuffle), then each component maps to
+    * `floor((v−mn)/(mx−mn)·255)`. Every op is IEEE correctly-rounded
+    * (float→double widening exact, −,/,·,floor), so THE CODES
+    * THEMSELVES are engine-reproducible — the oracle checks the
+    * full code matrix, not a summary. Constant dims (mx=mn) code
+    * as 0.
+    */
+  def embQuantize(s: SparkSession, d: String): DataFrame = {
+    GraftSession.tune(s)
+    val comps = Tables.embeddings(s, d)
+      .select(col("vec_id"),
+        posexplode(col("embedding")).as(Seq("dim_idx", "v")))
+      .select(col("vec_id"), col("dim_idx").cast("long").as("dim_idx"),
+        col("v").cast("double").as("v"))
+    val stats = comps.groupBy(col("dim_idx"))
+      .agg(min(col("v")).as("mn"), max(col("v")).as("mx"))
+    comps.join(broadcast(stats), "dim_idx")
+      .select(col("vec_id"), col("dim_idx"),
+        when(col("mx") === col("mn"), lit(0L))
+          .otherwise(floor((col("v") - col("mn")) / (col("mx") - col("mn")) * lit(255.0)))
+          .cast("long").as("code"))
+      .orderBy(col("vec_id"), col("dim_idx"))
+  }
+
+  val embQuantizeSql =
+    """WITH comps AS (
+      |  SELECT vec_id, i - 1 AS dim_idx, CAST(embedding[i] AS DOUBLE) AS v
+      |  FROM embeddings CROSS JOIN range(1, 65) t(i)),
+      |stats AS (
+      |  SELECT dim_idx, min(v) AS mn, max(v) AS mx FROM comps GROUP BY dim_idx)
+      |SELECT c.vec_id, c.dim_idx,
+      | CAST(CASE WHEN s.mx = s.mn THEN 0
+      |   ELSE floor((c.v - s.mn) / (s.mx - s.mn) * 255.0) END AS BIGINT) AS code
+      |FROM comps c JOIN stats s USING (dim_idx)
+      |ORDER BY vec_id, dim_idx""".stripMargin
+
+  /** Token-length histogram of the corpus (fixed 25-token buckets,
+    * open-ended top bucket) — the length-distribution report every
+    * filtering step is tuned against. Pure scan + 10-group
+    * aggregate.
+    */
+  def docLengthHist(s: SparkSession, d: String): DataFrame =
+    docs(s, d)
+      .select(least(
+        floor(TextFunctions.tokenCount(col("text")).cast("double") / lit(25.0)),
+        lit(9L)).cast("long").as("bucket"),
+        TextFunctions.tokenCount(col("text")).cast("long").as("n_tok"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("cnt"),
+        min(col("n_tok")).as("min_tok"),
+        max(col("n_tok")).as("max_tok"))
+      .orderBy(col("bucket"))
+
+  val docLengthHistSql =
+    """WITH t AS (
+      |  SELECT least(CAST(floor(len(regexp_extract_all(text, '[A-Za-z0-9]+')) / 25.0) AS BIGINT), 9) AS bucket,
+      |   CAST(len(regexp_extract_all(text, '[A-Za-z0-9]+')) AS BIGINT) AS n_tok
+      |  FROM documents)
+      |SELECT bucket, count(*) AS cnt, min(n_tok) AS min_tok, max(n_tok) AS max_tok
+      |FROM t GROUP BY bucket ORDER BY bucket""".stripMargin
+
   /** Calendar gap fill: a generated day spine (`sequence` + explode
     * over the observed range) left-joined to daily signup counts, so
     * zero-activity days appear as explicit 0 rows — the time-series
@@ -2227,6 +2324,9 @@ object Queries {
     "doc_tfidf" -> (docTfidf _),
     "corpus_mix_sample" -> (corpusMixSample _),
     "curate_top_docs" -> (curateTopDocs _),
+    "q40_cube" -> (q40Cube _),
+    "emb_quantize" -> (embQuantize _),
+    "doc_length_hist" -> (docLengthHist _),
     "emb_centroids" -> (embCentroids _),
     "q31_class_cohesion" -> (q31ClassCohesion _),
     "q32_split_stats" -> (q32SplitStats _),
@@ -2297,6 +2397,9 @@ object Queries {
     "doc_tfidf" -> docTfidfSql,
     "corpus_mix_sample" -> corpusMixSampleSql,
     "curate_top_docs" -> curateTopDocsSql,
+    "q40_cube" -> q40CubeSql,
+    "emb_quantize" -> embQuantizeSql,
+    "doc_length_hist" -> docLengthHistSql,
     "emb_centroids" -> embCentroidsSql,
     "q31_class_cohesion" -> q31ClassCohesionSql,
     "q32_split_stats" -> q32SplitStatsSql,
