@@ -1899,6 +1899,75 @@ object Queries {
       |SELECT bucket, count(*) AS cnt, min(n_tok) AS min_tok, max(n_tok) AS max_tok
       |FROM t GROUP BY bucket ORDER BY bucket""".stripMargin
 
+  /** Customer order-count distribution (TPC-H Q13 shape): LEFT join
+    * so zero-order customers land in the c_count=0 bucket, then a
+    * histogram of the per-customer counts. Two key-shuffles (custkey
+    * join, custkey agg) that AQE can fuse — the classic outer-join +
+    * double-aggregation plan.
+    */
+  def q41CustOrderDist(s: SparkSession, d: String): DataFrame = {
+    GraftSession.tune(s)
+    Tables.customer(s, d).select(col("c_custkey"))
+      .join(Tables.orders(s, d).select(col("o_custkey"), col("o_orderkey")),
+        col("c_custkey") === col("o_custkey"), "left")
+      .groupBy(col("c_custkey"))
+      .agg(count(col("o_orderkey")).as("c_count"))
+      .groupBy(col("c_count"))
+      .agg(count(lit(1)).as("custdist"))
+      .orderBy(col("custdist").desc, col("c_count").desc)
+  }
+
+  val q41CustOrderDistSql =
+    """SELECT c_count, count(*) AS custdist FROM (
+      |  SELECT c_custkey, count(o_orderkey) AS c_count
+      |  FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+      |  GROUP BY c_custkey)
+      |GROUP BY c_count ORDER BY custdist DESC, c_count DESC""".stripMargin
+
+  /** Per-user spend quartiles, scale-correct shape: the quartile cuts
+    * come from ONE exact-percentile aggregate over the per-user spend
+    * table (3 doubles), broadcast back as a comparison — NEVER
+    * `ntile() OVER (ORDER BY spend)`, whose empty-partition global
+    * window funnels every user through one task. Spend itself is a
+    * DECIMAL sum (order-independent) widened to double; bucket
+    * assignment is `1 + Σ(spend > cut)`, exact comparisons only. The
+    * interpolated cut values (Spark `percentile` ≡ DuckDB
+    * `quantile_cont`, both `lo + frac·(hi−lo)` on the same doubles)
+    * stay internal — the output exposes the integer bucket, so the
+    * oracle match does not hinge on the last ulp of the cuts (only a
+    * user whose spend falls between the engines' cut ulps could flip,
+    * which exact comparisons on identical spend sets make a
+    * measure-zero event the row-count match would catch).
+    */
+  def q42SpendQuartiles(s: SparkSession, d: String): DataFrame = {
+    val spend = ev(s, d)
+      .groupBy(col("user_id"))
+      .agg(sum(col("value").cast("decimal(18,2)")).cast("double").as("spend"))
+    val cuts = spend.agg(
+      expr("percentile(spend, 0.25)").as("q1"),
+      expr("percentile(spend, 0.5)").as("q2"),
+      expr("percentile(spend, 0.75)").as("q3"))
+    spend.crossJoin(broadcast(cuts))
+      .select(col("user_id"), col("spend"),
+        (lit(1L) + (col("spend") > col("q1")).cast("long")
+          + (col("spend") > col("q2")).cast("long")
+          + (col("spend") > col("q3")).cast("long")).as("quartile"))
+      .orderBy(col("user_id"))
+  }
+
+  val q42SpendQuartilesSql =
+    """WITH spend AS (
+      |  SELECT user_id, CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS spend
+      |  FROM events GROUP BY user_id),
+      |cuts AS (
+      |  SELECT quantile_cont(spend, 0.25) AS q1, quantile_cont(spend, 0.5) AS q2,
+      |   quantile_cont(spend, 0.75) AS q3 FROM spend)
+      |SELECT s.user_id, s.spend,
+      | 1 + CAST(s.spend > c.q1 AS BIGINT) + CAST(s.spend > c.q2 AS BIGINT)
+      |   + CAST(s.spend > c.q3 AS BIGINT) AS quartile
+      |FROM spend s CROSS JOIN cuts c
+      |ORDER BY s.user_id""".stripMargin
+
   /** Calendar gap fill: a generated day spine (`sequence` + explode
     * over the observed range) left-joined to daily signup counts, so
     * zero-activity days appear as explicit 0 rows — the time-series
@@ -2327,6 +2396,8 @@ object Queries {
     "q40_cube" -> (q40Cube _),
     "emb_quantize" -> (embQuantize _),
     "doc_length_hist" -> (docLengthHist _),
+    "q41_cust_order_dist" -> (q41CustOrderDist _),
+    "q42_spend_quartiles" -> (q42SpendQuartiles _),
     "emb_centroids" -> (embCentroids _),
     "q31_class_cohesion" -> (q31ClassCohesion _),
     "q32_split_stats" -> (q32SplitStats _),
@@ -2400,6 +2471,8 @@ object Queries {
     "q40_cube" -> q40CubeSql,
     "emb_quantize" -> embQuantizeSql,
     "doc_length_hist" -> docLengthHistSql,
+    "q41_cust_order_dist" -> q41CustOrderDistSql,
+    "q42_spend_quartiles" -> q42SpendQuartilesSql,
     "emb_centroids" -> embCentroidsSql,
     "q31_class_cohesion" -> q31ClassCohesionSql,
     "q32_split_stats" -> q32SplitStatsSql,
