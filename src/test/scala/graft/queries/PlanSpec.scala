@@ -144,6 +144,36 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("BroadcastNestedLoopJoin"), p.take(1200))
   }
 
+  test("curate_top_docs: per-source ranking is the bounded-heap aggregate, not a window") {
+    val p = plan(Queries.curateTopDocs(spark, sfSmoke))
+    assert(p.contains("partial_top_k_by_score"),
+      "expect a map-side partial top-k phase\n" + p.take(1200))
+    assert(!p.contains("Window"),
+      "per-source quality ranking must not shuffle into a window\n" + p.take(1200))
+  }
+
+  test("q42: quartile assignment is a broadcast of 3 cut values, never an ntile window") {
+    val p = plan(Queries.q42SpendQuartiles(spark, sfSmoke))
+    assert(!p.contains("Window"),
+      "quartiles must come from broadcast cuts, not a global ranking window\n" + p.take(1200))
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
+      "the 1-row cut table must broadcast\n" + p.take(1200))
+  }
+
+  test("emb_quantize: per-dim stats broadcast back; codes never sort-merge") {
+    val p = plan(Queries.embQuantize(spark, sfSmoke))
+    assert(p.contains("BroadcastHashJoin"),
+      "the 64-row dim-stats table must broadcast\n" + p.take(1200))
+    assert(!p.contains("SortMergeJoin"), p.take(1200))
+  }
+
+  test("corpus_mix_sample: per-lang rates broadcast; the corpus scan never shuffles pre-filter") {
+    val p = plan(Queries.corpusMixSample(spark, sfSmoke))
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 1,
+      "rate table must broadcast onto the scan\n" + p.take(1200))
+    assert(!p.contains("SortMergeJoin"), p.take(1200))
+  }
+
   test("whole-stage codegen covers the text-analysis projections") {
     val df = Queries.docStats(spark, sfSmoke)
     // AQE finalizes the plan only on execution — run THIS query
