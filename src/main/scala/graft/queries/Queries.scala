@@ -1968,6 +1968,80 @@ object Queries {
       |FROM spend s CROSS JOIN cuts c
       |ORDER BY s.user_id""".stripMargin
 
+  /** Trailing 7-day moving average of daily revenue, as a RANGE
+    * self-join on the day-aggregated table instead of a `RANGE
+    * BETWEEN` window: the daily table is calendar-bounded (~80 rows
+    * here; even a decade is ~3.7 k), so broadcasting it and joining
+    * `b.day BETWEEN a.day−6 AND a.day` costs nothing — while the
+    * window form would funnel the series through one unpartitioned
+    * sort task and print the global-window warning. Gaps handle
+    * themselves: `n_days` counts only observed days in each trailing
+    * range. Revenue stays DECIMAL until the ≤7-term sum, then widens
+    * once for the division (both IEEE-exact).
+    */
+  def q43MovingAvg(s: SparkSession, d: String): DataFrame = {
+    val daily = ev(s, d)
+      .groupBy(expr("ts_ns div 86400000000000").as("day"))
+      .agg(sum(col("value").cast("decimal(18,2)")).as("rev_d"))
+    daily.as("a")
+      .join(broadcast(daily.as("b")),
+        col("b.day").between(col("a.day") - 6, col("a.day")))
+      .groupBy(col("a.day").as("day"))
+      .agg(count(lit(1)).as("n_days"),
+        (sum(col("b.rev_d")).cast("double") / count(lit(1))).as("ma7"))
+      .orderBy(col("day"))
+  }
+
+  val q43MovingAvgSql =
+    """WITH daily AS (
+      |  SELECT epoch_ns(ts) // 86400000000000 AS day,
+      |   sum(CAST(value AS DECIMAL(18,2))) AS rev_d
+      |  FROM events GROUP BY 1)
+      |SELECT a.day, count(*) AS n_days,
+      | CAST(sum(b.rev_d) AS DOUBLE) / count(*) AS ma7
+      |FROM daily a JOIN daily b ON b.day BETWEEN a.day - 6 AND a.day
+      |GROUP BY a.day ORDER BY a.day""".stripMargin
+
+  /** Z-order layout report: interleave (user_id, day-offset) into a
+    * Morton key ([[graft.functions.Layout.zorderKey]]) and show that
+    * each contiguous 64-key range is an 8×8 TILE of the (user, day)
+    * plane — the property that lets min/max footer stats skip files
+    * for filters on EITHER dimension, where a plain (user, day) sort
+    * only serves its leading column. Pure codegen'd bit arithmetic +
+    * one bounded-cardinality aggregate.
+    */
+  def q44ZorderLayout(s: SparkSession, d: String): DataFrame = {
+    import graft.functions.Layout
+    val t = ev(s, d)
+      .select(col("user_id"), expr("ts_ns div 86400000000000").as("day"))
+    // rebase days to an offset so the interleave sees the bits that
+    // actually vary (raw epoch-days share constant high bits and
+    // would collapse every row into one bucket)
+    val d0 = t.agg(min(col("day")).as("d0"))
+    t.crossJoin(broadcast(d0))
+      .select(col("user_id"), (col("day") - col("d0")).as("d_off"))
+      .select(col("user_id"), col("d_off"),
+        Layout.zorderKey(col("user_id"), col("d_off")).as("zkey"))
+      .groupBy(shiftright(col("zkey"), 6).as("zbucket"))
+      .agg(count(lit(1)).as("cnt"),
+        min(col("user_id").bitwiseAND(lit(0xFFFFL))).as("u_min"),
+        max(col("user_id").bitwiseAND(lit(0xFFFFL))).as("u_max"),
+        min(col("d_off")).as("d_min"), max(col("d_off")).as("d_max"))
+      .orderBy(col("zbucket"))
+  }
+
+  val q44ZorderLayoutSql: String = {
+    val z = graft.functions.Layout.zorderKeySql("user_id", "d_off")
+    s"""WITH t AS (
+       |  SELECT user_id, epoch_ns(ts) // 86400000000000 AS t_day FROM events),
+       |o AS (SELECT user_id, t_day - (SELECT min(t_day) FROM t) AS d_off FROM t),
+       |z AS (SELECT user_id, d_off, $z AS zkey FROM o)
+       |SELECT zkey >> 6 AS zbucket, count(*) AS cnt,
+       | min(user_id & 65535) AS u_min, max(user_id & 65535) AS u_max,
+       | min(d_off) AS d_min, max(d_off) AS d_max
+       |FROM z GROUP BY zbucket ORDER BY zbucket""".stripMargin
+  }
+
   /** Calendar gap fill: a generated day spine (`sequence` + explode
     * over the observed range) left-joined to daily signup counts, so
     * zero-activity days appear as explicit 0 rows — the time-series
@@ -2398,6 +2472,8 @@ object Queries {
     "doc_length_hist" -> (docLengthHist _),
     "q41_cust_order_dist" -> (q41CustOrderDist _),
     "q42_spend_quartiles" -> (q42SpendQuartiles _),
+    "q43_moving_avg" -> (q43MovingAvg _),
+    "q44_zorder_layout" -> (q44ZorderLayout _),
     "emb_centroids" -> (embCentroids _),
     "q31_class_cohesion" -> (q31ClassCohesion _),
     "q32_split_stats" -> (q32SplitStats _),
@@ -2473,6 +2549,8 @@ object Queries {
     "doc_length_hist" -> docLengthHistSql,
     "q41_cust_order_dist" -> q41CustOrderDistSql,
     "q42_spend_quartiles" -> q42SpendQuartilesSql,
+    "q43_moving_avg" -> q43MovingAvgSql,
+    "q44_zorder_layout" -> q44ZorderLayoutSql,
     "emb_centroids" -> embCentroidsSql,
     "q31_class_cohesion" -> q31ClassCohesionSql,
     "q32_split_stats" -> q32SplitStatsSql,
