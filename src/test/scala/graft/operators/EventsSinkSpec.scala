@@ -51,4 +51,27 @@ class EventsSinkSpec extends SparkSpec {
     val sorted = rows.zip(rows.tail).forall { case (a, b) => a <= b }
     assert(sorted, s"file ${files.head} is not sorted by (user_id, ts)")
   }
+
+  test("z-ordered layout clusters files into bounded (user, hour) tiles on both dimensions") {
+    import spark.implicits._
+    val zpath = Files.createTempDirectory("graft-zsink").toString
+    EventsSink.writeZOrdered(Tables.eventsNorm(spark, sfSmoke), zpath)
+    assert(EventsSink.read(spark, zpath).count() ===
+      Tables.eventsNorm(spark, sfSmoke).count())
+    val files = Files.walk(java.nio.file.Paths.get(zpath))
+      .filter(_.toString.endsWith(".parquet")).toArray.map(_.toString)
+    assert(files.nonEmpty)
+    // within a file, consecutive Morton keys must be non-decreasing —
+    // the property that turns row-group min/max stats into 2-D tiles
+    val zrows = spark.read.parquet(files.head)
+      .select($"user_id", hour($"ts").cast("long").as("h"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    def morton(a: Long, b: Long): Long =
+      (0 until 16).foldLeft(0L) { (z, i) =>
+        z | (((a >> i) & 1L) << (2 * i)) | (((b >> i) & 1L) << (2 * i + 1))
+      }
+    val keys = zrows.map { case (u, h) => morton(u & 0xFFFF, h & 0xFFFF) }
+    assert(keys.zip(keys.tail).forall { case (a, b) => a <= b },
+      s"file ${files.head} is not in Morton order")
+  }
 }
