@@ -105,16 +105,16 @@ object StressBench {
       (sec, bytes)
     }
 
-    // JIT/codegen warmup at oracle scale so the timed small run
-    // measures the operator, not compilation
-    ops.foreach { case (name, _) => timed(name, "/root/testdata/sf0.01") }
+    // JIT/codegen warmup on the same data the timed runs read, so the
+    // timed small run measures the operator, not compilation
+    ops.foreach { case (name, _) => timed(name, sfDir) }
 
     val results = ops.map { case (name, r) =>
       val (tSmall, bSmall) = timed(name, sfDir)
       val (tBig, bBig) = timed(name, outDir)
-      val timeRatio = tBig / tSmall
       // floors: sub-second small runs and KB-scale shuffles are
       // overhead-dominated — compare against max(measured, floor)
+      val timeRatio = tBig / math.max(tSmall, 0.3)
       val byteRatio = bBig.toDouble / math.max(bSmall.toDouble, 1e6)
       require(timeRatio <= r * slack,
         f"$name wall-time scaled ${timeRatio}%.1fx for ${r}x rows (limit ${r * slack})")

@@ -196,9 +196,15 @@ object Dedup {
   def winnowPairs(docs: DataFrame, minShared: Long = 5, maxDf: Long = 50,
                   n: Int = 3, w: Int = 4,
                   textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    // Cached because the plan reads it three times (df filter + both
+    // self-join sides) and the md5-per-shingle fingerprint scan
+    // dominates — without the cache the corpus would be re-scanned
+    // and re-hashed per branch. Session-owned lifetime, same policy
+    // as [[minhashPairs]].
     val fps = docs
       .select(col(idCol).as("id"),
         explode(winnowFingerprints(col(textCol), n, w)).as("fp"))
+      .cache()
     // fingerprints are distinct per doc, so count(*) is doc frequency
     val keep = fps.groupBy(col("fp"))
       .agg(count(lit(1)).as("df"))

@@ -305,7 +305,7 @@ object Queries {
     s"""WITH m AS (SELECT doc_id,
        |  CAST(len(regexp_extract_all(text, '[A-Za-z0-9]+')) AS DOUBLE) AS n_tok,
        |  CAST(greatest(length(text), 1) AS DOUBLE) AS n_char,
-       |  CAST(len(list_filter(regexp_extract_all(lower(text), '[A-Za-z0-9]+'),
+       |  CAST(len(list_filter(regexp_extract_all(lower(text), '${org.apache.spark.sql.graft.TextTokens.TokenPattern}'),
        |        t -> t IN $stop)) AS DOUBLE) AS n_stop,
        |  CAST(len(regexp_extract_all(text, '[0-9]')) AS DOUBLE) AS n_digit,
        |  CAST(len(regexp_extract_all(text, '[.,;:!?]')) AS DOUBLE) AS n_punct
@@ -962,7 +962,7 @@ object Queries {
     s"""WITH m AS (SELECT doc_id,
        |  CAST(len(regexp_extract_all(text, '[A-Za-z0-9]+')) AS DOUBLE) AS n_tok,
        |  CAST(greatest(length(text), 1) AS DOUBLE) AS n_char,
-       |  CAST(len(list_filter(regexp_extract_all(lower(text), '[A-Za-z0-9]+'),
+       |  CAST(len(list_filter(regexp_extract_all(lower(text), '${org.apache.spark.sql.graft.TextTokens.TokenPattern}'),
        |        t -> t IN $stop)) AS DOUBLE) AS n_stop,
        |  CAST(len(regexp_extract_all(text, '[0-9]')) AS DOUBLE) AS n_digit,
        |  CAST(len(regexp_extract_all(text, '[.,;:!?]')) AS DOUBLE) AS n_punct
@@ -1136,7 +1136,7 @@ object Queries {
        |m AS (SELECT doc_id,
        |  CAST(len(regexp_extract_all(text, '[A-Za-z0-9]+')) AS DOUBLE) AS n_tok,
        |  CAST(greatest(length(text), 1) AS DOUBLE) AS n_char,
-       |  CAST(len(list_filter(regexp_extract_all(lower(text), '[A-Za-z0-9]+'),
+       |  CAST(len(list_filter(regexp_extract_all(lower(text), '${org.apache.spark.sql.graft.TextTokens.TokenPattern}'),
        |        t -> t IN $stop)) AS DOUBLE) AS n_stop,
        |  CAST(len(regexp_extract_all(text, '[0-9]')) AS DOUBLE) AS n_digit,
        |  CAST(len(regexp_extract_all(text, '[.,;:!?]')) AS DOUBLE) AS n_punct
@@ -1345,7 +1345,7 @@ object Queries {
     s"""WITH m AS (SELECT doc_id, source,
        |  CAST(len(regexp_extract_all(text, '[A-Za-z0-9]+')) AS DOUBLE) AS n_tok,
        |  CAST(greatest(length(text), 1) AS DOUBLE) AS n_char,
-       |  CAST(len(list_filter(regexp_extract_all(lower(text), '[A-Za-z0-9]+'),
+       |  CAST(len(list_filter(regexp_extract_all(lower(text), '${org.apache.spark.sql.graft.TextTokens.TokenPattern}'),
        |        t -> t IN $stop)) AS DOUBLE) AS n_stop,
        |  CAST(len(regexp_extract_all(text, '[0-9]')) AS DOUBLE) AS n_digit,
        |  CAST(len(regexp_extract_all(text, '[.,;:!?]')) AS DOUBLE) AS n_punct
@@ -1784,7 +1784,7 @@ object Queries {
     s"""WITH m AS (SELECT source, doc_id,
        |  CAST(len(regexp_extract_all(text, '[A-Za-z0-9]+')) AS DOUBLE) AS n_tok,
        |  CAST(greatest(length(text), 1) AS DOUBLE) AS n_char,
-       |  CAST(len(list_filter(regexp_extract_all(lower(text), '[A-Za-z0-9]+'),
+       |  CAST(len(list_filter(regexp_extract_all(lower(text), '${org.apache.spark.sql.graft.TextTokens.TokenPattern}'),
        |        t -> t IN $stop)) AS DOUBLE) AS n_stop,
        |  CAST(len(regexp_extract_all(text, '[0-9]')) AS DOUBLE) AS n_digit,
        |  CAST(len(regexp_extract_all(text, '[.,;:!?]')) AS DOUBLE) AS n_punct

@@ -72,7 +72,12 @@ object GraftSqlFunctions {
       new ExpressionInfo(classOf[TokensInSetCount].getName, "tokens_in_set_count"),
       (es: Seq[Expression]) => {
         require(es(1).foldable, "word list must be a literal")
-        val words = es(1).eval().toString.split(',').toSeq
+        val lit = es(1).eval()
+        require(lit != null, "word list must be a non-NULL comma-separated string")
+        // trim around commas: the token scan can never emit a token
+        // containing whitespace, so an untrimmed " and" would be a
+        // silently dead marker
+        val words = lit.toString.split(',').toSeq.map(_.trim).filter(_.nonEmpty)
         TokensInSetCount(es(0), words)
       }),
     (FunctionIdentifier("lang_id"),

@@ -55,7 +55,10 @@ case class JsonObjectKeys(child: Expression)
   override protected def withNewChildInternal(newChild: Expression): JsonObjectKeys =
     copy(child = newChild)
 
-  override def prettyName: String = "json_object_keys"
+  // matches the SQL registration: Spark ships a BUILT-IN (lenient,
+  // insertion-ordered) json_object_keys, and plan/SQL regeneration
+  // printing that name would silently re-resolve to it
+  override def prettyName: String = "json_keys_strict"
 }
 
 object JsonObjectKeys {

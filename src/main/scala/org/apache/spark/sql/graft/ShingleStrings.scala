@@ -69,24 +69,7 @@ object ShingleStrings {
 
   /** Called from generated code. */
   def compute(text: UTF8String, n: Int): GenericArrayData = {
-    val bytes = text.getBytes
-    // token spans as lowercased strings (tokens are pure ASCII by
-    // construction, so byte-level lowering is exact)
-    val toks = new java.util.ArrayList[String]()
-    val sb = new java.lang.StringBuilder()
-    var i = 0
-    while (i <= bytes.length) {
-      val c: Int = if (i < bytes.length) bytes(i) & 0xff else -1
-      val lower = if (c >= 'A' && c <= 'Z') c + 32 else c
-      val isTok = (lower >= 'a' && lower <= 'z') || (lower >= '0' && lower <= '9')
-      if (isTok) {
-        sb.append(lower.toChar)
-      } else if (sb.length > 0) {
-        toks.add(sb.toString)
-        sb.setLength(0)
-      }
-      i += 1
-    }
+    val toks = AsciiTokens.tokenize(text.getBytes)
     val m = toks.size()
     val out = new JLinkedHashSet[String]()
     var j = 0

@@ -70,24 +70,7 @@ object WinnowFingerprints {
 
   /** Called from generated code. */
   def compute(text: UTF8String, n: Int, w: Int): GenericArrayData = {
-    val bytes = text.getBytes
-    // Same tokenizer as ShingleStrings.compute: maximal [a-z0-9]+
-    // runs of the byte-lowercased text.
-    val toks = new java.util.ArrayList[String]()
-    val sb = new java.lang.StringBuilder()
-    var i = 0
-    while (i <= bytes.length) {
-      val c: Int = if (i < bytes.length) bytes(i) & 0xff else -1
-      val lower = if (c >= 'A' && c <= 'Z') c + 32 else c
-      val isTok = (lower >= 'a' && lower <= 'z') || (lower >= '0' && lower <= '9')
-      if (isTok) {
-        sb.append(lower.toChar)
-      } else if (sb.length > 0) {
-        toks.add(sb.toString)
-        sb.setLength(0)
-      }
-      i += 1
-    }
+    val toks = AsciiTokens.tokenize(text.getBytes)
     val m = toks.size()
     val nShingles = m - n + 1
     if (nShingles < w) return new GenericArrayData(new Array[Any](0))
