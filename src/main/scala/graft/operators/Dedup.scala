@@ -173,6 +173,66 @@ object Dedup {
       .filter(col("hamming") <= maxHamming)
   }
 
+  /** EXACT-recall near-duplicate join by prefix filtering (the
+    * SSJoin/PPJoin family, Chaudhuri et al. ICDE 2006 / Xiao et al.
+    * WWW 2008) — the deterministic alternative to [[minhashPairs]]:
+    * no LSH tuning, no probabilistic misses. Order all shingles by
+    * global rarity (document frequency asc, hash asc); a pair with
+    * Jaccard ≥ t MUST share one of each side's `|S| − ⌈t·|S|⌉ + 1`
+    * rarest shingles, so joining only those prefixes has 100% recall
+    * while rare-first ordering keeps the join buckets small. The
+    * standard length filter (`t·|A| ≤ |B| ≤ |A|/t`) prunes candidates
+    * before the exact-Jaccard verify.
+    *
+    * The threshold is a RATIONAL `tNum/tDen`, not a double: the
+    * prefix bound ⌈t·|S|⌉ must be computed in exact integer
+    * arithmetic — IEEE `0.7·10 = 7.000…0001` would ceil to 8 and
+    * silently shorten the prefix below the safe bound, losing exactly
+    * the boundary pairs the theorem guarantees.
+    *
+    * Scale shape: one df aggregate keyed by shingle hash, a per-doc
+    * bounded ranking window (cardinality = doc shingle count), a
+    * candidate join keyed by RARE shingles only, verify on
+    * candidates. All shuffles on bounded keys; nothing all-pairs.
+    */
+  def prefixFilterPairs(docs: DataFrame, tNum: Int = 7, tDen: Int = 10,
+                        textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    require(tNum > 0 && tDen > 0 && tNum <= tDen, "threshold must be in (0, 1]")
+    import org.apache.spark.sql.expressions.Window
+    // read by the df aggregate, both prefix sides, and the verify
+    // joins — session-owned cache lifetime, same policy as minhashPairs
+    val hashed = docs
+      .select(col(idCol).as("id"),
+        org.apache.spark.sql.graft.ShingleHashes(col(textCol), 3).as("hs"))
+      .filter(size(col("hs")) > 0)
+      .cache()
+    val exploded = hashed.select(
+      col("id"), explode(col("hs")).as("h"), size(col("hs")).as("len"))
+    val dfreq = exploded.groupBy(col("h")).agg(count(lit(1)).as("df"))
+    val w = Window.partitionBy(col("id")).orderBy(col("df"), col("h"))
+    val prefixes = exploded.join(dfreq, "h")
+      .withColumn("rn", row_number().over(w))
+      // p = len − ⌈t·len⌉ + 1, with ⌈tNum·len/tDen⌉ integer-exact
+      .filter(col("rn") <=
+        col("len") - expr(s"(len * $tNum + ${tDen - 1}) div $tDen") + 1)
+      .select(col("h"), col("id"), col("len"))
+    val candidates = prefixes.select(col("h"), col("id").as("id_a"), col("len").as("len_a"))
+      .join(prefixes.select(col("h"), col("id").as("id_b"), col("len").as("len_b")), "h")
+      .filter(col("id_a") < col("id_b"))
+      // length filter: J ≥ t forces t·|A| ≤ |B| and t·|B| ≤ |A|
+      .filter(col("len_a") * tNum <= col("len_b") * tDen &&
+        col("len_b") * tNum <= col("len_a") * tDen)
+      .select("id_a", "id_b").distinct()
+    candidates
+      .join(hashed.select(col("id").as("id_a"), col("hs").as("hs_a")), "id_a")
+      .join(hashed.select(col("id").as("id_b"), col("hs").as("hs_b")), "id_b")
+      .withColumn("jaccard",
+        size(array_intersect(col("hs_a"), col("hs_b"))).cast("double") /
+          size(array_union(col("hs_a"), col("hs_b"))).cast("double"))
+      .filter(col("jaccard") >= lit(tNum.toDouble / tDen))
+      .select("id_a", "id_b", "jaccard")
+  }
+
   /** Per-document winnowing fingerprints
     * ([[org.apache.spark.sql.graft.WinnowFingerprints]] — the MOSS
     * algorithm, Schleimer et al. SIGMOD 2003): ascending distinct

@@ -393,6 +393,20 @@ object Queries {
       |SELECT id_a, id_b, jaccard FROM pairs WHERE jaccard >= 0.7
       |ORDER BY id_a, id_b""".stripMargin
 
+  /** Prefix-filtered exact near-dup join ([[Dedup.prefixFilterPairs]],
+    * the SSJoin/PPJoin family): 100% recall by construction — rarest
+    * `|S| − ⌈t·|S|⌉ + 1` shingles as join keys, integer-exact prefix
+    * bound, length filter, exact-Jaccard verify. Its oracle is the
+    * SAME ground-truth all-pairs query as `dedup_minhash`: where LSH
+    * passes that oracle probabilistically (miss ≈ 2e-5), this plan
+    * must equal it EXACTLY, every run, at any scale.
+    */
+  def dedupPrefix(s: SparkSession, d: String): DataFrame =
+    Dedup.prefixFilterPairs(docs(s, d), tNum = 7, tDen = 10)
+      .orderBy(col("id_a"), col("id_b"))
+
+  val dedupPrefixSql: String = dedupMinhashSql
+
   // ---------------------------------------------------------------
   // LLM-data-pipeline surface: similarity search
   // ---------------------------------------------------------------
@@ -2474,6 +2488,7 @@ object Queries {
     "q42_spend_quartiles" -> (q42SpendQuartiles _),
     "q43_moving_avg" -> (q43MovingAvg _),
     "q44_zorder_layout" -> (q44ZorderLayout _),
+    "dedup_prefix" -> (dedupPrefix _),
     "emb_centroids" -> (embCentroids _),
     "q31_class_cohesion" -> (q31ClassCohesion _),
     "q32_split_stats" -> (q32SplitStats _),
@@ -2551,6 +2566,7 @@ object Queries {
     "q42_spend_quartiles" -> q42SpendQuartilesSql,
     "q43_moving_avg" -> q43MovingAvgSql,
     "q44_zorder_layout" -> q44ZorderLayoutSql,
+    "dedup_prefix" -> dedupPrefixSql,
     "emb_centroids" -> embCentroidsSql,
     "q31_class_cohesion" -> q31ClassCohesionSql,
     "q32_split_stats" -> q32SplitStatsSql,

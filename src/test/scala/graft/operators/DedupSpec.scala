@@ -84,6 +84,39 @@ class DedupSpec extends SparkSpec {
     assert(found === truth)
   }
 
+  test("driver documents table: prefix filtering equals the all-pairs ground truth exactly") {
+    graft.GraftSession.tune(spark)
+    val docs = graft.tables.Tables.documents(spark, sfSmoke)
+    import org.apache.spark.sql.functions._
+    val sh = docs.select($"doc_id", Dedup.shingles($"text").as("sh"))
+      .filter(size($"sh") > 0)
+    val truth = sh.select($"doc_id".as("id_a"), $"sh".as("sh_a"))
+      .crossJoin(sh.select($"doc_id".as("id_b"), $"sh".as("sh_b")))
+      .filter($"id_a" < $"id_b")
+      .withColumn("jaccard",
+        size(array_intersect($"sh_a", $"sh_b")).cast("double") /
+          size(array_union($"sh_a", $"sh_b")).cast("double"))
+      .filter($"jaccard" >= 0.7)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val found = Dedup.prefixFilterPairs(docs, tNum = 7, tDen = 10)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(truth.nonEmpty)
+    assert(found === truth)
+  }
+
+  test("prefix filtering keeps boundary pairs where float ceil would lose them") {
+    // two docs sharing exactly J = 0.7: 7 shared of 10-shingle union.
+    // a has 10 shingles (12 tokens), b has 7, all shared. J = 7/10.
+    // the IEEE prefix bound ceil(0.7*10)=ceil(7.000000000000001)=8
+    // would shorten a's prefix from 4 to 3 — the rational bound keeps 4.
+    val shared = "t1 t2 t3 t4 t5 t6 t7 t8 t9"
+    val a = (1L, shared + " x1 x2 x3")
+    val b = (2L, shared)
+    val pairs = Dedup.prefixFilterPairs(Seq(a, b).toDF("doc_id", "text"))
+      .select($"id_a", $"id_b", $"jaccard").as[(Long, Long, Double)].collect().toSeq
+    assert(pairs === Seq((1L, 2L, 0.7)))
+  }
+
   test("native shingle strings equal the Column-pipeline specification on randomized texts") {
     import org.apache.spark.sql.functions._
     // the interpreted formulation ShingleStrings replaced, kept here
