@@ -2056,6 +2056,105 @@ object Queries {
        |FROM z GROUP BY zbucket ORDER BY zbucket""".stripMargin
   }
 
+  /** Deterministic k-per-group sample — the scale-correct
+    * "reservoir": score each doc by a portable md5 hash coin and keep
+    * each source's top-3 through the bounded-heap
+    * [[org.apache.spark.sql.graft.TopKByScore]] aggregate. Groups
+    * are few and corpus-sized, so a `row_number` window would
+    * funnel every doc through |sources| ranking partitions; the
+    * heap's map side reduces each partition to one 3-slot heap per
+    * source before any shuffle. The hash key shifts right 7 bits so
+    * the 53-bit double score slot holds it exactly; no `rand()`
+    * anywhere, so the sample is reproducible and auditable.
+    */
+  def sampleKPerSource(s: SparkSession, d: String): DataFrame =
+    docs(s, d)
+      .select(col("source"), col("doc_id"),
+        shiftright(
+          expr("cast(conv(substr(md5(cast(doc_id as string)), 1, 15), 16, 10) as long)"),
+          7).cast("double").as("key_d"))
+      .groupBy(col("source"))
+      .agg(org.apache.spark.sql.graft.TopKByScore(
+        col("key_d"), col("doc_id"), 3).as("top"))
+      .select(col("source"), posexplode(col("top")).as(Seq("pos", "t")))
+      .select(col("source"), col("t.id").as("doc_id"),
+        (col("pos") + 1).cast("long").as("rnk"))
+      .orderBy(col("source"), col("rnk"))
+
+  val sampleKPerSourceSql =
+    """WITH keyed AS (
+      |  SELECT source, doc_id,
+      |   ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT >> 7 AS k
+      |  FROM documents),
+      |r AS (
+      |  SELECT source, doc_id,
+      |   row_number() OVER (PARTITION BY source ORDER BY k DESC, doc_id) AS rnk
+      |  FROM keyed)
+      |SELECT source, doc_id, CAST(rnk AS BIGINT) AS rnk
+      |FROM r WHERE rnk <= 3 ORDER BY source, rnk""".stripMargin
+
+  /** Per-source vocabulary drift: the chi-square statistic of each
+    * source's term counts against the corpus distribution over the
+    * top-200 corpus terms — the "which provider's text looks
+    * different" report a mix builder watches. Per-term contributions
+    * `(o−e)²/e` are IEEE-exact chains, then accumulate as FIXED-POINT
+    * micros (`floor(·10⁶)` longs) so the cross-term sum is
+    * associative — order-independent under Spark's partial
+    * aggregation AND bit-identical in the oracle. Shapes: one
+    * token explode, term-keyed counts, a broadcast 200-term
+    * vocabulary, one source-keyed aggregate.
+    */
+  def sourceDrift(s: SparkSession, d: String): DataFrame = {
+    val terms = docs(s, d)
+      .select(col("source"), explode(Dedup.toks(col("text"))).as("term"))
+    val corpus = terms.groupBy(col("term")).agg(count(lit(1)).as("c_t"))
+      .orderBy(col("c_t").desc, col("term")).limit(200)
+    val nTotal = terms.agg(count(lit(1)).as("n_total"))
+    val perSource = terms.groupBy(col("source")).agg(count(lit(1)).as("n_s"))
+    val obs = terms.join(broadcast(corpus), "term")
+      .groupBy(col("source"), col("term")).agg(count(lit(1)).as("o_st"))
+    // right-join the (source x top-term) frame so absent terms count
+    // as o=0 — chi-square needs the zero cells
+    val grid = perSource.crossJoin(broadcast(corpus))
+    grid.join(obs, Seq("source", "term"), "left")
+      .na.fill(0L, Seq("o_st"))
+      .crossJoin(broadcast(nTotal))
+      .withColumn("e_st",
+        col("n_s").cast("double") * col("c_t").cast("double") / col("n_total").cast("double"))
+      .withColumn("contrib_fp",
+        floor((col("o_st").cast("double") - col("e_st")) *
+          (col("o_st").cast("double") - col("e_st")) / col("e_st") * lit(1000000.0))
+          .cast("long"))
+      .groupBy(col("source"))
+      .agg(sum(col("contrib_fp")).as("chi2_fp"), count(lit(1)).as("n_terms"))
+      .orderBy(col("source"))
+  }
+
+  val sourceDriftSql =
+    """WITH terms AS (
+      |  SELECT source, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS term
+      |  FROM documents),
+      |corpus AS (
+      |  SELECT term, count(*) AS c_t FROM terms GROUP BY term
+      |  ORDER BY c_t DESC, term LIMIT 200),
+      |n AS (SELECT count(*) AS n_total FROM terms),
+      |per_source AS (SELECT source, count(*) AS n_s FROM terms GROUP BY source),
+      |obs AS (
+      |  SELECT t.source, t.term, count(*) AS o_st
+      |  FROM terms t JOIN corpus c ON t.term = c.term
+      |  GROUP BY t.source, t.term),
+      |grid AS (SELECT p.source, p.n_s, c.term, c.c_t FROM per_source p CROSS JOIN corpus c),
+      |cells AS (
+      |  SELECT g.source,
+      |   CAST(floor((CAST(coalesce(o.o_st, 0) AS DOUBLE) - e.e_st)
+      |     * (CAST(coalesce(o.o_st, 0) AS DOUBLE) - e.e_st) / e.e_st * 1000000.0) AS BIGINT) AS contrib_fp
+      |  FROM grid g
+      |  LEFT JOIN obs o ON g.source = o.source AND g.term = o.term
+      |  CROSS JOIN n,
+      |  LATERAL (SELECT CAST(g.n_s AS DOUBLE) * CAST(g.c_t AS DOUBLE) / CAST(n.n_total AS DOUBLE) AS e_st) e)
+      |SELECT source, CAST(sum(contrib_fp) AS BIGINT) AS chi2_fp, count(*) AS n_terms
+      |FROM cells GROUP BY source ORDER BY source""".stripMargin
+
   /** Calendar gap fill: a generated day spine (`sequence` + explode
     * over the observed range) left-joined to daily signup counts, so
     * zero-activity days appear as explicit 0 rows — the time-series
@@ -2489,6 +2588,8 @@ object Queries {
     "q43_moving_avg" -> (q43MovingAvg _),
     "q44_zorder_layout" -> (q44ZorderLayout _),
     "dedup_prefix" -> (dedupPrefix _),
+    "sample_k_per_source" -> (sampleKPerSource _),
+    "source_drift" -> (sourceDrift _),
     "emb_centroids" -> (embCentroids _),
     "q31_class_cohesion" -> (q31ClassCohesion _),
     "q32_split_stats" -> (q32SplitStats _),
@@ -2567,6 +2668,8 @@ object Queries {
     "q43_moving_avg" -> q43MovingAvgSql,
     "q44_zorder_layout" -> q44ZorderLayoutSql,
     "dedup_prefix" -> dedupPrefixSql,
+    "sample_k_per_source" -> sampleKPerSourceSql,
+    "source_drift" -> sourceDriftSql,
     "emb_centroids" -> embCentroidsSql,
     "q31_class_cohesion" -> q31ClassCohesionSql,
     "q32_split_stats" -> q32SplitStatsSql,
