@@ -2155,6 +2155,114 @@ object Queries {
       |SELECT source, CAST(sum(contrib_fp) AS BIGINT) AS chi2_fp, count(*) AS n_terms
       |FROM cells GROUP BY source ORDER BY source""".stripMargin
 
+  /** Unigram language-model score per document — the CCNet-style
+    * "does this read like the corpus" quality signal used to rank
+    * crawl text before training. Each doc scores the mean corpus
+    * probability of its tokens: gibberish and rare-token soup score
+    * near zero, template-y common text scores high. Arithmetic mean
+    * of p(term) instead of the classic mean-log-prob (perplexity):
+    * `ln` is libm-dependent so its last ulp can differ across
+    * engines, while `c_t/n_total` is one correctly-rounded IEEE
+    * divide — the probability is bit-identical anywhere, and
+    * `floor(p·10¹²)` makes each token's contribution an integer, so
+    * the per-doc sum is associative under Spark's partial
+    * aggregation. Ranking differs from mean-log only in the tail
+    * emphasis (both are monotone "more common ⇒ higher").
+    *
+    * Shape: one token explode → (doc, term, tf); term-keyed join to
+    * the corpus unigram counts (vocabulary-sized — a shuffle join,
+    * NOT broadcast: web-scale vocab is gigabytes); one doc-keyed
+    * aggregate. Integer math end-to-end after the single floor.
+    */
+  def docLmScore(s: SparkSession, d: String): DataFrame = {
+    val terms = docs(s, d)
+      .select(col("doc_id"), explode(Dedup.toks(col("text"))).as("term"))
+    val tf = terms.groupBy(col("doc_id"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val vocab = terms.groupBy(col("term")).agg(count(lit(1)).as("c_t"))
+    val n = terms.agg(count(lit(1)).as("n_total"))
+    tf.join(vocab, "term")
+      .crossJoin(broadcast(n))
+      .withColumn("contrib_fp",
+        col("tf") * floor(col("c_t").cast("double") /
+          col("n_total").cast("double") * lit(1e12)).cast("long"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("contrib_fp")).as("sum_fp"),
+        sum(col("tf")).as("n_toks"))
+      // integer (truncating) division — both operands non-negative,
+      // so it agrees with DuckDB's floor-division `//`
+      .select(col("doc_id"), col("n_toks"),
+        expr("sum_fp div n_toks").as("lm_fp"))
+      .orderBy(col("doc_id"))
+  }
+
+  val docLmScoreSql: String =
+    """WITH terms AS (
+      |  SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS term
+      |  FROM documents),
+      |tf AS (SELECT doc_id, term, count(*) AS tf FROM terms GROUP BY doc_id, term),
+      |vocab AS (SELECT term, count(*) AS c_t FROM terms GROUP BY term),
+      |n AS (SELECT count(*) AS n_total FROM terms),
+      |cells AS (
+      |  SELECT tf.doc_id, tf.tf,
+      |   tf.tf * CAST(floor(CAST(c_t AS DOUBLE) / CAST(n_total AS DOUBLE) * 1000000000000.0) AS BIGINT) AS contrib_fp
+      |  FROM tf JOIN vocab USING (term) CROSS JOIN n)
+      |SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n_toks,
+      | CAST(sum(contrib_fp) AS BIGINT) // CAST(sum(tf) AS BIGINT) AS lm_fp
+      |FROM cells GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
+  /** Cross-source duplication matrix: how many verified near-dup
+    * pairs (exact Jaccard ≥ 0.7, found via the MinHash+LSH path)
+    * link each pair of sources — the "which providers resell the
+    * same crawl" report that decides what a mix builder should
+    * de-weight. Source pair is normalized (least, greatest) so a
+    * pair is counted once regardless of direction; intra-source
+    * duplication shows up on the diagonal.
+    *
+    * Shape: [[Dedup.minhashPairs]]'s band-keyed candidate join and
+    * hash-set verify (ids only in flight), then two doc-id-keyed
+    * joins to the (doc_id, source) projection — the pairs side is
+    * tiny post-verify, so AQE broadcasts it — and one aggregate on
+    * the bounded source-pair key.
+    */
+  def dupSourceMatrix(s: SparkSession, d: String): DataFrame = {
+    val dd = docs(s, d)
+    val src = dd.select(col("doc_id"), col("source"))
+    Dedup.minhashPairs(dd)
+      .join(src.select(col("doc_id").as("id_a"), col("source").as("src_a")), "id_a")
+      .join(src.select(col("doc_id").as("id_b"), col("source").as("src_b")), "id_b")
+      .select(least(col("src_a"), col("src_b")).as("source_a"),
+        greatest(col("src_a"), col("src_b")).as("source_b"))
+      .groupBy(col("source_a"), col("source_b"))
+      .agg(count(lit(1)).as("n_pairs"))
+      .orderBy(col("source_a"), col("source_b"))
+  }
+
+  // Oracle: ground-truth ALL-PAIRS exact string-shingle Jaccard (the
+  // same oracle shape dedup_minhash uses — LSH miss prob ≈2e-5 and
+  // 64-bit hash-set Jaccard ≡ string-set Jaccard up to 2⁻⁶⁴
+  // collisions, so the pair sets agree), rolled up by source pair.
+  val dupSourceMatrixSql: String =
+    """WITH toks AS (
+      |  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS t FROM documents),
+      |sh AS (
+      |  SELECT doc_id,
+      |   list_distinct([t[i] || ' ' || t[i+1] || ' ' || t[i+2] FOR i IN range(1, len(t) - 1)]) AS s
+      |  FROM toks),
+      |pairs AS (
+      |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+      |   CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) /
+      |   CAST(len(list_distinct(list_concat(a.s, b.s))) AS DOUBLE) AS jaccard
+      |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+      |  WHERE len(a.s) > 0 AND len(b.s) > 0),
+      |dup AS (SELECT id_a, id_b FROM pairs WHERE jaccard >= 0.7)
+      |SELECT least(da.source, db.source) AS source_a,
+      | greatest(da.source, db.source) AS source_b, count(*) AS n_pairs
+      |FROM dup
+      |JOIN documents da ON da.doc_id = dup.id_a
+      |JOIN documents db ON db.doc_id = dup.id_b
+      |GROUP BY source_a, source_b ORDER BY source_a, source_b""".stripMargin
+
   /** Calendar gap fill: a generated day spine (`sequence` + explode
     * over the observed range) left-joined to daily signup counts, so
     * zero-activity days appear as explicit 0 rows — the time-series
@@ -2590,6 +2698,8 @@ object Queries {
     "dedup_prefix" -> (dedupPrefix _),
     "sample_k_per_source" -> (sampleKPerSource _),
     "source_drift" -> (sourceDrift _),
+    "doc_lm_score" -> (docLmScore _),
+    "dup_source_matrix" -> (dupSourceMatrix _),
     "emb_centroids" -> (embCentroids _),
     "q31_class_cohesion" -> (q31ClassCohesion _),
     "q32_split_stats" -> (q32SplitStats _),
@@ -2670,6 +2780,8 @@ object Queries {
     "dedup_prefix" -> dedupPrefixSql,
     "sample_k_per_source" -> sampleKPerSourceSql,
     "source_drift" -> sourceDriftSql,
+    "doc_lm_score" -> docLmScoreSql,
+    "dup_source_matrix" -> dupSourceMatrixSql,
     "emb_centroids" -> embCentroidsSql,
     "q31_class_cohesion" -> q31ClassCohesionSql,
     "q32_split_stats" -> q32SplitStatsSql,
