@@ -174,6 +174,34 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("SortMergeJoin"), p.take(1200))
   }
 
+  test("sample_k_per_source: deterministic sampling ranks via the bounded heap, not a window") {
+    val p = plan(Queries.sampleKPerSource(spark, sfSmoke))
+    assert(p.contains("partial_top_k_by_score"),
+      "expect a map-side partial top-k phase\n" + p.take(1200))
+    assert(!p.contains("Window"),
+      "per-source sampling must not shuffle the corpus into a ranking window\n" + p.take(1200))
+  }
+
+  test("source_drift: the 200-term vocabulary broadcasts; no cartesian blowup") {
+    val p = plan(Queries.sourceDrift(spark, sfSmoke))
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 1,
+      "the capped top-term vocabulary must broadcast onto the token stream\n" + p.take(1200))
+    assert(!p.contains("CartesianProduct"), p.take(1200))
+  }
+
+  test("doc_lm_score: per-doc LM score is partial+final aggregation, no window") {
+    val p = plan(Queries.docLmScore(spark, sfSmoke))
+    assert("HashAggregate".r.findAllIn(p).size >= 2,
+      "expect map-side partial aggregation on the doc key\n" + p.take(1200))
+    assert(!p.contains("Window"), p.take(1200))
+  }
+
+  test("dup_source_matrix: LSH pair discovery and source roll-up never go cartesian") {
+    val p = plan(Queries.dupSourceMatrix(spark, sfSmoke))
+    assert(!p.contains("CartesianProduct"), p.take(1200))
+    assert(!p.contains("BroadcastNestedLoopJoin"), p.take(1200))
+  }
+
   test("whole-stage codegen covers the text-analysis projections") {
     val df = Queries.docStats(spark, sfSmoke)
     // AQE finalizes the plan only on execution — run THIS query
