@@ -27,7 +27,11 @@ object Similarity {
       zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
       lit(0.0), (acc, v) => acc + v)
 
-  def norm(a: Column): Column = sqrt(dot(a, a))
+  /** L2 norm — native codegen'd expression
+    * ([[org.apache.spark.sql.graft.VectorNorm]]), bit-identical to
+    * `sqrt(dot(a, a))` (same sequential double accumulation).
+    */
+  def norm(a: Column): Column = org.apache.spark.sql.graft.VectorNorm(a)
 
   /** Cosine similarity — native codegen'd expression
     * ([[org.apache.spark.sql.graft.CosineSimilarity]]), bit-identical

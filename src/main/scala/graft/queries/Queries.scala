@@ -2631,6 +2631,196 @@ object Queries {
       | count(*) AS n_docs, CAST(sum(n_tok) AS BIGINT) AS pack_tokens
       |FROM c GROUP BY source, pack_id ORDER BY source, pack_id""".stripMargin
 
+  /** Sliding-window context chunking: each document's token stream
+    * cut into fixed 64-token windows with stride 48 (16-token
+    * overlap) — the context-window prep step between cleaning and
+    * tokenization in a training-data pipeline (and the chunker of
+    * every retrieval corpus). Complements `q37_pack_budget`: packing
+    * assembles SHORT docs into fixed budgets, chunking splits LONG
+    * docs across them.
+    *
+    * Scale shape: a pure flatMap — tokenize once, explode a
+    * chunk-index sequence, then `slice`/`array_join` from the
+    * retained token array (ordinary codegen'd expressions, NOT
+    * interpreted lambdas); no shuffle before the output sort. Chunk
+    * count per doc is bounded by doc length, never corpus size, and
+    * the token array never shuffles (the explode and slices happen
+    * inside the scan stage).
+    */
+  def docChunks(s: SparkSession, d: String): DataFrame = {
+    val W = 64
+    val S = 48
+    val toks = TextFunctions.tokens(col("text"))
+    docs(s, d)
+      .select(col("doc_id"), toks.as("toks"), size(toks).cast("long").as("n"))
+      .select(col("doc_id"), col("toks"), col("n"),
+        explode(sequence(lit(0L),
+          when(col("n") <= W, lit(0L))
+            .otherwise(ceil((col("n") - lit(W)).cast("double") / lit(S)))
+            .cast("long"))).as("chunk_id"))
+      .select(col("doc_id"), col("chunk_id"),
+        least(col("n") - col("chunk_id") * S, lit(W.toLong)).cast("long").as("n_tokens"),
+        array_join(
+          slice(col("toks"), (col("chunk_id") * S + 1).cast("int"), lit(W)),
+          " ").as("chunk_text"))
+      .orderBy(col("doc_id"), col("chunk_id"))
+  }
+
+  val docChunksSql =
+    """WITH t AS (
+      |  SELECT doc_id, regexp_extract_all(text, '[A-Za-z0-9]+') AS toks,
+      |   CAST(len(regexp_extract_all(text, '[A-Za-z0-9]+')) AS BIGINT) AS n
+      |  FROM documents),
+      |c AS (
+      |  SELECT doc_id, toks, n,
+      |   unnest(range(0, CASE WHEN n <= 64 THEN 1
+      |     ELSE CAST(ceil((n - 64) / 48.0) AS BIGINT) + 1 END)) AS chunk_id
+      |  FROM t)
+      |SELECT doc_id, chunk_id,
+      | CAST(least(n - chunk_id * 48, 64) AS BIGINT) AS n_tokens,
+      | array_to_string(list_slice(toks, chunk_id * 48 + 1, chunk_id * 48 + 64), ' ') AS chunk_text
+      |FROM c ORDER BY doc_id, chunk_id""".stripMargin
+
+  /** Canonical-document selection: for every near-dup cluster
+    * ([[Dedup.nearDupClusters]] — the same connected components as
+    * `dedup_clusters`), keep the HIGHEST-QUALITY member (ties → the
+    * lowest doc id) — the curation rule real pipelines apply where
+    * `corpus_clean_cc`'s keep-min-id is the simplest stand-in. One
+    * extra doc-keyed aggregate over the cluster labels: the arg-max
+    * is a single `max(struct(quality, -doc_id))` with map-side
+    * partials — never a per-cluster ranking window.
+    */
+  def dedupCanonical(s: SparkSession, d: String): DataFrame = {
+    val dcs = docs(s, d)
+    val quality = dcs.select(col("doc_id"),
+      TextFunctions.qualityScore(col("text")).as("quality"))
+    Dedup.nearDupClusters(dcs, threshold = 0.7)
+      .join(quality, "doc_id")
+      .groupBy(col("cluster_id"))
+      .agg(count(lit(1)).as("n_docs"),
+        max(struct(col("quality"), (-col("doc_id")).as("neg_id"))).as("best"))
+      .select(col("cluster_id"), col("n_docs"),
+        (-col("best.neg_id")).cast("long").as("canonical_doc_id"),
+        col("best.quality").as("quality"))
+      .orderBy(col("cluster_id"))
+  }
+
+  val dedupCanonicalSql: String = {
+    val stop = sqlStringList(TextFunctions.enStopwordList)
+    s"""WITH RECURSIVE toks AS (
+       |  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS t FROM documents),
+       |sh AS (
+       |  SELECT doc_id,
+       |   list_distinct([t[i] || ' ' || t[i+1] || ' ' || t[i+2] FOR i IN range(1, len(t) - 1)]) AS s
+       |  FROM toks),
+       |pairs AS (
+       |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+       |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+       |  WHERE len(a.s) > 0 AND len(b.s) > 0
+       |    AND CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) /
+       |        CAST(len(list_distinct(list_concat(a.s, b.s))) AS DOUBLE) >= 0.7),
+       |edges AS (
+       |  SELECT id_a AS src, id_b AS dst FROM pairs
+       |  UNION ALL
+       |  SELECT id_b AS src, id_a AS dst FROM pairs),
+       |reach(src, dst) AS (
+       |  SELECT doc_id, doc_id FROM documents
+       |  UNION
+       |  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src),
+       |cl AS (
+       |  SELECT src AS doc_id, CAST(min(dst) AS BIGINT) AS cluster_id
+       |  FROM reach GROUP BY src),
+       |m AS (SELECT doc_id,
+       |  CAST(len(regexp_extract_all(text, '[A-Za-z0-9]+')) AS DOUBLE) AS n_tok,
+       |  CAST(greatest(length(text), 1) AS DOUBLE) AS n_char,
+       |  CAST(len(list_filter(regexp_extract_all(lower(text), '${org.apache.spark.sql.graft.TextTokens.TokenPattern}'),
+       |        t -> t IN $stop)) AS DOUBLE) AS n_stop,
+       |  CAST(len(regexp_extract_all(text, '[0-9]')) AS DOUBLE) AS n_digit,
+       |  CAST(len(regexp_extract_all(text, '[.,;:!?]')) AS DOUBLE) AS n_punct
+       | FROM documents),
+       |q AS (SELECT doc_id, round(
+       |  0.4::DOUBLE * least(n_tok / 100.0::DOUBLE, 1.0::DOUBLE)
+       |  + 0.3::DOUBLE * least((CASE WHEN n_tok = 0.0::DOUBLE THEN 0.0::DOUBLE ELSE n_stop / n_tok END) * 5.0::DOUBLE, 1.0::DOUBLE)
+       |  + 0.15::DOUBLE * (1.0::DOUBLE - least(n_digit / n_char * 10.0::DOUBLE, 1.0::DOUBLE))
+       |  + 0.15::DOUBLE * (1.0::DOUBLE - least(n_punct / n_char * 10.0::DOUBLE, 1.0::DOUBLE)), 4) AS quality
+       | FROM m),
+       |r AS (
+       |  SELECT cl.cluster_id, cl.doc_id, q.quality,
+       |   row_number() OVER (PARTITION BY cl.cluster_id ORDER BY q.quality DESC, cl.doc_id) AS rn,
+       |   count(*) OVER (PARTITION BY cl.cluster_id) AS n_docs
+       |  FROM cl JOIN q ON q.doc_id = cl.doc_id)
+       |SELECT cluster_id, n_docs, doc_id AS canonical_doc_id, quality
+       |FROM r WHERE rn = 1 ORDER BY cluster_id""".stripMargin
+  }
+
+  /** Embedding-hygiene report: per-label L2-norm audit — vector
+    * count, zero-vector count, off-unit-norm count, and the mean
+    * norm. Zero or unnormalized vectors silently corrupt every
+    * cosine-based stage downstream (ANN buckets, centroid cohesion,
+    * near-dup verification), so this is the first gate of an
+    * embedding pipeline. The driver corpus is unit-normalized, so
+    * two planted anomalies (a zero vector and a 3×-scaled copy at
+    * vec_id 100001/100002, label −1) keep the anomaly columns
+    * non-vacuous — same pattern as `q34_overflow_keys`.
+    *
+    * Determinism: per-row norms come from the native sequential fold
+    * ([[org.apache.spark.sql.graft.VectorNorm]] ≡ DuckDB's
+    * `sqrt(list_sum(...))`), rounded to 1e-6 and accumulated across
+    * rows as integer micros — order-independent and bit-identical in
+    * the oracle (the same fixed-point trick as `emb_centroids`).
+    * Scale shape: scan → codegen'd projection → partial+final hash
+    * aggregate on the (tiny) label key; the planted rows' HOF
+    * `transform` touches exactly two rows behind a `vec_id` filter.
+    */
+  def embNorms(s: SparkSession, d: String): DataFrame = {
+    GraftSession.tune(s)
+    val base = Tables.embeddings(s, d)
+    val zero = base.filter(col("vec_id") === 0)
+      .select(lit(100001L).as("vec_id"),
+        transform(col("embedding"), _ => lit(0.0f)).as("embedding"),
+        lit(-1).as("label"))
+    val scaled = base.filter(col("vec_id") === 1)
+      .select(lit(100002L).as("vec_id"),
+        transform(col("embedding"), x => x * lit(3.0f)).as("embedding"),
+        lit(-1).as("label"))
+    base.unionByName(zero).unionByName(scaled)
+      .select(col("label").cast("long").as("label"),
+        round(Similarity.norm(col("embedding")), 6).as("norm"))
+      .select(col("label"), col("norm"),
+        round(col("norm") * lit(1000000.0), 0).cast("long").as("micros"))
+      .groupBy(col("label"))
+      .agg(count(lit(1)).as("n_vecs"),
+        sum(when(col("norm") < lit(0.000001), lit(1L)).otherwise(lit(0L))).as("n_zero"),
+        sum(when(abs(col("norm") - lit(1.0)) > lit(0.01), lit(1L)).otherwise(lit(0L))).as("n_anomalous"),
+        sum(col("micros")).as("sum_micros"))
+      .select(col("label"), col("n_vecs"), col("n_zero"), col("n_anomalous"),
+        round(col("sum_micros").cast("double") / col("n_vecs").cast("double") / lit(1000000.0), 6)
+          .as("mean_norm"))
+      .orderBy(col("label"))
+  }
+
+  val embNormsSql =
+    """WITH aug AS (
+      |  SELECT vec_id, embedding, label FROM embeddings
+      |  UNION ALL
+      |  SELECT 100001, list_transform(embedding, x -> CAST(0.0 AS FLOAT)), -1
+      |  FROM embeddings WHERE vec_id = 0
+      |  UNION ALL
+      |  SELECT 100002, list_transform(embedding, x -> CAST(x * 3.0 AS FLOAT)), -1
+      |  FROM embeddings WHERE vec_id = 1),
+      |n AS (
+      |  SELECT CAST(label AS BIGINT) AS label,
+      |   round(sqrt(list_sum(list_transform(embedding,
+      |     x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))), 6) AS norm
+      |  FROM aug),
+      |m AS (SELECT label, norm,
+      |  CAST(round(norm * 1000000.0, 0) AS BIGINT) AS micros FROM n)
+      |SELECT label, count(*) AS n_vecs,
+      | CAST(sum(CASE WHEN norm < 0.000001 THEN 1 ELSE 0 END) AS BIGINT) AS n_zero,
+      | CAST(sum(CASE WHEN abs(norm - 1.0) > 0.01 THEN 1 ELSE 0 END) AS BIGINT) AS n_anomalous,
+      | round(CAST(sum(micros) AS DOUBLE) / CAST(count(*) AS DOUBLE) / 1000000.0, 6) AS mean_norm
+      |FROM m GROUP BY label ORDER BY label""".stripMargin
+
   // ---------------------------------------------------------------
   // Registry
   // ---------------------------------------------------------------
@@ -2715,7 +2905,10 @@ object Queries {
     "q39_ivf_fullprobe" -> (q39IvfFullprobe _),
     "media_meta" -> (mediaMeta _),
     "media_decode" -> (mediaDecode _),
-    "media_resize" -> (mediaResize _))
+    "media_resize" -> (mediaResize _),
+    "doc_chunks" -> (docChunks _),
+    "dedup_canonical" -> (dedupCanonical _),
+    "emb_norms" -> (embNorms _))
 
   val oracles: Map[String, String] = Map(
     "q1_count" -> q1CountSql,
@@ -2797,5 +2990,8 @@ object Queries {
     "q39_ivf_fullprobe" -> q39IvfFullprobeSql,
     "media_meta" -> mediaMetaSql,
     "media_decode" -> mediaDecodeSql,
-    "media_resize" -> mediaResizeSql)
+    "media_resize" -> mediaResizeSql,
+    "doc_chunks" -> docChunksSql,
+    "dedup_canonical" -> dedupCanonicalSql,
+    "emb_norms" -> embNormsSql)
 }

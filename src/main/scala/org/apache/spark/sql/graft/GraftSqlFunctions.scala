@@ -26,6 +26,7 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
   *    strictly-valid JSON object, NULL otherwise (distinct name: the
   *    built-in `json_object_keys` is lenient and insertion-ordered;
   *    see [[JsonObjectKeys]])
+  *  - `vector_norm(v)` — fused double-precision L2 norm
   *
   * Two wiring paths:
   *  - [[GraftExtensions]] for `spark.sql.extensions` at session
@@ -89,7 +90,10 @@ object GraftSqlFunctions {
     // would otherwise defer to silently
     (FunctionIdentifier("json_keys_strict"),
       new ExpressionInfo(classOf[JsonObjectKeys].getName, "json_keys_strict"),
-      (es: Seq[Expression]) => JsonObjectKeys(es.head)))
+      (es: Seq[Expression]) => JsonObjectKeys(es.head)),
+    (FunctionIdentifier("vector_norm"),
+      new ExpressionInfo(classOf[VectorNorm].getName, "vector_norm"),
+      (es: Seq[Expression]) => VectorNorm(es.head)))
 
   /** Idempotent runtime registration into an existing session. */
   def register(spark: SparkSession): Unit = {

@@ -58,4 +58,24 @@ class SimilaritySpec extends SparkSpec {
       .select("id_a", "id_b").as[(Long, Long)].collect().toSeq
     assert(pairs.contains((0L, 99L)))
   }
+
+  test("norm: native expression is bit-identical to the sequential Column fold") {
+    val rnd = new scala.util.Random(7)
+    val vecs = (0 until 200).map { i =>
+      (i.toLong, Array.fill(1 + rnd.nextInt(64))(rnd.nextFloat() * 20f - 10f))
+    }
+    val df = vecs.toDF("id", "v")
+    val got = df.select($"id",
+        Similarity.norm($"v").as("native"),
+        sqrt(Similarity.dot($"v", $"v")).as("folded"))
+      .as[(Long, Double, Double)].collect()
+    got.foreach { case (id, n, f) =>
+      assert(n == f, s"vec $id: native $n != fold $f") // exact, not approx
+    }
+    // degenerate shapes: zero vector → 0.0, empty array → 0.0
+    val edge = Seq((1L, Array(0f, 0f, 0f)), (2L, Array.empty[Float]))
+      .toDF("id", "v")
+      .select(Similarity.norm($"v")).as[Double].collect().toSeq
+    assert(edge === Seq(0.0, 0.0))
+  }
 }

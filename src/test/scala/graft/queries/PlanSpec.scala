@@ -202,6 +202,31 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("BroadcastNestedLoopJoin"), p.take(1200))
   }
 
+  test("doc_chunks: chunking is a pure flatMap — no shuffle before the output sort") {
+    val p = plan(Queries.docChunks(spark, sfSmoke))
+    assert(p.contains("Generate"), "expect the chunk-index explode\n" + p.take(1200))
+    assert(!p.contains("Exchange hashpartitioning"),
+      "chunking must not shuffle the token arrays\n" + p.take(1200))
+    assert(!p.contains("Window"), p.take(1200))
+  }
+
+  test("dedup_canonical: arg-max per cluster is an aggregate, never a ranking window") {
+    val p = plan(Queries.dedupCanonical(spark, sfSmoke))
+    assert(!p.contains("CartesianProduct"), p.take(1200))
+    // the only window allowed is none: max(struct(quality, -id))
+    // aggregates with map-side partials
+    assert(!p.contains("Window"),
+      "canonical selection must not rank via window\n" + p.take(1200))
+  }
+
+  test("emb_norms: norm audit is scan → codegen'd projection → partial+final aggregate") {
+    val p = plan(Queries.embNorms(spark, sfSmoke))
+    assert(p.contains("vector_norm"), "expect the native norm expression\n" + p.take(1200))
+    assert("HashAggregate".r.findAllIn(p).size >= 2,
+      "expect map-side partial aggregation on label\n" + p.take(1200))
+    assert(!p.contains("Window"), p.take(1200))
+  }
+
   test("whole-stage codegen covers the text-analysis projections") {
     val df = Queries.docStats(spark, sfSmoke)
     // AQE finalizes the plan only on execution — run THIS query
