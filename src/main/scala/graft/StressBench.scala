@@ -92,6 +92,14 @@ object StressBench {
       "corpus_clean_cc" -> docReplicas,
       "winnow_pairs" -> docReplicas,
       "ann_lsh_top5" -> docReplicas,
+      // prefix-filter join: candidate buckets are bounded by shingle
+      // df; the digit-only true-dup replicas are the worst case (26
+      // identical docs share every shingle)
+      "dedup_prefix" -> docReplicas,
+      // CC + per-cluster arg-max: same shuffle keys as dedup_clusters
+      "dedup_canonical" -> docReplicas,
+      // explode-only flatMap: the no-shuffle baseline shape
+      "doc_chunks" -> docReplicas,
       "q14_sessionize" -> evReplicas)
 
     def timed(name: String, dir: String): (Double, Long) = {

@@ -1,6 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
 
 import graft.SparkSpec
 
@@ -225,6 +226,27 @@ class PlanSpec extends SparkSpec {
     assert("HashAggregate".r.findAllIn(p).size >= 2,
       "expect map-side partial aggregation on label\n" + p.take(1200))
     assert(!p.contains("Window"), p.take(1200))
+  }
+
+  test("naive rank-filter windows are covered by Spark's built-in group-limit pushdown") {
+    // Registered queries rank through the bounded-heap TopKByScore
+    // aggregate; this pins the safety net for the NAIVE formulation a
+    // library user writes (row_number window + rn <= k filter):
+    // Catalyst's InferWindowGroupLimit inserts a Partial
+    // WindowGroupLimit BEFORE the shuffle, so each map partition
+    // forwards at most k rows per group — the reason we do NOT ship a
+    // custom rewrite rule for this pattern (never hand-schedule what
+    // the optimizer already does).
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("event_type")).orderBy(col("value").desc)
+    val df = graft.tables.Tables.eventsNorm(spark, sfSmoke)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 3)
+    val p = plan(df)
+    assert(p.contains("WindowGroupLimit"),
+      "expect the built-in group-limit pushdown\n" + p.take(1200))
+    assert(p.contains("Partial"),
+      "expect a map-side partial group limit before the shuffle\n" + p.take(1200))
   }
 
   test("whole-stage codegen covers the text-analysis projections") {
