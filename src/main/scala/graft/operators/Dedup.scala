@@ -154,6 +154,11 @@ object Dedup {
                    textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
     require(maxHamming <= 3, "4-chunk banding guarantees recall only for hamming <= 3")
     val sh = docs
+      // a fingerprint over ZERO tokens is meaningless (every
+      // token-free doc would emit the same ties-value and "near-dup"
+      // every other one) — defined only for docs with ≥1 tokenizer
+      // ([a-z0-9]+) token, i.e. at least one ASCII alphanumeric char
+      .filter(col(textCol).rlike("[A-Za-z0-9]"))
       .select(col(idCol).as("id"),
         org.apache.spark.sql.graft.SimHash64(col(textCol)).as("simhash"))
       .cache()

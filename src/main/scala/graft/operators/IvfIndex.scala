@@ -27,7 +27,12 @@ object IvfIndex {
 
   def build(corpus: DataFrame, nCells: Int = 16, seed: Long = 42L,
             maxIter: Int = 20): Index = {
-    val vecs = corpus.withColumn("features", array_to_vector(col("embedding")))
+    // cosine is undefined for zero-norm vectors (NaN, which Spark
+    // ranks above every real similarity) — exclude them from the
+    // index; the emb_norms audit is where they get reported
+    val vecs = corpus
+      .filter(org.apache.spark.sql.graft.VectorNorm(col("embedding")) > 0)
+      .withColumn("features", array_to_vector(col("embedding")))
     val model = new KMeans()
       .setK(nCells).setSeed(seed).setMaxIter(maxIter)
       .setFeaturesCol("features").setPredictionCol("cell")
@@ -51,11 +56,14 @@ object IvfIndex {
     * fast instead of silently materializing an unbounded query set
     * on the driver.
     */
-  def search(index: Index, queries: DataFrame, kNeighbors: Int = 10,
+  def search(index: Index, rawQueries: DataFrame, kNeighbors: Int = 10,
              nProbe: Int = 4, maxDriverQueries: Int = 10000): DataFrame = {
-    val spark = queries.sparkSession
+    val spark = rawQueries.sparkSession
     import spark.implicits._
 
+    // zero-norm query vectors have no defined neighbors (see build)
+    val queries = rawQueries
+      .filter(org.apache.spark.sql.graft.VectorNorm(col("query_vec")) > 0)
     // driver-side probe selection against the tiny centroid table;
     // limit+1 bounds the fetch itself, not just the post-hoc check
     val q = queries.select(col("query_id"), col("query_vec"))

@@ -71,8 +71,19 @@ object Similarity {
     * @param queries  (query_id, query_vec) — must be small (broadcast)
     * @param corpus   (vec_id, embedding)
     */
+  /** Cosine is UNDEFINED for zero-norm (or NULL) vectors — the fused
+    * kernel returns NaN there, and Spark's comparison/sort semantics
+    * rank NaN ABOVE every real similarity (a zero vector would "win"
+    * every top-k and pass every `sim >= t` gate). Every similarity
+    * entry point drops such rows up front; the `emb_norms` audit
+    * query is the operator that REPORTS them.
+    */
+  private def nonDegenerate(df: DataFrame, vecCol: String): DataFrame =
+    df.filter(org.apache.spark.sql.graft.VectorNorm(col(vecCol)) > 0)
+
   def knnBruteForce(queries: DataFrame, corpus: DataFrame, kNeighbors: Int = 10): DataFrame = {
-    val scored = corpus.crossJoin(broadcast(queries))
+    val scored = nonDegenerate(corpus, "embedding")
+      .crossJoin(broadcast(nonDegenerate(queries, "query_vec")))
       .filter(col("vec_id") =!= col("query_id"))
       .withColumn("sim", cosine(col("query_vec"), col("embedding")))
     topKPerQuery(scored, kNeighbors)
@@ -99,9 +110,11 @@ object Similarity {
     * table — the classic recall-vs-cost dial (`nPlanes` up = cheaper
     * + lower recall; `tables` up = costlier + higher recall).
     */
-  def annLsh(queries: DataFrame, corpus: DataFrame, dim: Int,
+  def annLsh(rawQueries: DataFrame, rawCorpus: DataFrame, dim: Int,
              kNeighbors: Int = 10, nPlanes: Int = 4,
              tables: Int = 16): DataFrame = {
+    val corpus = nonDegenerate(rawCorpus, "embedding")
+    val queries = nonDegenerate(rawQueries, "query_vec")
     // Bucket probing carries ONLY ids — exploding the corpus
     // `tables`-fold with the embedding payload attached multiplies
     // shuffle bytes by tables × vector-size (benched 7 s at sf0.1
@@ -130,8 +143,9 @@ object Similarity {
     * collision is ≈ 0.85^bits, so a handful of tables reaches
     * near-perfect recall while keeping buckets small.
     */
-  def cosinePairs(corpus: DataFrame, dim: Int, threshold: Double = 0.95,
+  def cosinePairs(rawCorpus: DataFrame, dim: Int, threshold: Double = 0.95,
                   nPlanes: Int = 8, tables: Int = 8): DataFrame = {
+    val corpus = nonDegenerate(rawCorpus, "embedding")
     // ids-only through the bucket self-join (see annLsh), vectors
     // joined back for the exact-cosine verify
     val cb = corpus

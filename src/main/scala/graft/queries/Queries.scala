@@ -429,14 +429,16 @@ object Queries {
   val knnTop10Sql =
     """WITH q AS (
       |  SELECT vec_id AS query_id, embedding AS query_vec
-      |  FROM embeddings WHERE vec_id < 5),
+      |  FROM embeddings WHERE vec_id < 5
+      |   AND list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))) > 0),
       |scored AS (
       |  SELECT q.query_id, e.vec_id AS neighbor_id,
       |   list_sum(list_transform(list_zip(q.query_vec, e.embedding),
       |     p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))
       |   / (sqrt(list_sum(list_transform(q.query_vec, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
       |      * sqrt(list_sum(list_transform(e.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))) AS sim
-      |  FROM embeddings e CROSS JOIN q WHERE e.vec_id <> q.query_id),
+      |  FROM embeddings e CROSS JOIN q WHERE e.vec_id <> q.query_id
+      |   AND list_sum(list_transform(e.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))) > 0),
       |ranked AS (
       |  SELECT query_id, neighbor_id, sim,
       |   row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rank
@@ -503,7 +505,8 @@ object Queries {
       |  SELECT e.vec_id, s.p,
       |   list_sum(list_transform(range(1, 65),
       |     i -> CAST(e.embedding[i] AS DOUBLE) * s.sr[i])) AS dot
-      |  FROM embeddings e CROSS JOIN signrows s),
+      |  FROM embeddings e CROSS JOIN signrows s
+      |  WHERE list_sum(list_transform(e.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))) > 0),
       |buckets AS (
       |  SELECT vec_id, p // 4 AS tbl,
       |   CAST(sum(CASE WHEN dot >= 0 THEN 1 << (p % 4) ELSE 0 END) AS BIGINT) AS bucket
@@ -582,7 +585,9 @@ object Queries {
   /** Session windows (30-minute gap) per user via `session_window()`.
     * The oracle reproduces the gap semantics relationally: a new
     * session starts when the time since the previous event reaches
-    * the gap.
+    * the gap. NULL user ids form their own session group; the oracle
+    * orders NULLS FIRST to match Spark's ascending-sort default
+    * (DuckDB defaults to NULLS LAST — fuzz-caught).
     */
   def q14Sessionize(s: SparkSession, d: String): DataFrame =
     ev(s, d)
@@ -606,7 +611,7 @@ object Queries {
       |  FROM e)
       |SELECT user_id, min(t) AS session_start_us, count(*) AS n_events
       |FROM se GROUP BY user_id, sess
-      |ORDER BY user_id, session_start_us""".stripMargin
+      |ORDER BY user_id NULLS FIRST, session_start_us""".stripMargin
 
   // ---------------------------------------------------------------
   // Wider SQL surface: rollup, subqueries, set ops, scalar functions
@@ -682,7 +687,7 @@ object Queries {
       | EXCEPT
       | SELECT user_id FROM events WHERE event_type = 'purchase'
       |  GROUP BY user_id HAVING count(*) >= 15
-      | ORDER BY user_id""".stripMargin
+      | ORDER BY user_id NULLS FIRST""".stripMargin
 
   /** Scalar function library sweep: string/math functions in one
     * projection (all pure, all codegen'd).
@@ -756,9 +761,14 @@ object Queries {
       |  FROM bitsum GROUP BY doc_id)""".stripMargin
 
   def docSimhash(s: SparkSession, d: String): DataFrame =
-    docs(s, d).select(
-      col("doc_id"),
-      org.apache.spark.sql.graft.SimHash64(col("text")).as("simhash"))
+    docs(s, d)
+      // fingerprint defined only for docs with ≥1 tokenizer token
+      // (≥1 ASCII alphanumeric char) — matches the oracle, whose
+      // unnest() naturally drops token-free docs (fuzz-caught)
+      .filter(col("text").rlike("[A-Za-z0-9]"))
+      .select(
+        col("doc_id"),
+        org.apache.spark.sql.graft.SimHash64(col("text")).as("simhash"))
       .orderBy(col("doc_id"))
 
   val docSimhashSql =
@@ -1036,9 +1046,11 @@ object Queries {
       | SELECT doc_id AS media_id,
       |  ['image','audio','video'][(doc_id % 3 + 1)::INT] AS media_type,
       |  CAST(octet_length(encode(text)) AS BIGINT) AS byte_len,
-      |  ascii(substr(text,1,1)) AS b0, ascii(substr(text,2,1)) AS b1,
-      |  ascii(substr(text,3,1)) AS b2, ascii(substr(text,4,1)) AS b3,
-      |  ascii(substr(text,5,1)) AS b4
+      |  coalesce(('0x' || nullif(substr(hex(encode(text)), 1, 2), ''))::INT, 0) AS b0,
+      |  coalesce(('0x' || nullif(substr(hex(encode(text)), 3, 2), ''))::INT, 0) AS b1,
+      |  coalesce(('0x' || nullif(substr(hex(encode(text)), 5, 2), ''))::INT, 0) AS b2,
+      |  coalesce(('0x' || nullif(substr(hex(encode(text)), 7, 2), ''))::INT, 0) AS b3,
+      |  coalesce(('0x' || nullif(substr(hex(encode(text)), 9, 2), ''))::INT, 0) AS b4
       | FROM documents)
       |SELECT media_id, media_type, byte_len,
       | CASE WHEN media_type = 'image' THEN (CASE WHEN b0 % 2 = 0 THEN 'png' ELSE 'jpeg' END)
@@ -1980,7 +1992,7 @@ object Queries {
       | 1 + CAST(s.spend > c.q1 AS BIGINT) + CAST(s.spend > c.q2 AS BIGINT)
       |   + CAST(s.spend > c.q3 AS BIGINT) AS quartile
       |FROM spend s CROSS JOIN cuts c
-      |ORDER BY s.user_id""".stripMargin
+      |ORDER BY s.user_id NULLS FIRST""".stripMargin
 
   /** Trailing 7-day moving average of daily revenue, as a RANGE
     * self-join on the day-aggregated table instead of a `RANGE
@@ -2053,7 +2065,7 @@ object Queries {
        |SELECT zkey >> 6 AS zbucket, count(*) AS cnt,
        | min(user_id & 65535) AS u_min, max(user_id & 65535) AS u_max,
        | min(d_off) AS d_min, max(d_off) AS d_max
-       |FROM z GROUP BY zbucket ORDER BY zbucket""".stripMargin
+       |FROM z GROUP BY zbucket ORDER BY zbucket NULLS FIRST""".stripMargin
   }
 
   /** Deterministic k-per-group sample — the scale-correct
@@ -2678,7 +2690,7 @@ object Queries {
       |  FROM t)
       |SELECT doc_id, chunk_id,
       | CAST(least(n - chunk_id * 48, 64) AS BIGINT) AS n_tokens,
-      | array_to_string(list_slice(toks, chunk_id * 48 + 1, chunk_id * 48 + 64), ' ') AS chunk_text
+      | coalesce(array_to_string(list_slice(toks, chunk_id * 48 + 1, chunk_id * 48 + 64), ' '), '') AS chunk_text
       |FROM c ORDER BY doc_id, chunk_id""".stripMargin
 
   /** Canonical-document selection: for every near-dup cluster
