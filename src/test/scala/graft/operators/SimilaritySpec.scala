@@ -59,6 +59,32 @@ class SimilaritySpec extends SparkSpec {
     assert(pairs.contains((0L, 99L)))
   }
 
+  test("zero-norm vectors are excluded from every similarity path (cosine undefined)") {
+    // NaN from 0/0 ranks ABOVE every real similarity in Spark's
+    // comparison semantics — without the exclusion a zero vector wins
+    // every top-k and passes every threshold gate (fuzz-caught)
+    val corpus = Seq(
+      (1L, Array(1f, 0f)),
+      (2L, Array(0.9f, 0.1f)),
+      (3L, Array(0f, 0f)), // degenerate
+      (4L, Array(0f, 1f))
+    ).toDF("vec_id", "embedding")
+    val queries = Seq((1L, Array(1f, 0f))).toDF("query_id", "query_vec")
+    val knn = Similarity.knnBruteForce(queries, corpus, 3)
+      .select("neighbor_id").as[Long].collect().toSet
+    assert(!knn.contains(3L), s"zero vector must not be a neighbor: $knn")
+    val ann = Similarity.annLsh(queries, corpus, dim = 2, kNeighbors = 3)
+      .select("neighbor_id").as[Long].collect().toSet
+    assert(!ann.contains(3L), s"zero vector must not be an ANN candidate: $ann")
+    val pairs = Similarity.cosinePairs(corpus, dim = 2, threshold = 0.9)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSeq
+    assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L),
+      s"zero vector must not pair: $pairs")
+    // a zero-norm QUERY has no defined neighbors at all
+    val zq = Seq((9L, Array(0f, 0f))).toDF("query_id", "query_vec")
+    assert(Similarity.knnBruteForce(zq, corpus, 3).count() == 0L)
+  }
+
   test("norm: native expression is bit-identical to the sequential Column fold") {
     val rnd = new scala.util.Random(7)
     val vecs = (0 until 200).map { i =>
