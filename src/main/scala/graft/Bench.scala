@@ -31,10 +31,12 @@ object Bench {
         org.apache.spark.sql.graft.ShingleHashes(col("vec_id").cast("string"), 3).as("s"))
         .write.format("noop").mode("overwrite").save()
     } catch { case _: Throwable => () }
-    // n=3 runs per query, report the MEDIAN: single runs at
-    // sub-second scale are dominated by JIT/GC noise, and a median
-    // makes round-over-round comparisons detect real regressions.
-    val runs = 3
+    // n=5 runs per query, report the MEDIAN: single runs at
+    // sub-second scale are dominated by JIT/GC noise (a 3-run median
+    // still flagged a phantom 2.5x "regression" one round), and a
+    // median over 5 makes round-over-round comparisons detect real
+    // regressions at ~±10%.
+    val runs = 5
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val times = (1 to runs).map { _ =>
         val t0 = System.nanoTime()

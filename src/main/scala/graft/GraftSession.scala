@@ -46,6 +46,11 @@ object GraftSession {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.ui.enabled", "false")
+      // the default 100-entry generated-class cache thrashes once the
+      // 83-query harness is in play (every eviction = a full Janino
+      // recompile on the next run of that plan — benched as a stable
+      // 2-6x slowdown on whichever scan queries lost the lottery)
+      .config("spark.sql.codegen.cache.maxEntries", "5000")
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
     s

@@ -128,7 +128,12 @@ object StressBench {
         f"$name wall-time scaled ${timeRatio}%.1fx for ${r}x rows (limit ${r * slack})")
       require(byteRatio <= r * slack,
         f"$name shuffle bytes scaled ${byteRatio}%.1fx for ${r}x rows (limit ${r * slack})")
-      name -> f"""{"rows_x":$r,"small_s":$tSmall%.3f,"big_s":$tBig%.3f,"time_x":$timeRatio%.2f,"small_shuffle_mb":${bSmall / 1e6}%.1f,"big_shuffle_mb":${bBig / 1e6}%.1f,"shuffle_x":$byteRatio%.2f}"""
+      // Locale.ROOT: the f-interpolator is locale-sensitive — a
+      // comma-decimal default locale would emit invalid JSON
+      name -> String.format(java.util.Locale.ROOT,
+        """{"rows_x":%d,"small_s":%.3f,"big_s":%.3f,"time_x":%.2f,"small_shuffle_mb":%.1f,"big_shuffle_mb":%.1f,"shuffle_x":%.2f}""",
+        Int.box(r), Double.box(tSmall), Double.box(tBig), Double.box(timeRatio),
+        Double.box(bSmall / 1e6), Double.box(bBig / 1e6), Double.box(byteRatio))
     }
 
     val body = results.map { case (k, v) => "\"" + k + "\":" + v }

@@ -215,12 +215,17 @@ object Dedup {
       col("id"), explode(col("hs")).as("h"), size(col("hs")).as("len"))
     val dfreq = exploded.groupBy(col("h")).agg(count(lit(1)).as("df"))
     val w = Window.partitionBy(col("id")).orderBy(col("df"), col("h"))
+    // cached: the prefix set — the df aggregate + per-doc ranking
+    // window, the most expensive intermediate — feeds BOTH sides of
+    // the candidate self-join; uncached it would execute twice
+    // (review-caught; session-owned lifetime like `hashed`)
     val prefixes = exploded.join(dfreq, "h")
       .withColumn("rn", row_number().over(w))
       // p = len − ⌈t·len⌉ + 1, with ⌈tNum·len/tDen⌉ integer-exact
       .filter(col("rn") <=
         col("len") - expr(s"(len * $tNum + ${tDen - 1}) div $tDen") + 1)
       .select(col("h"), col("id"), col("len"))
+      .cache()
     val candidates = prefixes.select(col("h"), col("id").as("id_a"), col("len").as("len_a"))
       .join(prefixes.select(col("h"), col("id").as("id_b"), col("len").as("len_b")), "h")
       .filter(col("id_a") < col("id_b"))

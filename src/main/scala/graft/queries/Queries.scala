@@ -204,7 +204,7 @@ object Queries {
     """SELECT user_id, count(*) AS cnt,
       | CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
       | FROM events GROUP BY user_id
-      | ORDER BY cnt DESC, user_id LIMIT 10""".stripMargin
+      | ORDER BY cnt DESC, user_id NULLS FIRST LIMIT 10""".stripMargin
 
   /** Ranking: per event type, top-3 users by event count.
     *
@@ -218,9 +218,16 @@ object Queries {
     * the window's (cnt DESC, user_id ASC), so results are identical,
     * ties included. Counts round-trip exactly through the double
     * score slot below 2^53.
+    *
+    * Ranking is declared over KNOWN users only: the heap skips null
+    * ids (its id slot is non-nullable), so the NULL-user group is
+    * excluded explicitly here and in the oracle — otherwise the two
+    * silently diverge the moment a NULL-keyed group reaches a top-3
+    * (review-caught; the F1 reject path makes NULL user ids real).
     */
   def q10WindowRank(s: SparkSession, d: String): DataFrame =
     ev(s, d)
+      .filter(col("user_id").isNotNull)
       .groupBy(col("event_type"), col("user_id"))
       .agg(count(lit(1)).as("cnt"))
       .groupBy(col("event_type"))
@@ -236,7 +243,7 @@ object Queries {
     """SELECT event_type, user_id, cnt, rnk FROM (
       |  SELECT event_type, user_id, count(*) AS cnt,
       |   row_number() OVER (PARTITION BY event_type ORDER BY count(*) DESC, user_id) AS rnk
-      |  FROM events GROUP BY event_type, user_id)
+      |  FROM events WHERE user_id IS NOT NULL GROUP BY event_type, user_id)
       | WHERE rnk <= 3 ORDER BY event_type, rnk""".stripMargin
 
   /** Distinct cardinality per group. */
@@ -1694,11 +1701,16 @@ object Queries {
     */
   def docTfidf(s: SparkSession, d: String): DataFrame = {
     val dd = docs(s, d)
+    // cached: the tf aggregate feeds both the join side and the
+    // document-frequency rollup — uncached, the tokenize + explode +
+    // aggregate subtree runs twice (review-caught; session-owned
+    // lifetime, same policy as Dedup.minhashPairs)
     val tf = dd
       .select(col("doc_id"), explode(Dedup.toks(col("text"))).as("term"))
       .filter(!col("term").isin(TextFunctions.enStopwordList: _*))
       .groupBy(col("doc_id"), col("term"))
       .agg(count(lit(1)).as("tf"))
+      .cache()
     val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
     val n = dd.agg(count(lit(1)).as("n_docs"))
     val w = Window.partitionBy(col("doc_id"))
@@ -2117,8 +2129,13 @@ object Queries {
     * vocabulary, one source-keyed aggregate.
     */
   def sourceDrift(s: SparkSession, d: String): DataFrame = {
+    // cached: the token explode feeds FOUR consumers (corpus top-200,
+    // n_total, per-source counts, observed cells) — uncached, each
+    // re-runs the regex tokenize of every document (review-caught;
+    // session-owned lifetime, same policy as Dedup.minhashPairs)
     val terms = docs(s, d)
       .select(col("source"), explode(Dedup.toks(col("text"))).as("term"))
+      .cache()
     val corpus = terms.groupBy(col("term")).agg(count(lit(1)).as("c_t"))
       .orderBy(col("c_t").desc, col("term")).limit(200)
     val nTotal = terms.agg(count(lit(1)).as("n_total"))
@@ -2187,8 +2204,11 @@ object Queries {
     * aggregate. Integer math end-to-end after the single floor.
     */
   def docLmScore(s: SparkSession, d: String): DataFrame = {
+    // cached: three consumers (tf, vocab, n_total) of one token
+    // explode — see sourceDrift
     val terms = docs(s, d)
       .select(col("doc_id"), explode(Dedup.toks(col("text"))).as("term"))
+      .cache()
     val tf = terms.groupBy(col("doc_id"), col("term"))
       .agg(count(lit(1)).as("tf"))
     val vocab = terms.groupBy(col("term")).agg(count(lit(1)).as("c_t"))

@@ -110,8 +110,32 @@ object TextTokens {
 
   trait Sink { def token(h: Long): Unit }
 
+  @inline private def isCont(b: Byte): Boolean = (b & 0xC0) == 0x80
+
+  /** RFC 3629 second-byte range for each lead: overlong encodings
+    * (C0/C1, E0 80-9F, F0 80-8F), surrogates (ED A0-BF), and
+    * beyond-U+10FFFF (F4 90+, F5-FF) are all MALFORMED — decoding
+    * them anyway can fabricate token chars (0xC1 0xB0 would decode
+    * to 'p') that Java's decoder never produces.
+    */
+  @inline private def validSecond(b0: Int, b1: Int): Boolean = b0 match {
+    case 0xE0 => b1 >= 0xA0 && b1 <= 0xBF
+    case 0xED => b1 >= 0x80 && b1 <= 0x9F
+    case 0xF0 => b1 >= 0x90 && b1 <= 0xBF
+    case 0xF4 => b1 >= 0x80 && b1 <= 0x8F
+    case _ => b1 >= 0x80 && b1 <= 0xBF
+  }
+
   /** One pass over the UTF-8 bytes: decode, case-fold, emit each
     * token's mixed hash.
+    *
+    * Malformed input: any ill-formed sequence (bad lead, bad or
+    * missing continuation, overlong, surrogate, > U+10FFFF) decodes
+    * as a replacement char (token break) advancing ONE byte — the
+    * same resynchronization Java's REPLACE decoder applies, so token
+    * boundaries match the `lower()`+regex relational path even on
+    * invalid UTF-8 (review-caught: consuming unvalidated bytes
+    * swallowed a following token char, e.g. the 'a' in 0xC2 0x61).
     */
   def scan(text: UTF8String, sink: Sink): Unit = {
     val bytes = text.getBytes
@@ -124,12 +148,15 @@ object TextTokens {
       var cp = 0xFFFD
       var sz = 1
       if (b0 < 0x80) cp = b0
-      else if ((b0 & 0xE0) == 0xC0 && i + 1 < n) {
+      else if (b0 >= 0xC2 && b0 <= 0xDF && i + 1 < n && isCont(bytes(i + 1))) {
         cp = ((b0 & 0x1F) << 6) | (bytes(i + 1) & 0x3F); sz = 2
-      } else if ((b0 & 0xF0) == 0xE0 && i + 2 < n) {
+      } else if (b0 >= 0xE0 && b0 <= 0xEF && i + 2 < n &&
+          validSecond(b0, bytes(i + 1) & 0xff) && isCont(bytes(i + 2))) {
         cp = ((b0 & 0x0F) << 12) | ((bytes(i + 1) & 0x3F) << 6) |
           (bytes(i + 2) & 0x3F); sz = 3
-      } else if ((b0 & 0xF8) == 0xF0 && i + 3 < n) {
+      } else if (b0 >= 0xF0 && b0 <= 0xF4 && i + 3 < n &&
+          validSecond(b0, bytes(i + 1) & 0xff) &&
+          isCont(bytes(i + 2)) && isCont(bytes(i + 3))) {
         cp = ((b0 & 0x07) << 18) | ((bytes(i + 1) & 0x3F) << 12) |
           ((bytes(i + 2) & 0x3F) << 6) | (bytes(i + 3) & 0x3F); sz = 4
       }

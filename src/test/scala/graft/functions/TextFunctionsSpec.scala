@@ -304,4 +304,55 @@ class TextFunctionsSpec extends SparkSpec {
     val x2 = one[Long](TextFunctions.fingerprint64($"t"), "hello world")
     assert(x1 === x2)
   }
+
+  test("native scan tokenizes malformed UTF-8 like Java's REPLACE decoder (property)") {
+    // Spark does not validate UTF-8 on parquet read, so crawl text
+    // can carry broken bytes. The scan must resynchronize exactly
+    // like the relational path (lower()+regex over the REPLACE-
+    // decoded string): an invalid lead never swallows a following
+    // token byte (e.g. 0xC2 0x61 keeps the 'a').
+    import org.apache.spark.sql.graft.TextTokens
+    import org.apache.spark.unsafe.types.UTF8String
+    val pat = java.util.regex.Pattern.compile(TextTokens.TokenPattern)
+    def foldCp(cp: Int): Int = // mirror of the scan's lowerCp
+      if (cp >= 'A' && cp <= 'Z') cp + 32
+      else if (cp >= 0x0410 && cp <= 0x042F) cp + 0x20
+      else if (cp == 0x0401) 0x0451
+      else cp
+    def reference(bytes: Array[Byte]): Seq[Long] = {
+      val decoded = new String(bytes, java.nio.charset.StandardCharsets.UTF_8)
+      val folded = decoded.codePoints().map(foldCp(_))
+        .collect(() => new java.lang.StringBuilder,
+          (b: java.lang.StringBuilder, cp: Int) => b.appendCodePoint(cp),
+          (a: java.lang.StringBuilder, b: java.lang.StringBuilder) => { a.append(b); () })
+        .toString
+      val m = pat.matcher(folded)
+      val out = scala.collection.mutable.ArrayBuffer[Long]()
+      while (m.find()) out += TextTokens.hashWord(m.group())
+      out.toSeq
+    }
+    def scanned(bytes: Array[Byte]): Seq[Long] = {
+      val out = scala.collection.mutable.ArrayBuffer[Long]()
+      TextTokens.scan(UTF8String.fromBytes(bytes),
+        new TextTokens.Sink { def token(h: Long): Unit = out += h })
+      out.toSeq
+    }
+    // the review's exact case first
+    assert(scanned(Array(0xC2.toByte, 'a'.toByte)) === reference(Array(0xC2.toByte, 'a'.toByte)))
+    val rnd = new scala.util.Random(13)
+    val words = Seq("the", "and", "für", "данные", "の", "X9")
+    for (_ <- 0 until 500) {
+      val bb = scala.collection.mutable.ArrayBuffer[Byte]()
+      for (_ <- 0 until (1 + rnd.nextInt(8))) {
+        rnd.nextInt(3) match {
+          case 0 => bb ++= words(rnd.nextInt(words.size)).getBytes("UTF-8")
+          case 1 => bb ++= Array.fill(1 + rnd.nextInt(4))((rnd.nextInt(256) - 128).toByte)
+          case 2 => bb += ' '.toByte
+        }
+      }
+      val bytes = bb.toArray
+      assert(scanned(bytes) === reference(bytes),
+        s"diverged on bytes ${bytes.map(b => f"${b & 0xff}%02x").mkString(" ")}")
+    }
+  }
 }
