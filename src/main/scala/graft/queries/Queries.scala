@@ -2853,6 +2853,53 @@ object Queries {
       | round(CAST(sum(micros) AS DOUBLE) / CAST(count(*) AS DOUBLE) / 1000000.0, 6) AS mean_norm
       |FROM m GROUP BY label ORDER BY label""".stripMargin
 
+  /** Approximate quantiles next to an exact RANK check — the second
+    * sketch of the family (`q35_approx_distinct` is the HLL one).
+    * At 100 TB the exact percentile needs a full sort per group;
+    * `approx_percentile` (Greenwald-Khanna) keeps a bounded summary
+    * merged map-side, with a RANK-error guarantee of 1/accuracy.
+    *
+    * The sketch values themselves are engine-specific (Spark GK vs
+    * DuckDB t-digest differ by design), so — like q35 — the
+    * hash-compared surface is the engine-independent part: per
+    * group, the exact fraction of rows ≤ the engine's own approx
+    * p50/p99 must land within ±0.02 of the target rank. True on both
+    * engines unless a sketch (or the merge path) is actually broken.
+    * Shape: two passes over events (sketch agg, then a broadcast
+    * join back for the exact rank count), both with map-side partial
+    * aggregation on the 5-key event_type.
+    */
+  def q45ApproxQuantiles(s: SparkSession, d: String): DataFrame = {
+    val e = ev(s, d).select(col("event_type"), col("value"))
+    val sk = e.groupBy(col("event_type"))
+      .agg(expr("approx_percentile(value, array(0.5, 0.99), 1000)").as("ap"))
+      .select(col("event_type"), col("ap")(0).as("ap50"), col("ap")(1).as("ap99"))
+    e.join(broadcast(sk), "event_type")
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("cnt"),
+        sum(when(col("value") <= col("ap50"), 1L).otherwise(0L)).as("n50"),
+        sum(when(col("value") <= col("ap99"), 1L).otherwise(0L)).as("n99"))
+      .select(col("event_type"), col("cnt"),
+        (abs(col("n50").cast("double") / col("cnt").cast("double") - lit(0.5)) <= lit(0.02))
+          .as("p50_within_bound"),
+        (abs(col("n99").cast("double") / col("cnt").cast("double") - lit(0.99)) <= lit(0.02))
+          .as("p99_within_bound"))
+      .orderBy(col("event_type"))
+  }
+
+  val q45ApproxQuantilesSql =
+    """WITH sk AS (
+      |  SELECT event_type,
+      |   approx_quantile(value, 0.5) AS ap50, approx_quantile(value, 0.99) AS ap99
+      |  FROM events GROUP BY event_type)
+      |SELECT e.event_type, count(*) AS cnt,
+      | abs(CAST(sum(CASE WHEN e.value <= sk.ap50 THEN 1 ELSE 0 END) AS DOUBLE)
+      |   / CAST(count(*) AS DOUBLE) - 0.5) <= 0.02 AS p50_within_bound,
+      | abs(CAST(sum(CASE WHEN e.value <= sk.ap99 THEN 1 ELSE 0 END) AS DOUBLE)
+      |   / CAST(count(*) AS DOUBLE) - 0.99) <= 0.02 AS p99_within_bound
+      |FROM events e JOIN sk USING (event_type)
+      |GROUP BY e.event_type ORDER BY e.event_type""".stripMargin
+
   // ---------------------------------------------------------------
   // Registry
   // ---------------------------------------------------------------
@@ -2940,7 +2987,8 @@ object Queries {
     "media_resize" -> (mediaResize _),
     "doc_chunks" -> (docChunks _),
     "dedup_canonical" -> (dedupCanonical _),
-    "emb_norms" -> (embNorms _))
+    "emb_norms" -> (embNorms _),
+    "q45_approx_quantiles" -> (q45ApproxQuantiles _))
 
   val oracles: Map[String, String] = Map(
     "q1_count" -> q1CountSql,
@@ -3025,5 +3073,6 @@ object Queries {
     "media_resize" -> mediaResizeSql,
     "doc_chunks" -> docChunksSql,
     "dedup_canonical" -> dedupCanonicalSql,
-    "emb_norms" -> embNormsSql)
+    "emb_norms" -> embNormsSql,
+    "q45_approx_quantiles" -> q45ApproxQuantilesSql)
 }

@@ -38,4 +38,22 @@ class ApproxDistinctSpec extends SparkSpec {
       .collect().head.getLong(0)
     assert(est(1) === est(32))
   }
+
+  test("q45: approx percentiles land within the rank bound on every event type") {
+    val rows = Queries.q45ApproxQuantiles(spark, sfSmoke).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Boolean]("p50_within_bound") && r.getAs[Boolean]("p99_within_bound"),
+        s"sketch rank out of bound for ${r.getAs[String]("event_type")}")
+    }
+  }
+
+  test("approx_percentile rank error at accuracy=1000 is far inside the 0.02 gate") {
+    // 100k uniform values: the GK guarantee is rank error <= 1/accuracy
+    val df = spark.range(100000L).select((col("id") % 9973).cast("double").as("v"))
+    val Array(ap) = df.agg(expr("approx_percentile(v, 0.5, 1000)")).collect()
+      .map(_.getDouble(0))
+    val rank = df.filter(col("v") <= ap).count().toDouble / 100000.0
+    assert(math.abs(rank - 0.5) <= 0.005, s"rank $rank for approx p50 $ap")
+  }
 }
