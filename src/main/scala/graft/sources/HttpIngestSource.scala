@@ -86,18 +86,53 @@ object HttpIngest {
       base += n
     }
 
-    /** Adopt a recovered checkpoint offset that is AHEAD of this
-      * (fresh) JVM's state: the base shifts to the recovered offset,
-      * so anything already buffered (arrivals between server start
-      * and query resume) renumbers AFTER it and stays deliverable,
-      * and the resumed query's committed range can never swallow new
-      * data. (Payloads accepted before a crash but not yet committed
-      * are lost — the same at-most-once edge as the reference's
-      * 202-on-enqueue; durability starts at the first checkpointed
-      * commit.)
+    private var totalAttachments = 0
+    private var activeAttachment = false
+
+    /** Register a stream attaching to this endpoint. EXCLUSIVE:
+      * `commit()` truncates the shared buffer, so a second concurrent
+      * stream would silently lose whatever the first commits —
+      * rejected outright. Returns true iff this is the FIRST stream
+      * this endpoint incarnation has ever served (the signal
+      * [[rebaseTo]] needs to tell a fresh-JVM recovery from a
+      * same-JVM restart).
       */
-    def rebaseTo(offset: Long): Unit = synchronized {
-      if (offset > base + buf.size) {
+    def attach(): Boolean = synchronized {
+      require(!activeAttachment,
+        s"port $port already serves an active stream — one stream per " +
+          "endpoint (commit() truncates the shared buffer)")
+      activeAttachment = true
+      totalAttachments += 1
+      totalAttachments == 1
+    }
+    def detach(): Unit = synchronized { activeAttachment = false }
+
+    /** Adopt a recovered checkpoint offset.
+      *
+      * `firstAttachment` (fresh-JVM recovery — no stream of this
+      * endpoint incarnation ever numbered the buffer): EVERYTHING
+      * buffered arrived after the restart, so the base shifts to any
+      * recovered offset ahead of it and the buffered payloads
+      * renumber AFTER the checkpoint — the recovered committed range
+      * can never swallow them, regardless of how many arrived
+      * (a `offset > buffered` guard here once lost the first
+      * `offset` post-restart payloads whenever arrivals outran the
+      * checkpoint — review-caught). Payloads accepted by the
+      * PREVIOUS process but never committed are lost: the same
+      * at-most-once edge as the reference's 202-on-enqueue;
+      * durability starts at the first checkpointed commit.
+      *
+      * Same-JVM restart (the endpoint kept running while the query
+      * bounced): buffered rows retain their numbering — they may BE
+      * the uncommitted batch the resumed query must replay — so only
+      * an offset beyond everything this incarnation has numbered
+      * (impossible unless the checkpoint outlived the server) moves
+      * the base.
+      */
+    def rebaseTo(offset: Long, firstAttachment: Boolean): Unit = synchronized {
+      if (firstAttachment) {
+        if (offset > base) base = offset
+      } else if (offset > base + buf.size) {
         base = offset
       }
     }
@@ -162,7 +197,13 @@ object HttpIngest {
       }
       respond(ex, 202, "queued")
     } catch {
-      case e: Exception => respond(ex, 500, s"internal error: ${e.getMessage}")
+      // best-effort 500: if headers already went out (e.g. the client
+      // dropped mid-write of a 202 whose payload IS buffered), a
+      // second sendResponseHeaders would throw IllegalStateException
+      // out of the dispatcher — swallow and just close
+      case e: Exception =>
+        try respond(ex, 500, s"internal error: ${e.getMessage}")
+        catch { case _: Exception => ex.close() }
     }
 }
 
@@ -190,15 +231,18 @@ class HttpIngestMicroBatchStream(port: Int, validKeys: Set[String],
                                  maxBuffered: Int = 100000)
     extends MicroBatchStream {
   private val state = HttpIngest.getOrStart(port, validKeys, maxBuffered)
+  // exclusive attachment; true iff no earlier stream of this endpoint
+  // incarnation numbered the buffer (fresh-JVM recovery)
+  private val firstAttachment = state.attach()
 
   override def initialOffset(): Offset = HttpIngestOffset(0L)
   override def latestOffset(): Offset = HttpIngestOffset(state.count)
   override def deserializeOffset(json: String): Offset = {
     val n = json.toLong
-    // a checkpointed offset ahead of this JVM's state means the
-    // driver restarted: rebase so new arrivals number after it and
-    // the recovered range can never swallow them
-    state.rebaseTo(n)
+    // a checkpointed offset from a previous incarnation: rebase so
+    // new arrivals number after it and the recovered range can never
+    // swallow them (see State.rebaseTo for the two restart cases)
+    state.rebaseTo(n, firstAttachment)
     HttpIngestOffset(n)
   }
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] =
@@ -208,11 +252,21 @@ class HttpIngestMicroBatchStream(port: Int, validKeys: Set[String],
   override def createReaderFactory(): PartitionReaderFactory = HttpIngestReaderFactory
   override def commit(end: Offset): Unit =
     state.truncate(end.asInstanceOf[HttpIngestOffset].n)
-  override def stop(): Unit = () // server lifetime is owned by HttpIngest.stop
+  // release the exclusive attachment; server lifetime stays owned by
+  // HttpIngest.stop
+  override def stop(): Unit = state.detach()
 }
 
 class HttpIngestTable(options: CaseInsensitiveStringMap)
     extends Table with SupportsRead {
+  // required for the declarative path: defaulting to 0 would silently
+  // bind an ephemeral port nobody is told about (a stream reading
+  // nothing, plus a leaked server per restart). Ephemeral ports are
+  // for the programmatic HttpIngest.getOrStart(0) flow, which returns
+  // the bound port.
+  require(options.containsKey("port"),
+    "http-ingest requires .option(\"port\", <n>) — use " +
+      "HttpIngest.getOrStart(0) first if you want an ephemeral port")
   private def port: Int = options.getInt("port", 0)
   private def validKeys: Set[String] =
     Option(options.get("validKeys")).map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)

@@ -41,15 +41,55 @@ object IngestStream {
       .option("startingOffsets", "earliest")
       .option("maxOffsetsPerTrigger", maxOffsetsPerTrigger)
 
-  /** Kafka wire format → the ingest schema: raw value bytes as the
-    * JSON payload column, the record key as the api key (the
-    * reference publishes with nil key, `handler.go:81` — hence
-    * nullable).
+  /** The event-envelope schema the reference's publisher forwards
+    * verbatim to Kafka and its consumers decode
+    * (`publisher/README.md` walkthrough; `MessageProcessor.kt`
+    * typed decode): the full event record, inner `props` as an
+    * escaped JSON string.
+    */
+  val envelopeSchema: org.apache.spark.sql.types.StructType =
+    org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("event_id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("user_id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("event_type",
+        org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("value",
+        org.apache.spark.sql.types.DoubleType),
+      org.apache.spark.sql.types.StructField("props",
+        org.apache.spark.sql.types.StringType)))
+
+  /** Raw JSON payloads (one column) → the ingest envelope the rest
+    * of the pipeline consumes — the Spark analog of the consumers'
+    * typed decode. Routing mirrors the reference:
+    *  - valid envelope → its columns (missing keys → NULL fields,
+    *    like the consumer's lenient column mapping);
+    *  - payload that is not valid JSON at all → the raw bytes ride
+    *    in `props`, so [[IngestPipeline.parse]]'s strict gate lands
+    *    them in the DLQ (the decode-failure skip of
+    *    `MessageProcessor.kt:64-71`);
+    *  - valid envelope with no `props` → NULL props, which the DLQ's
+    *    null-payload branch collects (F3/F6 — never silently
+    *    dropped).
+    */
+  def fromEnvelope(df: DataFrame, valueCol: String = "value"): DataFrame =
+    df.select(from_json(col(valueCol), envelopeSchema).as("e"), col(valueCol).as("_raw"))
+      .select(
+        col("e.event_id"), col("e.user_id"), col("e.event_type"), col("e.value"),
+        coalesce(col("e.props"),
+          when(!graft.functions.GraftFunctions.jsonIsValid(col("_raw")), col("_raw")))
+          .as("props"))
+
+  /** Kafka wire format → the ingest envelope. The record value
+    * carries the full event JSON (the reference publishes the raw
+    * request body, `handler.go:81`, with nil key); decoding it to
+    * (user_id, props) alone once broke the downstream projection,
+    * which needs every envelope column — review-caught, hence the
+    * shared [[fromEnvelope]].
     */
   def fromKafka(kafka: DataFrame): DataFrame =
-    kafka.selectExpr(
-      "CAST(key AS STRING) AS user_id",
-      "CAST(value AS STRING) AS props")
+    fromEnvelope(kafka.selectExpr("CAST(value AS STRING) AS value"))
 
   /** One micro-batch of the ingest contract: split the batch into
     * accepted / DLQ, append both as parquet. Any sink failure
@@ -108,7 +148,14 @@ object IngestStream {
         q.awaitTermination()
         done = true
       } catch {
-        case e: Throwable =>
+        // shutdown intent is not a poll error: restore the flag and
+        // propagate instead of restarting against it
+        case e: InterruptedException =>
+          Thread.currentThread().interrupt()
+          throw e
+        // NonFatal only — retrying on OutOfMemoryError/LinkageError
+        // would restart against a broken JVM (review-caught)
+        case scala.util.control.NonFatal(e) =>
           attempt += 1
           if (attempt > maxRetries) throw e
           Thread.sleep(backoffMs)
@@ -116,12 +163,22 @@ object IngestStream {
     }
   }
 
-  /** D6: graceful shutdown — stop the trigger loop and wait for the
-    * in-flight micro-batch to commit (micro-batch atomicity makes
-    * the flush-on-close of `publisher.go:83-94` implicit).
+  /** D6: graceful shutdown — drain, then stop, then wait.
+    *
+    * `StreamingQuery.stop()` INTERRUPTS an active micro-batch (its
+    * uncommitted writes abort and replay on restart), so this first
+    * waits for the current trigger to go idle — best-effort: a
+    * trigger can slip in between the idle check and `stop()`, in
+    * which case that batch replays, which at-least-once semantics
+    * already tolerate. Returns true iff the query fully terminated
+    * within `timeoutMs` (callers about to exit the JVM should check —
+    * a false means the stream thread is still winding down).
     */
-  def stopGracefully(q: StreamingQuery, timeoutMs: Long = 30000L): Unit = {
+  def stopGracefully(q: StreamingQuery, timeoutMs: Long = 30000L): Boolean = {
+    val deadline = System.nanoTime() + timeoutMs * 1000000L
+    while (q.status.isTriggerActive && System.nanoTime() < deadline)
+      Thread.sleep(50L)
     q.stop()
-    q.awaitTermination(timeoutMs)
+    q.awaitTermination(math.max((deadline - System.nanoTime()) / 1000000L, 1L))
   }
 }

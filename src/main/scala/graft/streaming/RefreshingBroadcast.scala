@@ -11,8 +11,12 @@ package graft.streaming
   *
   * Reference semantics preserved:
   *  - results (the loaded dimension) are cached; ERRORS are never
-  *    cached (`caching.go:66-73`) — a failing load propagates and the
-  *    previous value stays usable until a load succeeds;
+  *    cached (`caching.go:66-73`) — within the TTL the cached value
+  *    is served; once it expires, a failing reload PROPAGATES to the
+  *    caller (the stale value is NOT silently served past its TTL —
+  *    the same fail-the-request behavior as the reference when the
+  *    expired entry forces a store lookup that errors) and the next
+  *    get() retries the load;
   *  - ttl ≤ 0 disables caching (`caching.go:30-33`: size ≤ 0 returns
   *    the undecorated authenticator) — every get() reloads.
   *

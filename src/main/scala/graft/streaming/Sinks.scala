@@ -20,8 +20,8 @@ object Sinks {
     * the `LeastBytes` analog).
     */
   def kafkaSink(df: DataFrame, bootstrap: String,
-                topic: String = "ingest-topic",
-                checkpointDir: String = "/tmp/graft-kafka-sink"): DataStreamWriter[org.apache.spark.sql.Row] =
+                checkpointDir: String, // no default: the checkpoint must be durable AND unique per query — a shared /tmp default collides across queries and vanishes on reboot (review-caught)
+                topic: String = "ingest-topic"): DataStreamWriter[org.apache.spark.sql.Row] =
     df.select(to_json(struct(df.columns.map(col): _*)).as("value"))
       .writeStream
       .format("kafka")

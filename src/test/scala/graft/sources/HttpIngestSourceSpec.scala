@@ -112,19 +112,14 @@ class HttpIngestSourceSpec extends SparkSpec with BeforeAndAfterAll {
       assert(postTo("""{"event_id":2,"user_id":2,"event_type":"view","value":2.0,"props":"{\"k\": }"}""") === 202) // inner props malformed → DLQ
       assert(postTo("""{"event_id":3,"user_id":99,"event_type":"click","value":3.0,"props":"{\"k\":3}"}""") === 202) // unknown user → auth reject
 
-      val envelope = StructType(Seq(
-        StructField("event_id", LongType), StructField("user_id", LongType),
-        StructField("event_type", StringType), StructField("value", DoubleType),
-        StructField("props", StringType)))
       val (out, dlq, ckpt) = (
         Files.createTempDirectory("http-e2e-out").toString,
         Files.createTempDirectory("http-e2e-dlq").toString,
         Files.createTempDirectory("http-e2e-ckpt").toString)
-      val events = spark.readStream.format("http-ingest")
-        .option("port", st.port.toString).load()
-        .select(from_json(col("value"), envelope).as("e"))
-        .select(col("e.event_id"), col("e.user_id"), col("e.event_type"),
-          col("e.value"), col("e.props"))
+      // the shared envelope decode — the same path fromKafka uses
+      val events = graft.streaming.IngestStream.fromEnvelope(
+        spark.readStream.format("http-ingest")
+          .option("port", st.port.toString).load())
       val q = graft.streaming.IngestStream.start(
         events, Seq(1L, 2L).toDF("api_key"), out, dlq, ckpt,
         Trigger.AvailableNow(), Some(lit(777L)))
@@ -177,6 +172,35 @@ class HttpIngestSourceSpec extends SparkSpec with BeforeAndAfterAll {
       // committing the recovered range must not destroy them
       s.truncate(5)
       assert(s.slice(5, 7).length === 2)
+    } finally HttpIngest.stop(s.port)
+  }
+
+  test("rebase survives post-restart arrivals OUTNUMBERING the recovered offset") {
+    // review-caught data loss: with 6 fresh arrivals and checkpoint
+    // offset 5, the old `offset > buffered` guard skipped the rebase
+    // and the resumed committed range [0,5) swallowed the first five
+    // NEW payloads
+    val s = HttpIngest.getOrStart(0, Set.empty)
+    try {
+      (1 to 6).foreach(i => s.append(HttpIngest.Received(s"""{"n":$i}""", "k")))
+      new HttpIngestMicroBatchStream(s.port, Set.empty).deserializeOffset("5")
+      assert(s.count === 11, "6 fresh arrivals renumber after offset 5")
+      assert(s.slice(5, 11).map(_.value).toSeq ===
+        (1 to 6).map(i => s"""{"n":$i}"""),
+        "every post-restart payload stays deliverable")
+    } finally HttpIngest.stop(s.port)
+  }
+
+  test("a second concurrent stream on one endpoint is rejected (commit truncates shared state)") {
+    val s = HttpIngest.getOrStart(0, Set.empty)
+    try {
+      val first = new HttpIngestMicroBatchStream(s.port, Set.empty)
+      val ex = intercept[IllegalArgumentException] {
+        new HttpIngestMicroBatchStream(s.port, Set.empty)
+      }
+      assert(ex.getMessage.contains("one stream per"))
+      first.stop() // detach → a successor may attach (restart path)
+      new HttpIngestMicroBatchStream(s.port, Set.empty).stop()
     } finally HttpIngest.stop(s.port)
   }
 

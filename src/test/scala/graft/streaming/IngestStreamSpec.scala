@@ -138,4 +138,37 @@ class IngestStreamSpec extends SparkSpec {
       .start(), maxRetries = 3, backoffMs = 10L)
     assert(spark.read.parquet(out).count() === 2)
   }
+
+  test("fromEnvelope routes wire payloads like the reference consumer's typed decode") {
+    // the Kafka value (and the HTTP source's value column) carry the
+    // FULL event JSON; fromEnvelope must hand the pipeline every
+    // envelope column — its (user_id, props)-only predecessor broke
+    // the downstream projection (review-caught)
+    val wire = Seq(
+      // valid envelope, valid inner props → accepted downstream
+      """{"event_id":1,"user_id":10,"event_type":"click","value":1.5,"props":"{\"k\":1}"}""",
+      // valid envelope, malformed inner props → DLQ (F4 via parse)
+      """{"event_id":2,"user_id":10,"event_type":"view","value":2.0,"props":"{\"k\": }"}""",
+      // envelope not JSON at all → raw bytes ride in props → DLQ
+      """garbage not json""",
+      // valid envelope, props missing → NULL props → DLQ's
+      // null-payload branch (F3/F6), raw retention empty
+      """{"event_id":4,"user_id":10,"event_type":"view","value":4.0}"""
+    ).toDF("value")
+    val env = IngestStream.fromEnvelope(wire)
+    assert(env.columns.toSeq ===
+      Seq("event_id", "user_id", "event_type", "value", "props"))
+    val keys = Seq(10L).toDF("api_key")
+    val parsed = graft.operators.IngestPipeline.parse(env)
+    val accepted = graft.operators.IngestPipeline.enriched(
+      graft.operators.IngestPipeline.admitted(
+        graft.operators.IngestPipeline.validated(parsed, keys)),
+      Some(lit(0L)))
+    assert(accepted.select("event_id").as[Long].collect().toSeq === Seq(1L))
+    val dlqRaw = graft.operators.IngestPipeline.rejectedMalformed(parsed)
+      .select(graft.operators.IngestPipeline.corruptCol).as[String].collect().toSet
+    // the two corrupt payloads retain their raw bytes; the
+    // null-props envelope rides the DLQ's null-payload branch
+    assert(dlqRaw === Set("""{"k": }""", "garbage not json", null))
+  }
 }

@@ -81,6 +81,39 @@ class KeyedStateSpec extends SparkSpec with BeforeAndAfterAll {
     } finally q.stop()
   }
 
+  test("TTL transition: repeats within TTL drop, repeats AFTER it re-admit (deterministic clock)") {
+    // review-caught: Spark fires the timeout callback only for keys
+    // with NO data in a trigger, so the data branch itself must
+    // compare the stored admit time against the clock — otherwise a
+    // key whose repeats keep arriving is suppressed forever instead
+    // of re-admitted every ttlMs. TestGroupState injects the clock.
+    import org.apache.spark.api.java.Optional
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, TestGroupState}
+    val ttl = 10000L
+    def state(prev: Option[Long], nowMs: Long, timedOut: Boolean = false) =
+      TestGroupState.create[Long](
+        prev.map(v => Optional.of(v)).getOrElse(Optional.empty[Long]()),
+        GroupStateTimeout.ProcessingTimeTimeout(), nowMs,
+        Optional.empty[Long](), timedOut)
+
+    // first sight at t=1000 → admitted, admit time stored
+    val s1 = state(None, 1000L)
+    assert(KeyedState.dedupeTransition(Iterator("x"), s1, ttl).toSeq === Seq("x"))
+    assert(s1.get === 1000L)
+    // repeat INSIDE the TTL → dropped, admit time unchanged
+    val s2 = state(Some(1000L), 1000L + ttl - 1)
+    assert(KeyedState.dedupeTransition(Iterator("x"), s2, ttl).isEmpty)
+    assert(s2.get === 1000L)
+    // repeat AT/AFTER the TTL → re-admitted, admit time refreshed
+    val s3 = state(Some(1000L), 1000L + ttl)
+    assert(KeyedState.dedupeTransition(Iterator("x"), s3, ttl).toSeq === Seq("x"))
+    assert(s3.get === 1000L + ttl)
+    // idle-key timeout callback reaps the state
+    val s4 = state(Some(1000L), 1000L + ttl * 2, timedOut = true)
+    assert(KeyedState.dedupeTransition(Iterator.empty, s4, ttl).isEmpty)
+    assert(s4.isRemoved)
+  }
+
   test("sketch parity: approx_count_distinct lands within its error bound of the exact count") {
     graft.GraftSession.tune(spark)
     val ev = graft.tables.Tables.eventsNorm(spark, sfSmoke)
