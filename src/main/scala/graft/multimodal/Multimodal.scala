@@ -98,6 +98,9 @@ object Multimodal {
 
     /** STUB: sample every `stride`-th 1 KiB slice as a "frame". */
     def sampleFrames(r: MediaRecord, stride: Int): Iterator[MediaFrame] = {
+      // stride 0 would loop forever on offset 0; negatives crash in
+      // copyOfRange (review-caught) — fail fast
+      require(stride > 0, s"frame stride must be positive, got $stride")
       val frameSize = 1024
       Iterator.from(0)
         .map(_ * stride * frameSize)
@@ -159,9 +162,13 @@ object Multimodal {
     * largest blob, the floor for any row-granularity scheme.
     */
   def repartitionByBytes(media: DataFrame, totalBytes: Long,
-                         targetBytes: Long = 128L << 20): DataFrame = {
+                         targetBytes: Long = 128L << 20,
+                         idCol: String = "mediaId"): DataFrame = {
+    // default matches this module's own MediaRecord column (the
+    // previous "media_id" default threw UNRESOLVED_COLUMN on every
+    // DataFrame this module produces — review-caught)
     val parts = math.max(1, (totalBytes / targetBytes).toInt)
-    media.repartition(parts, col("media_id"))
+    media.repartition(parts, col(idCol))
   }
 
   /** Build a MediaRecord dataset from the driver testdata's documents

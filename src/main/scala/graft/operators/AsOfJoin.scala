@@ -27,16 +27,41 @@ import org.apache.spark.sql.types.StructType
   */
 object AsOfJoin {
 
+  private val Reserved =
+    Seq("_k", "_t", "_b", "_ord", "_is_right", "_payload_r", "_payload", "_p")
+
+  /** Both operators stage through underscore-prefixed temp columns; a
+    * user column with one of those names would be silently
+    * overwritten and returned corrupted — fail loudly instead
+    * (review-caught).
+    */
+  private def checkReserved(df: DataFrame, side: String): Unit = {
+    val clash = df.columns.toSeq.intersect(Reserved)
+    require(clash.isEmpty,
+      s"$side side uses reserved AsOfJoin column name(s) ${clash.mkString(", ")} — rename before joining")
+  }
+
+  /** A right row with a NULL time can never match (DuckDB ASOF's
+    * `l.t >= NULL` is never true) — but an ascending NULLS FIRST sort
+    * would place it before every real row and back-fill it into
+    * early lefts (review-caught). Drop such rows up front.
+    */
+  private def droppedNullTimes(right: DataFrame, rightTime: String): DataFrame =
+    right.filter(col(rightTime).isNotNull)
+
   /** @param left      left rows; all its columns survive
     * @param right     right rows: key, time, payload columns
     * @param leftKey/rightKey   equi-join key columns
     * @param leftTime/rightTime numeric (e.g. epoch micros) time columns
     * @param payload   right columns to attach (null when no match)
     */
-  def asOf(left: DataFrame, right: DataFrame,
+  def asOf(left: DataFrame, rawRight: DataFrame,
            leftKey: String, leftTime: String,
            rightKey: String, rightTime: String,
            payload: Seq[String]): DataFrame = {
+    checkReserved(left, "left")
+    checkReserved(rawRight, "right")
+    val right = droppedNullTimes(rawRight, rightTime)
     val leftCols = left.columns.toSeq
     // The payload travels as ONE struct so the matched right row
     // attaches ATOMICALLY: carrying each column through its own
@@ -97,11 +122,14 @@ object AsOfJoin {
     * left: a real right row at the bucket floor overrides the (older)
     * carry, and lefts match inclusively, exactly as in [[asOf]].
     */
-  def asOfBucketed(left: DataFrame, right: DataFrame,
+  def asOfBucketed(left: DataFrame, rawRight: DataFrame,
                    leftKey: String, leftTime: String,
                    rightKey: String, rightTime: String,
                    payload: Seq[String], bucketWidth: Long): DataFrame = {
     require(bucketWidth > 0, "bucketWidth must be positive")
+    checkReserved(left, "left")
+    checkReserved(rawRight, "right")
+    val right = droppedNullTimes(rawRight, rightTime)
     val leftCols = left.columns.toSeq
     val payloadType = StructType(payload.map(p => right.schema(p)))
     // exact integer floor-division: `floor(t / W)` would route through

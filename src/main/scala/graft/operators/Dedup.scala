@@ -174,8 +174,12 @@ object Dedup {
       .filter(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"),
         bit_count(col("sh_a").bitwiseXOR(col("sh_b"))).cast("long").as("hamming"))
-      .distinct()
+      // filter BEFORE the distinct: hamming is deterministic per
+      // pair, and random 15-bit chunk collisions between unrelated
+      // docs (~n²/2¹⁵ per chunk at scale) would otherwise ride
+      // through the dedup shuffle just to be discarded after
       .filter(col("hamming") <= maxHamming)
+      .distinct()
   }
 
   /** EXACT-recall near-duplicate join by prefix filtering (the
@@ -327,6 +331,17 @@ object Dedup {
   def nearDupClusters(docs: DataFrame, threshold: Double = 0.7,
                       textCol: String = "text", idCol: String = "doc_id",
                       maxIters: Int = 20): DataFrame = {
+    // labels are the ids themselves, propagated with min() — the id
+    // column must be integral. A string id would cast to NULL labels,
+    // sail through the NULL-silent comparisons, and return
+    // cluster_id = NULL for every doc with no error (review-caught).
+    docs.schema(idCol).dataType match {
+      case org.apache.spark.sql.types.ByteType | org.apache.spark.sql.types.ShortType |
+           org.apache.spark.sql.types.IntegerType | org.apache.spark.sql.types.LongType => ()
+      case other => throw new IllegalArgumentException(
+        s"nearDupClusters needs an integral id column for min-label propagation; " +
+          s"'$idCol' is $other — assign a numeric surrogate id first")
+    }
     val pairs = minhashPairs(docs, threshold, textCol = textCol, idCol = idCol)
       .select(col("id_a"), col("id_b"))
     val edges = pairs

@@ -104,14 +104,18 @@ object IngestPipeline {
     * nondeterministic — SURVEY.md §7.4); pass None for
     * `current_timestamp()` in production.
     */
-  def enriched(parsed: DataFrame, receivedAt: Option[Column] = None): DataFrame =
+  def enriched(parsed: DataFrame, receivedAt: Option[Column] = None,
+               jsonCol: String = "props"): DataFrame =
     parsed.select(
       col("event_id"),
       col("user_id"),
       col("event_type"),
       col("value"),
       col("parsed.k").as("k"),
-      col("props").as("_raw_data"),
+      // same jsonCol parameter as parse/admitted — a hardcoded
+      // "props" here broke the composed pipeline for any other
+      // payload column (review-caught)
+      col(jsonCol).as("_raw_data"),
       receivedAt.getOrElse(current_timestamp()).as("received_at"))
 
   /** The full accepted-path DAG: parse → admit → auth → project.
@@ -119,6 +123,9 @@ object IngestPipeline {
     * and pushes them into the scan.
     */
   def accepted(events: DataFrame, keys: DataFrame,
-               receivedAt: Option[Column] = None): DataFrame =
-    enriched(admitted(validated(parse(events), keys)), receivedAt)
+               receivedAt: Option[Column] = None,
+               jsonCol: String = "props"): DataFrame =
+    enriched(
+      admitted(validated(parse(events, jsonCol), keys), jsonCol),
+      receivedAt, jsonCol)
 }

@@ -35,6 +35,11 @@ object IvfIndex {
       .withColumn("features", array_to_vector(col("embedding")))
     val model = new KMeans()
       .setK(nCells).setSeed(seed).setMaxIter(maxIter)
+      // cosine distance end-to-end: search() ranks probe cells by
+      // cosine, so Euclidean assignment would disagree for
+      // unnormalized corpora and silently degrade recall
+      // (review-caught; identical ranking on unit-norm vectors)
+      .setDistanceMeasure("cosine")
       .setFeaturesCol("features").setPredictionCol("cell")
       .fit(vecs)
     val assigned = model.transform(vecs).drop("features")
@@ -77,6 +82,7 @@ object IvfIndex {
       val qv = row.getSeq[Float](1).map(_.toDouble).toArray
       index.centroids.zipWithIndex
         .map { case (c, i) => (i, cosineArr(qv, c)) }
+        .filterNot(_._2.isNaN) // a degenerate centroid has no defined rank
         .sortBy(-_._2).take(nProbe)
         .map { case (cell, _) => (qid, cell) }
     }.toSeq.toDF("query_id", "cell")

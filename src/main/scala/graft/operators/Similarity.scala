@@ -59,6 +59,16 @@ object Similarity {
       .select(col("query_id"), (col("pos") + 1).as("rank"),
         col("nb.id").as("neighbor_id"), col("nb.score").as("sim"))
 
+  /** Cosine is UNDEFINED for zero-norm (or NULL) vectors — the fused
+    * kernel returns NaN there, and Spark's comparison/sort semantics
+    * rank NaN ABOVE every real similarity (a zero vector would "win"
+    * every top-k and pass every `sim >= t` gate). Every similarity
+    * entry point drops such rows up front; the `emb_norms` audit
+    * query is the operator that REPORTS them.
+    */
+  private def nonDegenerate(df: DataFrame, vecCol: String): DataFrame =
+    df.filter(org.apache.spark.sql.graft.VectorNorm(col(vecCol)) > 0)
+
   /** Exact top-k cosine neighbors for each query vector.
     *
     * Plan shape: broadcast-nested-loop of (tiny) queries × corpus —
@@ -71,16 +81,6 @@ object Similarity {
     * @param queries  (query_id, query_vec) — must be small (broadcast)
     * @param corpus   (vec_id, embedding)
     */
-  /** Cosine is UNDEFINED for zero-norm (or NULL) vectors — the fused
-    * kernel returns NaN there, and Spark's comparison/sort semantics
-    * rank NaN ABOVE every real similarity (a zero vector would "win"
-    * every top-k and pass every `sim >= t` gate). Every similarity
-    * entry point drops such rows up front; the `emb_norms` audit
-    * query is the operator that REPORTS them.
-    */
-  private def nonDegenerate(df: DataFrame, vecCol: String): DataFrame =
-    df.filter(org.apache.spark.sql.graft.VectorNorm(col(vecCol)) > 0)
-
   def knnBruteForce(queries: DataFrame, corpus: DataFrame, kNeighbors: Int = 10): DataFrame = {
     val scored = nonDegenerate(corpus, "embedding")
       .crossJoin(broadcast(nonDegenerate(queries, "query_vec")))
@@ -110,7 +110,7 @@ object Similarity {
     * table — the classic recall-vs-cost dial (`nPlanes` up = cheaper
     * + lower recall; `tables` up = costlier + higher recall).
     */
-  def annLsh(rawQueries: DataFrame, rawCorpus: DataFrame, dim: Int,
+  def annLsh(rawQueries: DataFrame, rawCorpus: DataFrame,
              kNeighbors: Int = 10, nPlanes: Int = 4,
              tables: Int = 16): DataFrame = {
     val corpus = nonDegenerate(rawCorpus, "embedding")
@@ -143,7 +143,7 @@ object Similarity {
     * collision is ≈ 0.85^bits, so a handful of tables reaches
     * near-perfect recall while keeping buckets small.
     */
-  def cosinePairs(rawCorpus: DataFrame, dim: Int, threshold: Double = 0.95,
+  def cosinePairs(rawCorpus: DataFrame, threshold: Double = 0.95,
                   nPlanes: Int = 8, tables: Int = 8): DataFrame = {
     val corpus = nonDegenerate(rawCorpus, "embedding")
     // ids-only through the bucket self-join (see annLsh), vectors

@@ -57,7 +57,7 @@ object Queries {
     ev(s, d)
       .filter(col("event_type") === "click")
       .select(col("event_id"), col("user_id"), col("value"),
-        expr("ts_ns div 1000").as("ts_us"))
+        expr(Tables.tsUsExpr).as("ts_us"))
       .orderBy(col("ts_us"), col("event_id"))
 
   val q2FilterSortSql =
@@ -68,7 +68,7 @@ object Queries {
   def q3ProjectSort(s: SparkSession, d: String): DataFrame =
     ev(s, d)
       .select(col("event_id"), col("event_type"), col("value"),
-        expr("ts_ns div 1000").as("ts_us"))
+        expr(Tables.tsUsExpr).as("ts_us"))
       .orderBy(col("ts_us"), col("event_id"))
 
   val q3ProjectSortSql =
@@ -490,7 +490,7 @@ object Queries {
   def annLshTop5(s: SparkSession, d: String): DataFrame = {
     GraftSession.tune(s)
     Similarity
-      .annLsh(embQueries(s, d), Tables.embeddings(s, d), dim = 64,
+      .annLsh(embQueries(s, d), Tables.embeddings(s, d),
         kNeighbors = 5, nPlanes = 4, tables = 16)
       .withColumn("rank", col("rank").cast("long"))
       .withColumn("sim", round(col("sim"), 6))
@@ -850,7 +850,7 @@ object Queries {
     */
   def q20AsOf(s: SparkSession, d: String): DataFrame = {
     val left = ev(s, d).select(
-      col("event_id"), col("user_id"), expr("ts_ns div 1000").as("ts_us"))
+      col("event_id"), col("user_id"), expr(Tables.tsUsExpr).as("ts_us"))
     val right = Tables.orders(s, d)
       .groupBy(col("o_custkey"), col("o_orderdate"))
       .agg(max(col("o_orderkey")).as("last_orderkey"))
@@ -890,7 +890,7 @@ object Queries {
   def q36AsofBucketed(s: SparkSession, d: String): DataFrame = {
     val e = ev(s, d)
     val left = e.select(
-      col("event_id"), col("event_type"), expr("ts_ns div 1000").as("ts_us"))
+      col("event_id"), col("event_type"), expr(Tables.tsUsExpr).as("ts_us"))
     val right = e
       .groupBy(col("event_type"),
         expr("ts_ns div 3600000000000 * 3600000000").as("hour_us"))
@@ -958,7 +958,7 @@ object Queries {
     val base = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
     val planted = base.filter(col("vec_id") < 20)
       .select((col("vec_id") + lit(100000L)).as("vec_id"), col("embedding"))
-    Similarity.cosinePairs(base.unionByName(planted), dim = 64, threshold = 0.95)
+    Similarity.cosinePairs(base.unionByName(planted), threshold = 0.95)
       .withColumn("sim", round(col("sim"), 6))
       .orderBy(col("id_a"), col("id_b"))
   }
@@ -1406,10 +1406,10 @@ object Queries {
     val e = ev(s, d)
     val clicks = e.filter(col("event_type") === "click")
       .select(col("user_id"), col("event_id").as("click_id"),
-        expr("ts_ns div 1000").as("click_us"))
+        expr(Tables.tsUsExpr).as("click_us"))
     val purchases = e.filter(col("event_type") === "purchase")
       .select(col("user_id"), col("event_id").as("purchase_id"),
-        expr("ts_ns div 1000").as("purchase_us"))
+        expr(Tables.tsUsExpr).as("purchase_us"))
     clicks.join(purchases, Seq("user_id"))
       .filter(col("purchase_us") >= col("click_us") &&
         col("purchase_us") <= col("click_us") + lit(3600000000L))

@@ -58,8 +58,17 @@ object Tables {
     *     operations (windows, watermarks). Integer division — a
     *     double round-trip would lose precision above 2^53 ns.
     */
+  /** Nanos → micros as FLOOR division, matching DuckDB's `epoch_us`.
+    * `ts_ns div 1000` alone truncates toward zero, which is 1 µs too
+    * HIGH for pre-epoch (negative) timestamps not on a µs boundary
+    * (review-caught) — integer-exact at any magnitude, unlike a
+    * double round-trip above 2^53 ns.
+    */
+  val tsUsExpr: String =
+    "(ts_ns div 1000) + (CASE WHEN ts_ns % 1000 < 0 THEN -1 ELSE 0 END)"
+
   def eventsNorm(s: SparkSession, d: String): DataFrame =
     events(s, d)
       .withColumnRenamed("ts", "ts_ns")
-      .withColumn("ts", timestamp_micros(expr("ts_ns div 1000")))
+      .withColumn("ts", timestamp_micros(expr(tsUsExpr)))
 }

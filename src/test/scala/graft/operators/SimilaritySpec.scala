@@ -39,7 +39,7 @@ class SimilaritySpec extends SparkSpec {
       .select($"vec_id".as("query_id"), $"embedding".as("query_vec"))
     val exact = Similarity.knnBruteForce(queries, emb, 5)
       .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
-    val approx = Similarity.annLsh(queries, emb, dim = 64, kNeighbors = 5,
+    val approx = Similarity.annLsh(queries, emb, kNeighbors = 5,
       nPlanes = 4, tables = 16)
       .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
     val recall = (exact & approx).size.toDouble / exact.size
@@ -54,7 +54,7 @@ class SimilaritySpec extends SparkSpec {
       (i.toLong, Array.tabulate(8)(d => math.sin(i * 8 + d).toFloat))
     } :+ (99L, Array.tabulate(8)(d => math.sin(0 * 8 + d).toFloat)) // dup of vec 0
     val corpus = vecs.toDF("vec_id", "embedding")
-    val pairs = Similarity.cosinePairs(corpus, dim = 8, threshold = 0.999)
+    val pairs = Similarity.cosinePairs(corpus, threshold = 0.999)
       .select("id_a", "id_b").as[(Long, Long)].collect().toSeq
     assert(pairs.contains((0L, 99L)))
   }
@@ -73,10 +73,10 @@ class SimilaritySpec extends SparkSpec {
     val knn = Similarity.knnBruteForce(queries, corpus, 3)
       .select("neighbor_id").as[Long].collect().toSet
     assert(!knn.contains(3L), s"zero vector must not be a neighbor: $knn")
-    val ann = Similarity.annLsh(queries, corpus, dim = 2, kNeighbors = 3)
+    val ann = Similarity.annLsh(queries, corpus, kNeighbors = 3)
       .select("neighbor_id").as[Long].collect().toSet
     assert(!ann.contains(3L), s"zero vector must not be an ANN candidate: $ann")
-    val pairs = Similarity.cosinePairs(corpus, dim = 2, threshold = 0.9)
+    val pairs = Similarity.cosinePairs(corpus, threshold = 0.9)
       .select("id_a", "id_b").as[(Long, Long)].collect().toSeq
     assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L),
       s"zero vector must not pair: $pairs")

@@ -59,4 +59,14 @@ class FileFormatsSpec extends SparkSpec {
     assert(bytes(s"$base/pq") < bytes(s"$base/js"),
       "columnar+zstd must beat row-wise json on size")
   }
+
+  test("nanos→micros conversion FLOORS like DuckDB epoch_us, including pre-epoch") {
+    import spark.implicits._
+    val cases = Seq(-2000L, -1500L, -1L, 0L, 1L, 999L, 1000L, 1500L,
+      Long.MaxValue / 2, -1234567891L)
+    val got = cases.toDF("ts_ns")
+      .select(expr(Tables.tsUsExpr).as("us")).as[Long].collect().toSeq
+    val expected = cases.map(n => Math.floorDiv(n, 1000L))
+    assert(got === expected)
+  }
 }
