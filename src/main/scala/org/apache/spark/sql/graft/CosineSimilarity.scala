@@ -46,13 +46,20 @@ case class CosineSimilarity(left: Expression, right: Expression)
     case _ => false
   }
 
+  // NULL for mismatched lengths / null elements (see compute)
+  override def nullable: Boolean = true
+
   override protected def nullSafeEval(a: Any, b: Any): Any =
     CosineSimilarity.compute(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData],
       leftFloat, rightFloat)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    defineCodeGen(ctx, ev, (a, b) =>
-      s"org.apache.spark.sql.graft.CosineSimilarity.compute($a, $b, $leftFloat, $rightFloat)")
+    nullSafeCodeGen(ctx, ev, (a, b) => s"""
+      java.lang.Double ${ev.value}_r =
+        org.apache.spark.sql.graft.CosineSimilarity.compute($a, $b, $leftFloat, $rightFloat);
+      if (${ev.value}_r == null) { ${ev.isNull} = true; }
+      else { ${ev.value} = ${ev.value}_r.doubleValue(); }
+    """)
 
   override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): CosineSimilarity =
     copy(left = newLeft, right = newRight)
@@ -62,14 +69,22 @@ case class CosineSimilarity(left: Expression, right: Expression)
 
 object CosineSimilarity {
 
-  /** Called from generated code. */
-  def compute(a: ArrayData, b: ArrayData, aFloat: Boolean, bFloat: Boolean): Double = {
-    val n = math.min(a.numElements(), b.numElements())
+  /** Called from generated code. Returns NULL for mismatched vector
+    * lengths or null elements — the documented-equivalent
+    * `aggregate(zip_with(...))` fold yields NULL in both cases, and
+    * silently scoring a 512-dim prefix of a 768-dim vector would
+    * feed plausible-looking garbage into top-k ranking
+    * (review-caught).
+    */
+  def compute(a: ArrayData, b: ArrayData, aFloat: Boolean, bFloat: Boolean): java.lang.Double = {
+    val n = a.numElements()
+    if (b.numElements() != n) return null
     var dot = 0.0
     var na = 0.0
     var nb = 0.0
     var i = 0
     while (i < n) {
+      if (a.isNullAt(i) || b.isNullAt(i)) return null
       val x = if (aFloat) a.getFloat(i).toDouble else a.getDouble(i)
       val y = if (bFloat) b.getFloat(i).toDouble else b.getDouble(i)
       dot += x * y
@@ -77,7 +92,7 @@ object CosineSimilarity {
       nb += y * y
       i += 1
     }
-    dot / (math.sqrt(na) * math.sqrt(nb))
+    java.lang.Double.valueOf(dot / (math.sqrt(na) * math.sqrt(nb)))
   }
 
   /** Column wrapper. */

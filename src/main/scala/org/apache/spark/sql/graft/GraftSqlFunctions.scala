@@ -39,7 +39,18 @@ object GraftSqlFunctions {
 
   private def intArg(e: Expression, what: String): Int = {
     require(e.foldable, s"$what must be a literal")
-    e.eval().asInstanceOf[Number].intValue()
+    e.eval() match {
+      case null => throw new IllegalArgumentException(
+        s"$what must be a non-NULL integer literal")
+      case n: java.lang.Number =>
+        val l = n.longValue()
+        // reject silent truncation ('2.9' would run as 2) and overflow
+        require(l.toDouble == n.doubleValue() && l.isValidInt,
+          s"$what must be an integer, got $n")
+        l.toInt
+      case other => throw new IllegalArgumentException(
+        s"$what must be an integer literal, got '$other'")
+    }
   }
 
   val all: Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] = Seq(

@@ -45,7 +45,25 @@ case class JsonIsValid(child: Expression)
 }
 
 object JsonIsValid {
-  private val factory = new JsonFactory()
+  /** Jackson's default StreamReadConstraints (nesting 1000, number
+    * length 1000) reject inputs the Go `json.Valid` reference accepts
+    * (review-caught) — raise them to Go's semantics: nesting capped
+    * at 10000 (encoding/json's own limit), scalars unbounded.
+    */
+  private[graft] def goParityFactory(): JsonFactory = {
+    // new JsonFactory + setter (the builder's Java wildcard generics
+    // don't cross into Scala cleanly)
+    val f = new JsonFactory()
+    f.setStreamReadConstraints(
+      com.fasterxml.jackson.core.StreamReadConstraints.builder()
+        .maxNestingDepth(10000)
+        .maxNumberLength(Integer.MAX_VALUE)
+        .maxStringLength(Integer.MAX_VALUE)
+        .build())
+    f
+  }
+
+  private val factory = goParityFactory()
 
   /** True iff `s` is exactly one complete JSON value (object, array,
     * string, number, boolean, or null) with nothing after it.

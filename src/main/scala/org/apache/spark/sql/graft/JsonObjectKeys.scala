@@ -62,7 +62,8 @@ case class JsonObjectKeys(child: Expression)
 }
 
 object JsonObjectKeys {
-  private val factory = new JsonFactory()
+  // Go-parity read constraints — see JsonIsValid.goParityFactory
+  private val factory = JsonIsValid.goParityFactory()
 
   /** Called from generated code; null = not a strict JSON object. */
   def keys(s: String): GenericArrayData =

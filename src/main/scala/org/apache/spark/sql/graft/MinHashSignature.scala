@@ -33,12 +33,19 @@ case class MinHashSignature(child: Expression, k: Int)
           s"minhash_signature needs array<bigint>, got $other")
     }
 
+  // NULL for empty input sets (see compute)
+  override def nullable: Boolean = true
+
   override protected def nullSafeEval(input: Any): Any =
     MinHashSignature.compute(input.asInstanceOf[ArrayData], k)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    defineCodeGen(ctx, ev, c =>
-      s"org.apache.spark.sql.graft.MinHashSignature.compute($c, $k)")
+    nullSafeCodeGen(ctx, ev, c => s"""
+      org.apache.spark.sql.catalyst.util.ArrayData ${ev.value}_r =
+        org.apache.spark.sql.graft.MinHashSignature.compute($c, $k);
+      if (${ev.value}_r == null) { ${ev.isNull} = true; }
+      else { ${ev.value} = ${ev.value}_r; }
+    """)
 
   override protected def withNewChildInternal(newChild: Expression): MinHashSignature =
     copy(child = newChild)
@@ -63,9 +70,16 @@ object MinHashSignature {
     x ^ (x >>> 33)
   }
 
-  /** Called from generated code. */
+  /** Called from generated code. NULL for an empty hash set: a
+    * signature over zero elements would be [Long.MaxValue × k] for
+    * EVERY such row — all shingle-less docs would collide in every
+    * LSH band as phantom near-dups of estimated Jaccard 1.0
+    * (review-caught; the documented-equivalent Column fold's
+    * array_min returns NULL on empty arrays too).
+    */
   def compute(hs: ArrayData, k: Int): ArrayData = {
     val n = hs.numElements()
+    if (n == 0) return null
     val out = new Array[Long](k)
     var i = 0
     while (i < k) {

@@ -39,12 +39,18 @@ case class SimHash64(child: Expression) extends UnaryExpression {
           s"simhash64 needs string, got $other")
     }
 
+  // NULL for token-free input (see compute) on top of null-in/null-out
+  override def nullable: Boolean = true
+
   override protected def nullSafeEval(input: Any): Any =
     SimHash64.compute(input.asInstanceOf[UTF8String])
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    defineCodeGen(ctx, ev, c =>
-      s"org.apache.spark.sql.graft.SimHash64.compute($c)")
+    nullSafeCodeGen(ctx, ev, c => s"""
+      java.lang.Long ${ev.value}_r = org.apache.spark.sql.graft.SimHash64.compute($c);
+      if (${ev.value}_r == null) { ${ev.isNull} = true; }
+      else { ${ev.value} = ${ev.value}_r.longValue(); }
+    """)
 
   override protected def withNewChildInternal(newChild: Expression): SimHash64 =
     copy(child = newChild)
@@ -59,9 +65,16 @@ object SimHash64 {
   /** Low 60 bits of the first 15 hex chars of md5(token) — matches
     * DuckDB `('0x' || substr(md5(t), 1, 15))::BIGINT`.
     */
-  def tokenHash(token: String): Long = {
-    val digest = MessageDigest.getInstance("MD5")
-      .digest(token.getBytes("UTF-8"))
+  def tokenHash(token: String): Long =
+    tokenHash(token, MessageDigest.getInstance("MD5"))
+
+  /** `md` is reset implicitly by digest(); hoisting it out of the
+    * per-token path avoids a synchronized JCA provider lookup per
+    * token of every document (review-caught; the WinnowFingerprints
+    * sibling already reuses one digest per row).
+    */
+  private def tokenHash(token: String, md: MessageDigest): Long = {
+    val digest = md.digest(token.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     // first 15 hex chars = first 7 bytes + high nibble of byte 8
     var h = 0L
     var i = 0
@@ -72,11 +85,18 @@ object SimHash64 {
     (h << 4) | ((digest(7) & 0xf0L) >> 4)
   }
 
-  /** Called from generated code. */
-  def compute(text: UTF8String): Long = {
+  /** Called from generated code. Returns NULL for token-free text: a
+    * fingerprint over zero features would be the all-ones ties value
+    * for EVERY such doc, making them all 0-hamming "near-dups" of
+    * each other (review-caught; callers that pre-filter keep working,
+    * the SQL surface is now safe by itself).
+    */
+  def compute(text: UTF8String): java.lang.Long = {
     val bytes = text.getBytes
     val acc = new Array[Int](bits)
     val sb = new java.lang.StringBuilder(16)
+    val md = MessageDigest.getInstance("MD5")
+    var nTokens = 0
     var i = 0
     while (i <= bytes.length) {
       val c: Int = if (i < bytes.length) bytes(i) & 0xff else -1
@@ -85,7 +105,8 @@ object SimHash64 {
       if (isTok) {
         sb.append(lower.toChar)
       } else if (sb.length() > 0) {
-        val h = tokenHash(sb.toString)
+        val h = tokenHash(sb.toString, md)
+        nTokens += 1
         var b = 0
         while (b < bits) {
           if (((h >> b) & 1L) == 1L) acc(b) += 1 else acc(b) -= 1
@@ -95,13 +116,14 @@ object SimHash64 {
       }
       i += 1
     }
+    if (nTokens == 0) return null
     var out = 0L
     var b = 0
     while (b < bits) {
       if (acc(b) >= 0) out |= (1L << b)
       b += 1
     }
-    out
+    java.lang.Long.valueOf(out)
   }
 
   /** Column wrapper. */

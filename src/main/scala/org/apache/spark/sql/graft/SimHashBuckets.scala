@@ -73,33 +73,45 @@ object SimHashBuckets {
     if ((h(0) & 1) == 0) 1 else -1
   }
 
-  // sign rows memoized per (plane, dim-count) — a handful of small
-  // byte arrays shared by every row in the task
-  private val signCache = new ConcurrentHashMap[(Int, Int), Array[Byte]]()
+  // the FULL sign matrix memoized per (nPlanes, tables, dim-count):
+  // ONE cache probe per row instead of one per (table, plane) — the
+  // per-probe Tuple2 + boxed-Int allocations inside the hot loop were
+  // the exact garbage this class exists to avoid (review-caught).
+  // Entries are bounded by the distinct (config, dim) combinations a
+  // job uses — a handful in practice.
+  private val matrixCache = new ConcurrentHashMap[java.lang.Long, Array[Array[Byte]]]()
 
-  private def signRow(plane: Int, n: Int): Array[Byte] =
-    signCache.computeIfAbsent((plane, n),
-      { key: (Int, Int) =>
-        Array.tabulate(key._2)(d => planeComponent(key._1, d).toByte)
-      })
+  private def signMatrix(nPlanes: Int, tables: Int, n: Int): Array[Array[Byte]] = {
+    val key = java.lang.Long.valueOf(
+      (nPlanes.toLong << 42) | (tables.toLong << 21) | n.toLong)
+    var m = matrixCache.get(key)
+    if (m == null) {
+      m = Array.tabulate(tables * nPlanes)(g =>
+        Array.tabulate(n)(d => planeComponent(g, d).toByte))
+      matrixCache.putIfAbsent(key, m)
+      m = matrixCache.get(key)
+    }
+    m
+  }
 
   /** One pass over the vector per (table, plane). Called from
     * generated code — keep the signature JVM-friendly.
     */
   def compute(vec: ArrayData, nPlanes: Int, tables: Int, isFloat: Boolean): ArrayData = {
     val n = vec.numElements()
+    val signs = signMatrix(nPlanes, tables, n)
     val out = new Array[Long](tables)
     var t = 0
     while (t < tables) {
       var bucket = 0L
       var p = 0
       while (p < nPlanes) {
-        val signs = signRow(t * nPlanes + p, n)
+        val row = signs(t * nPlanes + p)
         var dot = 0.0
         var d = 0
         while (d < n) {
           val x = if (isFloat) vec.getFloat(d).toDouble else vec.getDouble(d)
-          dot += x * signs(d)
+          dot += x * row(d)
           d += 1
         }
         if (dot >= 0) bucket |= (1L << p)

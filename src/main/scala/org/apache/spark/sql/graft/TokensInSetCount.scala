@@ -108,6 +108,21 @@ object TextTokens {
     fmix64(h)
   }
 
+  /** True iff the scanner emits EXACTLY this word as one token — the
+    * precondition for a marker to ever match. A word with a
+    * non-token char ("can't", "naïve", a multi-char CJK compound)
+    * hashes to a value [[scan]] can never emit: a silently dead
+    * marker (review-caught) — callers validate with this and fail
+    * loudly instead.
+    */
+  def isScannableWord(w: String): Boolean = {
+    var n = 0
+    var h = 0L
+    scan(org.apache.spark.unsafe.types.UTF8String.fromString(w),
+      new Sink { def token(x: Long): Unit = { n += 1; h = x } })
+    n == 1 && h == hashWord(w)
+  }
+
   trait Sink { def token(h: Long): Unit }
 
   @inline private def isCont(b: Byte): Boolean = (b & 0xC0) == 0x80
@@ -188,6 +203,13 @@ object TextTokens {
 case class TokensInSetCount(child: Expression, words: Seq[String])
     extends UnaryExpression with ImplicitCastInputTypes {
 
+  {
+    val dead = words.filterNot(TextTokens.isScannableWord)
+    require(dead.isEmpty,
+      s"word(s) ${dead.mkString("'", "', '", "'")} can never match: each must " +
+        "tokenize to exactly one token (no punctuation/accents/compounds)")
+  }
+
   override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
   override def dataType: DataType = IntegerType
 
@@ -233,6 +255,12 @@ object TokensInSetCount {
   * declaration order (which is also the tie-break order).
   */
 final class LangLexicon(markers: Seq[(String, Seq[String])]) extends Serializable {
+  markers.foreach { case (lang, ms) =>
+    val dead = ms.filterNot(TextTokens.isScannableWord)
+    require(dead.isEmpty,
+      s"$lang marker(s) ${dead.mkString("'", "', '", "'")} can never match " +
+        "(must tokenize to exactly one token)")
+  }
   private val sets: Array[LongHashSet] =
     markers.map { case (_, ms) => new LongHashSet(ms.map(TextTokens.hashWord)) }.toArray
   private val codes: Array[String] = markers.map(_._1).toArray

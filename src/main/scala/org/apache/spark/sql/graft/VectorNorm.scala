@@ -37,12 +37,19 @@ case class VectorNorm(child: Expression) extends UnaryExpression {
     case _ => false
   }
 
+  // NULL for null elements (see compute)
+  override def nullable: Boolean = true
+
   override protected def nullSafeEval(a: Any): Any =
     VectorNorm.compute(a.asInstanceOf[ArrayData], isFloat)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    defineCodeGen(ctx, ev, a =>
-      s"org.apache.spark.sql.graft.VectorNorm.compute($a, $isFloat)")
+    nullSafeCodeGen(ctx, ev, a => s"""
+      java.lang.Double ${ev.value}_r =
+        org.apache.spark.sql.graft.VectorNorm.compute($a, $isFloat);
+      if (${ev.value}_r == null) { ${ev.isNull} = true; }
+      else { ${ev.value} = ${ev.value}_r.doubleValue(); }
+    """)
 
   override protected def withNewChildInternal(newChild: Expression): VectorNorm =
     copy(child = newChild)
@@ -52,17 +59,22 @@ case class VectorNorm(child: Expression) extends UnaryExpression {
 
 object VectorNorm {
 
-  /** Called from generated code. */
-  def compute(a: ArrayData, aFloat: Boolean): Double = {
+  /** Called from generated code. NULL elements yield NULL — the
+    * `sqrt(aggregate(...))` fold this documents parity with
+    * propagates them, and reading one as 0.0 would silently shrink
+    * the norm (same contract as [[CosineSimilarity.compute]]).
+    */
+  def compute(a: ArrayData, aFloat: Boolean): java.lang.Double = {
     val n = a.numElements()
     var acc = 0.0
     var i = 0
     while (i < n) {
+      if (a.isNullAt(i)) return null
       val x = if (aFloat) a.getFloat(i).toDouble else a.getDouble(i)
       acc += x * x
       i += 1
     }
-    math.sqrt(acc)
+    java.lang.Double.valueOf(math.sqrt(acc))
   }
 
   /** Column wrapper. */

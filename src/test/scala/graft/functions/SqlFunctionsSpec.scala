@@ -80,4 +80,48 @@ class SqlFunctionsSpec extends SparkSpec {
       "SELECT simhash_buckets(array(0.5F, -0.25F, 1.0F, 0.0F), 4, 3)")
     assert(buckets.length === 3)
   }
+
+  test("degenerate inputs yield NULL, not sentinel collisions (SQL surface safety)") {
+    // token-free text: an all-ones fingerprint would make every such
+    // doc a 0-hamming "near-dup" of every other
+    assert(spark.sql("SELECT simhash64('!!! ???')").collect().head.isNullAt(0))
+    assert(spark.sql("SELECT simhash64('ab')").collect().head.getLong(0) != 0L)
+    // empty shingle set: a [Long.MaxValue x k] signature would collide
+    // in every LSH band with estimated Jaccard 1.0
+    assert(spark.sql("SELECT minhash_signature(shingle_hashes('a b', 3), 8)")
+      .collect().head.isNullAt(0))
+    // mismatched vector lengths: a silent prefix score would feed
+    // garbage into top-k ranking
+    assert(spark.sql(
+      "SELECT cosine_similarity(array(1.0D, 2.0D), array(1.0D, 2.0D, 3.0D))")
+      .collect().head.isNullAt(0))
+    assert(spark.sql("SELECT vector_norm(array(CAST(NULL AS DOUBLE), 1.0D))")
+      .collect().head.isNullAt(0))
+  }
+
+  test("json_is_valid accepts deep nesting and long numbers like Go json.Valid") {
+    // Jackson's default read constraints (nesting 1000, number length
+    // 1000) were rejecting these — Go, the documented reference, accepts
+    val deep = "[" * 2000 + "]" * 2000
+    assert(spark.sql(s"SELECT json_is_valid('$deep')").collect().head.getBoolean(0))
+    val longNum = "1" + "0" * 1500
+    assert(spark.sql(s"SELECT json_is_valid('$longNum')").collect().head.getBoolean(0))
+    // beyond even Go's own nesting cap → invalid on both
+    val tooDeep = "[" * 10001 + "]" * 10001
+    assert(!spark.sql(s"SELECT json_is_valid('$tooDeep')").collect().head.getBoolean(0))
+  }
+
+  test("unscannable marker words fail loudly instead of silently never matching") {
+    val ex = intercept[IllegalArgumentException] {
+      spark.sql("SELECT tokens_in_set_count('any text', \"can't,the\")").collect()
+    }
+    assert(ex.getMessage.contains("can never match"))
+    // fractional / null size literals are rejected, not truncated
+    assertThrows[Exception] {
+      spark.sql("SELECT shingle_hashes('a b c', 2.9)").collect()
+    }
+    assertThrows[Exception] {
+      spark.sql("SELECT shingle_hashes('a b c', NULL)").collect()
+    }
+  }
 }
