@@ -38,10 +38,12 @@ object Bench {
     // regressions at ~±10%.
     val runs = 5
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+      var failed = false
       val times = (1 to runs).map { _ =>
         val t0 = System.nanoTime()
         try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
         catch { case e: Throwable =>
+          failed = true
           System.err.println(s"[bench] $name failed: ${e.getMessage}")
         }
         val elapsed = (System.nanoTime() - t0) / 1e9
@@ -51,12 +53,20 @@ object Bench {
         spark.catalog.clearCache()
         elapsed
       }.sorted
-      name -> times(runs / 2)
+      // a failed run aborts in milliseconds — reporting its wall time
+      // as a median would read as a SPEEDUP in the machine-parsed
+      // output; -1 is unmistakable (and keeps the JSON numeric)
+      name -> (if (failed) -1.0 else times(runs / 2))
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","runs_per_query":$runs,"stat":"median"}""")
+    val total = results.map(_._2).filter(_ >= 0).sum
+    val nFailed = results.count(_._2 < 0)
+    // minimal JSON string escape for the interpolated path (Verify
+    // has the full escaper; a quote/backslash here would otherwise
+    // break the driver's json.load of this line)
+    val sfEsc = sfDir.replace("\\", "\\\\").replace("\"", "\\\"")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfEsc","runs_per_query":$runs,"stat":"median","failed_queries":$nFailed}""")
     spark.stop()
   }
 }

@@ -72,6 +72,12 @@ object StressBench {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val docReplicas = sys.env.getOrElse("SPARK_GRAFT_STRESS_DOCS_X", "26").toInt
     val evReplicas = sys.env.getOrElse("SPARK_GRAFT_STRESS_EVENTS_X", "100").toInt
+    // beyond 26 the Caesar rotation (k % 26) — and beyond 64 dims the
+    // embedding rotation — wraps to IDENTITY: replica groups become
+    // exact cross-group duplicates, pair counts go quadratic, and the
+    // near-linear assertions fail for the wrong reason
+    require(docReplicas >= 1 && docReplicas <= 26,
+      s"SPARK_GRAFT_STRESS_DOCS_X must be in [1,26] (alphabet rotations), got $docReplicas")
     val slack = 3.0
     val spark = GraftSession.build(s"local[$cpus]", cpus)
     GraftSession.tune(spark)
@@ -138,7 +144,8 @@ object StressBench {
 
     val body = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    println(s"""{"metric":"stress","sf_small":"$sfDir","docs_x":$docReplicas,"events_x":$evReplicas,"slack":$slack,"ops":$body}""")
+    val sfEsc = sfDir.replace("\\", "\\\\").replace("\"", "\\\"")
+    println(s"""{"metric":"stress","sf_small":"$sfEsc","docs_x":$docReplicas,"events_x":$evReplicas,"slack":$slack,"ops":$body}""")
     spark.stop()
   }
 }

@@ -10,6 +10,9 @@ object Verify {
       // optional third arg: comma-separated query names, for quick
       // single-query re-verification while iterating
       case Array(s, o, names) => (s, o, Some(names.split(',').toSet))
+      case _ =>
+        System.err.println("usage: graft.Verify <sfDir> <outDir> [name1,name2,...]")
+        sys.exit(2)
     }
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = GraftSession.build(s"local[$cpus]", cpus)

@@ -260,7 +260,7 @@ object Queries {
   /** Event-time bucketing on the nanos timestamp (hour buckets). */
   def q12HourlyCounts(s: SparkSession, d: String): DataFrame =
     ev(s, d)
-      .groupBy(expr("ts_ns div 3600000000000").as("hour_bucket"))
+      .groupBy(expr(Tables.tsNsFloorDiv(3600000000000L)).as("hour_bucket"))
       .agg(
         count(lit(1)).as("cnt"),
         sum(col("value").cast("decimal(18,2)")).cast("double").as("total_value"))
@@ -297,33 +297,43 @@ object Queries {
   private def sqlStringList(xs: Seq[String]): String =
     xs.map(x => s"'$x'").mkString("(", ", ", ")")
 
-  def docQuality(s: SparkSession, d: String): DataFrame =
-    docs(s, d).select(
-      col("doc_id"),
-      TextFunctions.qualityScore(col("text")).as("quality"))
-      .orderBy(col("doc_id"))
-
-  /** Mirrors [[TextFunctions.qualityScore]] op-for-op (same double
-    * expression tree → same bits), stopword list spliced from the
-    * same Scala constant.
+  /** Shared oracle fragment: the quality-score m/q CTE pair — the
+    * weights (0.4/0.3/0.15/0.15), the token-free guard, and the
+    * round(…, 4), mirroring [[TextFunctions.qualityScore]]
+    * op-for-op (same double expression tree → same bits). ONE
+    * definition: this block was previously copy-pasted into five
+    * oracles (review-caught), where a formula tweak missing one copy
+    * would silently desynchronize an oracle from the Spark plan.
+    * `extra` carries additional columns alongside doc_id
+    * ("" or ", source").
     */
-  val docQualitySql: String = {
+  private def qualityCteSql(extra: String = ""): String = {
     val stop = sqlStringList(TextFunctions.enStopwordList)
-    s"""WITH m AS (SELECT doc_id,
+    s"""m AS (SELECT doc_id$extra,
        |  CAST(len(regexp_extract_all(text, '[A-Za-z0-9]+')) AS DOUBLE) AS n_tok,
        |  CAST(greatest(length(text), 1) AS DOUBLE) AS n_char,
        |  CAST(len(list_filter(regexp_extract_all(lower(text), '${org.apache.spark.sql.graft.TextTokens.TokenPattern}'),
        |        t -> t IN $stop)) AS DOUBLE) AS n_stop,
        |  CAST(len(regexp_extract_all(text, '[0-9]')) AS DOUBLE) AS n_digit,
        |  CAST(len(regexp_extract_all(text, '[.,;:!?]')) AS DOUBLE) AS n_punct
-       | FROM documents)
-       |SELECT doc_id, round(
+       | FROM documents),
+       |q AS (SELECT doc_id$extra, round(
        |  0.4::DOUBLE * least(n_tok / 100.0::DOUBLE, 1.0::DOUBLE)
        |  + 0.3::DOUBLE * least((CASE WHEN n_tok = 0.0::DOUBLE THEN 0.0::DOUBLE ELSE n_stop / n_tok END) * 5.0::DOUBLE, 1.0::DOUBLE)
        |  + 0.15::DOUBLE * (1.0::DOUBLE - least(n_digit / n_char * 10.0::DOUBLE, 1.0::DOUBLE))
        |  + 0.15::DOUBLE * (1.0::DOUBLE - least(n_punct / n_char * 10.0::DOUBLE, 1.0::DOUBLE)), 4) AS quality
-       |FROM m ORDER BY doc_id""".stripMargin
+       | FROM m)""".stripMargin
   }
+
+  def docQuality(s: SparkSession, d: String): DataFrame =
+    docs(s, d).select(
+      col("doc_id"),
+      TextFunctions.qualityScore(col("text")).as("quality"))
+      .orderBy(col("doc_id"))
+
+  val docQualitySql: String =
+    s"""WITH ${qualityCteSql()}
+       |SELECT doc_id, quality FROM q ORDER BY doc_id""".stripMargin
 
   /** Native single-scan language ID: one codegen'd expression per
     * row, NO shuffle — for a fixed marker lexicon this beats the
@@ -893,7 +903,7 @@ object Queries {
       col("event_id"), col("event_type"), expr(Tables.tsUsExpr).as("ts_us"))
     val right = e
       .groupBy(col("event_type"),
-        expr("ts_ns div 3600000000000 * 3600000000").as("hour_us"))
+        expr(s"${Tables.tsNsFloorDiv(3600000000000L)} * 3600000000").as("hour_us"))
       .agg(max(col("event_id")).as("checkpoint_id"))
     graft.operators.AsOfJoin
       .asOfBucketed(left, right, "event_type", "ts_us", "event_type", "hour_us",
@@ -989,21 +999,7 @@ object Queries {
       .orderBy(col("doc_id"))
 
   val corpusCleanSql: String = {
-    val stop = sqlStringList(TextFunctions.enStopwordList)
-    s"""WITH m AS (SELECT doc_id,
-       |  CAST(len(regexp_extract_all(text, '[A-Za-z0-9]+')) AS DOUBLE) AS n_tok,
-       |  CAST(greatest(length(text), 1) AS DOUBLE) AS n_char,
-       |  CAST(len(list_filter(regexp_extract_all(lower(text), '${org.apache.spark.sql.graft.TextTokens.TokenPattern}'),
-       |        t -> t IN $stop)) AS DOUBLE) AS n_stop,
-       |  CAST(len(regexp_extract_all(text, '[0-9]')) AS DOUBLE) AS n_digit,
-       |  CAST(len(regexp_extract_all(text, '[.,;:!?]')) AS DOUBLE) AS n_punct
-       | FROM documents),
-       |q AS (SELECT doc_id, round(
-       |  0.4::DOUBLE * least(n_tok / 100.0::DOUBLE, 1.0::DOUBLE)
-       |  + 0.3::DOUBLE * least((CASE WHEN n_tok = 0.0::DOUBLE THEN 0.0::DOUBLE ELSE n_stop / n_tok END) * 5.0::DOUBLE, 1.0::DOUBLE)
-       |  + 0.15::DOUBLE * (1.0::DOUBLE - least(n_digit / n_char * 10.0::DOUBLE, 1.0::DOUBLE))
-       |  + 0.15::DOUBLE * (1.0::DOUBLE - least(n_punct / n_char * 10.0::DOUBLE, 1.0::DOUBLE)), 4) AS quality
-       | FROM m),
+    s"""WITH ${qualityCteSql()},
        |fp AS (SELECT doc_id,
        |  md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))) AS f
        | FROM documents),
@@ -1140,7 +1136,6 @@ object Queries {
       .orderBy(col("doc_id"))
 
   val corpusCleanCcSql: String = {
-    val stop = sqlStringList(TextFunctions.enStopwordList)
     s"""WITH RECURSIVE toks AS (
        |  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS t FROM documents),
        |sh AS (
@@ -1166,20 +1161,7 @@ object Queries {
        |  md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))) AS f
        | FROM documents),
        |keep1 AS (SELECT min(doc_id) AS doc_id FROM fp GROUP BY f),
-       |m AS (SELECT doc_id,
-       |  CAST(len(regexp_extract_all(text, '[A-Za-z0-9]+')) AS DOUBLE) AS n_tok,
-       |  CAST(greatest(length(text), 1) AS DOUBLE) AS n_char,
-       |  CAST(len(list_filter(regexp_extract_all(lower(text), '${org.apache.spark.sql.graft.TextTokens.TokenPattern}'),
-       |        t -> t IN $stop)) AS DOUBLE) AS n_stop,
-       |  CAST(len(regexp_extract_all(text, '[0-9]')) AS DOUBLE) AS n_digit,
-       |  CAST(len(regexp_extract_all(text, '[.,;:!?]')) AS DOUBLE) AS n_punct
-       | FROM documents),
-       |q AS (SELECT doc_id, round(
-       |  0.4::DOUBLE * least(n_tok / 100.0::DOUBLE, 1.0::DOUBLE)
-       |  + 0.3::DOUBLE * least((CASE WHEN n_tok = 0.0::DOUBLE THEN 0.0::DOUBLE ELSE n_stop / n_tok END) * 5.0::DOUBLE, 1.0::DOUBLE)
-       |  + 0.15::DOUBLE * (1.0::DOUBLE - least(n_digit / n_char * 10.0::DOUBLE, 1.0::DOUBLE))
-       |  + 0.15::DOUBLE * (1.0::DOUBLE - least(n_punct / n_char * 10.0::DOUBLE, 1.0::DOUBLE)), 4) AS quality
-       | FROM m)
+       |${qualityCteSql()}
        |SELECT q.doc_id, q.quality FROM q
        | JOIN keep1 USING (doc_id)
        | JOIN cm ON cm.doc_id = q.doc_id AND cm.cluster_id = q.doc_id
@@ -1374,21 +1356,7 @@ object Queries {
       .orderBy(col("source"))
 
   val docSourceQualitySql: String = {
-    val stop = sqlStringList(TextFunctions.enStopwordList)
-    s"""WITH m AS (SELECT doc_id, source,
-       |  CAST(len(regexp_extract_all(text, '[A-Za-z0-9]+')) AS DOUBLE) AS n_tok,
-       |  CAST(greatest(length(text), 1) AS DOUBLE) AS n_char,
-       |  CAST(len(list_filter(regexp_extract_all(lower(text), '${org.apache.spark.sql.graft.TextTokens.TokenPattern}'),
-       |        t -> t IN $stop)) AS DOUBLE) AS n_stop,
-       |  CAST(len(regexp_extract_all(text, '[0-9]')) AS DOUBLE) AS n_digit,
-       |  CAST(len(regexp_extract_all(text, '[.,;:!?]')) AS DOUBLE) AS n_punct
-       | FROM documents),
-       |q AS (SELECT doc_id, source, round(
-       |  0.4::DOUBLE * least(n_tok / 100.0::DOUBLE, 1.0::DOUBLE)
-       |  + 0.3::DOUBLE * least((CASE WHEN n_tok = 0.0::DOUBLE THEN 0.0::DOUBLE ELSE n_stop / n_tok END) * 5.0::DOUBLE, 1.0::DOUBLE)
-       |  + 0.15::DOUBLE * (1.0::DOUBLE - least(n_digit / n_char * 10.0::DOUBLE, 1.0::DOUBLE))
-       |  + 0.15::DOUBLE * (1.0::DOUBLE - least(n_punct / n_char * 10.0::DOUBLE, 1.0::DOUBLE)), 4) AS quality
-       | FROM m)
+    s"""WITH ${qualityCteSql(", source")}
        |SELECT source, count(*) AS cnt,
        | CAST(sum(CAST(quality AS DECIMAL(18,4))) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS avg_quality
        |FROM q GROUP BY source ORDER BY source""".stripMargin
@@ -1435,7 +1403,7 @@ object Queries {
     */
   def q27Pivot(s: SparkSession, d: String): DataFrame =
     ev(s, d)
-      .groupBy(expr("ts_ns div 86400000000000").as("day_bucket"))
+      .groupBy(expr(Tables.tsNsFloorDiv(86400000000000L)).as("day_bucket"))
       .pivot("event_type", Seq("click", "error", "purchase", "signup", "view"))
       .agg(count(lit(1)))
       .na.fill(0L)
@@ -1818,21 +1786,7 @@ object Queries {
 
   /** Quality CTE mirrors [[docQualitySql]] op-for-op. */
   val curateTopDocsSql: String = {
-    val stop = sqlStringList(TextFunctions.enStopwordList)
-    s"""WITH m AS (SELECT source, doc_id,
-       |  CAST(len(regexp_extract_all(text, '[A-Za-z0-9]+')) AS DOUBLE) AS n_tok,
-       |  CAST(greatest(length(text), 1) AS DOUBLE) AS n_char,
-       |  CAST(len(list_filter(regexp_extract_all(lower(text), '${org.apache.spark.sql.graft.TextTokens.TokenPattern}'),
-       |        t -> t IN $stop)) AS DOUBLE) AS n_stop,
-       |  CAST(len(regexp_extract_all(text, '[0-9]')) AS DOUBLE) AS n_digit,
-       |  CAST(len(regexp_extract_all(text, '[.,;:!?]')) AS DOUBLE) AS n_punct
-       | FROM documents),
-       |q AS (SELECT source, doc_id, round(
-       |  0.4::DOUBLE * least(n_tok / 100.0::DOUBLE, 1.0::DOUBLE)
-       |  + 0.3::DOUBLE * least((CASE WHEN n_tok = 0.0::DOUBLE THEN 0.0::DOUBLE ELSE n_stop / n_tok END) * 5.0::DOUBLE, 1.0::DOUBLE)
-       |  + 0.15::DOUBLE * (1.0::DOUBLE - least(n_digit / n_char * 10.0::DOUBLE, 1.0::DOUBLE))
-       |  + 0.15::DOUBLE * (1.0::DOUBLE - least(n_punct / n_char * 10.0::DOUBLE, 1.0::DOUBLE)), 4) AS quality
-       | FROM m),
+    s"""WITH ${qualityCteSql(", source")},
        |r AS (SELECT source, doc_id, quality,
        |  row_number() OVER (PARTITION BY source ORDER BY quality DESC, doc_id) AS rnk
        | FROM q)
@@ -1851,7 +1805,7 @@ object Queries {
   def q40Cube(s: SparkSession, d: String): DataFrame =
     ev(s, d)
       .select(col("event_type"),
-        expr("ts_ns div 86400000000000").cast("string").as("day"),
+        expr(Tables.tsNsFloorDiv(86400000000000L)).cast("string").as("day"),
         col("value"))
       .cube(col("event_type"), col("day"))
       .agg(
@@ -2019,7 +1973,7 @@ object Queries {
     */
   def q43MovingAvg(s: SparkSession, d: String): DataFrame = {
     val daily = ev(s, d)
-      .groupBy(expr("ts_ns div 86400000000000").as("day"))
+      .groupBy(expr(Tables.tsNsFloorDiv(86400000000000L)).as("day"))
       .agg(sum(col("value").cast("decimal(18,2)")).as("rev_d"))
     daily.as("a")
       .join(broadcast(daily.as("b")),
@@ -2051,7 +2005,7 @@ object Queries {
   def q44ZorderLayout(s: SparkSession, d: String): DataFrame = {
     import graft.functions.Layout
     val t = ev(s, d)
-      .select(col("user_id"), expr("ts_ns div 86400000000000").as("day"))
+      .select(col("user_id"), expr(Tables.tsNsFloorDiv(86400000000000L)).as("day"))
     // rebase days to an offset so the interleave sees the bits that
     // actually vary (raw epoch-days share constant high bits and
     // would collapse every row into one bucket)
@@ -2304,7 +2258,7 @@ object Queries {
     * hint on the preserved side would be silently dropped.
     */
   def q30GapFill(s: SparkSession, d: String): DataFrame = {
-    val dayExpr = expr("ts_ns div 86400000000000")
+    val dayExpr = expr(Tables.tsNsFloorDiv(86400000000000L))
     val e = ev(s, d)
     val daily = e.filter(col("event_type") === "signup")
       .groupBy(dayExpr.as("day"))
@@ -2523,8 +2477,8 @@ object Queries {
       |   (100001, '{"k": 1, "extra": "x", "zkey": 2}'),
       |   (100002, '{"k": 2}')) v(event_id, props))
       |SELECT event_id,
-      | CAST(len(list_filter(json_keys(props), x -> x <> 'k')) AS BIGINT) AS n_overflow,
-      | coalesce(array_to_string(list_sort(list_filter(json_keys(props), x -> x <> 'k')), ','), '') AS overflow_keys
+      | CAST(len(list_distinct(list_filter(json_keys(props), x -> x <> 'k'))) AS BIGINT) AS n_overflow,
+      | coalesce(array_to_string(list_sort(list_distinct(list_filter(json_keys(props), x -> x <> 'k'))), ','), '') AS overflow_keys
       |FROM allc
       |WHERE props IS NOT NULL AND length(props) > 0 AND json_valid(props)
       |  AND CASE WHEN json_valid(props) THEN json_type(props) = 'OBJECT' ELSE FALSE END
@@ -2738,7 +2692,6 @@ object Queries {
   }
 
   val dedupCanonicalSql: String = {
-    val stop = sqlStringList(TextFunctions.enStopwordList)
     s"""WITH RECURSIVE toks AS (
        |  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS t FROM documents),
        |sh AS (
@@ -2762,20 +2715,7 @@ object Queries {
        |cl AS (
        |  SELECT src AS doc_id, CAST(min(dst) AS BIGINT) AS cluster_id
        |  FROM reach GROUP BY src),
-       |m AS (SELECT doc_id,
-       |  CAST(len(regexp_extract_all(text, '[A-Za-z0-9]+')) AS DOUBLE) AS n_tok,
-       |  CAST(greatest(length(text), 1) AS DOUBLE) AS n_char,
-       |  CAST(len(list_filter(regexp_extract_all(lower(text), '${org.apache.spark.sql.graft.TextTokens.TokenPattern}'),
-       |        t -> t IN $stop)) AS DOUBLE) AS n_stop,
-       |  CAST(len(regexp_extract_all(text, '[0-9]')) AS DOUBLE) AS n_digit,
-       |  CAST(len(regexp_extract_all(text, '[.,;:!?]')) AS DOUBLE) AS n_punct
-       | FROM documents),
-       |q AS (SELECT doc_id, round(
-       |  0.4::DOUBLE * least(n_tok / 100.0::DOUBLE, 1.0::DOUBLE)
-       |  + 0.3::DOUBLE * least((CASE WHEN n_tok = 0.0::DOUBLE THEN 0.0::DOUBLE ELSE n_stop / n_tok END) * 5.0::DOUBLE, 1.0::DOUBLE)
-       |  + 0.15::DOUBLE * (1.0::DOUBLE - least(n_digit / n_char * 10.0::DOUBLE, 1.0::DOUBLE))
-       |  + 0.15::DOUBLE * (1.0::DOUBLE - least(n_punct / n_char * 10.0::DOUBLE, 1.0::DOUBLE)), 4) AS quality
-       | FROM m),
+       |${qualityCteSql()},
        |r AS (
        |  SELECT cl.cluster_id, cl.doc_id, q.quality,
        |   row_number() OVER (PARTITION BY cl.cluster_id ORDER BY q.quality DESC, cl.doc_id) AS rn,

@@ -67,6 +67,14 @@ object Tables {
   val tsUsExpr: String =
     "(ts_ns div 1000) + (CASE WHEN ts_ns % 1000 < 0 THEN -1 ELSE 0 END)"
 
+  /** Floor division of `ts_ns` by an arbitrary bucket width — the
+    * same DuckDB `//` parity as [[tsUsExpr]] for the hour/day bucket
+    * queries (Spark `div` truncates toward zero, off-by-one for
+    * pre-epoch timestamps).
+    */
+  def tsNsFloorDiv(divisor: Long): String =
+    s"((ts_ns div $divisor) + (CASE WHEN ts_ns % $divisor < 0 THEN -1 ELSE 0 END))"
+
   def eventsNorm(s: SparkSession, d: String): DataFrame =
     events(s, d)
       .withColumnRenamed("ts", "ts_ns")
