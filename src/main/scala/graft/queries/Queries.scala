@@ -2406,10 +2406,18 @@ object Queries {
     */
   def q33MonthlyDelta(s: SparkSession, d: String): DataFrame = {
     GraftSession.tune(s)
+    // localCheckpoint materializes the tiny (calendar-bounded, ≤ a few
+    // hundred rows) monthly aggregate ONCE and truncates lineage, so
+    // the self-join below reads the materialized rows instead of
+    // re-scanning + re-aggregating the full orders table for `prev` —
+    // at 100 TB of orders that halves the query's scan cost. The
+    // checkpoint blocks are GC'd with the DataFrame reference
+    // (ContextCleaner), so nothing pins executor memory across calls.
     val monthly = Tables.orders(s, d)
       .groupBy(year(col("o_orderdate")).cast("long").as("yr"),
         month(col("o_orderdate")).cast("long").as("mo"))
       .agg(sum(col("o_totalprice").cast("decimal(18,2)")).as("rev"))
+      .localCheckpoint()
     val prev = monthly.select(
       (col("yr") * 12 + col("mo")).as("idx_p"), col("rev").as("prev"))
     monthly

@@ -109,6 +109,11 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("Window"),
       "no unpartitioned window allowed\n" + p.take(1200))
     assert(p.contains("BroadcastHashJoin"), p.take(1200))
+    // the monthly aggregate is localCheckpoint-materialized once; a
+    // second orders scan (the r4 double-aggregate) would show a
+    // parquet FileScan in the plan — the checkpointed plan has none
+    assert(!p.contains("Scan parquet") && !p.contains("FileScan"),
+      "orders must be scanned once (checkpointed aggregate), not re-scanned per join side\n" + p.take(1600))
   }
 
   test("q35: approx distinct aggregates partial+final (sketches merge map-side)") {
