@@ -49,14 +49,22 @@ object Bench {
         val elapsed = (System.nanoTime() - t0) / 1e9
         // release per-query caches (Dedup.minhashPairs etc.) so runs
         // are independent and nothing pins executor memory — OUTSIDE
-        // the timed window, so medians measure the query alone
+        // the timed window, so medians measure the query alone.
+        // clearCache only drops catalog-cached plans; localCheckpoint
+        // blocks (q33) live as persistent RDDs outside the catalog, so
+        // unpersist those explicitly too.
         spark.catalog.clearCache()
+        spark.sparkContext.getPersistentRDDs.values
+          .foreach(_.unpersist(blocking = false))
         elapsed
       }.sorted
       // a failed run aborts in milliseconds — reporting its wall time
       // as a median would read as a SPEEDUP in the machine-parsed
-      // output; -1 is unmistakable (and keeps the JSON numeric)
-      name -> (if (failed) -1.0 else times(runs / 2))
+      // output; -1 is unmistakable (and keeps the JSON numeric).
+      // Round here so `value` (summed below) is exactly the sum of the
+      // per-query numbers a driver re-parses from the JSON.
+      name -> (if (failed) -1.0
+               else math.rint(times(runs / 2) * 1000) / 1000)
     }
     // 3 decimal places (ms resolution) keeps the one-line JSON short
     // enough that the driver's tail-capture can't truncate it —

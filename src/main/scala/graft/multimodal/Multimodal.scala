@@ -8,12 +8,14 @@ import org.apache.spark.sql.functions._
   * feature-extract / resize / frame-sample operators.
   *
   * The Spark-side plumbing is real — schemas, typed Datasets,
-  * per-partition batched execution, partitioning strategy — while the
-  * actual codec calls are STUBBED with deterministic fakes (this
-  * container ships no image/audio libraries). Every stub is marked
+  * per-partition batched execution, partitioning strategy. IMAGE
+  * decode/resize is also real, via the JDK's own `javax.imageio`
+  * (PNG/JPEG/GIF/BMP): header-only metadata parse, full-decode
+  * rescale + PNG re-encode. Audio/video codecs don't exist in the
+  * JDK (and this container ships no media libraries), so those calls
+  * are STUBBED with deterministic byte-derived fakes — each marked
   * `STUB:` and isolated behind [[MediaCodec]], so swapping in a real
-  * decoder (javacv, TwelveMonkeys, ffmpeg-cli) touches exactly one
-  * object.
+  * decoder (javacv, ffmpeg-cli) touches exactly one object.
   *
   * Execution model notes (the part that matters at 100 TB):
   *  - decode work runs via `mapPartitions` so per-partition setup
@@ -47,16 +49,71 @@ object Multimodal {
   /** An input media row: id + type + raw bytes. */
   case class MediaRecord(mediaId: Long, mediaType: String, content: Array[Byte])
 
-  /** The codec boundary. Everything below is a deterministic fake
-    * over the blob bytes — byte-derived, so results are stable across
-    * runs/executors and testable — NOT a real decoder.
+  /** The codec boundary. IMAGES decode for real through the JDK's
+    * `javax.imageio` (PNG/JPEG/GIF/BMP ship with every JVM — no
+    * external library): [[decodeMeta]] reads width/height/format/bands
+    * from the container header WITHOUT decoding pixels, and
+    * [[resizeImage]] does a full pixel decode → `BufferedImage`
+    * rescale → PNG re-encode. Audio/video (no JDK codec exists) and
+    * images that fail to parse fall back to the deterministic
+    * byte-derived STUBs below, each marked `STUB:`.
     */
   object MediaCodec {
 
-    /** STUB: derive pseudo metadata from the first bytes of the blob
-      * (a real impl would parse the container header).
+    // ImageIO defaults to spilling ImageInputStreams to temp files;
+    // executors decode thousands of in-memory blobs, so force the
+    // memory-backed stream (class-load-time, once per JVM)
+    javax.imageio.ImageIO.setUseCache(false)
+
+    /** Real header parse: (format, width, height, bands) without
+      * decoding pixel data — at 100 TB of media the metadata pass
+      * must never pay the full decode. None if no installed reader
+      * recognizes the bytes.
+      */
+    private[multimodal] def imageHeader(b: Array[Byte]): Option[(String, Int, Int, Int)] = {
+      import javax.imageio.ImageIO
+      val iis = ImageIO.createImageInputStream(new java.io.ByteArrayInputStream(b))
+      if (iis == null) return None
+      try {
+        val readers = ImageIO.getImageReaders(iis)
+        if (!readers.hasNext) None
+        else {
+          val rd = readers.next()
+          try {
+            rd.setInput(iis, true, true)
+            val w = rd.getWidth(0)
+            val h = rd.getHeight(0)
+            val bands = {
+              val its = rd.getImageTypes(0)
+              if (its.hasNext) its.next().getNumBands else 0
+            }
+            Some((rd.getFormatName.toLowerCase(java.util.Locale.ROOT), w, h, bands))
+          } finally rd.dispose()
+        }
+      } catch { case _: Exception => None }
+      finally iis.close()
+    }
+
+    /** Image metadata via the REAL `javax.imageio` header parse;
+      * audio/video and unparseable blobs take the byte-derived stub.
       */
     def decodeMeta(r: MediaRecord): MediaMeta = {
+      if (r.mediaType == "image") {
+        imageHeader(r.content) match {
+          case Some((fmt, w, h, bands)) =>
+            return MediaMeta(r.mediaId, "image", r.content.length.toLong,
+              fmt, w, h, durationMs = 0L, channels = bands)
+          case None => () // not a real image container — stub below
+        }
+      }
+      decodeMetaStub(r)
+    }
+
+    /** STUB: pseudo metadata from the first bytes of the blob — the
+      * fallback for media types with no JDK codec (audio/video) and
+      * for undecodable image blobs.
+      */
+    private[multimodal] def decodeMetaStub(r: MediaRecord): MediaMeta = {
       val b = r.content
       def byteAt(i: Int): Int = if (b.length > i) b(i) & 0xff else 0
       val fakeFormat = r.mediaType match {
@@ -73,6 +130,36 @@ object Multimodal {
         height = if (r.mediaType == "audio") 0 else 16 * (1 + byteAt(2) % 68),
         durationMs = if (r.mediaType == "image") 0L else 1000L * (1 + byteAt(3) % 300),
         channels = 1 + byteAt(4) % 2)
+    }
+
+    /** REAL image rescale: full `ImageIO` decode, aspect-preserving
+      * scale so max(width, height) == maxDim (round-half-up on the
+      * short edge, floor 1 px), bilinear `Graphics2D` redraw, PNG
+      * re-encode. Blobs no installed reader accepts fall back to the
+      * byte-budget stub at 3·maxDim² bytes (the RGB byte count of a
+      * maxDim-square image).
+      */
+    def resizeImage(r: MediaRecord, maxDim: Int): MediaRecord = {
+      require(maxDim > 0, s"maxDim must be positive, got $maxDim")
+      val img =
+        try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(r.content))
+        catch { case _: Exception => null }
+      if (img == null || img.getWidth <= 0 || img.getHeight <= 0)
+        return resize(r, 3 * maxDim * maxDim)
+      val m = math.max(img.getWidth, img.getHeight).toDouble
+      val nw = math.max(1, math.round(img.getWidth * maxDim / m).toInt)
+      val nh = math.max(1, math.round(img.getHeight * maxDim / m).toInt)
+      val out = new java.awt.image.BufferedImage(
+        nw, nh, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      val g = out.createGraphics()
+      try {
+        g.setRenderingHint(java.awt.RenderingHints.KEY_INTERPOLATION,
+          java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+        g.drawImage(img, 0, 0, nw, nh, null)
+      } finally g.dispose()
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(out, "png", bos)
+      r.copy(content = bos.toByteArray)
     }
 
     /** STUB: fixed-dim feature vector derived from a rolling hash of
@@ -146,6 +233,17 @@ object Multimodal {
   def resize(media: Dataset[MediaRecord], targetBytes: Int): Dataset[MediaRecord] = {
     import media.sparkSession.implicits._
     media.mapPartitions(it => it.map(MediaCodec.resize(_, targetBytes)))
+  }
+
+  /** REAL image rescale ([[MediaCodec.resizeImage]]: ImageIO decode →
+    * bilinear redraw → PNG re-encode), batched per partition so the
+    * codec warm-up amortizes. Undecodable blobs degrade to the
+    * byte-budget stub — the shape a production pipeline wants, since
+    * a single corrupt blob must not fail a 100 TB pass.
+    */
+  def resizeImages(media: Dataset[MediaRecord], maxDim: Int): Dataset[MediaRecord] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions(it => it.map(MediaCodec.resizeImage(_, maxDim)))
   }
 
   /** Size partition count by total blob bytes instead of row count —

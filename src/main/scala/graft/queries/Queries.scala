@@ -1020,17 +1020,24 @@ object Queries {
        |ORDER BY doc_id""".stripMargin
   }
 
-  /** Multimodal decode plumbing: documents' bytes as opaque media
-    * blobs → typed metadata via the batched `mapPartitions` decode
-    * path ([[graft.multimodal.Multimodal]]). The decode itself is a
-    * deterministic byte-derived STUB, which makes it
-    * oracle-reproducible — the real point is the schema, the typed
-    * Dataset, and the batch shape.
+  /** Multimodal decode: documents' bytes as opaque media blobs →
+    * typed metadata via the batched `mapPartitions` decode path
+    * ([[graft.multimodal.Multimodal]]) — PLUS three planted real
+    * image blobs ([[graft.multimodal.ImageFixtures]]: two PNGs, one
+    * BMP; ids ≥ 900001) that exercise the REAL `javax.imageio`
+    * header parse. For the text-byte rows no ImageIO reader matches,
+    * so they take the deterministic byte-derived stub the oracle
+    * mirrors arithmetically; for the fixtures the oracle states the
+    * containers' ground-truth dims/format/bands as literals while
+    * Spark derives them by actually parsing the headers.
     */
   def mediaDecode(s: SparkSession, d: String): DataFrame = {
     GraftSession.tune(s)
+    import s.implicits._
+    val media = graft.multimodal.Multimodal.fromDocuments(s, d)
+      .unionByName(s.createDataset(graft.multimodal.ImageFixtures.records))
     graft.multimodal.Multimodal
-      .decodeMeta(graft.multimodal.Multimodal.fromDocuments(s, d))
+      .decodeMeta(media)
       .toDF()
       .select(
         col("mediaId").as("media_id"),
@@ -1063,7 +1070,16 @@ object Queries {
       | CAST(CASE WHEN media_type = 'audio' THEN 0 ELSE 16 * (1 + b2 % 68) END AS BIGINT) AS height,
       | CAST(CASE WHEN media_type = 'image' THEN 0 ELSE 1000 * (1 + b3 % 300) END AS BIGINT) AS duration_ms,
       | CAST(1 + b4 % 2 AS BIGINT) AS channels
-      |FROM m ORDER BY media_id""".stripMargin
+      |FROM m
+      |UNION ALL
+      |-- planted real-image fixtures (ImageFixtures.scala): byte-exact
+      |-- containers, so these are the decoders' ground truth
+      |SELECT * FROM (VALUES
+      |  (CAST(900001 AS BIGINT), 'image', CAST(148  AS BIGINT), 'png', CAST(37  AS BIGINT), CAST(23  AS BIGINT), CAST(0 AS BIGINT), CAST(3 AS BIGINT)),
+      |  (CAST(900002 AS BIGINT), 'image', CAST(1587 AS BIGINT), 'png', CAST(640 AS BIGINT), CAST(480 AS BIGINT), CAST(0 AS BIGINT), CAST(3 AS BIGINT)),
+      |  (CAST(900003 AS BIGINT), 'image', CAST(150  AS BIGINT), 'bmp', CAST(7   AS BIGINT), CAST(4   AS BIGINT), CAST(0 AS BIGINT), CAST(3 AS BIGINT))
+      |) t(media_id, media_type, byte_len, format, width, height, duration_ms, channels)
+      |ORDER BY media_id""".stripMargin
 
   /** Connected-components near-dup clustering: every document
     * labeled with the smallest doc id in its near-dup component
@@ -2387,6 +2403,43 @@ object Queries {
       | md5(lower(substr(h, 1, 512)) || repeat('00', greatest(0, 256 - len))) AS digest
       |FROM m ORDER BY media_id""".stripMargin
 
+  /** REAL image resize, end to end: the planted fixture images
+    * ([[graft.multimodal.ImageFixtures]]) go through
+    * [[graft.multimodal.Multimodal.resizeImages]] — full
+    * `javax.imageio` pixel decode, aspect-preserving bilinear rescale
+    * to maxDim=16, PNG re-encode — and the RESIZED bytes are decoded
+    * AGAIN via the real header parse. The oracle states the expected
+    * output dimensions as ground-truth literals (the aspect formula:
+    * long edge 16, short edge round-half-up, e.g. 37×23 → 16×10,
+    * 640×480 → 16×12, 7×4 → 16×9, all re-encoded as 3-band png), so
+    * a green row proves decode → rescale → encode → decode round-trips
+    * with exact geometry. Encoder-dependent bytes (IDAT contents)
+    * deliberately stay OUT of the output: only decoded facts compare.
+    */
+  def mediaImageResize(s: SparkSession, d: String): DataFrame = {
+    GraftSession.tune(s)
+    import s.implicits._
+    val fixtures = s.createDataset(graft.multimodal.ImageFixtures.records)
+    val resized = graft.multimodal.Multimodal.resizeImages(fixtures, maxDim = 16)
+    graft.multimodal.Multimodal.decodeMeta(resized)
+      .toDF()
+      .select(
+        col("mediaId").as("media_id"),
+        col("format"),
+        col("width").cast("long").as("width"),
+        col("height").cast("long").as("height"),
+        col("channels").cast("long").as("channels"))
+      .orderBy(col("media_id"))
+  }
+
+  val mediaImageResizeSql =
+    """SELECT * FROM (VALUES
+      |  (CAST(900001 AS BIGINT), 'png', CAST(16 AS BIGINT), CAST(10 AS BIGINT), CAST(3 AS BIGINT)),
+      |  (CAST(900002 AS BIGINT), 'png', CAST(16 AS BIGINT), CAST(12 AS BIGINT), CAST(3 AS BIGINT)),
+      |  (CAST(900003 AS BIGINT), 'png', CAST(16 AS BIGINT), CAST(9  AS BIGINT), CAST(3 AS BIGINT))
+      |) t(media_id, format, width, height, channels)
+      |ORDER BY media_id""".stripMargin
+
   /** Month-over-month revenue change (the composition dashboards
     * live on). Monthly revenue is the DECIMAL-routed exact sum, so
     * the single pct division per row is the only float op —
@@ -2410,14 +2463,21 @@ object Queries {
     // hundred rows) monthly aggregate ONCE and truncates lineage, so
     // the self-join below reads the materialized rows instead of
     // re-scanning + re-aggregating the full orders table for `prev` —
-    // at 100 TB of orders that halves the query's scan cost. The
-    // checkpoint blocks are GC'd with the DataFrame reference
-    // (ContextCleaner), so nothing pins executor memory across calls.
+    // at 100 TB of orders that halves the query's scan cost. Two
+    // caveats, both deliberate: (1) `eager = true` means merely
+    // BUILDING this DataFrame runs the scan+aggregate job (callers
+    // that only want the plan/schema pay it too); (2) localCheckpoint
+    // is non-reliable storage — lost blocks cannot be recomputed, so
+    // on a cluster with executor loss/dynamic allocation the job fails
+    // loudly. Safe here because the harness runs local[N]; `cache()`
+    // or reliable `checkpoint()` is the cluster-safe variant. Blocks
+    // are GC'd with the DataFrame reference (ContextCleaner); Bench
+    // additionally unpersists them between runs.
     val monthly = Tables.orders(s, d)
       .groupBy(year(col("o_orderdate")).cast("long").as("yr"),
         month(col("o_orderdate")).cast("long").as("mo"))
       .agg(sum(col("o_totalprice").cast("decimal(18,2)")).as("rev"))
-      .localCheckpoint()
+      .localCheckpoint(eager = true)
     val prev = monthly.select(
       (col("yr") * 12 + col("mo")).as("idx_p"), col("rev").as("prev"))
     monthly
@@ -2933,6 +2993,7 @@ object Queries {
     "media_meta" -> (mediaMeta _),
     "media_decode" -> (mediaDecode _),
     "media_resize" -> (mediaResize _),
+    "media_image_resize" -> (mediaImageResize _),
     "doc_chunks" -> (docChunks _),
     "dedup_canonical" -> (dedupCanonical _),
     "emb_norms" -> (embNorms _),
@@ -3019,6 +3080,7 @@ object Queries {
     "media_meta" -> mediaMetaSql,
     "media_decode" -> mediaDecodeSql,
     "media_resize" -> mediaResizeSql,
+    "media_image_resize" -> mediaImageResizeSql,
     "doc_chunks" -> docChunksSql,
     "dedup_canonical" -> dedupCanonicalSql,
     "emb_norms" -> embNormsSql,

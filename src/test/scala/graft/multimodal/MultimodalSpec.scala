@@ -53,6 +53,55 @@ class MultimodalSpec extends SparkSpec {
     assert(out(2L).drop(2).forall(_ == 0.toByte), "padding must be zero bytes")
   }
 
+  test("real codec: header parse returns ground-truth dims for every fixture") {
+    for ((id, bytes, fmt, w, h) <- ImageFixtures.expected) {
+      val meta = MediaCodec.decodeMeta(MediaRecord(id, "image", bytes))
+      assert(meta.format === fmt, s"fixture $id format")
+      assert(meta.width === w, s"fixture $id width")
+      assert(meta.height === h, s"fixture $id height")
+      assert(meta.channels === 3, s"fixture $id bands")
+      assert(meta.byteLen === bytes.length.toLong)
+      assert(meta.durationMs === 0L)
+    }
+  }
+
+  test("real codec: undecodable image bytes fall back to the byte stub") {
+    val rec = MediaRecord(5L, "image", "not an image at all".getBytes("UTF-8"))
+    assert(MediaCodec.decodeMeta(rec) === MediaCodec.decodeMetaStub(rec))
+    // audio/video never touch ImageIO even with real image bytes
+    val audio = MediaRecord(6L, "audio", ImageFixtures.png37x23)
+    assert(MediaCodec.decodeMeta(audio) === MediaCodec.decodeMetaStub(audio))
+  }
+
+  test("real codec: resizeImage rescales with preserved aspect and re-decodes") {
+    // 37x23 → long edge 16, short edge round(23*16/37) = 10
+    val out = MediaCodec.resizeImage(MediaRecord(1L, "image", ImageFixtures.png37x23), 16)
+    val meta = MediaCodec.decodeMeta(out)
+    assert((meta.format, meta.width, meta.height) === (("png", 16, 10)))
+    // upscale path: 7x4 → 16x9 (aspect formula is scale-direction-agnostic)
+    val up = MediaCodec.decodeMeta(
+      MediaCodec.resizeImage(MediaRecord(2L, "image", ImageFixtures.bmp7x4), 16))
+    assert((up.format, up.width, up.height) === (("png", 16, 9)))
+    // pixel content survives: png640x480 is constant-color (30,80,160)
+    // and a bilinear resample of a constant field is the same constant
+    val big = MediaCodec.resizeImage(MediaRecord(4L, "image", ImageFixtures.png640x480), 16)
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(big.content))
+    assert((img.getRGB(8, 6) & 0xffffff) === ((30 << 16) | (80 << 8) | 160))
+    // undecodable blob degrades to the byte-budget stub, never throws
+    val bad = MediaCodec.resizeImage(MediaRecord(3L, "image", Array[Byte](1, 2, 3)), 16)
+    assert(bad.content.length === 3 * 16 * 16)
+  }
+
+  test("resizeImages operator runs the real codec distributed") {
+    val ds = spark.createDataset(ImageFixtures.records)
+    val metas = decodeMeta(resizeImages(ds, maxDim = 16))
+      .collect().map(m => m.mediaId -> m).toMap
+    assert(metas(900001L).width === 16 && metas(900001L).height === 10)
+    assert(metas(900002L).width === 16 && metas(900002L).height === 12)
+    assert(metas(900003L).width === 16 && metas(900003L).height === 9)
+    assert(metas.values.forall(_.format == "png"))
+  }
+
   test("fromDocuments maps driver docs into the media schema") {
     graft.GraftSession.tune(spark)
     val ds = fromDocuments(spark, sfSmoke)
