@@ -46,6 +46,40 @@ object IvfIndex {
     Index(assigned, model.clusterCenters.map(_.toArray))
   }
 
+  /** Persist the index as parquet: the (potentially corpus-sized)
+    * cell assignment sharded normally, the tiny centroid matrix as
+    * one (cell, centroid) table — the production IVF lifecycle,
+    * where the quantizer is trained once and probed by many later
+    * sessions. Layout: `path/assigned/`, `path/centroids/`.
+    */
+  def save(index: Index, path: String): Unit = {
+    val spark = index.assigned.sparkSession
+    import spark.implicits._
+    index.assigned.write.mode("overwrite").parquet(s"$path/assigned")
+    index.centroids.zipWithIndex
+      .map { case (c, i) => (i, c.toSeq) }.toSeq
+      .toDF("cell", "centroid")
+      .coalesce(1) // a handful of rows — one footer beats 32
+      .write.mode("overwrite").parquet(s"$path/centroids")
+  }
+
+  /** Load a [[save]]d index. The centroid matrix is rebuilt in cell
+    * order and validated dense (cells 0..n-1): a silently-missing
+    * centroid would mis-rank every probe selection.
+    */
+  def load(spark: org.apache.spark.sql.SparkSession, path: String): Index = {
+    val assigned = spark.read.parquet(s"$path/assigned")
+    val cents = spark.read.parquet(s"$path/centroids")
+      .select(col("cell").cast("int"), col("centroid"))
+      .collect()
+      .map(r => r.getInt(0) -> r.getSeq[Double](1).toArray)
+      .sortBy(_._1)
+    require(cents.nonEmpty && cents.map(_._1).sameElements(cents.indices),
+      s"corrupt IVF index at $path: centroid cells ${cents.map(_._1).mkString(",")} " +
+        s"are not dense 0..${cents.length - 1}")
+    Index(assigned, cents.map(_._2))
+  }
+
   private def cosineArr(a: Array[Double], b: Array[Double]): Double = {
     var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
     while (i < math.min(a.length, b.length)) {

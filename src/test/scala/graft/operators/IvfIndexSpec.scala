@@ -38,6 +38,67 @@ class IvfIndexSpec extends SparkSpec {
     assert(e.getMessage.contains("maxDriverQueries"))
   }
 
+  test("save/load round-trips the index and searches identically") {
+    graft.GraftSession.tune(spark)
+    val emb = graft.tables.Tables.embeddings(spark, sfSmoke)
+    val queries = emb.filter($"vec_id" < 4)
+      .select($"vec_id".as("query_id"), $"embedding".as("query_vec"))
+    val index = IvfIndex.build(emb, nCells = 8)
+    val path = java.nio.file.Files.createTempDirectory("graft-ivf").toString
+    IvfIndex.save(index, path)
+    val loaded = IvfIndex.load(spark, path)
+    assert(loaded.centroids.length === index.centroids.length)
+    assert(loaded.centroids.zip(index.centroids).forall { case (a, b) => a.sameElements(b) })
+    assert(loaded.assigned.count() === index.assigned.count())
+    val before = IvfIndex.search(index, queries, kNeighbors = 5, nProbe = 3)
+      .select("query_id", "rank", "neighbor_id").as[(Long, Int, Long)].collect().toSet
+    val after = IvfIndex.search(loaded, queries, kNeighbors = 5, nProbe = 3)
+      .select("query_id", "rank", "neighbor_id").as[(Long, Int, Long)].collect().toSet
+    assert(after === before, "a reloaded index must answer byte-identically")
+  }
+
+  test("load rejects a non-dense centroid table instead of mis-ranking probes") {
+    graft.GraftSession.tune(spark)
+    val emb = graft.tables.Tables.embeddings(spark, sfSmoke)
+    val index = IvfIndex.build(emb, nCells = 4)
+    val path = java.nio.file.Files.createTempDirectory("graft-ivf-bad").toString
+    IvfIndex.save(index, path)
+    // corrupt: drop centroid 0
+    val cents = spark.read.parquet(s"$path/centroids").filter($"cell" =!= 0)
+    cents.write.mode("overwrite").parquet(s"$path/centroids2")
+    def rmrf(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles.foreach(rmrf)
+      f.delete(); ()
+    }
+    val corrupt = new java.io.File(s"$path/centroids")
+    rmrf(corrupt)
+    assert(new java.io.File(s"$path/centroids2").renameTo(corrupt))
+    val e = intercept[IllegalArgumentException](IvfIndex.load(spark, path))
+    assert(e.getMessage.contains("not dense"))
+  }
+
+  test("recall@10 is non-decreasing in nProbe and exact at all-cells") {
+    graft.GraftSession.tune(spark)
+    val emb = graft.tables.Tables.embeddings(spark, sfSmoke)
+    val queries = emb.filter($"vec_id" < 8)
+      .select($"vec_id".as("query_id"), $"embedding".as("query_vec"))
+    val exact = Similarity.knnBruteForce(queries, emb, 10)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val index = IvfIndex.build(emb, nCells = 8)
+    // candidate sets are nested in nProbe, and true top-10 members
+    // outrank every non-member under the same cosine — so recall is
+    // monotone by construction; this pins the property end-to-end
+    val recalls = Seq(1, 2, 4, 8).map { p =>
+      val approx = IvfIndex.search(index, queries, kNeighbors = 10, nProbe = p)
+        .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+      p -> (exact & approx).size.toDouble / exact.size
+    }
+    recalls.sliding(2).foreach { case Seq((p1, r1), (p2, r2)) =>
+      assert(r2 >= r1, s"recall fell from $r1 (nProbe=$p1) to $r2 (nProbe=$p2)")
+    }
+    assert(recalls.last._2 === 1.0, "all-cells probe must equal brute force")
+  }
+
   test("probing all cells recovers brute force exactly") {
     graft.GraftSession.tune(spark)
     val emb = graft.tables.Tables.embeddings(spark, sfSmoke)

@@ -1,0 +1,118 @@
+package graft.streaming
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+
+import graft.SparkSpec
+import graft.operators.Dedup
+
+case class SDoc(doc_id: Long, text: String)
+
+/** Streaming dedup gates ([[StreamingDedup]]): batch equivalence vs
+  * [[Dedup.exact]], near-dup key agreement with the batch LSH
+  * pipeline, and replay safety across a checkpoint restart — the
+  * delivery-semantics bar IngestStreamSpec sets for the ingest DAG,
+  * applied to the LLM-pipeline gate.
+  */
+class StreamingDedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def tmp(): String =
+    Files.createTempDirectory("graft-sdedup").toString
+
+  private def baseDocs: Seq[SDoc] =
+    spark.read.parquet(s"$sfSmoke/documents.parquet")
+      .selectExpr("doc_id", "text").as[SDoc]
+      .collect().toSeq.sortBy(_.doc_id)
+
+  /** Drive a gate query over MemoryStream chunks, one micro-batch per
+    * chunk (processAllAvailable between addData calls), parquet sink.
+    */
+  private def runGate(chunks: Seq[Seq[SDoc]],
+                      gate: org.apache.spark.sql.DataFrame => org.apache.spark.sql.Dataset[StreamingDedup.KeyedDoc],
+                      ckpt: String = tmp(), out: String = tmp()): String = {
+    implicit val sqlCtx = spark.sqlContext
+    val ms = MemoryStream[SDoc]
+    val q = gate(ms.toDF())
+      .writeStream
+      .format("parquet")
+      .option("path", out)
+      .option("checkpointLocation", ckpt)
+      .start()
+    try chunks.foreach { c => ms.addData(c); q.processAllAvailable() }
+    finally q.stop()
+    out
+  }
+
+  test("exact gate batch-equivalence: admitted set == Dedup.exact on the same corpus") {
+    val docs = baseDocs
+    // exact text copies under new ids, delivered in a LATER micro-batch
+    // so first-seen == min-id and the comparison is deterministic
+    val dups = docs.take(25).map(d => SDoc(d.doc_id + 1000000L, d.text))
+    val out = runGate(Seq(docs, dups), df => StreamingDedup.dedupeExact(df, ttlMs = 0L))
+    val admitted = spark.read.parquet(out).select($"doc_id").as[Long].collect().toSet
+
+    val batch = Dedup.exact(docs.toDF().unionByName(dups.toDF()))
+      .selectExpr("doc_id").as[Long].collect().toSet
+    assert(admitted === batch, "streaming first-seen == batch min-id per fingerprint")
+    assert(admitted.forall(_ < 1000000L), "every planted dup dropped")
+    // the admitted fingerprint set is the full distinct-fingerprint set
+    val keys = spark.read.parquet(out).select($"gate_key").as[String].collect().toSet
+    val batchKeys = docs.toDF()
+      .select(StreamingDedup.exactKey($"text").as("k")).as[String].collect().toSet
+    assert(keys === batchKeys)
+  }
+
+  test("near-dup gate drops single-band collisions and agrees with the batch key") {
+    val docs = baseDocs.take(50)
+    // same token stream modulo punctuation/case → identical shingle
+    // set → identical band signature, guaranteed collision
+    val nearDups = docs.take(10).map(d =>
+      SDoc(d.doc_id + 2000000L, d.text.toUpperCase + " !!!"))
+    // shingle-less docs (< 3 tokens → zero 3-shingles) fall back to
+    // the exact key: distinct content passes, identical normalized
+    // content dedupes ("???" and "!!!" both normalize to "")
+    val empties = Seq(SDoc(3000001L, "one"), SDoc(3000002L, "two"),
+      SDoc(3000003L, "???"), SDoc(3000004L, "!!!"))
+    val out = runGate(Seq(docs, nearDups ++ empties),
+      df => StreamingDedup.nearDupGate(df, bandRows = 4, ttlMs = 0L))
+    val admitted = spark.read.parquet(out).select($"doc_id").as[Long].collect().toSet
+
+    assert(nearDups.forall(d => !admitted.contains(d.doc_id)),
+      "identical-shingle near-dups are dropped")
+    assert(admitted.contains(3000001L) && admitted.contains(3000002L),
+      "distinct shingle-less docs both pass via the exact-key fallback")
+    assert(Seq(3000003L, 3000004L).count(admitted.contains) === 1,
+      "shingle-less docs with identical normalized content dedupe to one")
+    // batch agreement: admitted keys == the distinct key set of the feed
+    val all = (docs ++ nearDups ++ empties).toDF()
+    val batchKeys = all
+      .select(StreamingDedup.nearDupKey($"text", 4).as("k")).as[String].collect().toSet
+    val streamedKeys = spark.read.parquet(out).select($"gate_key").as[String].collect().toSet
+    assert(streamedKeys === batchKeys,
+      "one admitted doc per distinct gate key, none missing")
+  }
+
+  test("replay safety: redelivery after restart is suppressed by checkpointed state") {
+    val docs = baseDocs.take(30)
+    val (ckpt, out) = (tmp(), tmp())
+    // first delivery
+    runGate(Seq(docs), df => StreamingDedup.dedupeExact(df, ttlMs = 0L), ckpt, out)
+    assert(spark.read.parquet(out).count() === 30)
+    // at-least-once redelivery: after a restart against the SAME
+    // checkpoint, the source re-sends already-admitted rows AT NEW
+    // OFFSETS (so offset tracking can't skip them — only the
+    // recovered STATE can suppress them), mixed with a genuinely new
+    // doc that must still be admitted. Two chunks: the first replays
+    // the old offset range (skipped by offset recovery), the second
+    // is the state-level redelivery under test.
+    val fresh = SDoc(4000001L, "a genuinely new document about spark state stores")
+    runGate(Seq(docs, docs.take(10) :+ fresh),
+      df => StreamingDedup.dedupeExact(df, ttlMs = 0L), ckpt, out)
+    val ids = spark.read.parquet(out).select($"doc_id").as[Long].collect().toSeq
+    assert(ids.length === 31, "replayed rows admitted exactly once, new doc admitted")
+    assert(ids.distinct.length === 31)
+    assert(ids.contains(4000001L))
+  }
+}
