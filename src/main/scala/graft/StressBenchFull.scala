@@ -1,0 +1,139 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+
+/** Full-surface scale stress: every registered query runs once on
+  * sf0.1 and once on the scaled copy ([[StressBench]]'s replica
+  * builders: documents/embeddings ×26, events ×100, TPC-H tables
+  * byte-identical), wall-time only — the shuffle-byte assertions
+  * stay with [[StressBench]]'s hand-picked heavy ops, where the
+  * meter is meaningful per-op. Purpose: the per-query medians at
+  * sf0.1 are all sub-3 s and overhead-dominated, so a plan
+  * pathology (accidental cross join, payload-carrying explode, a
+  * window that collapses to one partition) only becomes visible
+  * against the scaled tables — this catches it for the LONG TAIL of
+  * the surface, not just the ten known-heavy ops.
+  *
+  * Each query's expected row ratio is detected from its OWN plan:
+  * the max scale factor over the parquet scans it performs
+  * (documents/embeddings → docs_x, events → events_x, anything else
+  * → 1). A query over unscaled tables therefore asserts time_x ≤
+  * slack — a pure regression guard. Wall-time ratios compare against
+  * `max(small, 0.3 s)` so overhead-dominated sub-second queries
+  * don't divide by noise.
+  *
+  * Prints one JSON line and writes it to BENCH_STRESS_FULL.json
+  * (capture-proof, same policy as Bench); any super-linear query
+  * fails the run AFTER the artifact is written, so the numbers that
+  * show the failure survive it.
+  */
+object StressBenchFull {
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val outDir = sys.env.getOrElse("SPARK_GRAFT_STRESS_DIR", "target/stress_full")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val docReplicas = sys.env.getOrElse("SPARK_GRAFT_STRESS_DOCS_X", "26").toInt
+    val evReplicas = sys.env.getOrElse("SPARK_GRAFT_STRESS_EVENTS_X", "100").toInt
+    require(docReplicas >= 1 && docReplicas <= 26,
+      s"SPARK_GRAFT_STRESS_DOCS_X must be in [1,26] (alphabet rotations), got $docReplicas")
+    val slack = 3.0
+    val spark = GraftSession.build(s"local[$cpus]", cpus)
+    GraftSession.tune(spark)
+
+    // --- scaled + pass-through tables (not timed) ------------------
+    StressBench.scaleDocuments(tables.Tables.documents(spark, sfDir), docReplicas)
+      .write.mode("overwrite").parquet(s"$outDir/documents.parquet")
+    StressBench.scaleEmbeddings(tables.Tables.embeddings(spark, sfDir), docReplicas, dims = 64)
+      .write.mode("overwrite").parquet(s"$outDir/embeddings.parquet")
+    StressBench.scaleEvents(tables.Tables.events(spark, sfDir), evReplicas)
+      .write.mode("overwrite").parquet(s"$outDir/events.parquet")
+    Seq("region", "nation", "customer", "supplier", "part", "orders", "lineitem")
+      .foreach { t =>
+        spark.read.parquet(s"$sfDir/$t.parquet")
+          .write.mode("overwrite").parquet(s"$outDir/$t.parquet")
+      }
+
+    // Queries whose builders EAGERLY materialize via localCheckpoint
+    // (the CC family, q33) return a plan rooted at a LogicalRDD — the
+    // file scans are truncated away, so plan-based detection can't
+    // see them. Their dominant table is declared here instead.
+    val ratioOverrides: Map[String, Int] = Map(
+      "dedup_clusters" -> docReplicas,
+      "dedup_canonical" -> docReplicas,
+      "corpus_clean_cc" -> docReplicas,
+      "q33_monthly_delta" -> 1) // orders — unscaled
+
+    /** Max scale factor over the parquet tables this query scans
+      * (collectWithSubqueries — an EXISTS subquery's scan counts
+      * too). Zero scans (literal fixtures, pre-materialized
+      * checkpoints) → 1.
+      */
+    def rowRatio(df: DataFrame): Int = {
+      val paths = df.queryExecution.analyzed.collectWithSubqueries {
+        case l: LogicalRelation =>
+          l.relation match {
+            case f: HadoopFsRelation => f.location.rootPaths.map(_.getName)
+            case _ => Seq.empty[String]
+          }
+      }.flatten
+      val ratios = paths.map {
+        case "documents.parquet" | "embeddings.parquet" => docReplicas
+        case "events.parquet" => evReplicas
+        case _ => 1
+      }
+      if (ratios.isEmpty) 1 else ratios.max
+    }
+
+    def timed(name: String, dir: String): Double = {
+      val t0 = System.nanoTime()
+      queries.Queries.all(name)(spark, dir)
+        .write.format("noop").mode("overwrite").save()
+      val sec = (System.nanoTime() - t0) / 1e9
+      spark.catalog.clearCache()
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
+      sec
+    }
+
+    case class Row(name: String, r: Int, tSmall: Double, tBig: Double) {
+      def timeRatio: Double = tBig / math.max(tSmall, 0.3)
+      def ok: Boolean = timeRatio <= r * slack
+    }
+
+    val results = queries.Queries.all.keys.toSeq.sorted.map { name =>
+      // ratio from the small-dir plan (table NAMES decide, so either
+      // dir gives the same answer); construction is untimed — for the
+      // few eager builders (q33's checkpoint, IVF's fit) this also
+      // serves as their JIT warmup
+      val r = ratioOverrides.getOrElse(name,
+        rowRatio(queries.Queries.all(name)(spark, sfDir)))
+      val row = Row(name, r, timed(name, sfDir), timed(name, outDir))
+      System.err.println(f"[stress-full] ${row.name}%-22s r=${row.r}%3d " +
+        f"small=${row.tSmall}%7.2fs big=${row.tBig}%7.2fs x=${row.timeRatio}%6.2f " +
+        (if (row.ok) "" else "  <-- SUPER-LINEAR"))
+      row
+    }
+
+    val body = results.map { row =>
+      "\"" + row.name + "\":" + String.format(java.util.Locale.ROOT,
+        """{"rows_x":%d,"small_s":%.3f,"big_s":%.3f,"time_x":%.2f,"ok":%b}""",
+        Int.box(row.r), Double.box(row.tSmall), Double.box(row.tBig),
+        Double.box(row.timeRatio), Boolean.box(row.ok))
+    }.mkString("{", ",", "}")
+    val sfEsc = sfDir.replace("\\", "\\\\").replace("\"", "\\\"")
+    val line =
+      s"""{"metric":"stress_full","sf_small":"$sfEsc","docs_x":$docReplicas,"events_x":$evReplicas,"slack":$slack,"n_queries":${results.size},"n_superlinear":${results.count(!_.ok)},"ops":$body}"""
+    println(line)
+    val out = sys.env.getOrElse("SPARK_GRAFT_STRESS_FULL_OUT", "/root/repo/BENCH_STRESS_FULL.json")
+    try java.nio.file.Files.write(java.nio.file.Paths.get(out),
+      (line + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    catch { case e: Throwable => System.err.println(s"[stress-full] file write failed: ${e.getMessage}") }
+
+    val bad = results.filterNot(_.ok)
+    require(bad.isEmpty,
+      "super-linear scaling: " + bad.map(r =>
+        f"${r.name} ${r.timeRatio}%.1fx for ${r.r}x rows (limit ${r.r * slack})").mkString("; "))
+    spark.stop()
+  }
+}

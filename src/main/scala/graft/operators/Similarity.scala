@@ -144,13 +144,30 @@ object Similarity {
     * near-perfect recall while keeping buckets small.
     */
   def cosinePairs(rawCorpus: DataFrame, threshold: Double = 0.95,
-                  nPlanes: Int = 8, tables: Int = 8): DataFrame = {
+                  nPlanes: Int = 8, tables: Int = 8,
+                  targetBucketSize: Int = 16): DataFrame = {
     val corpus = nonDegenerate(rawCorpus, "embedding")
+    // A FIXED code width is a scale trap for the SELF-join: bucket
+    // occupancy grows linearly with the corpus and the within-bucket
+    // pairing quadratically — 26× rows benched 150× wall-time before
+    // this (caught by the round-6 full-surface stress bench). Size
+    // the code to the corpus instead, like every production LSH:
+    // grow the hyperplane count until expected occupancy is
+    // ~targetBucketSize, keeping the join ~linear in corpus size.
+    // Exact duplicates still collide in every table at ANY width
+    // (identical vectors ⇒ identical signs); wider codes trade
+    // recall on merely-similar pairs, which the `tables` dial buys
+    // back. One count() pass prices the sizing — metadata-grade
+    // next to the scan the bucketing itself performs.
+    val n = corpus.count()
+    val bits = math.max(nPlanes,
+      math.ceil(math.log(math.max(1.0, n.toDouble / targetBucketSize)) /
+        math.log(2)).toInt)
     // ids-only through the bucket self-join (see annLsh), vectors
     // joined back for the exact-cosine verify
     val cb = corpus
       .select(col("vec_id"),
-        posexplode(lshBuckets(col("embedding"), nPlanes, tables)).as(Seq("tbl", "bucket")))
+        posexplode(lshBuckets(col("embedding"), bits, tables)).as(Seq("tbl", "bucket")))
     val a = cb.select(col("tbl"), col("bucket"), col("vec_id").as("id_a"))
     val b = cb.select(col("tbl"), col("bucket"), col("vec_id").as("id_b"))
     a.join(b, Seq("tbl", "bucket"))
