@@ -52,10 +52,11 @@ object Bench {
         // the timed window, so medians measure the query alone.
         // clearCache only drops catalog-cached plans; localCheckpoint
         // blocks (q33) live as persistent RDDs outside the catalog, so
-        // unpersist those explicitly too.
+        // unpersist those explicitly too — BLOCKING, or the eviction
+        // I/O overlaps the next run's timed window (review-caught).
         spark.catalog.clearCache()
         spark.sparkContext.getPersistentRDDs.values
-          .foreach(_.unpersist(blocking = false))
+          .foreach(_.unpersist(blocking = true))
         elapsed
       }.sorted
       // a failed run aborts in milliseconds — reporting its wall time

@@ -66,30 +66,48 @@ object StressBench {
         .withColumn("user_id", col("user_id") + lit(k.toLong * 10_000_000L))
     }.reduce(_ unionByName _)
 
-  def main(args: Array[String]): Unit = {
-    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val outDir = sys.env.getOrElse("SPARK_GRAFT_STRESS_DIR", "target/stress")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val docReplicas = sys.env.getOrElse("SPARK_GRAFT_STRESS_DOCS_X", "26").toInt
-    val evReplicas = sys.env.getOrElse("SPARK_GRAFT_STRESS_EVENTS_X", "100").toInt
+  /** Write the scaled tables under `outDir` — shared by [[StressBench]]
+    * and [[StressBenchFull]] so the replica construction can't drift
+    * between the two benches. `copyUnscaled` additionally copies the
+    * TPC-H tables byte-identically so EVERY registered query resolves
+    * against `outDir` (ratio-1 regression guards in the full bench).
+    */
+  def buildScaledTables(spark: SparkSession, sfDir: String, outDir: String,
+                        docReplicas: Int, evReplicas: Int,
+                        copyUnscaled: Boolean = false): Unit = {
     // beyond 26 the Caesar rotation (k % 26) — and beyond 64 dims the
     // embedding rotation — wraps to IDENTITY: replica groups become
     // exact cross-group duplicates, pair counts go quadratic, and the
     // near-linear assertions fail for the wrong reason
     require(docReplicas >= 1 && docReplicas <= 26,
-      s"SPARK_GRAFT_STRESS_DOCS_X must be in [1,26] (alphabet rotations), got $docReplicas")
-    val slack = 3.0
-    val spark = GraftSession.build(s"local[$cpus]", cpus)
-    GraftSession.tune(spark)
-    val meter = new org.apache.spark.graft.ShuffleBytesListener(spark.sparkContext)
-
-    // --- build the scaled tables (not timed) -----------------------
+      s"doc replicas must be in [1,26] (alphabet rotations), got $docReplicas")
     scaleDocuments(tables.Tables.documents(spark, sfDir), docReplicas)
       .write.mode("overwrite").parquet(s"$outDir/documents.parquet")
     scaleEmbeddings(tables.Tables.embeddings(spark, sfDir), docReplicas, dims = 64)
       .write.mode("overwrite").parquet(s"$outDir/embeddings.parquet")
     scaleEvents(tables.Tables.events(spark, sfDir), evReplicas)
       .write.mode("overwrite").parquet(s"$outDir/events.parquet")
+    if (copyUnscaled)
+      Seq("region", "nation", "customer", "supplier", "part", "orders", "lineitem")
+        .foreach { t =>
+          spark.read.parquet(s"$sfDir/$t.parquet")
+            .write.mode("overwrite").parquet(s"$outDir/$t.parquet")
+        }
+  }
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val outDir = sys.env.getOrElse("SPARK_GRAFT_STRESS_DIR", "target/stress")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val docReplicas = sys.env.getOrElse("SPARK_GRAFT_STRESS_DOCS_X", "26").toInt
+    val evReplicas = sys.env.getOrElse("SPARK_GRAFT_STRESS_EVENTS_X", "100").toInt
+    val slack = 3.0
+    val spark = GraftSession.build(s"local[$cpus]", cpus)
+    GraftSession.tune(spark)
+    val meter = new org.apache.spark.graft.ShuffleBytesListener(spark.sparkContext)
+
+    // --- build the scaled tables (not timed) -----------------------
+    buildScaledTables(spark, sfDir, outDir, docReplicas, evReplicas)
 
     val ops: Seq[(String, Int)] = Seq( // name -> row ratio (R)
       "doc_quality" -> docReplicas,

@@ -36,24 +36,13 @@ object StressBenchFull {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val docReplicas = sys.env.getOrElse("SPARK_GRAFT_STRESS_DOCS_X", "26").toInt
     val evReplicas = sys.env.getOrElse("SPARK_GRAFT_STRESS_EVENTS_X", "100").toInt
-    require(docReplicas >= 1 && docReplicas <= 26,
-      s"SPARK_GRAFT_STRESS_DOCS_X must be in [1,26] (alphabet rotations), got $docReplicas")
     val slack = 3.0
     val spark = GraftSession.build(s"local[$cpus]", cpus)
     GraftSession.tune(spark)
 
     // --- scaled + pass-through tables (not timed) ------------------
-    StressBench.scaleDocuments(tables.Tables.documents(spark, sfDir), docReplicas)
-      .write.mode("overwrite").parquet(s"$outDir/documents.parquet")
-    StressBench.scaleEmbeddings(tables.Tables.embeddings(spark, sfDir), docReplicas, dims = 64)
-      .write.mode("overwrite").parquet(s"$outDir/embeddings.parquet")
-    StressBench.scaleEvents(tables.Tables.events(spark, sfDir), evReplicas)
-      .write.mode("overwrite").parquet(s"$outDir/events.parquet")
-    Seq("region", "nation", "customer", "supplier", "part", "orders", "lineitem")
-      .foreach { t =>
-        spark.read.parquet(s"$sfDir/$t.parquet")
-          .write.mode("overwrite").parquet(s"$outDir/$t.parquet")
-      }
+    StressBench.buildScaledTables(spark, sfDir, outDir, docReplicas, evReplicas,
+      copyUnscaled = true)
 
     // Queries whose builders EAGERLY materialize via localCheckpoint
     // (the CC family, q33) return a plan rooted at a LogicalRDD — the
@@ -91,8 +80,9 @@ object StressBenchFull {
       queries.Queries.all(name)(spark, dir)
         .write.format("noop").mode("overwrite").save()
       val sec = (System.nanoTime() - t0) / 1e9
+      // blocking: eviction I/O must not overlap the next timed window
       spark.catalog.clearCache()
-      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = true))
       sec
     }
 
@@ -103,11 +93,13 @@ object StressBenchFull {
 
     val results = queries.Queries.all.keys.toSeq.sorted.map { name =>
       // ratio from the small-dir plan (table NAMES decide, so either
-      // dir gives the same answer); construction is untimed — for the
-      // few eager builders (q33's checkpoint, IVF's fit) this also
-      // serves as their JIT warmup
-      val r = ratioOverrides.getOrElse(name,
-        rowRatio(queries.Queries.all(name)(spark, sfDir)))
+      // dir gives the same answer). The builder is constructed for
+      // EVERY query — including overridden ones — so the eager
+      // builders' first execution (the CC family's checkpoints, IVF's
+      // fit) happens here, untimed, and tSmall below isn't inflated
+      // by cold codegen/JIT the big run doesn't pay (review-caught).
+      val built = queries.Queries.all(name)(spark, sfDir)
+      val r = ratioOverrides.getOrElse(name, rowRatio(built))
       val row = Row(name, r, timed(name, sfDir), timed(name, outDir))
       System.err.println(f"[stress-full] ${row.name}%-22s r=${row.r}%3d " +
         f"small=${row.tSmall}%7.2fs big=${row.tBig}%7.2fs x=${row.timeRatio}%6.2f " +

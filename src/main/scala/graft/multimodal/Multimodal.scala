@@ -94,11 +94,34 @@ object Multimodal {
       finally iis.close()
     }
 
+    /** True when every byte (up to the first 512) is printable ASCII
+      * or tab/LF/CR — the standard binary sniff. Text standing in
+      * for blobs must NEVER reach the real codec: a document whose
+      * prose merely BEGINS with "GIF89a" or "BM" would otherwise be
+      * accepted by the JDK's GIF/BMP readers and parsed into
+      * garbage dimensions (their magics are pure ASCII and their
+      * header fields decode from any bytes without throwing) —
+      * review-caught. Real containers always carry control bytes in
+      * the first half KiB (PNG's 0x1A signature byte, length/dims
+      * fields, compressed data), so this misclassifies nothing.
+      */
+    private[multimodal] def printableText(b: Array[Byte]): Boolean = {
+      var i = 0
+      val n = math.min(b.length, 512)
+      while (i < n) {
+        val c = b(i) & 0xff
+        if (c < 0x20 && c != 0x09 && c != 0x0a && c != 0x0d) return false
+        i += 1
+      }
+      true
+    }
+
     /** Image metadata via the REAL `javax.imageio` header parse;
-      * audio/video and unparseable blobs take the byte-derived stub.
+      * audio/video, text-sniffed, and unparseable blobs take the
+      * byte-derived stub.
       */
     def decodeMeta(r: MediaRecord): MediaMeta = {
-      if (r.mediaType == "image") {
+      if (r.mediaType == "image" && !printableText(r.content)) {
         imageHeader(r.content) match {
           case Some((fmt, w, h, bands)) =>
             return MediaMeta(r.mediaId, "image", r.content.length.toLong,
@@ -135,12 +158,17 @@ object Multimodal {
     /** REAL image rescale: full `ImageIO` decode, aspect-preserving
       * scale so max(width, height) == maxDim (round-half-up on the
       * short edge, floor 1 px), bilinear `Graphics2D` redraw, PNG
-      * re-encode. Blobs no installed reader accepts fall back to the
+      * re-encode. Non-image records pass through UNTOUCHED (an image
+      * resize pass must never corrupt audio/video payloads); image
+      * blobs no installed reader accepts (including text-sniffed
+      * stand-ins — same gate as [[decodeMeta]]) fall back to the
       * byte-budget stub at 3·maxDim² bytes (the RGB byte count of a
       * maxDim-square image).
       */
     def resizeImage(r: MediaRecord, maxDim: Int): MediaRecord = {
       require(maxDim > 0, s"maxDim must be positive, got $maxDim")
+      if (r.mediaType != "image") return r
+      if (printableText(r.content)) return resize(r, 3 * maxDim * maxDim)
       val img =
         try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(r.content))
         catch { case _: Exception => null }

@@ -154,20 +154,27 @@ object Similarity {
     // the code to the corpus instead, like every production LSH:
     // grow the hyperplane count until expected occupancy is
     // ~targetBucketSize, keeping the join ~linear in corpus size.
-    // Exact duplicates still collide in every table at ANY width
-    // (identical vectors ⇒ identical signs); wider codes trade
-    // recall on merely-similar pairs, which the `tables` dial buys
-    // back. One count() pass prices the sizing — metadata-grade
-    // next to the scan the bucketing itself performs.
-    val n = corpus.count()
+    // The count is taken on the RAW corpus (parquet count, no norm
+    // filter) so the sizing pass stays metadata-cheap; the handful
+    // of degenerate vectors can't move a log2.
+    val n = rawCorpus.count()
     val bits = math.max(nPlanes,
       math.ceil(math.log(math.max(1.0, n.toDouble / targetBucketSize)) /
         math.log(2)).toInt)
+    // Exact duplicates collide in every table at ANY width
+    // (identical vectors ⇒ identical signs), but each extra bit
+    // multiplies the per-table collision probability of a
+    // DESIGN-threshold pair (cos ≈ 0.95, θ ≈ 18°: 1 − θ/π ≈ 0.9)
+    // by ~0.9 — so the table count grows by the inverse per bit,
+    // holding overall recall ~constant. Table cost is LINEAR in the
+    // corpus, unlike the quadratic bucket blowup this replaces.
+    val tbl = math.ceil(
+      tables * math.pow(1.0 / 0.9, math.max(0, bits - nPlanes))).toInt
     // ids-only through the bucket self-join (see annLsh), vectors
     // joined back for the exact-cosine verify
     val cb = corpus
       .select(col("vec_id"),
-        posexplode(lshBuckets(col("embedding"), bits, tables)).as(Seq("tbl", "bucket")))
+        posexplode(lshBuckets(col("embedding"), bits, tbl)).as(Seq("tbl", "bucket")))
     val a = cb.select(col("tbl"), col("bucket"), col("vec_id").as("id_a"))
     val b = cb.select(col("tbl"), col("bucket"), col("vec_id").as("id_b"))
     a.join(b, Seq("tbl", "bucket"))

@@ -70,6 +70,13 @@ final class LruTtlCache[K, V](maxEntries: Int, ttlMs: Long,
   * transient backend outage never poisons the cache; `maxEntries <=
   * 0` returns the undecorated lookup (caching disabled, same as
   * `NewCachingAuthenticator`'s size guard).
+  *
+  * Like the reference decorator, the miss path is deliberately NOT
+  * single-flight: threads racing on the same cold key each reach
+  * the backend (`ValidateAPIKey` has the identical check-then-Add
+  * window). Duplicate reads are benign for the idempotent lookups
+  * this fronts; put a per-key latch in front if a backend can't
+  * tolerate cold-key bursts.
   */
 object CachingLookup {
   def apply[K, V](next: K => Try[V], maxEntries: Int, ttlMs: Long,

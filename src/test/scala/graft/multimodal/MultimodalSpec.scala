@@ -73,6 +73,29 @@ class MultimodalSpec extends SparkSpec {
     assert(MediaCodec.decodeMeta(audio) === MediaCodec.decodeMetaStub(audio))
   }
 
+  test("real codec: text sniff keeps magic-prefixed prose away from ImageIO") {
+    // the JDK GIF/BMP readers ACCEPT these bytes (pure-ASCII magic)
+    // and would parse prose into garbage dims; the printable sniff
+    // must route them to the stub instead
+    for (prose <- Seq("GIF89a is an image format from 1989",
+      "BM is how bitmap files start, fun fact")) {
+      val rec = MediaRecord(7L, "image", prose.getBytes("UTF-8"))
+      assert(MediaCodec.printableText(rec.content))
+      assert(MediaCodec.decodeMeta(rec) === MediaCodec.decodeMetaStub(rec))
+      // resize takes the byte-budget stub for the same reason
+      assert(MediaCodec.resizeImage(rec, 16).content.length === 3 * 16 * 16)
+    }
+    // real containers are binary-sniffed, never text
+    assert(!MediaCodec.printableText(ImageFixtures.png37x23))
+    assert(!MediaCodec.printableText(ImageFixtures.bmp7x4))
+  }
+
+  test("real codec: resizeImage passes non-image records through untouched") {
+    val audio = MediaRecord(8L, "audio", ImageFixtures.png37x23)
+    val out = MediaCodec.resizeImage(audio, 16)
+    assert(out === audio, "an image-resize pass must not corrupt audio/video payloads")
+  }
+
   test("real codec: resizeImage rescales with preserved aspect and re-decodes") {
     // 37x23 → long edge 16, short edge round(23*16/37) = 10
     val out = MediaCodec.resizeImage(MediaRecord(1L, "image", ImageFixtures.png37x23), 16)
