@@ -25,10 +25,26 @@ object Verify {
         s"unknown query name(s): ${unknown.mkString(", ")} — a typo here would " +
           "otherwise verify nothing and exit green")
     }
+    var nFailed = 0
     selected.foreach { case (name, fn) =>
+      // delete any PREVIOUS run's output first: a query that throws at
+      // plan time (before the overwrite write starts) would otherwise
+      // leave stale parquet behind, and a reused outDir would compare
+      // the old results green (review-caught). With the pre-delete, a
+      // failure yields a MISSING directory, which the driver records
+      // as a red row.
+      val target = new java.io.File(s"$outDir/$name")
+      if (target.exists()) {
+        def rm(f: java.io.File): Unit = {
+          if (f.isDirectory) f.listFiles.foreach(rm)
+          f.delete(); ()
+        }
+        rm(target)
+      }
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
+        nFailed += 1
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
       // queries own their caches only for the duration of one run
@@ -36,6 +52,9 @@ object Verify {
       // batch neither re-caches identical plans nor pins memory
       spark.catalog.clearCache()
     }
+    if (nFailed > 0)
+      System.err.println(s"[verify] $nFailed of ${selected.size} queries FAILED " +
+        "(their output directories are absent)")
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the
     // driver's json.load fail and silently zero the round's correctness.

@@ -956,7 +956,11 @@ object Queries {
     * verify). The driver embeddings are near-orthogonal (zero pairs
     * at the 0.95 threshold — a vacuously-green oracle), so the query
     * plants deterministic duplicates: an exact copy of every
-    * vec_id < 20 shifted to id+100000. Identical vectors land in the
+    * vec_id < 20 at the NEGATIVE mirror id −(vec_id+1) — negative
+    * ids are a reserved range the driver generator never emits, so
+    * planted rows can't collide with real ids at ANY scale factor
+    * (the previous +100000 offset was 2 ids away from sf0.1's max
+    * real event id — review-caught). Identical vectors land in the
     * same LSH bucket in EVERY table, so each planted pair must
     * survive the bucket join, the exact-cosine verify, and the
     * threshold — a non-empty, hash-compared result. The oracle
@@ -967,7 +971,7 @@ object Queries {
     GraftSession.tune(s)
     val base = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
     val planted = base.filter(col("vec_id") < 20)
-      .select((col("vec_id") + lit(100000L)).as("vec_id"), col("embedding"))
+      .select((-(col("vec_id") + lit(1L))).as("vec_id"), col("embedding"))
     Similarity.cosinePairs(base.unionByName(planted), threshold = 0.95)
       .withColumn("sim", round(col("sim"), 6))
       .orderBy(col("id_a"), col("id_b"))
@@ -977,7 +981,7 @@ object Queries {
     """WITH corpus AS (
       |  SELECT vec_id, embedding FROM embeddings
       |  UNION ALL
-      |  SELECT vec_id + 100000 AS vec_id, embedding FROM embeddings WHERE vec_id < 20),
+      |  SELECT -(vec_id + 1) AS vec_id, embedding FROM embeddings WHERE vec_id < 20),
       |pairs AS (
       |  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
       |   list_sum(list_transform(list_zip(a.embedding, b.embedding),
@@ -1487,7 +1491,8 @@ object Queries {
   /** PII redaction — the compliance pass of a training-data pipeline:
     * count and mask emails / phone numbers / IPs (codegen'd regex
     * projection, no shuffle). The driver corpus contains no PII, so
-    * the query plants three deterministic rows (doc_id ≥ 100001) to
+    * the query plants three deterministic rows (negative doc_ids — the
+    * reserved never-generated range) to
     * keep the oracle comparison non-vacuous; output carries the md5
     * of the redacted text rather than the text itself.
     */
@@ -1497,9 +1502,9 @@ object Queries {
     val ipRe = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
     import s.implicits._
     val planted = Seq(
-      (100001L, "Contact john.doe@example.com or call 555-123-4567 for details"),
-      (100002L, "Multiple emails: a.b@test.org and c_d@mail.co plus host 192.168.1.100"),
-      (100003L, "no pii in this row at all")).toDF("doc_id", "text")
+      (-1L, "Contact john.doe@example.com or call 555-123-4567 for details"),
+      (-2L, "Multiple emails: a.b@test.org and c_d@mail.co plus host 192.168.1.100"),
+      (-3L, "no pii in this row at all")).toDF("doc_id", "text")
     val all = docs(s, d).select(col("doc_id"), col("text")).unionByName(planted)
     val redacted = regexp_replace(
       regexp_replace(
@@ -1520,9 +1525,9 @@ object Queries {
       |  SELECT doc_id, text FROM documents
       |  UNION ALL
       |  SELECT * FROM (VALUES
-      |   (100001, 'Contact john.doe@example.com or call 555-123-4567 for details'),
-      |   (100002, 'Multiple emails: a.b@test.org and c_d@mail.co plus host 192.168.1.100'),
-      |   (100003, 'no pii in this row at all')) v(doc_id, text))
+      |   (-1, 'Contact john.doe@example.com or call 555-123-4567 for details'),
+      |   (-2, 'Multiple emails: a.b@test.org and c_d@mail.co plus host 192.168.1.100'),
+      |   (-3, 'no pii in this row at all')) v(doc_id, text))
       |SELECT doc_id,
       | CAST(len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_emails,
       | CAST(len(regexp_extract_all(text, '\b\d{3}[-.]\d{3}[-.]\d{4}\b')) AS BIGINT) AS n_phones,
@@ -1948,9 +1953,16 @@ object Queries {
     * measure-zero event the row-count match would catch).
     */
   def q42SpendQuartiles(s: SparkSession, d: String): DataFrame = {
+    // cache(), not localCheckpoint: per-user spend is UNBOUNDED
+    // cardinality (billions of users at 100 TB), so it needs the
+    // recomputable, spillable cache tier — but it still must not be
+    // computed twice (once for the cuts, once for the bucket join —
+    // review-caught double scan). Session-owned lifetime, same
+    // policy as Dedup.minhashPairs.
     val spend = ev(s, d)
       .groupBy(col("user_id"))
       .agg(sum(col("value").cast("decimal(18,2)")).cast("double").as("spend"))
+      .cache()
     val cuts = spend.agg(
       expr("percentile(spend, 0.25)").as("q1"),
       expr("percentile(spend, 0.5)").as("q2"),
@@ -1988,9 +2000,13 @@ object Queries {
     * once for the division (both IEEE-exact).
     */
   def q43MovingAvg(s: SparkSession, d: String): DataFrame = {
+    // materialized once: both self-join sides read the tiny
+    // calendar-bounded aggregate instead of re-scanning events
+    // (review-caught double scan; q33's checkpoint rationale/caveats)
     val daily = ev(s, d)
       .groupBy(expr(Tables.tsNsFloorDiv(86400000000000L)).as("day"))
       .agg(sum(col("value").cast("decimal(18,2)")).as("rev_d"))
+      .localCheckpoint(eager = true)
     daily.as("a")
       .join(broadcast(daily.as("b")),
         col("b.day").between(col("a.day") - 6, col("a.day")))
@@ -2275,11 +2291,17 @@ object Queries {
     */
   def q30GapFill(s: SparkSession, d: String): DataFrame = {
     val dayExpr = expr(Tables.tsNsFloorDiv(86400000000000L))
-    val e = ev(s, d)
-    val daily = e.filter(col("event_type") === "signup")
+    // ONE events scan: per-day signup counts via conditional count
+    // (days with events but no signups get cnt=0, identical to the
+    // former NULL→0 coalesce), materialized once — the spine bounds
+    // and the join side both read the tiny calendar-bounded table
+    // instead of re-scanning events (review-caught double scan; same
+    // localCheckpoint rationale/caveats as q33).
+    val daily = ev(s, d)
       .groupBy(dayExpr.as("day"))
-      .agg(count(lit(1)).as("cnt"))
-    val spine = e.agg(min(dayExpr).as("lo"), max(dayExpr).as("hi"))
+      .agg(count(when(col("event_type") === "signup", 1)).as("cnt"))
+      .localCheckpoint(eager = true)
+    val spine = daily.agg(min(col("day")).as("lo"), max(col("day")).as("hi"))
       .select(explode(sequence(col("lo"), col("hi"))).as("day"))
     spine.join(broadcast(daily), Seq("day"), "left")
       .select(col("day"), coalesce(col("cnt"), lit(0L)).as("n_signups"))
@@ -2506,7 +2528,8 @@ object Queries {
     * fixed key list and DISCARDS everything else
     * (`ClickHouseWriterService.kt:107-119`); the idiomatic upgrade
     * keeps un-projected JSON keys in a map column. The driver
-    * payloads carry only `k`, so two planted rows (event_id ≥ 100001)
+    * payloads carry only `k`, so two planted rows (negative event_ids,
+    * the reserved never-generated range)
     * keep the overflow comparison non-vacuous. Keys-only output
     * (sorted, joined) — value stringification rules differ across
     * engines.
@@ -2521,8 +2544,8 @@ object Queries {
   def q34OverflowKeys(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val planted = Seq(
-      (100001L, """{"k": 1, "extra": "x", "zkey": 2}"""),
-      (100002L, """{"k": 2}""")).toDF("event_id", "props")
+      (-1L, """{"k": 1, "extra": "x", "zkey": 2}"""),
+      (-2L, """{"k": 2}""")).toDF("event_id", "props")
     val all = ev(s, d).select(col("event_id"), col("props")).unionByName(planted)
     all
       .filter(col("props").isNotNull && length(col("props")) > 0)
@@ -2542,8 +2565,8 @@ object Queries {
       |  SELECT event_id, props FROM events
       |  UNION ALL
       |  SELECT * FROM (VALUES
-      |   (100001, '{"k": 1, "extra": "x", "zkey": 2}'),
-      |   (100002, '{"k": 2}')) v(event_id, props))
+      |   (-1, '{"k": 1, "extra": "x", "zkey": 2}'),
+      |   (-2, '{"k": 2}')) v(event_id, props))
       |SELECT event_id,
       | CAST(len(list_distinct(list_filter(json_keys(props), x -> x <> 'k'))) AS BIGINT) AS n_overflow,
       | coalesce(array_to_string(list_sort(list_distinct(list_filter(json_keys(props), x -> x <> 'k'))), ','), '') AS overflow_keys
@@ -2800,7 +2823,7 @@ object Queries {
     * near-dup verification), so this is the first gate of an
     * embedding pipeline. The driver corpus is unit-normalized, so
     * two planted anomalies (a zero vector and a 3×-scaled copy at
-    * vec_id 100001/100002, label −1) keep the anomaly columns
+    * negative vec_ids, label −1) keep the anomaly columns
     * non-vacuous — same pattern as `q34_overflow_keys`.
     *
     * Determinism: per-row norms come from the native sequential fold
@@ -2816,11 +2839,11 @@ object Queries {
     GraftSession.tune(s)
     val base = Tables.embeddings(s, d)
     val zero = base.filter(col("vec_id") === 0)
-      .select(lit(100001L).as("vec_id"),
+      .select(lit(-1L).as("vec_id"),
         transform(col("embedding"), _ => lit(0.0f)).as("embedding"),
         lit(-1).as("label"))
     val scaled = base.filter(col("vec_id") === 1)
-      .select(lit(100002L).as("vec_id"),
+      .select(lit(-2L).as("vec_id"),
         transform(col("embedding"), x => x * lit(3.0f)).as("embedding"),
         lit(-1).as("label"))
     base.unionByName(zero).unionByName(scaled)
@@ -2843,10 +2866,10 @@ object Queries {
     """WITH aug AS (
       |  SELECT vec_id, embedding, label FROM embeddings
       |  UNION ALL
-      |  SELECT 100001, list_transform(embedding, x -> CAST(0.0 AS FLOAT)), -1
+      |  SELECT -1, list_transform(embedding, x -> CAST(0.0 AS FLOAT)), -1
       |  FROM embeddings WHERE vec_id = 0
       |  UNION ALL
-      |  SELECT 100002, list_transform(embedding, x -> CAST(x * 3.0 AS FLOAT)), -1
+      |  SELECT -2, list_transform(embedding, x -> CAST(x * 3.0 AS FLOAT)), -1
       |  FROM embeddings WHERE vec_id = 1),
       |n AS (
       |  SELECT CAST(label AS BIGINT) AS label,
