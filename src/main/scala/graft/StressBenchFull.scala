@@ -6,14 +6,12 @@ import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRela
 /** Full-surface scale stress: every registered query runs once on
   * sf0.1 and once on the scaled copy ([[StressBench]]'s replica
   * builders: documents/embeddings ×26, events ×100, TPC-H tables
-  * byte-identical), wall-time only — the shuffle-byte assertions
-  * stay with [[StressBench]]'s hand-picked heavy ops, where the
-  * meter is meaningful per-op. Purpose: the per-query medians at
-  * sf0.1 are all sub-3 s and overhead-dominated, so a plan
-  * pathology (accidental cross join, payload-carrying explode, a
-  * window that collapses to one partition) only becomes visible
-  * against the scaled tables — this catches it for the LONG TAIL of
-  * the surface, not just the ten known-heavy ops.
+  * byte-identical). Purpose: the per-query medians at sf0.1 are all
+  * sub-3 s and overhead-dominated, so a plan pathology (accidental
+  * cross join, payload-carrying explode, a window that collapses to
+  * one partition) only becomes visible against the scaled tables —
+  * this catches it for the LONG TAIL of the surface, not just the
+  * ten known-heavy ops.
   *
   * Each query's expected row ratio is detected from its OWN plan:
   * the max scale factor over the parquet scans it performs
@@ -23,10 +21,20 @@ import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRela
   * `max(small, 0.3 s)` so overhead-dominated sub-second queries
   * don't divide by noise.
   *
-  * Prints one JSON line and writes it to BENCH_STRESS_FULL.json
-  * (capture-proof, same policy as Bench); any super-linear query
-  * fails the run AFTER the artifact is written, so the numbers that
+  * For the pair-join family (dedup/similarity — the ops whose
+  * failure mode is a quadratic candidate blowup that 32-way
+  * parallelism can hide inside a wall-time budget), shuffled BYTES
+  * are metered and asserted against the same `rows_x × slack` limit,
+  * mirroring [[StressBench]]'s per-op meter across the full surface.
+  *
+  * Per-query failures (OOM at scale, checkpoint-block loss) are
+  * recorded as sentinel rows (`ok:false`, times −1) and the sweep
+  * continues — the artifact is ALWAYS written; the final `require`
+  * that fails the run comes after the write, so the numbers that
   * show the failure survive it.
+  *
+  * Prints one JSON line and writes it to BENCH_STRESS_FULL.json
+  * (capture-proof, same policy as Bench).
   */
 object StressBenchFull {
 
@@ -39,20 +47,33 @@ object StressBenchFull {
     val slack = 3.0
     val spark = GraftSession.build(s"local[$cpus]", cpus)
     GraftSession.tune(spark)
+    val meter = new org.apache.spark.graft.ShuffleBytesListener(spark.sparkContext)
 
     // --- scaled + pass-through tables (not timed) ------------------
     StressBench.buildScaledTables(spark, sfDir, outDir, docReplicas, evReplicas,
       copyUnscaled = true)
 
     // Queries whose builders EAGERLY materialize via localCheckpoint
-    // (the CC family, q33) return a plan rooted at a LogicalRDD — the
-    // file scans are truncated away, so plan-based detection can't
-    // see them. Their dominant table is declared here instead.
+    // (the CC family, q33, and the single-scan event rewrites q30/q43)
+    // return a plan rooted at a LogicalRDD — the file scans are
+    // truncated away, so plan-based detection can't see them. Their
+    // dominant table is declared here instead.
     val ratioOverrides: Map[String, Int] = Map(
       "dedup_clusters" -> docReplicas,
       "dedup_canonical" -> docReplicas,
       "corpus_clean_cc" -> docReplicas,
+      "q30_gap_fill" -> evReplicas,
+      "q43_moving_avg" -> evReplicas,
       "q33_monthly_delta" -> 1) // orders — unscaled
+
+    // Pair-join family: shuffle bytes asserted alongside wall time. A
+    // candidate-pair explosion multiplies the (band|fingerprint, id)
+    // shuffle payload long before it saturates 32 cores.
+    val byteOps: Set[String] = Set(
+      "dedup_exact", "dedup_minhash", "dedup_prefix", "dedup_clusters",
+      "dedup_canonical", "doc_simhash_pairs", "doc_winnow", "winnow_pairs",
+      "corpus_clean", "corpus_clean_cc", "dup_source_matrix",
+      "emb_cosine_pairs", "ann_lsh_top5", "knn_top10", "q38_decontamination")
 
     /** Max scale factor over the parquet tables this query scans
       * (collectWithSubqueries — an EXISTS subquery's scan counts
@@ -75,20 +96,27 @@ object StressBenchFull {
       if (ratios.isEmpty) 1 else ratios.max
     }
 
-    def timed(name: String, dir: String): Double = {
+    def timed(name: String, dir: String): (Double, Long) = {
+      meter.reset()
       val t0 = System.nanoTime()
       queries.Queries.all(name)(spark, dir)
         .write.format("noop").mode("overwrite").save()
       val sec = (System.nanoTime() - t0) / 1e9
+      val bytes = meter.read()
       // blocking: eviction I/O must not overlap the next timed window
       spark.catalog.clearCache()
       spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = true))
-      sec
+      (sec, bytes)
     }
 
-    case class Row(name: String, r: Int, tSmall: Double, tBig: Double) {
+    case class Row(name: String, r: Int, tSmall: Double, tBig: Double,
+                   bSmall: Long, bBig: Long, metered: Boolean,
+                   err: Option[String]) {
       def timeRatio: Double = tBig / math.max(tSmall, 0.3)
-      def ok: Boolean = timeRatio <= r * slack
+      // KB-scale shuffles are overhead-dominated — floor at 1 MB
+      def byteRatio: Double = bBig.toDouble / math.max(bSmall.toDouble, 1e6)
+      def ok: Boolean = err.isEmpty && timeRatio <= r * slack &&
+        (!metered || byteRatio <= r * slack)
     }
 
     val results = queries.Queries.all.keys.toSeq.sorted.map { name =>
@@ -98,22 +126,49 @@ object StressBenchFull {
       // builders' first execution (the CC family's checkpoints, IVF's
       // fit) happens here, untimed, and tSmall below isn't inflated
       // by cold codegen/JIT the big run doesn't pay (review-caught).
-      val built = queries.Queries.all(name)(spark, sfDir)
-      val r = ratioOverrides.getOrElse(name, rowRatio(built))
-      val row = Row(name, r, timed(name, sfDir), timed(name, outDir))
+      val row =
+        try {
+          val built = queries.Queries.all(name)(spark, sfDir)
+          val r = ratioOverrides.getOrElse(name, rowRatio(built))
+          val (tS, bS) = timed(name, sfDir)
+          val (tB, bB) = timed(name, outDir)
+          Row(name, r, tS, tB, bS, bB, byteOps(name), None)
+        } catch { case e: Throwable =>
+          // clean up whatever the failed run left pinned before moving on
+          try {
+            spark.catalog.clearCache()
+            spark.sparkContext.getPersistentRDDs.values
+              .foreach(_.unpersist(blocking = true))
+          } catch { case _: Throwable => () }
+          Row(name, ratioOverrides.getOrElse(name, 1), -1, -1, 0, 0,
+            byteOps(name), Some(Option(e.getMessage).getOrElse(e.getClass.getName)))
+        }
       System.err.println(f"[stress-full] ${row.name}%-22s r=${row.r}%3d " +
         f"small=${row.tSmall}%7.2fs big=${row.tBig}%7.2fs x=${row.timeRatio}%6.2f " +
-        (if (row.ok) "" else "  <-- SUPER-LINEAR"))
+        (if (row.metered) f"bytes_x=${row.byteRatio}%6.2f " else "") +
+        (row.err match {
+          case Some(m) => s"  <-- FAILED: $m"
+          case None => if (row.ok) "" else "  <-- SUPER-LINEAR"
+        }))
       row
     }
 
+    def jesc(s: String): String = s.replace("\\", "\\\\").replace("\"", "\\\"")
+      .flatMap(c => if (c < ' ') f"\\u${c.toInt}%04x" else c.toString)
     val body = results.map { row =>
+      val bytes =
+        if (row.metered) String.format(java.util.Locale.ROOT,
+          ""","small_shuffle_mb":%.1f,"big_shuffle_mb":%.1f,"shuffle_x":%.2f""",
+          Double.box(row.bSmall / 1e6), Double.box(row.bBig / 1e6),
+          Double.box(row.byteRatio))
+        else ""
+      val err = row.err.map(m => s""","err":"${jesc(m.take(160))}"""").getOrElse("")
       "\"" + row.name + "\":" + String.format(java.util.Locale.ROOT,
-        """{"rows_x":%d,"small_s":%.3f,"big_s":%.3f,"time_x":%.2f,"ok":%b}""",
+        """{"rows_x":%d,"small_s":%.3f,"big_s":%.3f,"time_x":%.2f,"ok":%b""",
         Int.box(row.r), Double.box(row.tSmall), Double.box(row.tBig),
-        Double.box(row.timeRatio), Boolean.box(row.ok))
+        Double.box(row.timeRatio), Boolean.box(row.ok)) + bytes + err + "}"
     }.mkString("{", ",", "}")
-    val sfEsc = sfDir.replace("\\", "\\\\").replace("\"", "\\\"")
+    val sfEsc = jesc(sfDir)
     val line =
       s"""{"metric":"stress_full","sf_small":"$sfEsc","docs_x":$docReplicas,"events_x":$evReplicas,"slack":$slack,"n_queries":${results.size},"n_superlinear":${results.count(!_.ok)},"ops":$body}"""
     println(line)
@@ -124,8 +179,15 @@ object StressBenchFull {
 
     val bad = results.filterNot(_.ok)
     require(bad.isEmpty,
-      "super-linear scaling: " + bad.map(r =>
-        f"${r.name} ${r.timeRatio}%.1fx for ${r.r}x rows (limit ${r.r * slack})").mkString("; "))
+      "stress failures: " + bad.map { r =>
+        r.err match {
+          case Some(m) => s"${r.name} FAILED ($m)"
+          case None =>
+            f"${r.name} time ${r.timeRatio}%.1fx" +
+              (if (r.metered) f" bytes ${r.byteRatio}%.1fx" else "") +
+              f" for ${r.r}x rows (limit ${r.r * slack})"
+        }
+      }.mkString("; "))
     spark.stop()
   }
 }

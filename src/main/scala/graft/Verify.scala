@@ -33,17 +33,22 @@ object Verify {
       // the old results green (review-caught). With the pre-delete, a
       // failure yields a MISSING directory, which the driver records
       // as a red row.
+      // The pre-delete sits INSIDE the per-query try: an undeletable or
+      // racing directory must cost one red row, not abort the whole
+      // batch. listFiles returns null (not empty) on I/O error — guard.
       val target = new java.io.File(s"$outDir/$name")
-      if (target.exists()) {
-        def rm(f: java.io.File): Unit = {
-          if (f.isDirectory) f.listFiles.foreach(rm)
-          f.delete(); ()
+      try {
+        if (target.exists()) {
+          def rm(f: java.io.File): Unit = {
+            if (f.isDirectory)
+              Option(f.listFiles).getOrElse(Array.empty).foreach(rm)
+            f.delete(); ()
+          }
+          rm(target)
         }
-        rm(target)
-      }
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name")
-      catch { case e: Throwable =>
+        fn(spark, sfDir).coalesce(1).write.mode("overwrite")
+          .parquet(s"$outDir/$name")
+      } catch { case e: Throwable =>
         nFailed += 1
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }

@@ -9,13 +9,16 @@ import org.apache.spark.sql.functions._
   *
   * The Spark-side plumbing is real — schemas, typed Datasets,
   * per-partition batched execution, partitioning strategy. IMAGE
-  * decode/resize is also real, via the JDK's own `javax.imageio`
+  * decode/resize is real, via the JDK's own `javax.imageio`
   * (PNG/JPEG/GIF/BMP): header-only metadata parse, full-decode
-  * rescale + PNG re-encode. Audio/video codecs don't exist in the
-  * JDK (and this container ships no media libraries), so those calls
-  * are STUBBED with deterministic byte-derived fakes — each marked
-  * `STUB:` and isolated behind [[MediaCodec]], so swapping in a real
-  * decoder (javacv, ffmpeg-cli) touches exactly one object.
+  * rescale + PNG re-encode. AUDIO metadata is real too, via
+  * `javax.sound.sampled` (WAV/AIFF/AU header parse → format,
+  * channels, sample rate, frame count → duration). Video codecs and
+  * sample-level audio decode don't exist in the JDK (and this
+  * container ships no media libraries), so those calls are STUBBED
+  * with deterministic byte-derived fakes — each marked `STUB:` and
+  * isolated behind [[MediaCodec]], so swapping in a real decoder
+  * (javacv, ffmpeg-cli) touches exactly one object.
   *
   * Execution model notes (the part that matters at 100 TB):
   *  - decode work runs via `mapPartitions` so per-partition setup
@@ -116,8 +119,32 @@ object Multimodal {
       true
     }
 
-    /** Image metadata via the REAL `javax.imageio` header parse;
-      * audio/video, text-sniffed, and unparseable blobs take the
+    /** Real audio header parse via the JDK's own `javax.sound.sampled`
+      * (WAV/AIFF/AU readers ship with every JVM — no external
+      * library): (format, channels, sampleRate, frameLength) WITHOUT
+      * decoding samples. `AudioSystem.getAudioFileFormat` reads only
+      * the container header — at 100 TB of audio the metadata pass
+      * must never pay a sample decode. None if no installed reader
+      * recognizes the bytes, or if the header leaves frame count /
+      * rate unspecified (NOT_SPECIFIED = −1 — a duration computed
+      * from those would be garbage).
+      */
+    private[multimodal] def audioHeader(b: Array[Byte]): Option[(String, Int, Float, Long)] =
+      try {
+        // ByteArrayInputStream supports the mark/reset the sniffing
+        // readers require; no stream is left open (header-only read)
+        val aff = javax.sound.sampled.AudioSystem
+          .getAudioFileFormat(new java.io.ByteArrayInputStream(b))
+        val fmt = aff.getFormat
+        val frames = aff.getFrameLength.toLong
+        if (frames < 0 || fmt.getSampleRate <= 0 || fmt.getChannels <= 0) None
+        else Some((aff.getType.getExtension.toLowerCase(java.util.Locale.ROOT),
+          fmt.getChannels, fmt.getSampleRate, frames))
+      } catch { case _: Exception => None }
+
+    /** Image/audio metadata via the REAL JDK header parses
+      * (`javax.imageio` / `javax.sound.sampled`); video (no JDK
+      * codec), text-sniffed, and unparseable blobs take the
       * byte-derived stub.
       */
     def decodeMeta(r: MediaRecord): MediaMeta = {
@@ -127,6 +154,16 @@ object Multimodal {
             return MediaMeta(r.mediaId, "image", r.content.length.toLong,
               fmt, w, h, durationMs = 0L, channels = bands)
           case None => () // not a real image container — stub below
+        }
+      }
+      if (r.mediaType == "audio" && !printableText(r.content)) {
+        audioHeader(r.content) match {
+          case Some((fmt, channels, rate, frames)) =>
+            return MediaMeta(r.mediaId, "audio", r.content.length.toLong,
+              fmt, width = 0, height = 0,
+              durationMs = math.round(frames * 1000.0 / rate),
+              channels = channels)
+          case None => () // not a real audio container — stub below
         }
       }
       decodeMetaStub(r)

@@ -145,7 +145,10 @@ object Similarity {
     */
   def cosinePairs(rawCorpus: DataFrame, threshold: Double = 0.95,
                   nPlanes: Int = 8, tables: Int = 8,
-                  targetBucketSize: Int = 16): DataFrame = {
+                  targetBucketSize: Int = 16,
+                  knownCount: Option[Long] = None): DataFrame = {
+    require(threshold > 0.0 && threshold < 1.0,
+      s"cosine threshold must be in (0, 1), got $threshold")
     val corpus = nonDegenerate(rawCorpus, "embedding")
     // A FIXED code width is a scale trap for the SELF-join: bucket
     // occupancy grows linearly with the corpus and the within-bucket
@@ -156,20 +159,30 @@ object Similarity {
     // ~targetBucketSize, keeping the join ~linear in corpus size.
     // The count is taken on the RAW corpus (parquet count, no norm
     // filter) so the sizing pass stays metadata-cheap; the handful
-    // of degenerate vectors can't move a log2.
-    val n = rawCorpus.count()
+    // of degenerate vectors can't move a log2. Callers that already
+    // know the corpus size pass it via `knownCount`, which removes
+    // the sizing job entirely (and the plan-build-time eagerness the
+    // count would otherwise impose).
+    val n = knownCount.getOrElse(rawCorpus.count())
     val bits = math.max(nPlanes,
       math.ceil(math.log(math.max(1.0, n.toDouble / targetBucketSize)) /
         math.log(2)).toInt)
     // Exact duplicates collide in every table at ANY width
     // (identical vectors ⇒ identical signs), but each extra bit
     // multiplies the per-table collision probability of a
-    // DESIGN-threshold pair (cos ≈ 0.95, θ ≈ 18°: 1 − θ/π ≈ 0.9)
-    // by ~0.9 — so the table count grows by the inverse per bit,
-    // holding overall recall ~constant. Table cost is LINEAR in the
-    // corpus, unlike the quadratic bucket blowup this replaces.
+    // THRESHOLD pair by the per-plane agreement probability
+    // p = 1 − θ/π = 1 − acos(threshold)/π (random-hyperplane LSH) —
+    // so the table count grows by 1/p per extra bit, holding overall
+    // recall ~constant AT THE CALLER'S threshold. Deriving p from
+    // the parameter matters: the previous hard-coded 0.9 was the
+    // p of cos = 0.95 only — at threshold 0.9, p ≈ 0.857, and
+    // under-compensated tables silently shed recall as the corpus
+    // (and therefore bits) grows (advisor-caught). Table cost is
+    // LINEAR in the corpus, unlike the quadratic bucket blowup this
+    // replaces.
+    val p = 1.0 - math.acos(threshold) / math.Pi
     val tbl = math.ceil(
-      tables * math.pow(1.0 / 0.9, math.max(0, bits - nPlanes))).toInt
+      tables * math.pow(1.0 / p, math.max(0, bits - nPlanes))).toInt
     // ids-only through the bucket self-join (see annLsh), vectors
     // joined back for the exact-cosine verify
     val cb = corpus

@@ -1026,20 +1026,26 @@ object Queries {
 
   /** Multimodal decode: documents' bytes as opaque media blobs →
     * typed metadata via the batched `mapPartitions` decode path
-    * ([[graft.multimodal.Multimodal]]) — PLUS three planted real
-    * image blobs ([[graft.multimodal.ImageFixtures]]: two PNGs, one
-    * BMP; ids ≥ 900001) that exercise the REAL `javax.imageio`
-    * header parse. For the text-byte rows no ImageIO reader matches,
-    * so they take the deterministic byte-derived stub the oracle
-    * mirrors arithmetically; for the fixtures the oracle states the
-    * containers' ground-truth dims/format/bands as literals while
-    * Spark derives them by actually parsing the headers.
+    * ([[graft.multimodal.Multimodal]]) — PLUS planted real media
+    * blobs: three image containers
+    * ([[graft.multimodal.ImageFixtures]]: two PNGs, one BMP; ids
+    * 900001..3) exercising the REAL `javax.imageio` header parse,
+    * and three audio containers
+    * ([[graft.multimodal.AudioFixtures]]: two WAVs, one AU; ids
+    * 900011..3) exercising the REAL `javax.sound.sampled` header
+    * parse (format/channels/sample-rate/frame-count → duration).
+    * For the text-byte rows no JDK reader matches, so they take the
+    * deterministic byte-derived stub the oracle mirrors
+    * arithmetically; for the fixtures the oracle states the
+    * containers' ground-truth metadata as literals while Spark
+    * derives it by actually parsing the headers.
     */
   def mediaDecode(s: SparkSession, d: String): DataFrame = {
     GraftSession.tune(s)
     import s.implicits._
     val media = graft.multimodal.Multimodal.fromDocuments(s, d)
       .unionByName(s.createDataset(graft.multimodal.ImageFixtures.records))
+      .unionByName(s.createDataset(graft.multimodal.AudioFixtures.records))
     graft.multimodal.Multimodal
       .decodeMeta(media)
       .toDF()
@@ -1081,7 +1087,12 @@ object Queries {
       |SELECT * FROM (VALUES
       |  (CAST(900001 AS BIGINT), 'image', CAST(148  AS BIGINT), 'png', CAST(37  AS BIGINT), CAST(23  AS BIGINT), CAST(0 AS BIGINT), CAST(3 AS BIGINT)),
       |  (CAST(900002 AS BIGINT), 'image', CAST(1587 AS BIGINT), 'png', CAST(640 AS BIGINT), CAST(480 AS BIGINT), CAST(0 AS BIGINT), CAST(3 AS BIGINT)),
-      |  (CAST(900003 AS BIGINT), 'image', CAST(150  AS BIGINT), 'bmp', CAST(7   AS BIGINT), CAST(4   AS BIGINT), CAST(0 AS BIGINT), CAST(3 AS BIGINT))
+      |  (CAST(900003 AS BIGINT), 'image', CAST(150  AS BIGINT), 'bmp', CAST(7   AS BIGINT), CAST(4   AS BIGINT), CAST(0 AS BIGINT), CAST(3 AS BIGINT)),
+      |-- planted real-audio fixtures (AudioFixtures.scala): canonical
+      |-- RIFF/WAVE + Sun AU containers; duration = frames*1000/rate exact
+      |  (CAST(900011 AS BIGINT), 'audio', CAST(8044  AS BIGINT), 'wav', CAST(0 AS BIGINT), CAST(0 AS BIGINT), CAST(500  AS BIGINT), CAST(1 AS BIGINT)),
+      |  (CAST(900012 AS BIGINT), 'audio', CAST(88244 AS BIGINT), 'wav', CAST(0 AS BIGINT), CAST(0 AS BIGINT), CAST(500  AS BIGINT), CAST(2 AS BIGINT)),
+      |  (CAST(900013 AS BIGINT), 'audio', CAST(32024 AS BIGINT), 'au',  CAST(0 AS BIGINT), CAST(0 AS BIGINT), CAST(2000 AS BIGINT), CAST(1 AS BIGINT))
       |) t(media_id, media_type, byte_len, format, width, height, duration_ms, channels)
       |ORDER BY media_id""".stripMargin
 

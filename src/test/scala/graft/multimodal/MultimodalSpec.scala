@@ -90,6 +90,42 @@ class MultimodalSpec extends SparkSpec {
     assert(!MediaCodec.printableText(ImageFixtures.bmp7x4))
   }
 
+  test("real codec: audio header parse returns ground truth for every fixture") {
+    for ((id, bytes, fmt, channels, durMs, byteLen) <- AudioFixtures.expected) {
+      val meta = MediaCodec.decodeMeta(MediaRecord(id, "audio", bytes))
+      assert(meta.format === fmt, s"fixture $id format")
+      assert(meta.channels === channels, s"fixture $id channels")
+      assert(meta.durationMs === durMs, s"fixture $id duration")
+      assert(meta.byteLen === byteLen, s"fixture $id byte length")
+      assert(meta.width === 0 && meta.height === 0, "audio has no dims")
+      assert(meta.byteLen === bytes.length.toLong)
+    }
+  }
+
+  test("real codec: unparseable audio bytes fall back to the byte stub") {
+    // binary garbage no JDK audio reader accepts
+    val rec = MediaRecord(10L, "audio", Array[Byte](1, 2, 3, 4, 5, 0, -1, -2))
+    assert(MediaCodec.decodeMeta(rec) === MediaCodec.decodeMetaStub(rec))
+    // a WAV blob typed "image" never reaches the audio codec (ImageIO
+    // rejects it → image stub, not a cross-type audio parse)
+    val img = MediaRecord(11L, "image", AudioFixtures.wav(1, 8000, 100))
+    assert(MediaCodec.decodeMeta(img) === MediaCodec.decodeMetaStub(img))
+    // video is always stubbed — no JDK codec
+    val vid = MediaRecord(12L, "video", AudioFixtures.wav(1, 8000, 100))
+    assert(MediaCodec.decodeMeta(vid) === MediaCodec.decodeMetaStub(vid))
+  }
+
+  test("real codec: text sniff keeps RIFF-prefixed prose away from the audio reader") {
+    // "RIFF" is pure-ASCII magic, same hazard class as GIF89a/BM
+    val rec = MediaRecord(13L, "audio",
+      "RIFF is the container format WAV files use".getBytes("UTF-8"))
+    assert(MediaCodec.printableText(rec.content))
+    assert(MediaCodec.decodeMeta(rec) === MediaCodec.decodeMetaStub(rec))
+    // real audio containers are binary-sniffed, never text (the
+    // 16-bit PCM sawtooth payload carries control bytes)
+    assert(!MediaCodec.printableText(AudioFixtures.expected.head._2))
+  }
+
   test("real codec: resizeImage passes non-image records through untouched") {
     val audio = MediaRecord(8L, "audio", ImageFixtures.png37x23)
     val out = MediaCodec.resizeImage(audio, 16)

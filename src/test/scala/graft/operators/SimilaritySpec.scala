@@ -59,6 +59,49 @@ class SimilaritySpec extends SparkSpec {
     assert(pairs.contains((0L, 99L)))
   }
 
+  test("cosinePairs holds recall at corpus-sized code widths (bits > nPlanes)") {
+    // The 1/p-per-extra-bit table growth ARGUES recall is held as the
+    // corpus (and so the code width) grows; this measures it. The 26×
+    // stress replicas push the sizing into bits > nPlanes, and 50
+    // planted cos ≈ 0.95 pairs (exact construction: v' = cos·v̂ +
+    // sin·ŵ with ŵ ⊥ v̂) are the ground truth the bucketing must
+    // recover. Threshold 0.9 so the exact-cosine verify keeps the
+    // planted pairs regardless of float rounding — recall here
+    // measures the LSH stage alone.
+    graft.GraftSession.tune(spark)
+    val emb = graft.tables.Tables.embeddings(spark, sfSmoke)
+    val base = emb.select($"vec_id", $"embedding")
+    val scaled = graft.StressBench.scaleEmbeddings(emb, replicas = 26, dims = 64)
+      .select($"vec_id", $"embedding")
+    val seeds = base.filter($"vec_id" < 50)
+      .as[(Long, Array[Float])].collect().toSeq
+    val rnd = new scala.util.Random(11)
+    val fixed = Array.fill(64)(rnd.nextDouble() * 2 - 1)
+    val cosTarget = 0.95
+    val planted = seeds.map { case (id, v) =>
+      val vd = v.map(_.toDouble)
+      val vhat = { val n = math.sqrt(vd.map(x => x * x).sum); vd.map(_ / n) }
+      val proj = fixed.lazyZip(vhat).map(_ * _).sum
+      val w = fixed.lazyZip(vhat).map((u, x) => u - proj * x)
+      val what = { val n = math.sqrt(w.map(x => x * x).sum); w.map(_ / n) }
+      val sinTarget = math.sqrt(1 - cosTarget * cosTarget)
+      (-(id + 1), vhat.lazyZip(what)
+        .map((a, b) => (cosTarget * a + sinTarget * b).toFloat).toArray)
+    }
+    val corpus = scaled.unionByName(planted.toDF("vec_id", "embedding"))
+    val n = 26L * base.count() + planted.size
+    // the sizing must actually be in the wide regime this test pins
+    val bits = math.ceil(math.log(n / 16.0) / math.log(2)).toInt
+    assert(bits > 8, s"corpus too small to trigger widening: bits=$bits")
+    val pairs = Similarity
+      .cosinePairs(corpus, threshold = 0.9, knownCount = Some(n))
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val found = seeds.count { case (id, _) => pairs.contains((-(id + 1), id)) }
+    info(s"planted pairs: ${seeds.size}, recovered: $found (bits=$bits)")
+    assert(found.toDouble / seeds.size >= 0.9,
+      s"wide-code recall degraded: $found/${seeds.size}")
+  }
+
   test("zero-norm vectors are excluded from every similarity path (cosine undefined)") {
     // NaN from 0/0 ranks ABOVE every real similarity in Spark's
     // comparison semantics — without the exclusion a zero vector wins
