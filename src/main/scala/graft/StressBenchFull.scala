@@ -63,6 +63,7 @@ object StressBenchFull {
       "dedup_canonical" -> docReplicas,
       "corpus_clean_cc" -> docReplicas,
       "q30_gap_fill" -> evReplicas,
+      "q42_spend_quartiles" -> evReplicas,
       "q43_moving_avg" -> evReplicas,
       "q33_monthly_delta" -> 1) // orders — unscaled
 
