@@ -15,10 +15,10 @@ import org.apache.spark.sql.functions._
   * shard naturally across executors.
   *
   * Search: each query scores only the `nProbe` nearest cells'
-  * vectors — the centroid table is tiny and lives on the driver, so
-  * probe selection is free, and the corpus join is a hash join on
-  * the cell id. Cost ≈ nProbe/nCells of brute force; recall grows
-  * with nProbe (the classic IVF dial).
+  * vectors — the centroid table is tiny (driver-held for small query
+  * sets, broadcast for corpus-sized ones), and the corpus join is a
+  * hash join on the cell id. Cost ≈ nProbe/nCells of brute force;
+  * recall grows with nProbe (the classic IVF dial).
   */
 object IvfIndex {
 
@@ -88,46 +88,91 @@ object IvfIndex {
     dot / (math.sqrt(na) * math.sqrt(nb))
   }
 
+  /** Rank cells for one query vector: top `nProbe` by cosine, NaN
+    * (degenerate centroid) excluded — shared by both probe paths so
+    * their selections can't drift.
+    */
+  private def rankCells(qv: Array[Double], centroids: Array[Array[Double]],
+                        nProbe: Int): Seq[Int] =
+    centroids.zipWithIndex
+      .map { case (c, i) => (i, cosineArr(qv, c)) }
+      .filterNot(_._2.isNaN)
+      .sortBy(-_._2).take(nProbe)
+      .map(_._1).toSeq
+
+  /** Executor-side probe selection: the centroid matrix broadcasts
+    * (nCells × dim doubles — KBs even at thousands of cells), each
+    * query partition ranks cells locally, and no query row ever
+    * visits the driver — the path for corpus-sized query sets
+    * (recsys sweeps, full-corpus self-probe dedup), where the
+    * reference lifecycle is "build once, probe many".
+    */
+  private def probesDistributed(index: Index, queries: DataFrame,
+                                nProbe: Int): DataFrame = {
+    val spark = queries.sparkSession
+    import spark.implicits._
+    val bc = spark.sparkContext.broadcast(index.centroids)
+    queries.select(col("query_id"), col("query_vec"))
+      .as[(Long, Array[Float])]
+      .mapPartitions { it =>
+        val cents = bc.value
+        it.flatMap { case (qid, qv) =>
+          rankCells(qv.map(_.toDouble), cents, nProbe).map(cell => (qid, cell))
+        }
+      }.toDF("query_id", "cell")
+  }
+
   /** Top-k cosine neighbors probing the `nProbe` closest cells per
-    * query. `queries` must be small (collected to pick probes and
-    * broadcast into the scoring join) — `maxDriverQueries` fences the
-    * only driver-side collect in main-path code: exceeding it fails
-    * fast instead of silently materializing an unbounded query set
-    * on the driver.
+    * query.
+    *
+    * Two probe-selection paths, identical selections (both rank via
+    * [[rankCells]], proven equal in IvfIndexSpec):
+    *  - query sets ≤ `maxDriverQueries` collect to the driver and the
+    *    (query, cell) probe table + query vectors BROADCAST into the
+    *    scoring joins — zero shuffle on the corpus side beyond the
+    *    cell hash join;
+    *  - larger query sets select probes EXECUTOR-side against the
+    *    broadcast centroid matrix ([[probesDistributed]]) and score
+    *    through plain hash joins (cell, then query_id) — unbounded
+    *    query cardinality, the previous hard `require` cap removed.
+    * `forceDistributed` pins the second path (used by the spec and by
+    * callers that know the query set is corpus-sized and want to skip
+    * the bounded count probe).
     */
   def search(index: Index, rawQueries: DataFrame, kNeighbors: Int = 10,
-             nProbe: Int = 4, maxDriverQueries: Int = 10000): DataFrame = {
+             nProbe: Int = 4, maxDriverQueries: Int = 10000,
+             forceDistributed: Boolean = false): DataFrame = {
     val spark = rawQueries.sparkSession
     import spark.implicits._
 
     // zero-norm query vectors have no defined neighbors (see build)
     val queries = rawQueries
       .filter(org.apache.spark.sql.graft.VectorNorm(col("query_vec")) > 0)
-    // driver-side probe selection against the tiny centroid table;
-    // limit+1 bounds the fetch itself, not just the post-hoc check
-    val q = queries.select(col("query_id"), col("query_vec"))
-      .limit(maxDriverQueries + 1).collect()
-    require(q.length <= maxDriverQueries,
-      s"IvfIndex.search collects queries to the driver for probe selection; " +
-        s"got more than $maxDriverQueries — raise maxDriverQueries deliberately " +
-        s"or pre-partition the query set")
-    val probes = q.flatMap { row =>
-      val qid = row.getLong(0)
-      val qv = row.getSeq[Float](1).map(_.toDouble).toArray
-      index.centroids.zipWithIndex
-        .map { case (c, i) => (i, cosineArr(qv, c)) }
-        .filterNot(_._2.isNaN) // a degenerate centroid has no defined rank
-        .sortBy(-_._2).take(nProbe)
-        .map { case (cell, _) => (qid, cell) }
-    }.toSeq.toDF("query_id", "cell")
+    // bounded size probe: limit+1 caps the scan itself, so deciding
+    // "small or large" never pays a full count of a corpus-sized set
+    val small = !forceDistributed &&
+      queries.limit(maxDriverQueries + 1).count() <= maxDriverQueries
 
-    val candidates = index.assigned
-      .join(broadcast(probes), "cell")
-      .filter(col("vec_id") =!= col("query_id"))
-      .select(col("query_id"), col("vec_id"), col("embedding"))
-      .join(broadcast(queries), "query_id")
+    val (probes, candidates) =
+      if (small) {
+        val q = queries.select(col("query_id"), col("query_vec")).collect()
+        val p = q.flatMap { row =>
+          val qid = row.getLong(0)
+          val qv = row.getSeq[Float](1).map(_.toDouble).toArray
+          rankCells(qv, index.centroids, nProbe).map(cell => (qid, cell))
+        }.toSeq.toDF("query_id", "cell")
+        (broadcast(p), (c: DataFrame) => c.join(broadcast(queries), "query_id"))
+      } else {
+        (probesDistributed(index, queries, nProbe),
+          (c: DataFrame) => c.join(queries, "query_id"))
+      }
+    val scored = candidates(
+      index.assigned
+        .join(probes, "cell")
+        .filter(col("vec_id") =!= col("query_id"))
+        .select(col("query_id"), col("vec_id"), col("embedding")))
       .withColumn("sim", Similarity.cosine(col("query_vec"), col("embedding")))
     // two-phase top-k (map-side k-heaps) — see Similarity.topKPerQuery
-    Similarity.topKPerQuery(candidates, kNeighbors)
+    Similarity.topKPerQuery(scored, kNeighbors)
   }
 }

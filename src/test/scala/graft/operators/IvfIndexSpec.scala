@@ -25,17 +25,30 @@ class IvfIndexSpec extends SparkSpec {
     assert(recall >= 0.3, s"IVF recall degraded: $recall")
   }
 
-  test("search fails fast when the query set exceeds the driver-collect cap") {
+  test("query sets beyond the driver cap probe executor-side, identically") {
+    // the old hard `require` cap is gone: a query set larger than
+    // maxDriverQueries selects probes on the executors against the
+    // broadcast centroid matrix — same rankCells, same results
     graft.GraftSession.tune(spark)
     val emb = graft.tables.Tables.embeddings(spark, sfSmoke)
     val queries = emb.filter($"vec_id" < 10)
       .select($"vec_id".as("query_id"), $"embedding".as("query_vec"))
     val index = IvfIndex.build(emb, nCells = 4)
-    val e = intercept[IllegalArgumentException] {
+    def results(df: org.apache.spark.sql.DataFrame) =
+      df.select("query_id", "rank", "neighbor_id").as[(Long, Int, Long)].collect().toSet
+    val collected = results(
+      IvfIndex.search(index, queries, kNeighbors = 3, nProbe = 2))
+    // 10 queries > cap of 5 → distributed path, implicitly
+    val overCap = results(
       IvfIndex.search(index, queries, kNeighbors = 3, nProbe = 2,
-        maxDriverQueries = 5)
-    }
-    assert(e.getMessage.contains("maxDriverQueries"))
+        maxDriverQueries = 5))
+    // and explicitly
+    val forced = results(
+      IvfIndex.search(index, queries, kNeighbors = 3, nProbe = 2,
+        forceDistributed = true))
+    assert(overCap === collected,
+      "distributed probe selection must match the driver-collected path")
+    assert(forced === collected)
   }
 
   test("save/load round-trips the index and searches identically") {
