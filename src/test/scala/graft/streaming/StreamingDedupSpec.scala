@@ -94,6 +94,51 @@ class StreamingDedupSpec extends SparkSpec {
       "one admitted doc per distinct gate key, none missing")
   }
 
+  test("multi-band gate recall on planted near-dups beats single-band, vs batch authority") {
+    // Planted near-dups: delete ONE middle token from each long base
+    // doc — kills ~3 of n shingles, J ≈ (n−5)/(n−2) ≈ 0.95 at 60+
+    // tokens. Single-band catch ≈ J⁴ ≈ 0.8; 4 bands ≈ 1−(1−J⁴)⁴ ≈
+    // 0.998. "Truth" = the docs the VERIFIED batch pass
+    // (Dedup.minhashPairs) says are near-dups of their base — the
+    // corpus-level authority the gate approximates.
+    val docs = baseDocs.filter(_.text.split("\\s+").length >= 60).take(30)
+    val planted = docs.map { d =>
+      val toks = d.text.split("\\s+").toVector
+      val mid = toks.length / 2
+      SDoc(d.doc_id + 5000000L,
+        (toks.take(mid) ++ toks.drop(mid + 1)).mkString(" "))
+    }
+    val truth = Dedup.minhashPairs((docs ++ planted).toDF(), threshold = 0.7)
+      .select($"id_a", $"id_b").as[(Long, Long)].collect()
+      .collect { case (a, b) if b == a + 5000000L => b }.toSet
+    assert(truth.size >= 20,
+      s"need enough true near-dups to measure recall, got ${truth.size}")
+    def admitted(gate: org.apache.spark.sql.DataFrame => org.apache.spark.sql.Dataset[StreamingDedup.KeyedDoc]): Set[Long] = {
+      val out = runGate(Seq(docs, planted), gate)
+      spark.read.parquet(out).select($"doc_id").as[Long].collect().toSet
+    }
+    val multi = admitted(df =>
+      StreamingDedup.nearDupGateMulti(df, bands = 4, bandRows = 4, ttlMs = 0L))
+    val single = admitted(df =>
+      StreamingDedup.nearDupGate(df, bandRows = 4, ttlMs = 0L))
+    val recallMulti = truth.count(id => !multi.contains(id)).toDouble / truth.size
+    val recallSingle = truth.count(id => !single.contains(id)).toDouble / truth.size
+    info(f"gate recall vs batch authority (n=${truth.size}): " +
+      f"single=$recallSingle%.2f multi=$recallMulti%.2f")
+    // the driver corpus contains genuine near-dups among the base
+    // docs — the gate rightly drops those; "no phantom collisions"
+    // is only assertable for docs with no near-dup partner at all
+    val pairedBase = Dedup.minhashPairs(docs.toDF(), threshold = 0.7)
+      .select($"id_a", $"id_b").as[(Long, Long)].collect()
+      .flatMap(p => Seq(p._1, p._2)).toSet
+    val loneBase = docs.map(_.doc_id).toSet -- pairedBase
+    assert(loneBase.subsetOf(multi),
+      s"pair-free base docs must all be admitted; missing ${loneBase -- multi}")
+    assert(recallMulti >= 0.9, f"multi-band gate recall $recallMulti%.2f < 0.9")
+    assert(recallMulti >= recallSingle,
+      "adding bands must not lose near-dups (union of band keys)")
+  }
+
   test("replay safety: redelivery after restart is suppressed by checkpointed state") {
     val docs = baseDocs.take(30)
     val (ckpt, out) = (tmp(), tmp())
