@@ -36,9 +36,11 @@ object Bench {
     // "regressions" that never reproduced). Three independent signals
     // let a reader reject a contaminated run from the artifact alone:
     //  - calib_pre / calib_post: wall time of a FIXED CPU-bound Spark
-    //    job (median of 3) before and after the query loop. The probe
-    //    is machine-constant, so a calib that is 2x+ its usual value —
-    //    or a post that is 2x+ its pre — means the box was busy.
+    //    job (MIN of 3, after an untimed warm-up) before and after
+    //    the query loop. The probe is machine-constant and min-of-3
+    //    asks "did any quiet window exist" — so an inflated calib
+    //    means the box had NO quiet window at that point; compare
+    //    pre/post to each other and to prior rounds' values.
     //  - per-query MIN alongside the median: min is robust to
     //    intermittent contention (a clean run exists among the 5 iff
     //    the machine had quiet windows); median >> min flags noise.

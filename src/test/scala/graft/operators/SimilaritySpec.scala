@@ -91,7 +91,8 @@ class SimilaritySpec extends SparkSpec {
     val corpus = scaled.unionByName(planted.toDF("vec_id", "embedding"))
     val n = 26L * base.count() + planted.size
     // the sizing must actually be in the wide regime this test pins
-    val bits = math.ceil(math.log(n / 16.0) / math.log(2)).toInt
+    // (mirror of cosinePairs' formula at the default occupancy 4)
+    val bits = math.ceil(math.log(n / 4.0) / math.log(2)).toInt
     assert(bits > 8, s"corpus too small to trigger widening: bits=$bits")
     val pairs = Similarity
       .cosinePairs(corpus, threshold = 0.9, knownCount = Some(n))
