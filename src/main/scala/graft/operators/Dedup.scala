@@ -53,6 +53,19 @@ object Dedup {
   def signatureFromHashes(hs: Column, k: Int): Column =
     org.apache.spark.sql.graft.MinHashSignature(hs, k)
 
+  /** Array of (band, key) LSH bucket keys for a k-wide signature in
+    * `bands` bands of r = k/bands rows — the banding layout shared by
+    * [[minhashPairs]] and [[MinHashIndex]]. The two MUST agree
+    * bit-for-bit: a persisted index probed with a differently-keyed
+    * batch would silently return zero candidates.
+    */
+  private[operators] def bandArray(sig: Column, k: Int, bands: Int): Column = {
+    val r = k / bands
+    array((0 until bands).map(b =>
+      struct(lit(b).as("band"),
+        concat_ws("_", slice(sig, b * r + 1, r)).as("key"))): _*)
+  }
+
   /** Exact dedup: keep the smallest id per content fingerprint.
     * One hash-partitioned aggregation on the 128-bit key; at 100 TB
     * this is the standard exact-dedup shuffle (partial aggregation
@@ -109,10 +122,7 @@ object Dedup {
     // Explode to (id, band, band_key): shuffle key is the band
     // signature, NOT the document — bucket sizes stay bounded.
     val banded = withSig.select(
-      col("id"),
-      explode(array((0 until bands).map(b =>
-        struct(lit(b).as("band"),
-          concat_ws("_", slice(col("sig"), b * r + 1, r)).as("key"))): _*)).as("bk"))
+      col("id"), explode(bandArray(col("sig"), k, bands)).as("bk"))
       .select(col("id"), col("bk.band").as("band"), col("bk.key").as("key"))
 
     // Candidate pairs: same (band, key) bucket, ordered, deduped

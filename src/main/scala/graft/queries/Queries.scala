@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 
 import graft.GraftSession
 import graft.functions.TextFunctions
-import graft.operators.{Dedup, IngestPipeline, Similarity}
+import graft.operators.{Dedup, IngestPipeline, MinHashIndex, Similarity}
 import graft.tables.Tables
 
 /** The registered query surface: every entry pairs a Spark plan with
@@ -423,6 +423,41 @@ object Queries {
       .orderBy(col("id_a"), col("id_b"))
 
   val dedupPrefixSql: String = dedupMinhashSql
+
+  /** Incremental batch-vs-corpus near-dup via the persistable
+    * [[MinHashIndex]] — the daily-increment shape of corpus
+    * maintenance at 100 TB: the corpus side (6/7 of documents here)
+    * is indexed once and only SCANNED at probe time, the batch side
+    * (doc_id ≡ 0 mod 7) explodes to its band keys and broadcasts,
+    * and no corpus-sized shuffle exists in the plan. The oracle is
+    * ground-truth all-CROSS-pairs Jaccard, so the probe must
+    * recover every batch↔corpus pair above threshold — the same
+    * recall contract `dedup_minhash` carries for the self-join
+    * (miss ≈ 2e-5 per pair at J=0.8 with 16 bands × 3 rows).
+    */
+  def dedupIncremental(s: SparkSession, d: String): DataFrame = {
+    val dcs = docs(s, d)
+    val idx = MinHashIndex.build(dcs.filter(col("doc_id") % 7 =!= 0))
+    MinHashIndex
+      .probe(idx, dcs.filter(col("doc_id") % 7 === 0), threshold = 0.7)
+      .orderBy(col("batch_id"), col("corpus_id"))
+  }
+
+  val dedupIncrementalSql =
+    """WITH toks AS (
+      |  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS t FROM documents),
+      |sh AS (
+      |  SELECT doc_id,
+      |   list_distinct([t[i] || ' ' || t[i+1] || ' ' || t[i+2] FOR i IN range(1, len(t) - 1)]) AS s
+      |  FROM toks),
+      |pairs AS (
+      |  SELECT b.doc_id AS batch_id, c.doc_id AS corpus_id,
+      |   CAST(len(list_intersect(b.s, c.s)) AS DOUBLE) /
+      |   CAST(len(list_distinct(list_concat(b.s, c.s))) AS DOUBLE) AS jaccard
+      |  FROM sh b JOIN sh c ON b.doc_id % 7 = 0 AND c.doc_id % 7 <> 0
+      |  WHERE len(b.s) > 0 AND len(c.s) > 0)
+      |SELECT batch_id, corpus_id, jaccard FROM pairs WHERE jaccard >= 0.7
+      |ORDER BY batch_id, corpus_id""".stripMargin
 
   // ---------------------------------------------------------------
   // LLM-data-pipeline surface: similarity search
@@ -1573,6 +1608,68 @@ object Queries {
       |  FROM toks WHERE len(t) >= 3)
       |SELECT shingle, count(DISTINCT doc_id) AS n_docs
       |FROM sh GROUP BY shingle ORDER BY n_docs DESC, shingle LIMIT 20""".stripMargin
+
+  /** Exact substring-span duplication audit — the Spark-shaped
+    * analog of suffix-array substring dedup (Lee et al. 2021,
+    * "Deduplicating Training Data Makes Language Models Better"):
+    * for every document, how many of its distinct 8-token verbatim
+    * spans also appear verbatim in ANOTHER document. High
+    * `dup_ratio` docs are boilerplate/template/licence text that
+    * near-dup Jaccard at the document level can miss (a long unique
+    * doc quoting a shared paragraph scores low Jaccard but high
+    * span duplication). Two planted docs sharing a 12-token span at
+    * reserved negative ids keep the dup columns non-vacuous
+    * regardless of the driver corpus (q34/emb_norms pattern).
+    *
+    * Scale shape: spans travel as 64-bit hashes from the native
+    * one-pass [[org.apache.spark.sql.graft.ShingleHashes]] (distinct
+    * per doc, so per-span count(*) IS document frequency — no
+    * countDistinct needed; per-hash counts equal per-string counts
+    * up to 2⁻⁶⁴ collisions, the same argument every MinHash oracle
+    * here rests on — and measured 2× faster than joining the ~40-char
+    * gram strings); the plan is gram-keyed partial+final aggregation
+    * (boilerplate-gram skew dies in the map-side partials) then one
+    * doc-keyed aggregation. No pair join at all: cost is linear in
+    * total spans at any corpus size.
+    */
+  def docDupSpans(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val span = "alpha bravo charlie delta echo foxtrot golf hotel india juliet kilo lima"
+    val planted = Seq(
+      (-1001L, span + " november oscar papa quebec"),
+      (-1002L, "romeo sierra tango uniform " + span)).toDF("doc_id", "text")
+    val grams = docs(s, d).select(col("doc_id"), col("text"))
+      .unionByName(planted)
+      .select(col("doc_id"),
+        explode(org.apache.spark.sql.graft.ShingleHashes(col("text"), 8)).as("gram"))
+    val docFreq = grams.groupBy(col("gram")).agg(count(lit(1)).as("nd"))
+    grams.join(docFreq, "gram")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_grams"),
+        sum(when(col("nd") >= 2, lit(1L)).otherwise(lit(0L))).as("n_dup_grams"))
+      .select(col("doc_id"), col("n_grams"), col("n_dup_grams"),
+        round(col("n_dup_grams").cast("double") / col("n_grams").cast("double"), 6)
+          .as("dup_ratio"))
+      .orderBy(col("doc_id"))
+  }
+
+  val docDupSpansSql =
+    """WITH alldocs AS (
+      |  SELECT doc_id, text FROM documents
+      |  UNION ALL SELECT -1001, 'alpha bravo charlie delta echo foxtrot golf hotel india juliet kilo lima november oscar papa quebec'
+      |  UNION ALL SELECT -1002, 'romeo sierra tango uniform alpha bravo charlie delta echo foxtrot golf hotel india juliet kilo lima'),
+      |toks AS (
+      |  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS t FROM alldocs),
+      |g AS (
+      |  SELECT doc_id,
+      |   unnest(list_distinct([array_to_string(t[i:i+7], ' ') FOR i IN range(1, len(t) - 6)])) AS gram
+      |  FROM toks WHERE len(t) >= 8),
+      |dfreq AS (SELECT gram, count(*) AS nd FROM g GROUP BY gram)
+      |SELECT g.doc_id, CAST(count(*) AS BIGINT) AS n_grams,
+      | CAST(sum(CASE WHEN dfreq.nd >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_grams,
+      | round(CAST(sum(CASE WHEN dfreq.nd >= 2 THEN 1 ELSE 0 END) AS DOUBLE) / CAST(count(*) AS DOUBLE), 6) AS dup_ratio
+      |FROM g JOIN dfreq USING (gram)
+      |GROUP BY g.doc_id ORDER BY g.doc_id""".stripMargin
 
   /** Intra-document repetition ratio — the Gopher-style quality rule
     * "fraction of duplicate word n-grams within a document" (Rae et
@@ -2998,6 +3095,7 @@ object Queries {
     "doc_source_quality" -> (docSourceQuality _),
     "doc_redact" -> (docRedact _),
     "doc_common_shingles" -> (docCommonShingles _),
+    "doc_dup_spans" -> (docDupSpans _),
     "doc_repetition" -> (docRepetition _),
     "doc_winnow" -> (docWinnow _),
     "winnow_pairs" -> (winnowPairs _),
@@ -3012,6 +3110,7 @@ object Queries {
     "q43_moving_avg" -> (q43MovingAvg _),
     "q44_zorder_layout" -> (q44ZorderLayout _),
     "dedup_prefix" -> (dedupPrefix _),
+    "dedup_incremental" -> (dedupIncremental _),
     "sample_k_per_source" -> (sampleKPerSource _),
     "source_drift" -> (sourceDrift _),
     "doc_lm_score" -> (docLmScore _),
@@ -3085,6 +3184,7 @@ object Queries {
     "doc_source_quality" -> docSourceQualitySql,
     "doc_redact" -> docRedactSql,
     "doc_common_shingles" -> docCommonShinglesSql,
+    "doc_dup_spans" -> docDupSpansSql,
     "doc_repetition" -> docRepetitionSql,
     "doc_winnow" -> docWinnowSql,
     "winnow_pairs" -> winnowPairsSql,
@@ -3099,6 +3199,7 @@ object Queries {
     "q43_moving_avg" -> q43MovingAvgSql,
     "q44_zorder_layout" -> q44ZorderLayoutSql,
     "dedup_prefix" -> dedupPrefixSql,
+    "dedup_incremental" -> dedupIncrementalSql,
     "sample_k_per_source" -> sampleKPerSourceSql,
     "source_drift" -> sourceDriftSql,
     "doc_lm_score" -> docLmScoreSql,

@@ -168,4 +168,78 @@ object StreamingDedup {
     }
     gated.map(d => KeyedDoc(d.doc_id, d.text, d.keys.mkString("|")))
   }
+
+  /** A streaming doc joined against the corpus index: one row per
+    * (doc × band-probe), `hit` = this band found a VERIFIED corpus
+    * near-dup.
+    */
+  case class ProbeRow(doc_id: Long, text: String, hit: Boolean)
+
+  /** Admission gate against a PERSISTED corpus index
+    * ([[graft.operators.MinHashIndex]]) — the stream-static
+    * composition: micro-batch docs band with the index's stored
+    * params ([[graft.operators.MinHashIndex.bandKeysFor]]), band
+    * hits join the static signature table, and a doc is dropped iff
+    * some hit VERIFIES at exact Jaccard ≥ `threshold` — unlike the
+    * intra-stream gates above, this gate is verified, because the
+    * corpus side is large: at corpus scale SOME band-key collision
+    * exists for almost every novel doc, so an unverified drop rule
+    * would reject a growing fraction of genuinely new documents as
+    * the index grows.
+    *
+    * Mechanics: the probe is a pair of stream-static LEFT joins
+    * (static side on the right — the supported direction), so the
+    * corpus tables are only ever SCANNED and hold NO streaming
+    * state; the per-doc verdict folds the band rows back together
+    * with a stateless `flatMapGroupsWithState` pass (state type
+    * `Long`, never set — the operator is used as a per-batch
+    * group-by, which append-mode streaming otherwise disallows).
+    * Intra-stream duplicates are the other gates' job: compose
+    * `corpusGate(nearDupGateMulti(...))` for both directions.
+    *
+    * Per-trigger cost: one scan of the corpus band table per
+    * micro-batch (the stream side is tiny; with AQE the join builds
+    * its hash side from the batch). For a corpus that fits the
+    * cluster's storage-memory budget, `index.banded.cache()` /
+    * `index.signatures.cache()` before attaching the gate pins the
+    * static side across triggers — Spark reuses cached static
+    * relations in stream-static joins. Shingle-less docs carry no
+    * near-dup signal and are ADMITTED (`explode_outer` keeps them
+    * with a NULL band), mirroring [[graft.operators.MinHashIndex.probe]]
+    * which drops them from the pair report.
+    */
+  def corpusGate(docs: DataFrame, index: graft.operators.MinHashIndex.Index,
+                 threshold: Double = 0.7, idCol: String = "doc_id",
+                 textCol: String = "text"): Dataset[KeyedDoc] = {
+    import docs.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
+    val keyed = docs.select(
+      col(idCol).cast("long").as("doc_id"), col(textCol).as("text"),
+      org.apache.spark.sql.graft.ShingleHashes(col(textCol), index.shingleN).as("hs_b"),
+      graft.operators.MinHashIndex.bandKeysFor(col(textCol), index).as("bks"))
+    val probed = keyed
+      .select(col("doc_id"), col("text"), col("hs_b"),
+        explode_outer(col("bks")).as("bk"))
+      .select(col("doc_id"), col("text"), col("hs_b"),
+        col("bk.band").as("band"), col("bk.key").as("key"))
+      .join(index.banded.withColumnRenamed("id", "corpus_id"),
+        Seq("band", "key"), "left")
+      .join(index.signatures.select(col("id").as("corpus_id"), col("hs").as("hs_c")),
+        Seq("corpus_id"), "left")
+      .select(col("doc_id"), col("text"),
+        coalesce(
+          size(array_intersect(col("hs_b"), col("hs_c"))).cast("double") /
+            size(array_union(col("hs_b"), col("hs_c"))).cast("double") >= threshold,
+          lit(false)).as("hit"))
+      .as[ProbeRow]
+    probed.groupByKey(_.doc_id)
+      .flatMapGroupsWithState[Long, KeyedDoc](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (_: Long, rows: Iterator[ProbeRow], _) =>
+          val buf = rows.toSeq
+          if (buf.exists(_.hit)) Iterator.empty
+          else buf.headOption.map(r =>
+            KeyedDoc(r.doc_id, r.text, "corpus")).iterator
+      }
+  }
 }

@@ -254,6 +254,23 @@ class PlanSpec extends SparkSpec {
       "expect a map-side partial group limit before the shuffle\n" + p.take(1200))
   }
 
+  test("dedup_incremental: index probe is hash joins only — no cartesian, no pair blowup") {
+    val p = plan(Queries.dedupIncremental(spark, sfSmoke))
+    assert(!p.contains("CartesianProduct"), p.take(1200))
+    assert(!p.contains("BroadcastNestedLoopJoin"), p.take(1200))
+  }
+
+  test("doc_dup_spans: span audit is two keyed aggregations + a hash join, never a pair join") {
+    val df = Queries.docDupSpans(spark, sfSmoke)
+    val p = plan(df)
+    assert(!p.contains("CartesianProduct"), p.take(1200))
+    // document-frequency roll-up must combine map-side: partial+final
+    // HashAggregate on the gram key, or boilerplate skew lands on one
+    // reducer at scale
+    assert("HashAggregate".r.findAllIn(p).size >= 4,
+      "expect partial+final aggregates on both gram and doc keys\n" + p.take(1500))
+  }
+
   test("whole-stage codegen covers the text-analysis projections") {
     val df = Queries.docStats(spark, sfSmoke)
     // AQE finalizes the plan only on execution — run THIS query

@@ -164,4 +164,47 @@ class StreamingDedupSpec extends SparkSpec {
     assert(ids.distinct.length === 31)
     assert(ids.contains(4000001L))
   }
+
+  test("corpus gate: stream-static probe drops verified corpus near-dups only") {
+    import graft.operators.MinHashIndex
+    val corpus = baseDocs.take(100)
+    val index = MinHashIndex.build(corpus.toDF())
+    // batch authority for "which stream docs have a corpus near-dup"
+    def authority(stream: Seq[SDoc], threshold: Double): Set[Long] =
+      MinHashIndex.probe(index, stream.toDF(), threshold)
+        .select($"batch_id").as[Long].collect().toSet
+
+    val nearDup = corpus.take(20).map(d =>
+      SDoc(d.doc_id + 5000000L, d.text.replaceAll("\\b(\\w+)$", "altered")))
+    val novel = Seq(
+      SDoc(6000001L, "entirely novel content about distributed stream processing engines and their state stores"),
+      SDoc(6000002L, "")) // shingle-less: no signal, must be admitted
+    val stream = nearDup ++ novel
+    val expectDropped = authority(stream, 0.7)
+    assert(expectDropped.nonEmpty, "vacuous: no stream doc verifies against the corpus")
+    assert(!expectDropped.contains(6000001L) && !expectDropped.contains(6000002L))
+
+    val out = runGate(Seq(stream),
+      df => StreamingDedup.corpusGate(df, index, threshold = 0.7))
+    val admitted = spark.read.parquet(out).select($"doc_id").as[Long].collect().toSet
+    assert(admitted === stream.map(_.doc_id).toSet -- expectDropped,
+      "gate verdicts must equal the batch probe's")
+    assert(admitted.contains(6000001L) && admitted.contains(6000002L))
+  }
+
+  test("corpus gate verifies: band collisions below the Jaccard threshold are admitted") {
+    import graft.operators.MinHashIndex
+    val base = "the quick brown fox jumps over the lazy dog near the river bank every sunny morning in july watching boats"
+    val index = MinHashIndex.build(Seq(SDoc(1L, base)).toDF())
+    // ~J 0.75 vs base: collides on some band with p ≈ 1 − (1 − J³)¹⁶
+    // ≈ 0.9998, but verifies BELOW threshold 0.9 — an unverified
+    // gate would drop it, the verified gate must admit it
+    val similar = SDoc(2L, base.replace("sunny morning", "rainy evening") + " happily")
+    val j = Dedup.minhashPairs(Seq(SDoc(1L, base), similar).toDF(), threshold = 0.1)
+      .select($"jaccard").as[Double].collect().headOption.getOrElse(0.0)
+    assert(j > 0.5 && j < 0.9, s"fixture drift: exact jaccard $j outside (0.5, 0.9)")
+    val out = runGate(Seq(Seq(similar)),
+      df => StreamingDedup.corpusGate(df, index, threshold = 0.9))
+    assert(spark.read.parquet(out).count() === 1, "sub-threshold collision admitted")
+  }
 }
