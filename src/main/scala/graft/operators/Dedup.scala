@@ -53,17 +53,24 @@ object Dedup {
   def signatureFromHashes(hs: Column, k: Int): Column =
     org.apache.spark.sql.graft.MinHashSignature(hs, k)
 
+  /** Band b's string bucket key for a signature banded into rows of
+    * width r — THE single definition of the band-key format. Every
+    * banding consumer ([[minhashPairs]], [[MinHashIndex]], the
+    * streaming gates in [[graft.streaming.StreamingDedup]]) derives
+    * its keys from here: the layouts MUST agree bit-for-bit, or a
+    * persisted index / checkpointed gate state probed with
+    * differently-built keys silently returns zero candidates.
+    */
+  private[graft] def bandKey(sig: Column, r: Int, b: Int): Column =
+    concat_ws("_", slice(sig, b * r + 1, r))
+
   /** Array of (band, key) LSH bucket keys for a k-wide signature in
-    * `bands` bands of r = k/bands rows — the banding layout shared by
-    * [[minhashPairs]] and [[MinHashIndex]]. The two MUST agree
-    * bit-for-bit: a persisted index probed with a differently-keyed
-    * batch would silently return zero candidates.
+    * `bands` bands of r = k/bands rows ([[bandKey]] per band).
     */
   private[operators] def bandArray(sig: Column, k: Int, bands: Int): Column = {
     val r = k / bands
     array((0 until bands).map(b =>
-      struct(lit(b).as("band"),
-        concat_ws("_", slice(sig, b * r + 1, r)).as("key"))): _*)
+      struct(lit(b).as("band"), bandKey(sig, r, b).as("key"))): _*)
   }
 
   /** Exact dedup: keep the smallest id per content fingerprint.

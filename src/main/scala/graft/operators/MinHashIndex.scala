@@ -107,6 +107,18 @@ object MinHashIndex {
     * either the old or the new listing, never a torn table; params
     * are immutable for the life of the index.
     *
+    * Crash safety (the two appends cannot be one atomic commit
+    * without a manifest layer): signatures write FIRST, so a crash
+    * between the writes leaves signature rows whose band rows are
+    * missing — those docs are invisible to candidate generation
+    * (inert rows), never band hits that silently drop at the verify
+    * join. Re-running the same append completes the index:
+    * duplicate banded rows are absorbed by [[probe]]'s candidate
+    * `distinct`, duplicate signature rows by its output pair
+    * dedup — append retries are idempotent by construction
+    * (review-caught: the opposite write order turns a crash into
+    * permanently missed duplicates).
+    *
     * Caller contract: append only docs whose ids are NOT yet in the
     * index (the admitted survivors of a [[probe]]) — appending an
     * existing id would alias two documents under one id in later
@@ -116,8 +128,8 @@ object MinHashIndex {
              textCol: String = "text", idCol: String = "doc_id"): Unit = {
     val idx = load(spark, path)
     val add = build(docs, idx.k, idx.bands, idx.shingleN, textCol, idCol)
-    add.banded.write.mode("append").parquet(s"$path/banded")
     add.signatures.write.mode("append").parquet(s"$path/signatures")
+    add.banded.write.mode("append").parquet(s"$path/banded")
   }
 
   /** The per-document band-key array (array of (band, key) structs)
@@ -147,13 +159,16 @@ object MinHashIndex {
     */
   def probe(index: Index, batch: DataFrame, threshold: Double = 0.7,
             textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
-    // the batch side is read twice (banding + verify) — cache it, as
-    // minhashPairs does its shingle table; increment-sized by contract
+    // the batch side is read twice (banding + verify) but NOT cached
+    // here: a cache owned by a lazy operator has no unpersist point,
+    // and the advertised probe-per-increment service lifecycle would
+    // leak one pinned DataFrame per call (review-caught). The batch
+    // is increment-sized by contract; callers probing the same batch
+    // repeatedly can cache it themselves.
     val batchHashed = batch
       .select(col(idCol).as("batch_id"),
         org.apache.spark.sql.graft.ShingleHashes(col(textCol), index.shingleN).as("hs_b"))
       .filter(size(col("hs_b")) > 0)
-      .cache()
     val batchBands = batchHashed
       .withColumn("sig", Dedup.signatureFromHashes(col("hs_b"), index.k))
       .select(col("batch_id"),
@@ -173,5 +188,10 @@ object MinHashIndex {
           size(array_union(col("hs_b"), col("hs_c"))).cast("double"))
       .filter(col("jaccard") >= threshold)
       .select(col("batch_id"), col("corpus_id"), col("jaccard"))
+      // pair-level dedup: duplicate SIGNATURE rows (a replayed
+      // [[append]] — its documented recovery path) would otherwise
+      // emit the same verified pair once per copy; jaccard is
+      // identical across copies so any survivor is correct
+      .dropDuplicates("batch_id", "corpus_id")
   }
 }

@@ -73,7 +73,7 @@ object StreamingDedup {
     val sig = org.apache.spark.sql.graft.MinHashSignature(
       org.apache.spark.sql.graft.ShingleHashes(text, 3), bandRows)
     when(sig.isNull, exactKey(text))
-      .otherwise(concat_ws("_", sig))
+      .otherwise(Dedup.bandKey(sig, bandRows, 0))
   }
 
   /** ALL `bands` band keys in one pass: a single
@@ -89,7 +89,7 @@ object StreamingDedup {
       org.apache.spark.sql.graft.ShingleHashes(text, 3), bands * bandRows)
     when(sig.isNull, array_repeat(exactKey(text), bands))
       .otherwise(array((0 until bands).map(b =>
-        concat_ws("_", slice(sig, b * bandRows + 1, bandRows))): _*))
+        Dedup.bandKey(sig, bandRows, b)): _*))
   }
 
   /** A document carrying its full per-band key vector through the
@@ -187,15 +187,21 @@ object StreamingDedup {
     * would reject a growing fraction of genuinely new documents as
     * the index grows.
     *
-    * Mechanics: the probe is a pair of stream-static LEFT joins
-    * (static side on the right — the supported direction), so the
-    * corpus tables are only ever SCANNED and hold NO streaming
-    * state; the per-doc verdict folds the band rows back together
-    * with a stateless `flatMapGroupsWithState` pass (state type
-    * `Long`, never set — the operator is used as a per-batch
-    * group-by, which append-mode streaming otherwise disallows).
-    * Intra-stream duplicates are the other gates' job: compose
-    * `corpusGate(nearDupGateMulti(...))` for both directions.
+    * Mechanics: two branches of the same micro-batch union before a
+    * per-doc verdict fold. The CARRIER branch is one row per doc and
+    * is the only place the document text travels. The PROBE branch
+    * explodes to (doc_id, shingle hashes, band, key) — the text
+    * never rides the ×bands explode (review-caught: it multiplied
+    * the per-doc payload by the band count) — and takes two
+    * stream-static INNER joins (static side on the right — the
+    * supported direction), so non-colliding probe rows die at the
+    * band join and the corpus tables are only ever SCANNED, holding
+    * NO streaming state. The verdict is a stateless
+    * `flatMapGroupsWithState` pass (state type `Long`, never set —
+    * the operator is used as a per-batch group-by, which append-mode
+    * streaming otherwise disallows): admit the carrier iff no probe
+    * row verified. Intra-stream duplicates are the other gates' job:
+    * compose `corpusGate(nearDupGateMulti(...))` for both directions.
     *
     * Per-trigger cost: one scan of the corpus band table per
     * micro-batch (the stream side is tiny; with AQE the join builds
@@ -204,42 +210,41 @@ object StreamingDedup {
     * `index.signatures.cache()` before attaching the gate pins the
     * static side across triggers — Spark reuses cached static
     * relations in stream-static joins. Shingle-less docs carry no
-    * near-dup signal and are ADMITTED (`explode_outer` keeps them
-    * with a NULL band), mirroring [[graft.operators.MinHashIndex.probe]]
-    * which drops them from the pair report.
+    * near-dup signal and are ADMITTED (their NULL signature bands to
+    * keys no indexed doc has, so only their carrier row survives),
+    * mirroring [[graft.operators.MinHashIndex.probe]] which drops
+    * them from the pair report.
     */
   def corpusGate(docs: DataFrame, index: graft.operators.MinHashIndex.Index,
                  threshold: Double = 0.7, idCol: String = "doc_id",
                  textCol: String = "text"): Dataset[KeyedDoc] = {
     import docs.sparkSession.implicits._
     import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
-    val keyed = docs.select(
+    val carrier = docs.select(
       col(idCol).cast("long").as("doc_id"), col(textCol).as("text"),
-      org.apache.spark.sql.graft.ShingleHashes(col(textCol), index.shingleN).as("hs_b"),
-      graft.operators.MinHashIndex.bandKeysFor(col(textCol), index).as("bks"))
-    val probed = keyed
-      .select(col("doc_id"), col("text"), col("hs_b"),
-        explode_outer(col("bks")).as("bk"))
-      .select(col("doc_id"), col("text"), col("hs_b"),
+      lit(false).as("hit"))
+    val hits = docs
+      .select(col(idCol).cast("long").as("doc_id"),
+        org.apache.spark.sql.graft.ShingleHashes(col(textCol), index.shingleN).as("hs_b"),
+        explode(graft.operators.MinHashIndex.bandKeysFor(col(textCol), index)).as("bk"))
+      .select(col("doc_id"), col("hs_b"),
         col("bk.band").as("band"), col("bk.key").as("key"))
-      .join(index.banded.withColumnRenamed("id", "corpus_id"),
-        Seq("band", "key"), "left")
+      .join(index.banded.withColumnRenamed("id", "corpus_id"), Seq("band", "key"))
       .join(index.signatures.select(col("id").as("corpus_id"), col("hs").as("hs_c")),
-        Seq("corpus_id"), "left")
-      .select(col("doc_id"), col("text"),
-        coalesce(
-          size(array_intersect(col("hs_b"), col("hs_c"))).cast("double") /
-            size(array_union(col("hs_b"), col("hs_c"))).cast("double") >= threshold,
-          lit(false)).as("hit"))
-      .as[ProbeRow]
-    probed.groupByKey(_.doc_id)
+        Seq("corpus_id"))
+      .select(col("doc_id"), lit(null).cast("string").as("text"),
+        (size(array_intersect(col("hs_b"), col("hs_c"))).cast("double") /
+          size(array_union(col("hs_b"), col("hs_c"))).cast("double") >= threshold)
+          .as("hit"))
+    carrier.unionByName(hits).as[ProbeRow]
+      .groupByKey(_.doc_id)
       .flatMapGroupsWithState[Long, KeyedDoc](
         OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
         (_: Long, rows: Iterator[ProbeRow], _) =>
           val buf = rows.toSeq
           if (buf.exists(_.hit)) Iterator.empty
-          else buf.headOption.map(r =>
-            KeyedDoc(r.doc_id, r.text, "corpus")).iterator
+          else buf.collectFirst { case r if r.text != null =>
+            KeyedDoc(r.doc_id, r.text, "corpus") }.iterator
       }
   }
 }

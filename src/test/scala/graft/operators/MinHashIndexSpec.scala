@@ -62,6 +62,22 @@ class MinHashIndexSpec extends SparkSpec {
     assert(want.nonEmpty, "vacuous: no cross pairs for the append split")
   }
 
+  test("replayed append (crash-retry) yields the same probe result, no duplicate pairs") {
+    val dir = Files.createTempDirectory("mhidx_replay").toString
+    val docs = sfDocs
+    val first = docs.filter($"doc_id" % 3 === 0)
+    val second = docs.filter($"doc_id" % 3 === 1)
+    val batch = docs.filter($"doc_id" % 3 === 2)
+    MinHashIndex.save(MinHashIndex.build(first), dir)
+    MinHashIndex.append(spark, dir, second)
+    MinHashIndex.append(spark, dir, second) // the documented recovery path
+    val pairs = MinHashIndex.probe(MinHashIndex.load(spark, dir), batch, 0.7)
+      .select("batch_id", "corpus_id").as[(Long, Long)].collect().toSeq
+    assert(pairs.distinct.size === pairs.size, "replayed rows must not duplicate pairs")
+    assert(pairs.toSet ===
+      pairSet(MinHashIndex.probe(MinHashIndex.build(first.unionByName(second)), batch, 0.7)))
+  }
+
   test("load refuses an index with a corrupt params table") {
     val dir = Files.createTempDirectory("mhidx_bad").toString
     val built = MinHashIndex.build(Seq((1L, "one two three four five")).toDF("doc_id", "text"))
