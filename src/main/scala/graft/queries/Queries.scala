@@ -1653,6 +1653,81 @@ object Queries {
       .orderBy(col("doc_id"))
   }
 
+  /** Duplicated-span REMOVAL — the transform `doc_dup_spans` audits:
+    * every token covered by an 8-token verbatim span that also
+    * appears in another document is cut, and the survivors re-join
+    * as the cleaned text (Lee et al. 2021's substring-level dedup,
+    * which document-level Jaccard dedup cannot express). Same
+    * planted shared-span docs as the audit keep removals
+    * non-vacuous.
+    *
+    * Scale shape: positions come from the native positional sibling
+    * of the span hasher ([[org.apache.spark.sql.graft.ShingleHashesSeq]]
+    * — hash-identical per span, so the distinct-set document
+    * frequency joins the positional occurrences directly);
+    * document frequency is the same gram-keyed partial+final
+    * aggregate as the audit; covered starts fold to one small
+    * per-doc array (`collect_set` of span starts, bounded by doc
+    * length); and the reconstruction is ONE codegen'd pass per doc
+    * ([[org.apache.spark.sql.graft.StripSpans]]) instead of an
+    * interpreted transform/filter chain. No pair join anywhere.
+    */
+  def docStripDupSpans(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val span = "alpha bravo charlie delta echo foxtrot golf hotel india juliet kilo lima"
+    val planted = Seq(
+      (-1001L, span + " november oscar papa quebec"),
+      (-1002L, "romeo sierra tango uniform " + span)).toDF("doc_id", "text")
+    val all = docs(s, d).select(col("doc_id"), col("text")).unionByName(planted)
+    val posGrams = all.select(col("doc_id"),
+      posexplode(org.apache.spark.sql.graft.ShingleHashesSeq(col("text"), 8))
+        .as(Seq("p", "g")))
+    val dupGrams = posGrams.select(col("doc_id"), col("g")).distinct()
+      .groupBy(col("g")).agg(count(lit(1)).as("nd"))
+      .filter(col("nd") >= 2).select(col("g"))
+    val covered = posGrams.join(dupGrams, "g")
+      .groupBy(col("doc_id")).agg(collect_set(col("p")).as("starts"))
+    all.join(covered, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        TextFunctions.tokenCount(col("text")).cast("long").as("n_tokens"),
+        org.apache.spark.sql.graft.StripSpans(col("text"),
+          coalesce(col("starts"), array().cast("array<int>")), 8).as("clean_text"))
+      .select(col("doc_id"), col("n_tokens"),
+        (col("n_tokens") - TextFunctions.tokenCount(col("clean_text")).cast("long"))
+          .as("n_removed"),
+        col("clean_text"))
+      .orderBy(col("doc_id"))
+  }
+
+  val docStripDupSpansSql =
+    """WITH alldocs AS (
+      |  SELECT doc_id, text FROM documents
+      |  UNION ALL SELECT -1001, 'alpha bravo charlie delta echo foxtrot golf hotel india juliet kilo lima november oscar papa quebec'
+      |  UNION ALL SELECT -1002, 'romeo sierra tango uniform alpha bravo charlie delta echo foxtrot golf hotel india juliet kilo lima'),
+      |toks AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS t FROM alldocs),
+      |g AS (
+      |  SELECT doc_id, unnest([{'p': i, 'gram': array_to_string(t[i:i+7], ' ')} FOR i IN range(1, len(t) - 6)], recursive := true)
+      |  FROM toks WHERE len(t) >= 8),
+      |dfreq AS (
+      |  SELECT gram FROM (SELECT DISTINCT doc_id, gram FROM g) GROUP BY gram HAVING count(*) >= 2),
+      |cov AS (
+      |  SELECT DISTINCT g.doc_id, unnest(range(g.p, g.p + 8)) AS j
+      |  FROM g JOIN dfreq USING (gram)),
+      |tok AS (
+      |  SELECT doc_id, unnest([{'j': j, 'tok': t[j]} FOR j IN range(1, len(t) + 1)], recursive := true) FROM toks),
+      |kept AS (
+      |  SELECT tok.doc_id, tok.j, tok.tok FROM tok
+      |  LEFT JOIN cov ON cov.doc_id = tok.doc_id AND cov.j = tok.j
+      |  WHERE cov.j IS NULL)
+      |SELECT d.doc_id,
+      | CAST(coalesce(tc.n, 0) AS BIGINT) AS n_tokens,
+      | CAST(coalesce(tc.n, 0) - coalesce(k.nk, 0) AS BIGINT) AS n_removed,
+      | coalesce(k.clean_text, '') AS clean_text
+      |FROM alldocs d
+      |LEFT JOIN (SELECT doc_id, len(t) AS n FROM toks) tc USING (doc_id)
+      |LEFT JOIN (SELECT doc_id, count(*) AS nk, string_agg(tok, ' ' ORDER BY j) AS clean_text FROM kept GROUP BY doc_id) k USING (doc_id)
+      |ORDER BY d.doc_id""".stripMargin
+
   val docDupSpansSql =
     """WITH alldocs AS (
       |  SELECT doc_id, text FROM documents
@@ -3096,6 +3171,7 @@ object Queries {
     "doc_redact" -> (docRedact _),
     "doc_common_shingles" -> (docCommonShingles _),
     "doc_dup_spans" -> (docDupSpans _),
+    "doc_strip_dup_spans" -> (docStripDupSpans _),
     "doc_repetition" -> (docRepetition _),
     "doc_winnow" -> (docWinnow _),
     "winnow_pairs" -> (winnowPairs _),
@@ -3185,6 +3261,7 @@ object Queries {
     "doc_redact" -> docRedactSql,
     "doc_common_shingles" -> docCommonShinglesSql,
     "doc_dup_spans" -> docDupSpansSql,
+    "doc_strip_dup_spans" -> docStripDupSpansSql,
     "doc_repetition" -> docRepetitionSql,
     "doc_winnow" -> docWinnowSql,
     "winnow_pairs" -> winnowPairsSql,

@@ -74,25 +74,7 @@ object ShingleHashes {
     * HashSet.
     */
   def compute(text: UTF8String, n: Int): GenericArrayData = {
-    val bytes = text.getBytes
-    val tokenHashes = new java.util.ArrayList[java.lang.Long]()
-    var h = 0L
-    var inTok = false
-    var i = 0
-    while (i <= bytes.length) {
-      val c: Int = if (i < bytes.length) bytes(i) & 0xff else -1
-      val lower = if (c >= 'A' && c <= 'Z') c + 32 else c
-      val isTok = (lower >= 'a' && lower <= 'z') || (lower >= '0' && lower <= '9')
-      if (isTok) {
-        h = (h * 0x100000001b3L) ^ lower // FNV-ish rolling
-        inTok = true
-      } else if (inTok) {
-        tokenHashes.add(fmix64(h))
-        h = 0L
-        inTok = false
-      }
-      i += 1
-    }
+    val tokenHashes = tokenHashList(text)
     val m = tokenHashes.size()
     val out = new JHashSet[java.lang.Long]()
     var j = 0
@@ -113,7 +95,99 @@ object ShingleHashes {
     new GenericArrayData(arr)
   }
 
+  /** Called from generated code: ORDERED, NON-distinct shingle
+    * hashes — element i is the hash of the shingle STARTING at token
+    * position i (0-based), so `posexplode` recovers span positions.
+    * Same tokenizer and hash chain as [[compute]]; the two must stay
+    * in lockstep or positional span ops diverge from the distinct
+    * MinHash surface.
+    */
+  def computeSeq(text: UTF8String, n: Int): GenericArrayData = {
+    val tokenHashes = tokenHashList(text)
+    val m = tokenHashes.size()
+    val cnt = math.max(0, m - n + 1)
+    val arr = new Array[Long](cnt)
+    var j = 0
+    while (j < cnt) {
+      var s = 0L
+      var q = 0
+      while (q < n) {
+        s = fmix64(s ^ tokenHashes.get(j + q).longValue())
+        q += 1
+      }
+      arr(j) = s
+      j += 1
+    }
+    new GenericArrayData(arr)
+  }
+
+  /** Shared single-pass token-hash scan (ASCII-folded `[a-z0-9]+`
+    * runs → one rolling hash per token, in order).
+    */
+  private[graft] def tokenHashList(text: UTF8String): java.util.ArrayList[java.lang.Long] = {
+    val bytes = text.getBytes
+    val tokenHashes = new java.util.ArrayList[java.lang.Long]()
+    var h = 0L
+    var inTok = false
+    var i = 0
+    while (i <= bytes.length) {
+      val c: Int = if (i < bytes.length) bytes(i) & 0xff else -1
+      val lower = if (c >= 'A' && c <= 'Z') c + 32 else c
+      val isTok = (lower >= 'a' && lower <= 'z') || (lower >= '0' && lower <= '9')
+      if (isTok) {
+        h = (h * 0x100000001b3L) ^ lower
+        inTok = true
+      } else if (inTok) {
+        tokenHashes.add(fmix64(h))
+        h = 0L
+        inTok = false
+      }
+      i += 1
+    }
+    tokenHashes
+  }
+
   /** Column wrapper. */
   def apply(text: Column, n: Int): Column =
     ExpressionUtils.column(ShingleHashes(ExpressionUtils.expression(text), n))
+}
+
+/** [[ShingleHashes]]' positional sibling: ordered, NON-distinct —
+  * element i is the 64-bit hash of the n-token shingle starting at
+  * 0-based token position i, so `posexplode` yields (position, span
+  * hash) pairs for span-level operators (duplicated-span removal).
+  * Hash values are identical to [[ShingleHashes]]' for the same
+  * span, so a distinct-set document frequency joins against these
+  * positions directly.
+  */
+case class ShingleHashesSeq(child: Expression, n: Int)
+    extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case StringType =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"shingle_hashes_seq needs string, got $other")
+    }
+
+  override protected def nullSafeEval(input: Any): Any =
+    ShingleHashes.computeSeq(input.asInstanceOf[UTF8String], n)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"org.apache.spark.sql.graft.ShingleHashes.computeSeq($c, $n)")
+
+  override protected def withNewChildInternal(newChild: Expression): ShingleHashesSeq =
+    copy(child = newChild)
+
+  override def prettyName: String = "shingle_hashes_seq"
+}
+
+object ShingleHashesSeq {
+  def apply(text: Column, n: Int): Column =
+    ExpressionUtils.column(ShingleHashesSeq(ExpressionUtils.expression(text), n))
 }

@@ -27,6 +27,42 @@ class DedupSpec extends SparkSpec {
     assert(sh(2L) === Seq("one two three", "two three four"))
   }
 
+  test("ShingleHashesSeq: positional hashes line up with the distinct set") {
+    import org.apache.spark.sql.functions.col
+    val txt = "one two three one two three four five" // "one two three" repeats
+    val df = Seq((1L, txt)).toDF("doc_id", "text")
+    val seqH = df.select(org.apache.spark.sql.graft.ShingleHashesSeq(col("text"), 3).as("h"))
+      .as[Seq[Long]].collect().head
+    val setH = df.select(org.apache.spark.sql.graft.ShingleHashes(col("text"), 3).as("h"))
+      .as[Seq[Long]].collect().head
+    assert(seqH.length === 6, "tokens - n + 1 positions, duplicates kept")
+    assert(seqH.toSet === setH.toSet, "same hash per span as the distinct form")
+    assert(seqH(0) === seqH(3), "repeated span hashes equal at both positions")
+    // shorter than n: empty, not garbage
+    val short = Seq((1L, "one two")).toDF("doc_id", "text")
+      .select(org.apache.spark.sql.graft.ShingleHashesSeq(col("text"), 3).as("h"))
+      .as[Seq[Long]].collect().head
+    assert(short.isEmpty)
+  }
+
+  test("StripSpans: covers, clips, overlaps, and is identity on empty starts") {
+    import org.apache.spark.sql.functions.{col, lit, array, typedLit}
+    def strip(text: String, starts: Seq[Int], n: Int = 3): String =
+      Seq((text, starts)).toDF("text", "starts")
+        .select(org.apache.spark.sql.graft.StripSpans(col("text"), col("starts"), n).as("s"))
+        .as[String].collect().head
+    assert(strip("One, two THREE four five", Seq()) === "one two three four five",
+      "empty starts = normalized identity")
+    assert(strip("one two three four five", Seq(0)) === "four five")
+    assert(strip("one two three four five", Seq(1)) === "one five")
+    assert(strip("one two three four five", Seq(0, 1)) === "five", "overlap unions")
+    assert(strip("one two three four five", Seq(4)) === "one two three four",
+      "range past the end clips")
+    assert(strip("one two three four five", Seq(-5, 99)) === "one two three four five",
+      "out-of-range starts are inert")
+    assert(strip("", Seq(0)) === "")
+  }
+
   test("minhashPairs finds the planted near-dup and nothing else") {
     val docs = Seq((1L, base), (2L, nearDup), (3L, unrelated)).toDF("doc_id", "text")
     val pairs = Dedup.minhashPairs(docs, threshold = 0.5)

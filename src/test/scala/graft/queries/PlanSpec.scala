@@ -271,6 +271,15 @@ class PlanSpec extends SparkSpec {
       "expect partial+final aggregates on both gram and doc keys\n" + p.take(1500))
   }
 
+  test("doc_strip_dup_spans: removal is df-aggregate + per-doc start-set, never a pair join") {
+    val p = plan(Queries.docStripDupSpans(spark, sfSmoke))
+    assert(!p.contains("CartesianProduct"), p.take(1200))
+    assert(p.contains("strip_spans"),
+      "reconstruction must be the native one-pass expression\n" + p.take(1500))
+    assert("HashAggregate".r.findAllIn(p).size >= 4,
+      "expect partial+final aggregates on gram df and per-doc starts\n" + p.take(1500))
+  }
+
   test("whole-stage codegen covers the text-analysis projections") {
     val df = Queries.docStats(spark, sfSmoke)
     // AQE finalizes the plan only on execution — run THIS query
