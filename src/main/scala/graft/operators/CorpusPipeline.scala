@@ -45,6 +45,47 @@ object CorpusPipeline {
     * the component min is also its fingerprint group's min), which
     * makes the two keep-sets compose cleanly.
     */
+  /** The DAILY-INCREMENT admission pass — [[clean]]'s counterpart
+    * for a corpus maintained through a persisted
+    * [[MinHashIndex]]: a new batch is admitted doc-by-doc iff it
+    * survives
+    *
+    *   1. the corpus probe: no VERIFIED near-dup (exact Jaccard ≥
+    *      threshold) among the indexed documents — corpus-side
+    *      work is a SCAN of the stored band/signature tables, never
+    *      a re-run of the corpus self-join (the whole point of the
+    *      index at 100 TB);
+    *   2. intra-batch exact dedup (min id per content fingerprint)
+    *      and intra-batch near-dup removal (drop docs pairing with
+    *      a lower batch id) — increment-sized self-joins;
+    *   3. the quality gate (codegen'd, fused into the scan).
+    *
+    * Note: a batch doc that is an exact copy of a corpus doc IS
+    * caught by step 1 (identical shingle sets verify at Jaccard 1)
+    * unless both are shingle-less (< 3 tokens) — such docs carry no
+    * near-dup signal by declared semantics and fall through to the
+    * quality gate, which rejects empty-ish text anyway.
+    *
+    * The admitted survivors are exactly what [[MinHashIndex.append]]
+    * expects back into the index — together they form the
+    * probe → admit → append daily cycle.
+    */
+  def admitIncrement(index: MinHashIndex.Index, batch: DataFrame,
+                     minQuality: Double = 0.5,
+                     nearDupThreshold: Double = 0.7): DataFrame = {
+    val corpusDups = MinHashIndex.probe(index, batch, nearDupThreshold)
+      .select(col("batch_id").as("doc_id")).distinct()
+    val exactKept = Dedup.exact(batch).select("doc_id")
+    val batchLosers = Dedup.minhashPairs(batch, nearDupThreshold)
+      .select(col("id_b").as("doc_id")).distinct()
+    batch
+      .join(exactKept, "doc_id")
+      .join(batchLosers, Seq("doc_id"), "left_anti")
+      .join(corpusDups, Seq("doc_id"), "left_anti")
+      .withColumn("quality", TextFunctions.qualityScore(col("text")))
+      .filter(col("quality") >= minQuality)
+  }
+
   def cleanClustered(docs: DataFrame, minQuality: Double = 0.5,
                      nearDupThreshold: Double = 0.7): DataFrame = {
     val exactKept = Dedup.exact(docs).select("doc_id")

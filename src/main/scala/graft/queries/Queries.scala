@@ -1037,6 +1037,53 @@ object Queries {
       .select(col("doc_id"), col("quality"))
       .orderBy(col("doc_id"))
 
+  /** The composed daily-increment admission job
+    * ([[graft.operators.CorpusPipeline.admitIncrement]]): batch =
+    * documents with doc_id ≡ 0 (mod 7) admitted against a
+    * [[MinHashIndex]] over the other 6/7 — corpus near-dup probe
+    * (index scan, no corpus self-join), intra-batch exact +
+    * near-dup dedup, quality gate, one declarative plan. The
+    * oracle recomputes every stage as ground truth (all-cross-pairs
+    * for the probe, all-batch-pairs for the intra-batch step).
+    */
+  def corpusIncrement(s: SparkSession, d: String): DataFrame = {
+    val dcs = docs(s, d)
+    val idx = MinHashIndex.build(dcs.filter(col("doc_id") % 7 =!= 0))
+    graft.operators.CorpusPipeline
+      .admitIncrement(idx, dcs.filter(col("doc_id") % 7 === 0))
+      .select(col("doc_id"), col("quality"))
+      .orderBy(col("doc_id"))
+  }
+
+  val corpusIncrementSql: String = {
+    s"""WITH ${qualityCteSql()},
+       |toks AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS t FROM documents),
+       |sh AS (SELECT doc_id,
+       |  list_distinct([t[i] || ' ' || t[i+1] || ' ' || t[i+2] FOR i IN range(1, len(t) - 1)]) AS s
+       | FROM toks),
+       |fp AS (SELECT doc_id,
+       |  md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))) AS f
+       | FROM documents WHERE doc_id % 7 = 0),
+       |keep1 AS (SELECT min(doc_id) AS doc_id FROM fp GROUP BY f),
+       |batchlosers AS (SELECT DISTINCT b.doc_id AS doc_id
+       | FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+       | WHERE a.doc_id % 7 = 0 AND b.doc_id % 7 = 0
+       |   AND len(a.s) > 0 AND len(b.s) > 0
+       |   AND CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) /
+       |       CAST(len(list_distinct(list_concat(a.s, b.s))) AS DOUBLE) >= 0.7),
+       |corpusdups AS (SELECT DISTINCT b.doc_id AS doc_id
+       | FROM sh c JOIN sh b ON c.doc_id % 7 <> 0 AND b.doc_id % 7 = 0
+       | WHERE len(c.s) > 0 AND len(b.s) > 0
+       |   AND CAST(len(list_intersect(c.s, b.s)) AS DOUBLE) /
+       |       CAST(len(list_distinct(list_concat(c.s, b.s))) AS DOUBLE) >= 0.7)
+       |SELECT q.doc_id, q.quality FROM q
+       | JOIN keep1 USING (doc_id)
+       | WHERE q.doc_id NOT IN (SELECT doc_id FROM batchlosers)
+       |   AND q.doc_id NOT IN (SELECT doc_id FROM corpusdups)
+       |   AND q.quality >= 0.5
+       |ORDER BY doc_id""".stripMargin
+  }
+
   val corpusCleanSql: String = {
     s"""WITH ${qualityCteSql()},
        |fp AS (SELECT doc_id,
@@ -3200,6 +3247,7 @@ object Queries {
     "doc_ngram_profile" -> (docNgramProfile _),
     "emb_cosine_pairs" -> (embCosinePairs _),
     "corpus_clean" -> (corpusClean _),
+    "corpus_increment" -> (corpusIncrement _),
     "corpus_clean_cc" -> (corpusCleanCc _),
     "knn_top10" -> (knnTop10 _),
     "ann_lsh_top5" -> (annLshTop5 _),
@@ -3290,6 +3338,7 @@ object Queries {
     "doc_ngram_profile" -> docNgramProfileSql,
     "emb_cosine_pairs" -> embCosinePairsSql,
     "corpus_clean" -> corpusCleanSql,
+    "corpus_increment" -> corpusIncrementSql,
     "corpus_clean_cc" -> corpusCleanCcSql,
     "knn_top10" -> knnTop10Sql,
     "ann_lsh_top5" -> annLshTop5Sql,

@@ -280,6 +280,12 @@ class PlanSpec extends SparkSpec {
       "expect partial+final aggregates on gram df and per-doc starts\n" + p.take(1500))
   }
 
+  test("corpus_increment: admission composes hash joins + index scan, no cartesian") {
+    val p = plan(Queries.corpusIncrement(spark, sfSmoke))
+    assert(!p.contains("CartesianProduct"), p.take(1200))
+    assert(!p.contains("BroadcastNestedLoopJoin"), p.take(1200))
+  }
+
   test("whole-stage codegen covers the text-analysis projections") {
     val df = Queries.docStats(spark, sfSmoke)
     // AQE finalizes the plan only on execution — run THIS query
