@@ -45,6 +45,19 @@ object CorpusPipeline {
     * the component min is also its fingerprint group's min), which
     * makes the two keep-sets compose cleanly.
     */
+  def cleanClustered(docs: DataFrame, minQuality: Double = 0.5,
+                     nearDupThreshold: Double = 0.7): DataFrame = {
+    val exactKept = Dedup.exact(docs).select("doc_id")
+    val clusterKeepers = Dedup.nearDupClusters(docs, nearDupThreshold)
+      .filter(col("doc_id") === col("cluster_id"))
+      .select("doc_id")
+    docs
+      .join(exactKept, "doc_id")
+      .join(clusterKeepers, "doc_id")
+      .withColumn("quality", TextFunctions.qualityScore(col("text")))
+      .filter(col("quality") >= minQuality)
+  }
+
   /** The DAILY-INCREMENT admission pass — [[clean]]'s counterpart
     * for a corpus maintained through a persisted
     * [[MinHashIndex]]: a new batch is admitted doc-by-doc iff it
@@ -60,11 +73,15 @@ object CorpusPipeline {
     *      a lower batch id) — increment-sized self-joins;
     *   3. the quality gate (codegen'd, fused into the scan).
     *
-    * Note: a batch doc that is an exact copy of a corpus doc IS
-    * caught by step 1 (identical shingle sets verify at Jaccard 1)
-    * unless both are shingle-less (< 3 tokens) — such docs carry no
-    * near-dup signal by declared semantics and fall through to the
-    * quality gate, which rejects empty-ish text anyway.
+    * Known hole, by declared semantics: a batch doc that is an
+    * exact copy of a CORPUS doc is caught by step 1 (identical
+    * shingle sets verify at Jaccard 1) only when it has ≥ 3
+    * tokens — shingle-less docs carry no near-dup signal, and a
+    * short doc can still pass the quality gate (e.g. two stopwords
+    * scores ≈ 0.6), so exact copies of sub-shingle corpus docs ARE
+    * admitted. Callers that must close it keep a fingerprint table
+    * beside the index and anti-join it, exactly like the
+    * intra-batch [[Dedup.exact]] step here.
     *
     * The admitted survivors are exactly what [[MinHashIndex.append]]
     * expects back into the index — together they form the
@@ -73,28 +90,18 @@ object CorpusPipeline {
   def admitIncrement(index: MinHashIndex.Index, batch: DataFrame,
                      minQuality: Double = 0.5,
                      nearDupThreshold: Double = 0.7): DataFrame = {
+    // bare keyed projections feed anti joins, whose semantics ignore
+    // right-side duplicates — no distinct needed (review-caught: the
+    // aggregations only added exchanges to the admission plan)
     val corpusDups = MinHashIndex.probe(index, batch, nearDupThreshold)
-      .select(col("batch_id").as("doc_id")).distinct()
+      .select(col("batch_id").as("doc_id"))
     val exactKept = Dedup.exact(batch).select("doc_id")
     val batchLosers = Dedup.minhashPairs(batch, nearDupThreshold)
-      .select(col("id_b").as("doc_id")).distinct()
+      .select(col("id_b").as("doc_id"))
     batch
       .join(exactKept, "doc_id")
       .join(batchLosers, Seq("doc_id"), "left_anti")
       .join(corpusDups, Seq("doc_id"), "left_anti")
-      .withColumn("quality", TextFunctions.qualityScore(col("text")))
-      .filter(col("quality") >= minQuality)
-  }
-
-  def cleanClustered(docs: DataFrame, minQuality: Double = 0.5,
-                     nearDupThreshold: Double = 0.7): DataFrame = {
-    val exactKept = Dedup.exact(docs).select("doc_id")
-    val clusterKeepers = Dedup.nearDupClusters(docs, nearDupThreshold)
-      .filter(col("doc_id") === col("cluster_id"))
-      .select("doc_id")
-    docs
-      .join(exactKept, "doc_id")
-      .join(clusterKeepers, "doc_id")
       .withColumn("quality", TextFunctions.qualityScore(col("text")))
       .filter(col("quality") >= minQuality)
   }

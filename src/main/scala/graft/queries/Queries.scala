@@ -307,6 +307,38 @@ object Queries {
     * `extra` carries additional columns alongside doc_id
     * ("" or ", source").
     */
+  /** Shared oracle CTE fragments — the [[qualityCteSql]] lesson
+    * applied to the dedup conventions: the md5 content fingerprint
+    * and the 3-token shingle set each have ONE SQL definition, so a
+    * convention tweak cannot silently desynchronize one oracle from
+    * its Spark twin. `where` narrows the scanned documents (e.g. a
+    * batch split) without duplicating the formula.
+    */
+  private def fingerprintCteSql(where: String = ""): String =
+    s"""fp AS (SELECT doc_id,
+       |  md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))) AS f
+       | FROM documents$where),
+       |keep1 AS (SELECT min(doc_id) AS doc_id FROM fp GROUP BY f)""".stripMargin
+
+  private val shingleCteSql: String =
+    """toks AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS t FROM documents),
+      |sh AS (SELECT doc_id,
+      |  list_distinct([t[i] || ' ' || t[i+1] || ' ' || t[i+2] FOR i IN range(1, len(t) - 1)]) AS s
+      | FROM toks)""".stripMargin
+
+  /** Planted shared-span fixture for the substring-dedup pair
+    * (`doc_dup_spans` / `doc_strip_dup_spans`) — ONE definition on
+    * both the Spark and SQL sides, because a fixture edited in one
+    * query but not its twin turns a planted-row oracle silently
+    * vacuous (the risk the pattern exists to prevent).
+    */
+  private val dupSpanTokens = "alpha bravo charlie delta echo foxtrot golf hotel india juliet kilo lima"
+  private val dupSpanPlanted: Seq[(Long, String)] = Seq(
+    (-1001L, dupSpanTokens + " november oscar papa quebec"),
+    (-1002L, "romeo sierra tango uniform " + dupSpanTokens))
+  private val dupSpanPlantedSql: String =
+    dupSpanPlanted.map { case (id, t) => s"  UNION ALL SELECT $id, '$t'" }.mkString("\n")
+
   private def qualityCteSql(extra: String = ""): String = {
     val stop = sqlStringList(TextFunctions.enStopwordList)
     s"""m AS (SELECT doc_id$extra,
@@ -1057,14 +1089,8 @@ object Queries {
 
   val corpusIncrementSql: String = {
     s"""WITH ${qualityCteSql()},
-       |toks AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS t FROM documents),
-       |sh AS (SELECT doc_id,
-       |  list_distinct([t[i] || ' ' || t[i+1] || ' ' || t[i+2] FOR i IN range(1, len(t) - 1)]) AS s
-       | FROM toks),
-       |fp AS (SELECT doc_id,
-       |  md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))) AS f
-       | FROM documents WHERE doc_id % 7 = 0),
-       |keep1 AS (SELECT min(doc_id) AS doc_id FROM fp GROUP BY f),
+       |$shingleCteSql,
+       |${fingerprintCteSql(" WHERE doc_id % 7 = 0")},
        |batchlosers AS (SELECT DISTINCT b.doc_id AS doc_id
        | FROM sh a JOIN sh b ON a.doc_id < b.doc_id
        | WHERE a.doc_id % 7 = 0 AND b.doc_id % 7 = 0
@@ -1086,14 +1112,8 @@ object Queries {
 
   val corpusCleanSql: String = {
     s"""WITH ${qualityCteSql()},
-       |fp AS (SELECT doc_id,
-       |  md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))) AS f
-       | FROM documents),
-       |keep1 AS (SELECT min(doc_id) AS doc_id FROM fp GROUP BY f),
-       |toks AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS t FROM documents),
-       |sh AS (SELECT doc_id,
-       |  list_distinct([t[i] || ' ' || t[i+1] || ' ' || t[i+2] FOR i IN range(1, len(t) - 1)]) AS s
-       | FROM toks),
+       |${fingerprintCteSql()},
+       |$shingleCteSql,
        |losers AS (SELECT DISTINCT b.doc_id AS doc_id
        | FROM sh a JOIN sh b ON a.doc_id < b.doc_id
        | WHERE len(a.s) > 0 AND len(b.s) > 0
@@ -1681,12 +1701,8 @@ object Queries {
     */
   def docDupSpans(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    val span = "alpha bravo charlie delta echo foxtrot golf hotel india juliet kilo lima"
-    val planted = Seq(
-      (-1001L, span + " november oscar papa quebec"),
-      (-1002L, "romeo sierra tango uniform " + span)).toDF("doc_id", "text")
     val grams = docs(s, d).select(col("doc_id"), col("text"))
-      .unionByName(planted)
+      .unionByName(dupSpanPlanted.toDF("doc_id", "text"))
       .select(col("doc_id"),
         explode(org.apache.spark.sql.graft.ShingleHashes(col("text"), 8)).as("gram"))
     val docFreq = grams.groupBy(col("gram")).agg(count(lit(1)).as("nd"))
@@ -1721,11 +1737,8 @@ object Queries {
     */
   def docStripDupSpans(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    val span = "alpha bravo charlie delta echo foxtrot golf hotel india juliet kilo lima"
-    val planted = Seq(
-      (-1001L, span + " november oscar papa quebec"),
-      (-1002L, "romeo sierra tango uniform " + span)).toDF("doc_id", "text")
-    val all = docs(s, d).select(col("doc_id"), col("text")).unionByName(planted)
+    val all = docs(s, d).select(col("doc_id"), col("text"))
+      .unionByName(dupSpanPlanted.toDF("doc_id", "text"))
     val posGrams = all.select(col("doc_id"),
       posexplode(org.apache.spark.sql.graft.ShingleHashesSeq(col("text"), 8))
         .as(Seq("p", "g")))
@@ -1747,10 +1760,9 @@ object Queries {
   }
 
   val docStripDupSpansSql =
-    """WITH alldocs AS (
+    s"""WITH alldocs AS (
       |  SELECT doc_id, text FROM documents
-      |  UNION ALL SELECT -1001, 'alpha bravo charlie delta echo foxtrot golf hotel india juliet kilo lima november oscar papa quebec'
-      |  UNION ALL SELECT -1002, 'romeo sierra tango uniform alpha bravo charlie delta echo foxtrot golf hotel india juliet kilo lima'),
+      |$dupSpanPlantedSql),
       |toks AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS t FROM alldocs),
       |g AS (
       |  SELECT doc_id, unnest([{'p': i, 'gram': array_to_string(t[i:i+7], ' ')} FOR i IN range(1, len(t) - 6)], recursive := true)
@@ -1776,10 +1788,9 @@ object Queries {
       |ORDER BY d.doc_id""".stripMargin
 
   val docDupSpansSql =
-    """WITH alldocs AS (
+    s"""WITH alldocs AS (
       |  SELECT doc_id, text FROM documents
-      |  UNION ALL SELECT -1001, 'alpha bravo charlie delta echo foxtrot golf hotel india juliet kilo lima november oscar papa quebec'
-      |  UNION ALL SELECT -1002, 'romeo sierra tango uniform alpha bravo charlie delta echo foxtrot golf hotel india juliet kilo lima'),
+      |$dupSpanPlantedSql),
       |toks AS (
       |  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS t FROM alldocs),
       |g AS (

@@ -72,7 +72,11 @@ object StripSpans {
 
   /** Called from generated code. One byte scan collects the
     * lowercased tokens; a boolean cover mask marks [s, s+n) per
-    * start; survivors join with single spaces.
+    * start; survivors join with single spaces. NULL slots in the
+    * start array are SKIPPED: ArrayData.getLong reads a null slot
+    * as 0, which would silently cover tokens [0, n) that were never
+    * flagged (review-caught) — a null position carries no cover
+    * signal.
     */
   def compute(text: UTF8String, starts: ArrayData, n: Int,
               startsAreInt: Boolean): UTF8String = {
@@ -99,11 +103,13 @@ object StripSpans {
     val covered = new Array[Boolean](m)
     var s = 0
     while (s < starts.numElements()) {
-      val start0 =
-        if (startsAreInt) starts.getInt(s).toLong else starts.getLong(s)
-      var p = math.max(0L, start0)
-      val end = math.min(m.toLong, start0 + n)
-      while (p < end) { covered(p.toInt) = true; p += 1 }
+      if (!starts.isNullAt(s)) {
+        val start0 =
+          if (startsAreInt) starts.getInt(s).toLong else starts.getLong(s)
+        var p = math.max(0L, start0)
+        val end = math.min(m.toLong, start0 + n)
+        while (p < end) { covered(p.toInt) = true; p += 1 }
+      }
       s += 1
     }
     val out = new java.lang.StringBuilder()
