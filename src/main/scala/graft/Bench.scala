@@ -50,9 +50,15 @@ object Bench {
       // hash() keeps the probe CPU-bound and its Long sum far from
       // ANSI overflow (sum(id*id) overflowed and threw — caught in
       // smoke test; |sum| ≤ 2e7·2^31 ≈ 4.3e16)
+      // 200M rows, not 20M: at 20M the pre-probe read 3.1-3.3x the
+      // post-probe ON A QUIET MACHINE — C2 tiered compilation keeps
+      // running on background threads well past the untimed warm-up,
+      // and at a ~40 ms steady-state probe that fixed cost dominates.
+      // 10x the work amortizes it below the contention threshold while
+      // keeping the calibration under ~2 s per end.
       def probe(): Double = {
         val t0 = System.nanoTime()
-        spark.range(20000000L).selectExpr("sum(cast(hash(id) as bigint)) AS s")
+        spark.range(200000000L).selectExpr("sum(cast(hash(id) as bigint)) AS s")
           .write.format("noop").mode("overwrite").save()
         (System.nanoTime() - t0) / 1e9
       }
@@ -129,7 +135,31 @@ object Bench {
     // has the full escaper; a quote/backslash here would otherwise
     // break the driver's json.load of this line)
     val sfEsc = sfDir.replace("\\", "\\\\").replace("\"", "\\\"")
-    val line = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"queries_min":$qsMin,"sf":"$sfEsc","runs_per_query":$runs,"stat":"median","failed_queries":$nFailed,"calib_pre":${fmt(calibPre)},"calib_post":${fmt(calibPost)},"loadavg_pre":${fmt(loadPre)},"loadavg_post":${fmt(loadPost)}}"""
+    // Derived contention VERDICT, not just evidence (advisor r7: gate
+    // publication on the calibration fields). Three independent
+    // detectors, any one suffices:
+    //  - calib asymmetry: the probe is machine-constant, so pre/post
+    //    differing by >2.5x means one end of the run had no quiet
+    //    window (r7's polluted run: 0.357 vs 0.070 = 5.1x);
+    //  - noisy medians: fraction of succeeded queries whose median
+    //    exceeds 2x their min — a clean box keeps the two within tens
+    //    of percent; widespread gaps mean intermittent contention;
+    //  - external load: 1-min loadavg above 1.5x the allotted CPUs at
+    //    either end means other processes were competing throughout.
+    // A `true` here tells the reader to re-run rather than grade.
+    val calibRatio =
+      if (calibPre > 0 && calibPost > 0)
+        math.max(calibPre, calibPost) / math.min(calibPre, calibPost)
+      else -1.0
+    val noisyFrac = {
+      val ok = results.filter { case (_, med, mn) => med >= 0 && mn > 0 }
+      if (ok.isEmpty) 0.0
+      else ok.count { case (_, med, mn) => med > 2 * mn }.toDouble / ok.size
+    }
+    val cpuCount = scala.util.Try(cpus.toDouble).getOrElse(32.0)
+    val contended = calibRatio > 2.5 || noisyFrac > 0.3 ||
+      math.max(loadPre, loadPost) > 1.5 * cpuCount
+    val line = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"queries_min":$qsMin,"sf":"$sfEsc","runs_per_query":$runs,"stat":"median","failed_queries":$nFailed,"calib_pre":${fmt(calibPre)},"calib_post":${fmt(calibPost)},"loadavg_pre":${fmt(loadPre)},"loadavg_post":${fmt(loadPost)},"calib_ratio":${fmt(calibRatio)},"noisy_frac":${fmt(noisyFrac)},"contended":$contended}"""
     println(line)
     // Capture-proof twin: the stdout line rides through sbt's [info]
     // prefixing and the driver's tail capture, which truncated

@@ -51,6 +51,19 @@ object Verify {
       } catch { case e: Throwable =>
         nFailed += 1
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        // A missing output directory is silently OMITTED from the
+        // driver's correctness report (observed in round 7: 26 crashed
+        // queries shrank the report from 85 to 63 all-green rows and
+        // masked a systematic regression). Write an unmistakable
+        // one-row error marker instead — its schema matches no oracle,
+        // so the driver records an explicit red row.
+        try {
+          import spark.implicits._
+          Seq(s"QUERY FAILED: ${e.toString.take(500)}").toDF("graft_error")
+            .coalesce(1).write.mode("overwrite").parquet(s"$outDir/$name")
+        } catch { case m: Throwable =>
+          System.err.println(s"[verify] $name: error marker also failed: ${m.getMessage}")
+        }
       }
       // queries own their caches only for the duration of one run
       // (Dedup.minhashPairs etc.) — release between queries so the

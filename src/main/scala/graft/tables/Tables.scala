@@ -75,8 +75,38 @@ object Tables {
   def tsNsFloorDiv(divisor: Long): String =
     s"((ts_ns div $divisor) + (CASE WHEN ts_ns % $divisor < 0 THEN -1 ELSE 0 END))"
 
-  def eventsNorm(s: SparkSession, d: String): DataFrame =
-    events(s, d)
-      .withColumnRenamed("ts", "ts_ns")
-      .withColumn("ts", timestamp_micros(expr(tsUsExpr)))
+  /** `events` normalized to the (`ts_ns`: Long nanos, `ts`: Timestamp
+    * micros) pair regardless of how the parquet writer encoded the
+    * column. Two generations of driver testdata exist:
+    *  - TIMESTAMP(NANOS), which Spark can only read with
+    *    `nanosAsLong=true` → arrives as LongType nanos;
+    *  - TIMESTAMP(MICROS, isAdjustedToUTC=false) → arrives as
+    *    TimestampNTZType (the legacy nanos flag does not touch
+    *    micros).
+    * Dispatching on the scanned type keeps every downstream query
+    * identical: `ts_ns` always equals DuckDB's `epoch_ns(ts)`
+    * bit-for-bit. For the micros generation, the NTZ wall-clock is
+    * reinterpreted as an instant under the UTC session timezone
+    * ([[graft.GraftSession.tune]]) — exactly how DuckDB treats a
+    * naive timestamp in `epoch_ns` — and `unix_micros * 1000` is
+    * exact because the low three nano digits are zero in both
+    * engines.
+    */
+  def eventsNorm(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.types.{LongType, TimestampType, TimestampNTZType}
+    val raw = events(s, d)
+    raw.schema("ts").dataType match {
+      case LongType =>
+        raw
+          .withColumnRenamed("ts", "ts_ns")
+          .withColumn("ts", timestamp_micros(expr(tsUsExpr)))
+      case TimestampType | TimestampNTZType =>
+        raw
+          .withColumn("ts", col("ts").cast(TimestampType))
+          .withColumn("ts_ns", unix_micros(col("ts")) * lit(1000L))
+      case other =>
+        throw new IllegalStateException(
+          s"events.ts has unsupported type $other — expected nanos-as-long or timestamp")
+    }
+  }
 }
