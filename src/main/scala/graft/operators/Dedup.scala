@@ -232,6 +232,16 @@ object Dedup {
         org.apache.spark.sql.graft.ShingleHashes(col(textCol), 3).as("hs"))
       .filter(size(col("hs")) > 0)
       .cache()
+    // Deliberately LAZY (profiled round 8, do not "fix"): eagerly
+    // materializing this cache (`hashed.count()` here) makes the
+    // dfreq⋈exploded join SHUFFLE THE ENTIRE EXPLODED TABLE — the
+    // materialized InMemoryRelation reports its true (large) size, the
+    // static planner then estimates the dfreq aggregate over the
+    // broadcast threshold, and the join degrades from
+    // broadcast(dfreq) to sort-merge. Measured on the 26x stress
+    // corpus: 1369 MB shuffled eager vs 116-166 MB lazy (12x), which
+    // fails the stress byte gate. Lazy's cost is cold-start variance
+    // on the first invocation only (1.3-2.4 s warm at sf0.1).
     val exploded = hashed.select(
       col("id"), explode(col("hs")).as("h"), size(col("hs")).as("len"))
     val dfreq = exploded.groupBy(col("h")).agg(count(lit(1)).as("df"))
