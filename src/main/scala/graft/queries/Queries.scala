@@ -1978,6 +1978,86 @@ object Queries {
        |FROM r WHERE rnk <= 5 ORDER BY doc_id, rnk""".stripMargin
   }
 
+  /** Okapi BM25 retrieval scoring for a fixed query-term set (k1 =
+    * 1.2, b = 0.75) — the classic lexical ranker a training-data
+    * curation pipeline runs to mine domain-relevant documents.
+    * Oracle-reproducibility choices, same doctrine as [[docTfidf]]:
+    *  - RATIONAL idf `(N − df + 0.5)/(df + 0.5)` without the `ln`
+    *    wrapper — `ln` is libm-dependent across engines while `+ − ·
+    *    ÷` are IEEE correctly-rounded; the rational form is monotone
+    *    in df exactly like the log form, so per-term rankings agree;
+    *  - the per-term contributions are quantized to 2⁻²⁴ fixed-point
+    *    LONGs before the per-doc sum (the [[embCentroids]] move):
+    *    long addition is associative, so the score survives Spark's
+    *    nondeterministic partial-aggregation order bit-for-bit;
+    *  - `avgdl` is `sum(dl)/count(*)` written explicitly (exact
+    *    integer sums, one correctly-rounded division) rather than
+    *    `avg`, whose internal accumulation an engine may reorder.
+    *
+    * Scale shape: the term filter sits BEFORE the posting aggregate,
+    * so only query-term postings ever shuffle (|Q| ≪ vocab); `dl`
+    * rides the same projection as the explode (no corpus-sized doc
+    * metadata join); df and the corpus stats are broadcast (|Q| rows
+    * and 1 row); the final per-doc sum shuffles only matching docs,
+    * and the top-k is a distributed take-ordered, never a global
+    * single-partition window.
+    */
+  def docBm25(s: SparkSession, d: String): DataFrame = {
+    val qTerms = Seq("spark", "merge", "window", "stream")
+    val dd = docs(s, d)
+    val toksDf = dd.select(col("doc_id"), Dedup.toks(col("text")).as("ts"))
+    val stats = toksDf
+      .select(size(col("ts")).cast("long").as("dl"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("sum_dl"))
+    val postings = toksDf
+      .select(col("doc_id"), size(col("ts")).cast("long").as("dl"),
+        explode(col("ts")).as("term"))
+      .filter(col("term").isin(qTerms: _*))
+      .groupBy(col("doc_id"), col("dl"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val dfreq = postings.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    postings.join(broadcast(dfreq), "term")
+      .crossJoin(broadcast(stats))
+      // quantized per-term BM25 contribution; the double expression is
+      // textually identical to the oracle's so both engines build the
+      // same correctly-rounded operation tree
+      .withColumn("cq", expr(
+        "CAST(FLOOR(((CAST(n_docs AS DOUBLE) - CAST(df AS DOUBLE) + 0.5) / (CAST(df AS DOUBLE) + 0.5)) * " +
+          "((CAST(tf AS DOUBLE) * 2.2) / (CAST(tf AS DOUBLE) + 1.2 * (0.25 + 0.75 * " +
+          "(CAST(dl AS DOUBLE) / (CAST(sum_dl AS DOUBLE) / CAST(n_docs AS DOUBLE)))))) * 16777216.0) AS BIGINT)"))
+      .groupBy(col("doc_id"), col("dl"))
+      .agg(sum(col("cq")).as("sq"), count(lit(1)).as("n_hit"))
+      .select(col("doc_id"), col("dl"), col("n_hit"),
+        (col("sq").cast("double") / lit(16777216.0)).as("score_q"))
+      .orderBy(col("score_q").desc, col("doc_id"))
+      .limit(100)
+  }
+
+  val docBm25Sql: String = {
+    val terms = sqlStringList(Seq("spark", "merge", "window", "stream"))
+    s"""WITH toks AS (
+       |  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS ts
+       |  FROM documents),
+       |stats AS (
+       |  SELECT count(*) AS n_docs, sum(CAST(len(ts) AS BIGINT)) AS sum_dl FROM toks),
+       |postings AS (
+       |  SELECT doc_id, dl, term, count(*) AS tf
+       |  FROM (SELECT doc_id, CAST(len(ts) AS BIGINT) AS dl, unnest(ts) AS term FROM toks)
+       |  WHERE term IN $terms
+       |  GROUP BY doc_id, dl, term),
+       |dfreq AS (SELECT term, count(*) AS df FROM postings GROUP BY term),
+       |contrib AS (
+       |  SELECT p.doc_id, p.dl,
+       |   CAST(FLOOR(((CAST(s.n_docs AS DOUBLE) - CAST(f.df AS DOUBLE) + 0.5) / (CAST(f.df AS DOUBLE) + 0.5)) *
+       |     ((CAST(p.tf AS DOUBLE) * 2.2) / (CAST(p.tf AS DOUBLE) + 1.2 * (0.25 + 0.75 *
+       |     (CAST(p.dl AS DOUBLE) / (CAST(s.sum_dl AS DOUBLE) / CAST(s.n_docs AS DOUBLE)))))) * 16777216.0) AS BIGINT) AS cq
+       |  FROM postings p JOIN dfreq f USING (term) CROSS JOIN stats s)
+       |SELECT doc_id, dl, count(*) AS n_hit,
+       | CAST(sum(cq) AS DOUBLE) / 16777216.0 AS score_q
+       |FROM contrib GROUP BY doc_id, dl
+       |ORDER BY score_q DESC, doc_id LIMIT 100""".stripMargin
+  }
+
   /** Temperature-balanced corpus mixing (α = 0.5): the multilingual
     * training-mix rebalance that upsamples low-resource languages —
     * here as deterministic DOWN-sampling, the only direction a filter
@@ -3234,6 +3314,7 @@ object Queries {
     "doc_winnow" -> (docWinnow _),
     "winnow_pairs" -> (winnowPairs _),
     "doc_tfidf" -> (docTfidf _),
+    "doc_bm25" -> (docBm25 _),
     "corpus_mix_sample" -> (corpusMixSample _),
     "curate_top_docs" -> (curateTopDocs _),
     "q40_cube" -> (q40Cube _),
@@ -3325,6 +3406,7 @@ object Queries {
     "doc_winnow" -> docWinnowSql,
     "winnow_pairs" -> winnowPairsSql,
     "doc_tfidf" -> docTfidfSql,
+    "doc_bm25" -> docBm25Sql,
     "corpus_mix_sample" -> corpusMixSampleSql,
     "curate_top_docs" -> curateTopDocsSql,
     "q40_cube" -> q40CubeSql,
