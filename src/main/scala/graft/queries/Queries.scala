@@ -2058,6 +2058,112 @@ object Queries {
        |ORDER BY score_q DESC, doc_id LIMIT 100""".stripMargin
   }
 
+  /** Quality-weighted sampling without replacement via PRIORITY
+    * SAMPLING (Duffield, Lund & Thorup, JACM 2007): each doc gets
+    * priority `w/u` with weight `w` = its quality score and `u` a
+    * uniform in (0,1]; the k highest priorities form a weighted
+    * sample supporting unbiased subset-sum estimators. The curation
+    * use: subsample a corpus toward high-quality docs while keeping
+    * every doc a nonzero chance — the standard alternative to a hard
+    * quality cutoff.
+    *
+    * Engine-reproducible by construction — the reason priority
+    * sampling is chosen over Efraimidis-Spirakis (`u^(1/w)` needs
+    * libm `pow`): `u` derives from the md5 hash coin (the
+    * [[corpusMixSample]] pattern, no `rand()`), and `w/u` is one
+    * correctly-rounded division, so the SAMPLE ITSELF is auditable
+    * and identical in any engine. Scale shape: pure scan + per-row
+    * expression, then one distributed take-ordered — no shuffle, no
+    * window.
+    */
+  def corpusPrioritySample(s: SparkSession, d: String): DataFrame = {
+    val dd = docs(s, d)
+    dd.select(col("doc_id"),
+        TextFunctions.qualityScore(col("text")).as("quality"))
+      // u ∈ (0,1]: 60-bit md5 prefix + 1, scaled by 2^60. The +1.0
+      // happens AFTER the long→double cast in both engines (H+1 as
+      // an integer would also round above 2^53, but keeping the op
+      // order textually identical removes even that question).
+      .withColumn("u",
+        (expr("conv(substr(md5(cast(doc_id as string)), 1, 15), 16, 10)")
+          .cast("long").cast("double") + lit(1.0)) / lit(1152921504606846976.0))
+      .withColumn("priority", col("quality") / col("u"))
+      .orderBy(col("priority").desc, col("doc_id"))
+      .limit(200)
+  }
+
+  val corpusPrioritySampleSql: String =
+    s"""WITH ${qualityCteSql()}
+       |SELECT doc_id, quality, u, priority FROM (
+       |  SELECT doc_id, quality,
+       |   (CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT AS DOUBLE) + 1.0)
+       |     / 1152921504606846976.0 AS u,
+       |   quality / ((CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT AS DOUBLE) + 1.0)
+       |     / 1152921504606846976.0) AS priority
+       |  FROM q)
+       |ORDER BY priority DESC, doc_id LIMIT 200""".stripMargin
+
+  /** SemDeDup (Abbas et al. 2023 — semantic dedup for web-scale
+    * training data): within each semantic cluster, embeddings above a
+    * cosine threshold are duplicate groups; keep ONE representative
+    * (here the max vec_id) and drop the rest. The driver's `label`
+    * column stands in for the k-means cluster assignment (the
+    * clustering itself is [[graft.operators.IvfIndex]]'s job; using
+    * the given partition keeps the oracle closed-form), and planted
+    * exact copies at reserved negative mirror ids make the dedup
+    * non-vacuous exactly as in [[embCosinePairs]].
+    *
+    * Scale shape: the pair search reuses [[Similarity.cosinePairs]]'s
+    * LSH-bucketed self-join (never all-pairs); labels join back
+    * id-keyed; the drop set is a semi-join. Same-cluster filtering
+    * happens AFTER the LSH candidate stage because planted duplicates
+    * collide in every LSH table regardless of label — at production
+    * scale the cluster id would be folded into the bucket key.
+    */
+  def embSemdedup(s: SparkSession, d: String): DataFrame = {
+    GraftSession.tune(s)
+    val base = Tables.embeddings(s, d)
+      .select(col("vec_id"), col("embedding"), col("label"))
+    val planted = base.filter(col("vec_id") < 20)
+      .select((-(col("vec_id") + lit(1L))).as("vec_id"), col("embedding"),
+        col("label"))
+    val corpus = base.unionByName(planted)
+    val labels = corpus.select(col("vec_id"), col("label"))
+    val pairs = Similarity
+      .cosinePairs(corpus.select(col("vec_id"), col("embedding")), threshold = 0.95)
+      .join(labels.withColumnRenamed("vec_id", "id_a")
+        .withColumnRenamed("label", "label_a"), "id_a")
+      .join(labels.withColumnRenamed("vec_id", "id_b")
+        .withColumnRenamed("label", "label_b"), "id_b")
+      .filter(col("label_a") === col("label_b"))
+    // id_a < id_b by cosinePairs' contract → id_a is the non-canonical
+    // member of its duplicate group
+    val dropped = pairs.select(col("id_a").as("vec_id")).distinct()
+    corpus
+      .join(dropped.withColumn("dup_flag", lit(1L)), Seq("vec_id"), "left")
+      .select(col("vec_id"), col("label").cast("long").as("label"),
+        coalesce(col("dup_flag"), lit(0L)).as("is_dup"))
+      .orderBy(col("vec_id"))
+  }
+
+  val embSemdedupSql: String =
+    """WITH corpus AS (
+      |  SELECT vec_id, embedding, label FROM embeddings
+      |  UNION ALL
+      |  SELECT -(vec_id + 1) AS vec_id, embedding, label FROM embeddings WHERE vec_id < 20),
+      |pairs AS (
+      |  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+      |   list_sum(list_transform(list_zip(a.embedding, b.embedding),
+      |     p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))
+      |   / (sqrt(list_sum(list_transform(a.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+      |      * sqrt(list_sum(list_transform(b.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))) AS sim
+      |  FROM corpus a JOIN corpus b ON a.vec_id < b.vec_id AND a.label = b.label)
+      |SELECT c.vec_id, CAST(c.label AS BIGINT) AS label,
+      | CAST(CASE WHEN c.vec_id IN (SELECT id_a FROM pairs WHERE sim >= 0.95)
+      |      THEN 1 ELSE 0 END AS BIGINT) AS is_dup
+      |FROM corpus c
+      |ORDER BY c.vec_id""".stripMargin
+
   /** Temperature-balanced corpus mixing (α = 0.5): the multilingual
     * training-mix rebalance that upsamples low-resource languages —
     * here as deterministic DOWN-sampling, the only direction a filter
@@ -3315,6 +3421,8 @@ object Queries {
     "winnow_pairs" -> (winnowPairs _),
     "doc_tfidf" -> (docTfidf _),
     "doc_bm25" -> (docBm25 _),
+    "corpus_priority_sample" -> (corpusPrioritySample _),
+    "emb_semdedup" -> (embSemdedup _),
     "corpus_mix_sample" -> (corpusMixSample _),
     "curate_top_docs" -> (curateTopDocs _),
     "q40_cube" -> (q40Cube _),
@@ -3407,6 +3515,8 @@ object Queries {
     "winnow_pairs" -> winnowPairsSql,
     "doc_tfidf" -> docTfidfSql,
     "doc_bm25" -> docBm25Sql,
+    "corpus_priority_sample" -> corpusPrioritySampleSql,
+    "emb_semdedup" -> embSemdedupSql,
     "corpus_mix_sample" -> corpusMixSampleSql,
     "curate_top_docs" -> curateTopDocsSql,
     "q40_cube" -> q40CubeSql,
