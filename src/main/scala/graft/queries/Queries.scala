@@ -3096,6 +3096,87 @@ object Queries {
       |WHERE p.jaccard >= 0.7 AND sa.split <> sb.split
       |ORDER BY test_doc_id, train_doc_id""".stripMargin
 
+  /** Bloom-accelerated benchmark decontamination — the 100 TB-shape
+    * variant of [[q38Decontamination]]'s concern: instead of joining
+    * every test-doc shingle against the train-shingle set, a Bloom
+    * filter over the train shingles (built distributed via
+    * `DataFrameStatFunctions.bloomFilter` — partial sketches bit-OR
+    * merge, so the filter is order-independent and deterministic) is
+    * broadcast and probes test shingles FIRST; only survivors reach
+    * the exact semi-join. At corpus scale this turns a
+    * shuffle-everything join into a broadcast probe plus a join on
+    * the (tiny) candidate set.
+    *
+    * CORRECTNESS IS EXACT, and the oracle proves it: Bloom filters
+    * have no false negatives, so the pre-filter cannot drop a true
+    * match, and false positives die in the exact join that follows —
+    * the final output is identical to the unfiltered computation,
+    * which is what the DuckDB oracle computes. (A dropped true match
+    * would make the driver's hash compare fail.) The probe itself is
+    * a deterministic scala closure over the broadcast sketch — the
+    * one justified UDF shape: no built-in expression exists for a
+    * broadcast Bloom probe, and it guards a codegen boundary the
+    * plan already has (the explode).
+    *
+    * Shared-shingle counts use 64-bit shingle hashes on the Spark
+    * side vs string shingles in the oracle — identical counts modulo
+    * a ~1e-14 collision probability, the established
+    * [[docNgramProfile]] equivalence.
+    */
+  def q46BloomDecontam(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.functions.udf
+    val dcs = docs(s, d)
+    val bucket = conv(substring(md5(col("doc_id").cast("string")), 1, 2), 16, 10)
+      .cast("int") % 10
+    val withSplit = dcs.select(col("doc_id"), col("text"),
+      when(bucket < 8, lit("train")).otherwise(lit("test")).as("split"))
+    val shingled = withSplit.select(col("doc_id"), col("split"),
+      explode(org.apache.spark.sql.graft.ShingleHashes(col("text"), 3)).as("h"))
+    val trainShingles = shingled.filter(col("split") === "train")
+      .select(col("h")).distinct()
+    // expected-items bound: docs * (chars upper bound) would
+    // over-size; distinct train shingles are what the filter holds.
+    // The count is one narrow aggregate over a plan this query runs
+    // anyway, and at production scale the builder would thread a
+    // known corpus statistic here instead (the cosinePairs
+    // knownCount pattern).
+    val nTrain = math.max(trainShingles.count(), 1L)
+    val bloom = trainShingles.stat.bloomFilter("h", nTrain, 0.01)
+    val bcBloom = s.sparkContext.broadcast(bloom)
+    val mightContain = udf((h: Long) => bcBloom.value.mightContainLong(h))
+    val survivors = shingled.filter(col("split") === "test")
+      .filter(mightContain(col("h")))
+    survivors
+      .join(trainShingles, "h")
+      .groupBy(col("doc_id").as("test_doc_id"))
+      .agg(count_distinct(col("h")).as("n_shared"))
+      .select(col("test_doc_id"), col("n_shared"))
+      .orderBy(col("test_doc_id"))
+  }
+
+  val q46BloomDecontamSql: String =
+    """WITH toks AS (
+      |  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS t FROM documents),
+      |sh AS (
+      |  SELECT doc_id,
+      |   list_distinct([t[i] || ' ' || t[i+1] || ' ' || t[i+2] FOR i IN range(1, len(t) - 1)]) AS s
+      |  FROM toks),
+      |sp AS (
+      |  SELECT doc_id,
+      |   CASE WHEN ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 2))::INT % 10 < 8
+      |    THEN 'train' ELSE 'test' END AS split
+      |  FROM documents),
+      |train_sh AS (
+      |  SELECT DISTINCT unnest(sh.s) AS g
+      |  FROM sh JOIN sp USING (doc_id) WHERE sp.split = 'train'),
+      |test_sh AS (
+      |  SELECT sh.doc_id, unnest(sh.s) AS g
+      |  FROM sh JOIN sp USING (doc_id) WHERE sp.split = 'test')
+      |SELECT t.doc_id AS test_doc_id, count(DISTINCT t.g) AS n_shared
+      |FROM test_sh t JOIN train_sh tr ON t.g = tr.g
+      |GROUP BY t.doc_id
+      |ORDER BY test_doc_id""".stripMargin
+
   /** Sequence packing: assign documents to fixed token-budget packs
     * (4096 BPE-ish tokens) — the shard-assembly step before writing
     * training batches. Deterministic contiguous chunking: docs order
@@ -3410,6 +3491,7 @@ object Queries {
     "q36_asof_bucketed" -> (q36AsofBucketed _),
     "q37_pack_budget" -> (q37PackBudget _),
     "q38_decontamination" -> (q38Decontamination _),
+    "q46_bloom_decontam" -> (q46BloomDecontam _),
     "doc_top_terms" -> (docTopTerms _),
     "doc_source_quality" -> (docSourceQuality _),
     "doc_redact" -> (docRedact _),
@@ -3504,6 +3586,7 @@ object Queries {
     "q36_asof_bucketed" -> q36AsofBucketedSql,
     "q37_pack_budget" -> q37PackBudgetSql,
     "q38_decontamination" -> q38DecontaminationSql,
+    "q46_bloom_decontam" -> q46BloomDecontamSql,
     "doc_top_terms" -> docTopTermsSql,
     "doc_source_quality" -> docSourceQualitySql,
     "doc_redact" -> docRedactSql,
