@@ -3112,11 +3112,10 @@ object Queries {
     * match, and false positives die in the exact join that follows —
     * the final output is identical to the unfiltered computation,
     * which is what the DuckDB oracle computes. (A dropped true match
-    * would make the driver's hash compare fail.) The probe itself is
-    * a deterministic scala closure over the broadcast sketch — the
-    * one justified UDF shape: no built-in expression exists for a
-    * broadcast Bloom probe, and it guards a codegen boundary the
-    * plan already has (the explode).
+    * would make the driver's hash compare fail.) The probe is
+    * Spark's own codegen'd [[org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain]]
+    * over the sketch as a foldable literal
+    * ([[org.apache.spark.sql.graft.BloomProbe]]) — no UDF boundary.
     *
     * Shared-shingle counts use 64-bit shingle hashes on the Spark
     * side vs string shingles in the oracle — identical counts modulo
@@ -3124,7 +3123,6 @@ object Queries {
     * [[docNgramProfile]] equivalence.
     */
   def q46BloomDecontam(s: SparkSession, d: String): DataFrame = {
-    import org.apache.spark.sql.functions.udf
     val dcs = docs(s, d)
     val bucket = conv(substring(md5(col("doc_id").cast("string")), 1, 2), 16, 10)
       .cast("int") % 10
@@ -3142,10 +3140,9 @@ object Queries {
     // knownCount pattern).
     val nTrain = math.max(trainShingles.count(), 1L)
     val bloom = trainShingles.stat.bloomFilter("h", nTrain, 0.01)
-    val bcBloom = s.sparkContext.broadcast(bloom)
-    val mightContain = udf((h: Long) => bcBloom.value.mightContainLong(h))
+    val bloomBytes = org.apache.spark.sql.graft.BloomProbe.serialize(bloom)
     val survivors = shingled.filter(col("split") === "test")
-      .filter(mightContain(col("h")))
+      .filter(org.apache.spark.sql.graft.BloomProbe.mightContain(bloomBytes, col("h")))
     survivors
       .join(trainShingles, "h")
       .groupBy(col("doc_id").as("test_doc_id"))
