@@ -286,6 +286,41 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("BroadcastNestedLoopJoin"), p.take(1200))
   }
 
+  test("doc_bm25: df and corpus stats broadcast; no vocabulary-wide shuffle join") {
+    val p = plan(Queries.docBm25(spark, sfSmoke))
+    // the |Q|-row dfreq and the 1-row stats must arrive as broadcasts
+    assert("BroadcastExchange".r.findAllIn(p).size >= 2,
+      "expect df + stats broadcast to the postings\n" + p.take(1500))
+    assert(!p.contains("CartesianProduct"), p.take(1200))
+    // the top-k final must be a distributed take-ordered, not a
+    // single-partition global sort+limit
+    assert(p.contains("TakeOrderedAndProject"), p.take(1500))
+  }
+
+  test("corpus_priority_sample: scan + take-ordered, no shuffle aggregation") {
+    val p = plan(Queries.corpusPrioritySample(spark, sfSmoke))
+    assert(p.contains("TakeOrderedAndProject"), p.take(1500))
+    assert(!p.contains("Exchange hashpartitioning"),
+      "priority sampling must not shuffle — it is a pure scan + top-k\n" + p.take(1500))
+  }
+
+  test("q46_bloom_decontam: probe is the native might_contain literal, no UDF") {
+    val p = plan(Queries.q46BloomDecontam(spark, sfSmoke))
+    assert(p.contains("might_contain"),
+      "expect the codegen'd BloomFilterMightContain probe\n" + p.take(1500))
+    assert(!p.contains("UDF"), "the bloom probe must not be a UDF\n" + p.take(1500))
+    assert(!p.contains("CartesianProduct"), p.take(1200))
+  }
+
+  test("eventsNorm (micros generation): filters on real columns still reach the parquet scan") {
+    val df = graft.tables.Tables.eventsNorm(spark, sfSmoke)
+      .filter(col("event_type") === "click")
+      .select(col("event_id"), col("event_type"))
+    val p = plan(df)
+    assert(p.contains("PushedFilters: [IsNotNull(event_type), EqualTo(event_type,click)]"),
+      "derived ts_ns must not block pushdown of sibling-column predicates\n" + p.take(1500))
+  }
+
   test("whole-stage codegen covers the text-analysis projections") {
     val df = Queries.docStats(spark, sfSmoke)
     // AQE finalizes the plan only on execution — run THIS query
