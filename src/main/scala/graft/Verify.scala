@@ -72,7 +72,7 @@ object Verify {
     }
     if (nFailed > 0)
       System.err.println(s"[verify] $nFailed of ${selected.size} queries FAILED " +
-        "(their output directories are absent)")
+        "(their output directories hold a one-row graft_error marker instead of results)")
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the
     // driver's json.load fail and silently zero the round's correctness.

@@ -13,12 +13,14 @@ import org.apache.spark.sql.functions._
   * (PNG/JPEG/GIF/BMP): header-only metadata parse, full-decode
   * rescale + PNG re-encode. AUDIO metadata is real too, via
   * `javax.sound.sampled` (WAV/AIFF/AU header parse → format,
-  * channels, sample rate, frame count → duration). Video codecs and
-  * sample-level audio decode don't exist in the JDK (and this
-  * container ships no media libraries), so those calls are STUBBED
-  * with deterministic byte-derived fakes — each marked `STUB:` and
-  * isolated behind [[MediaCodec]], so swapping in a real decoder
-  * (javacv, ffmpeg-cli) touches exactly one object.
+  * channels, sample rate, frame count → duration). VIDEO CONTAINER
+  * metadata is real as well — a hand-rolled pure-JDK byte parser for
+  * MP4 (ISO BMFF `moov`/`mvhd`/`tkhd`) and RIFF-AVI (`avih`) headers.
+  * Video PIXEL decode and sample-level audio decode don't exist in
+  * the JDK (and this container ships no media libraries), so those
+  * calls are STUBBED with deterministic byte-derived fakes — each
+  * marked `STUB:` and isolated behind [[MediaCodec]], so swapping in
+  * a real decoder (javacv, ffmpeg-cli) touches exactly one object.
   *
   * Execution model notes (the part that matters at 100 TB):
   *  - decode work runs via `mapPartitions` so per-partition setup
@@ -59,10 +61,12 @@ object Multimodal {
     * [[resizeImage]] does a full pixel decode → `BufferedImage`
     * rescale → PNG re-encode. AUDIO metadata decodes for real through
     * `javax.sound.sampled` ([[audioHeader]]: WAV/AIFF/AU container
-    * headers → format/channels/rate/frames, no sample decode). Video
-    * (no JDK codec exists), sample-level audio work, and blobs that
-    * fail to parse fall back to the deterministic byte-derived STUBs
-    * below, each marked `STUB:`.
+    * headers → format/channels/rate/frames, no sample decode). VIDEO
+    * container metadata decodes for real through the pure-JDK
+    * MP4/RIFF-AVI byte parser ([[videoHeader]] — no JDK video CODEC
+    * exists, but header layout is public spec). Pixel/sample decode
+    * work and blobs that fail to parse fall back to the deterministic
+    * byte-derived STUBs below, each marked `STUB:`.
     */
   object MediaCodec {
 
@@ -145,10 +149,147 @@ object Multimodal {
           fmt.getChannels, fmt.getSampleRate, frames))
       } catch { case _: Exception => None }
 
-    /** Image/audio metadata via the REAL JDK header parses
-      * (`javax.imageio` / `javax.sound.sampled`); video (no JDK
-      * codec), text-sniffed, and unparseable blobs take the
-      * byte-derived stub.
+    // ---- real video-CONTAINER metadata (pure-JDK byte parse) ----
+    // No JDK video codec exists (pixel decode stays stubbed), but
+    // container metadata is plain byte layout per public specs:
+    // ISO/IEC 14496-12 for MP4 (ftyp; moov/mvhd timescale+duration;
+    // trak/tkhd 16.16 fixed-point dims), the Microsoft RIFF spec for
+    // AVI (LIST hdrl → avih MainAVIHeader). Header-only: the walk
+    // skips over mdat/movi payloads by their declared sizes, so at
+    // 100 TB of video the metadata pass never touches sample data.
+
+    private def be32(b: Array[Byte], i: Int): Long =
+      ((b(i) & 0xffL) << 24) | ((b(i + 1) & 0xffL) << 16) |
+        ((b(i + 2) & 0xffL) << 8) | (b(i + 3) & 0xffL)
+    private def be64(b: Array[Byte], i: Int): Long =
+      (be32(b, i) << 32) | be32(b, i + 4)
+    private def le32(b: Array[Byte], i: Int): Long =
+      ((b(i + 3) & 0xffL) << 24) | ((b(i + 2) & 0xffL) << 16) |
+        ((b(i + 1) & 0xffL) << 8) | (b(i) & 0xffL)
+    private def fourcc(b: Array[Byte], i: Int): String =
+      if (i + 4 > b.length) "" else new String(b, i, 4, "US-ASCII")
+
+    /** (format, width, height, durationMs, streamCount) from an MP4
+      * or RIFF-AVI container header; None for anything else. All
+      * offsets bounds-checked; a malformed size field aborts the
+      * parse rather than scanning past the declared region.
+      */
+    private[multimodal] def videoHeader(b: Array[Byte]): Option[(String, Int, Int, Long, Int)] =
+      if (fourcc(b, 4) == "ftyp") mp4Header(b)
+      else if (fourcc(b, 0) == "RIFF" && fourcc(b, 8) == "AVI ") aviHeader(b)
+      else None
+
+    private def mp4Header(b: Array[Byte]): Option[(String, Int, Int, Long, Int)] = {
+      // top-level box walk → moov payload bounds
+      var off = 0L
+      var moovS = -1; var moovE = -1
+      while (off + 8 <= b.length && moovS < 0) {
+        val size0 = be32(b, off.toInt)
+        val typ = fourcc(b, off.toInt + 4)
+        var hdr = 8L
+        val size =
+          if (size0 == 1L) {
+            if (off + 16 > b.length) return None
+            hdr = 16L; be64(b, off.toInt + 8)
+          } else if (size0 == 0L) b.length - off
+          else size0
+        if (size < hdr || off + size > b.length) return None
+        if (typ == "moov") { moovS = (off + hdr).toInt; moovE = (off + size).toInt }
+        off += size
+      }
+      if (moovS < 0) return None
+      // moov children: mvhd once (timescale/duration), trak* (tkhd
+      // dims; first track with a nonzero width is the video track —
+      // audio tkhd carries 0×0 per the spec)
+      var timescale = 0L; var duration = -1L
+      var w = 0; var h = 0; var tracks = 0
+      var o = moovS
+      while (o + 8 <= moovE) {
+        val size0 = be32(b, o)
+        val typ = fourcc(b, o + 4)
+        var hdr = 8
+        val size =
+          if (size0 == 1L) { if (o + 16 > moovE) return None; hdr = 16; be64(b, o + 8) }
+          else if (size0 == 0L) (moovE - o).toLong
+          else size0
+        if (size < hdr || o + size > moovE) return None
+        val p = o + hdr
+        typ match {
+          case "mvhd" =>
+            if (p + 4 > moovE) return None
+            val v = b(p) & 0xff
+            if (v == 0) {
+              if (p + 20 > moovE) return None
+              timescale = be32(b, p + 12); duration = be32(b, p + 16)
+            } else {
+              if (p + 32 > moovE) return None
+              timescale = be32(b, p + 20); duration = be64(b, p + 24)
+            }
+          case "trak" =>
+            tracks += 1
+            // child walk for tkhd
+            var q = p
+            val trakE = (o + size).toInt
+            while (q + 8 <= trakE) {
+              val cs0 = be32(b, q)
+              val ct = fourcc(b, q + 4)
+              val cs = if (cs0 == 0L) (trakE - q).toLong else cs0
+              if (cs < 8 || q + cs > trakE) return None
+              if (ct == "tkhd") {
+                val tp = q + 8
+                if (tp + 1 > trakE) return None
+                val v = b(tp) & 0xff
+                val wOff = if (v == 0) tp + 76 else tp + 88
+                if (wOff + 8 > trakE) return None
+                val tw = (be32(b, wOff) >> 16).toInt // 16.16 fixed
+                val th = (be32(b, wOff + 4) >> 16).toInt
+                if (w == 0 && tw > 0) { w = tw; h = th }
+              }
+              q += cs.toInt
+            }
+          case _ => ()
+        }
+        o += size.toInt
+      }
+      if (timescale <= 0 || duration < 0) return None
+      Some(("mp4", w, h, duration * 1000L / timescale, tracks))
+    }
+
+    private def aviHeader(b: Array[Byte]): Option[(String, Int, Int, Long, Int)] = {
+      var o = 12
+      while (o + 8 <= b.length) {
+        val id = fourcc(b, o)
+        val sz = le32(b, o + 4)
+        if (sz < 0 || o + 8 + sz > b.length) return None
+        if (id == "LIST" && fourcc(b, o + 8) == "hdrl") {
+          var p = o + 12
+          val end = (o + 8 + sz).toInt
+          while (p + 8 <= end) {
+            val cid = fourcc(b, p)
+            val csz = le32(b, p + 4)
+            if (csz < 0 || p + 8 + csz > end) return None
+            if (cid == "avih" && csz >= 40) {
+              val d = p + 8
+              val usPerFrame = le32(b, d)
+              val totalFrames = le32(b, d + 16)
+              val streams = le32(b, d + 24)
+              val w = le32(b, d + 32).toInt
+              val h = le32(b, d + 36).toInt
+              return Some(("avi", w, h, totalFrames * usPerFrame / 1000L, streams.toInt))
+            }
+            p += (8 + csz + (csz & 1)).toInt // RIFF chunks pad to even
+          }
+          return None
+        }
+        o += (8 + sz + (sz & 1)).toInt
+      }
+      None
+    }
+
+    /** Image/audio/video metadata via the REAL header parses
+      * (`javax.imageio` / `javax.sound.sampled` / the pure-JDK
+      * MP4+AVI container parser above); text-sniffed and unparseable
+      * blobs take the byte-derived stub.
       */
     def decodeMeta(r: MediaRecord): MediaMeta = {
       if (r.mediaType == "image" && !printableText(r.content)) {
@@ -169,12 +310,23 @@ object Multimodal {
           case None => () // not a real audio container — stub below
         }
       }
+      if (r.mediaType == "video" && !printableText(r.content)) {
+        videoHeader(r.content) match {
+          case Some((fmt, w, h, durMs, streams)) =>
+            // `channels` carries the container's stream count — the
+            // natural analog of audio channel count for a muxed file
+            return MediaMeta(r.mediaId, "video", r.content.length.toLong,
+              fmt, width = w, height = h, durationMs = durMs,
+              channels = streams)
+          case None => () // not a real video container — stub below
+        }
+      }
       decodeMetaStub(r)
     }
 
     /** STUB: pseudo metadata from the first bytes of the blob — the
-      * fallback for video (no JDK codec) and for image/audio blobs
-      * the real header parses reject.
+      * fallback for blobs every real header parse rejects (text
+      * standing in for media, truncated/corrupt containers).
       */
     private[multimodal] def decodeMetaStub(r: MediaRecord): MediaMeta = {
       val b = r.content

@@ -1,0 +1,167 @@
+package graft.multimodal
+
+import java.io.ByteArrayOutputStream
+import java.nio.{ByteBuffer, ByteOrder}
+
+/** Byte-exact planted video-container fixtures for the real
+  * header-parse path ([[Multimodal.MediaCodec.videoHeader]]).
+  *
+  * No JDK video CODEC exists (pixel decode stays a declared stub),
+  * but CONTAINER METADATA is pure byte layout, assembled here per the
+  * PUBLIC specs — MP4: ISO/IEC 14496-12 ISO BMFF boxes (`ftyp`,
+  * `moov`/`mvhd` timescale+duration, `trak`/`tkhd` 16.16
+  * fixed-point dims); AVI: the Microsoft RIFF `LIST hdrl` /
+  * `avih` MainAVIHeader (µs-per-frame, total frames, streams,
+  * dwWidth/dwHeight). Same convention as [[AudioFixtures]]:
+  * programmatic but byte-deterministic assembly, so every derived
+  * value is a constant the DuckDB oracle states as ground truth
+  * while Spark derives it by actually parsing the bytes.
+  *
+  * Ids continue the planted range: 900021+ above AudioFixtures'
+  * 900011..13.
+  */
+object VideoFixtures {
+
+  private def beBuf(n: Int): ByteBuffer =
+    ByteBuffer.allocate(n).order(ByteOrder.BIG_ENDIAN)
+
+  /** ISO BMFF box: 4-byte big-endian size (including the 8-byte
+    * header) + 4-byte type + payload. */
+  private def box(typ: String, payload: Array[Byte]): Array[Byte] = {
+    val bb = beBuf(8 + payload.length)
+    bb.putInt(8 + payload.length).put(typ.getBytes("US-ASCII")).put(payload)
+    bb.array()
+  }
+
+  private def concat(parts: Array[Byte]*): Array[Byte] = {
+    val bos = new ByteArrayOutputStream()
+    parts.foreach(bos.write)
+    bos.toByteArray
+  }
+
+  /** `mvhd` payload, version 0 (100 bytes) or 1 (112 bytes). */
+  private def mvhd(version: Int, timescale: Int, duration: Long): Array[Byte] = {
+    val bb = beBuf(if (version == 0) 100 else 112)
+    bb.put(version.toByte).put(Array[Byte](0, 0, 0)) // version + flags
+    if (version == 0)
+      bb.putInt(0).putInt(0).putInt(timescale).putInt(duration.toInt)
+    else
+      bb.putLong(0L).putLong(0L).putInt(timescale).putLong(duration)
+    bb.putInt(0x00010000) // rate 1.0
+      .putShort(0x0100.toShort) // volume 1.0
+      .put(new Array[Byte](10)) // reserved
+      .put(identityMatrix)
+      .put(new Array[Byte](24)) // pre_defined
+      .putInt(2) // next_track_ID
+    bb.array()
+  }
+
+  /** The unity transform matrix every spec example uses. */
+  private def identityMatrix: Array[Byte] = {
+    val bb = beBuf(36)
+    bb.putInt(0x00010000).putInt(0).putInt(0)
+      .putInt(0).putInt(0x00010000).putInt(0)
+      .putInt(0).putInt(0).putInt(0x40000000)
+    bb.array()
+  }
+
+  /** `tkhd` payload, version 0 (84 bytes): dims as 16.16 fixed point.
+    * An audio track carries 0×0, exactly as the spec prescribes. */
+  private def tkhd(trackId: Int, duration: Int, w: Int, h: Int): Array[Byte] = {
+    val bb = beBuf(84)
+    bb.put(0.toByte).put(Array[Byte](0, 0, 7)) // v0; enabled|in-movie|in-preview
+      .putInt(0).putInt(0) // ctime/mtime
+      .putInt(trackId)
+      .putInt(0) // reserved
+      .putInt(duration)
+      .put(new Array[Byte](8)) // reserved
+      .putShort(0).putShort(0) // layer, alternate_group
+      .putShort(if (w == 0) 0x0100.toShort else 0) // volume: audio 1.0
+      .putShort(0) // reserved
+      .put(identityMatrix)
+      .putInt(w << 16).putInt(h << 16)
+    bb.array()
+  }
+
+  private def trak(trackId: Int, duration: Int, w: Int, h: Int): Array[Byte] =
+    box("trak", box("tkhd", tkhd(trackId, duration, w, h)))
+
+  private def ftyp: Array[Byte] = {
+    val bb = beBuf(12)
+    bb.put("isom".getBytes("US-ASCII")).putInt(0x200)
+      .put("isom".getBytes("US-ASCII"))
+    box("ftyp", bb.array())
+  }
+
+  /** Minimal valid MP4: ftyp + moov(mvhd, trak…) + a token mdat.
+    * Durations are chosen so duration·1000/timescale is EXACT. */
+  private[multimodal] def mp4(mvhdVersion: Int, timescale: Int, duration: Long,
+      tracks: Seq[(Int, Int)]): Array[Byte] = {
+    val traks = tracks.zipWithIndex.map { case ((w, h), i) =>
+      trak(i + 1, duration.toInt, w, h)
+    }
+    concat(
+      ftyp,
+      box("moov", concat(box("mvhd", mvhd(mvhdVersion, timescale, duration)) +: traks: _*)),
+      box("mdat", Array.tabulate(16)(i => ((i * 31) % 251).toByte)))
+  }
+
+  /** Minimal valid RIFF-AVI: RIFF("AVI ") + LIST(hdrl){avih} +
+    * LIST(movi){} — all sizes little-endian per the RIFF spec. */
+  private[multimodal] def avi(usPerFrame: Int, totalFrames: Int, streams: Int,
+      w: Int, h: Int): Array[Byte] = {
+    val avih = ByteBuffer.allocate(56).order(ByteOrder.LITTLE_ENDIAN)
+      .putInt(usPerFrame)
+      .putInt(w * h * 3 * (1000000 / math.max(usPerFrame, 1))) // dwMaxBytesPerSec
+      .putInt(0) // dwPaddingGranularity
+      .putInt(0x10) // dwFlags: AVIF_HASINDEX
+      .putInt(totalFrames)
+      .putInt(0) // dwInitialFrames
+      .putInt(streams)
+      .putInt(0) // dwSuggestedBufferSize
+      .putInt(w).putInt(h)
+      .put(new Array[Byte](16)) // dwReserved[4]
+      .array()
+    val hdrl = ByteBuffer.allocate(12 + 56 + 56 + 12)
+      .order(ByteOrder.LITTLE_ENDIAN)
+    hdrl.put("LIST".getBytes("US-ASCII")).putInt(4 + 8 + 56)
+      .put("hdrl".getBytes("US-ASCII"))
+      .put("avih".getBytes("US-ASCII")).putInt(56).put(avih)
+    val movi = ByteBuffer.allocate(12).order(ByteOrder.LITTLE_ENDIAN)
+    movi.put("LIST".getBytes("US-ASCII")).putInt(4)
+      .put("movi".getBytes("US-ASCII"))
+    val body = concat(
+      java.util.Arrays.copyOf(hdrl.array(), 12 + 56 + 8), movi.array())
+    val out = ByteBuffer.allocate(12 + body.length).order(ByteOrder.LITTLE_ENDIAN)
+    out.put("RIFF".getBytes("US-ASCII")).putInt(4 + body.length)
+      .put("AVI ".getBytes("US-ASCII")).put(body)
+    out.array()
+  }
+
+  /** (mediaId, blob, format, width, height, durationMs, streams,
+    * byteLen) — the literal truth the oracle VALUES rows state.
+    *
+    *  - 900021: single-track MP4, mvhd v0, timescale 600 / duration
+    *    1200 → 2000 ms, 320×240. Bytes: ftyp 20 + moov 216 (mvhd 108
+    *    + trak 100) + mdat 24 = 260.
+    *  - 900022: 25 fps AVI (40000 µs/frame), 250 frames → 10000 ms,
+    *    1 stream, 640×360. Bytes: RIFF hdr 12 + LIST hdrl 76 +
+    *    LIST movi 12 = 100.
+    *  - 900023: two-track MP4 (1920×1080 video + 0×0 audio), mvhd
+    *    v1 (64-bit times), timescale 90000 / duration 270000 →
+    *    3000 ms. Bytes: ftyp 20 + moov 328 (mvhd 120 + 2·trak 100)
+    *    + mdat 24 = 372.
+    */
+  val expected: Seq[(Long, Array[Byte], String, Int, Int, Long, Int, Long)] = Seq(
+    (900021L, mp4(0, 600, 1200L, Seq((320, 240))),
+      "mp4", 320, 240, 2000L, 1, 260L),
+    (900022L, avi(40000, 250, 1, 640, 360),
+      "avi", 640, 360, 10000L, 1, 100L),
+    (900023L, mp4(1, 90000, 270000L, Seq((1920, 1080), (0, 0))),
+      "mp4", 1920, 1080, 3000L, 2, 372L))
+
+  def records: Seq[Multimodal.MediaRecord] =
+    expected.map { case (id, bytes, _, _, _, _, _, _) =>
+      Multimodal.MediaRecord(id, "video", bytes)
+    }
+}

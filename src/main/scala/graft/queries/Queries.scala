@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -643,6 +643,248 @@ object Queries {
       | FROM documents ORDER BY doc_id""".stripMargin
 
   // ---------------------------------------------------------------
+  // URL canonicalization + per-domain rollup (crawl curation)
+  // ---------------------------------------------------------------
+
+  /** Deterministic MESSY url per document — every canonicalization
+    * hazard in one synthesized string (mixed-case scheme/host, www
+    * prefix, default and non-default ports, trailing slash, unsorted
+    * query params, utm_* tracking params, fragment), varied by
+    * doc_id arithmetic so the DuckDB oracle can state both the messy
+    * string and its canonical form closed-form. The documents table
+    * carries no real URLs ('srcN' sources), so this plays the role
+    * the planted media fixtures play for the codec path: Spark
+    * PARSES its way to the answer, the oracle states ground truth.
+    */
+  private def messyUrl: Column = concat(
+    element_at(array(lit("HTTP"), lit("https"), lit("HTTPS")),
+      (pmod(col("doc_id"), lit(3)) + 1).cast("int")),
+    lit("://"),
+    when(pmod(col("doc_id"), lit(2)) === 0, lit("WWW.")).otherwise(lit("")),
+    col("source"), lit(".Example"),
+    when(pmod(col("doc_id"), lit(5)) === 0, lit(".co.uk")).otherwise(lit(".COM")),
+    element_at(array(lit(":80"), lit(":443"), lit(":8080"), lit("")),
+      (pmod(col("doc_id"), lit(4)) + 1).cast("int")),
+    lit("/Docs/"), col("doc_id").cast("string"),
+    when(pmod(col("doc_id"), lit(2)) === 1, lit("/")).otherwise(lit("")),
+    element_at(array(lit(""), lit("?b=2&utm_source=feed&a=1"), lit("?utm_campaign=x")),
+      (pmod(col("doc_id"), lit(3)) + 1).cast("int")),
+    when(pmod(col("doc_id"), lit(2)) === 1, lit("#sec")).otherwise(lit("")))
+
+  /** The messy-url synthesis mirrored in DuckDB — MUST stay in
+    * lockstep with [[messyUrl]] (one definition drifting turns the
+    * oracle vacuous; same discipline as the dup-span fixture). */
+  private val messyUrlSql: String =
+    """['HTTP','https','HTTPS'][(doc_id % 3 + 1)::INT] || '://'
+      | || (CASE WHEN doc_id % 2 = 0 THEN 'WWW.' ELSE '' END)
+      | || source || '.Example'
+      | || (CASE WHEN doc_id % 5 = 0 THEN '.co.uk' ELSE '.COM' END)
+      | || [':80',':443',':8080',''][(doc_id % 4 + 1)::INT]
+      | || '/Docs/' || doc_id
+      | || (CASE WHEN doc_id % 2 = 1 THEN '/' ELSE '' END)
+      | || ['','?b=2&utm_source=feed&a=1','?utm_campaign=x'][(doc_id % 3 + 1)::INT]
+      | || (CASE WHEN doc_id % 2 = 1 THEN '#sec' ELSE '' END)""".stripMargin
+
+  /** URL canonicalization — the pre-dedup gate of a crawl pipeline,
+    * via the native codegen'd [[org.apache.spark.sql.graft.CanonicalUrl]] /
+    * [[org.apache.spark.sql.graft.RegisteredDomain]] expressions
+    * (lowercase scheme+host, strip www/default-port/fragment/
+    * tracking params, sort query params, trim trailing slash;
+    * eTLD+1 via longest-suffix match). Pure map-side work — one
+    * codegen'd projection, no shuffle except the output sort.
+    */
+  def docUrlCanon(s: SparkSession, d: String): DataFrame = {
+    GraftSession.tune(s)
+    docs(s, d)
+      .select(col("doc_id"), messyUrl.as("url"))
+      .select(col("doc_id"), col("url"),
+        org.apache.spark.sql.graft.CanonicalUrl(col("url")).as("canon_url"),
+        org.apache.spark.sql.graft.RegisteredDomain(col("url")).as("domain"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Oracle: the messy url restated, and its canonical form +
+    * registered domain stated CLOSED-FORM from the same doc_id
+    * arithmetic (port kept iff non-default for the canonical scheme;
+    * `?b=2&utm_source=feed&a=1` → `?a=1&b=2`; `?utm_campaign=x` →
+    * dropped; trailing slash and `#sec` dropped; www stripped;
+    * `example.co.uk` is the multi-part-suffix case). */
+  // NOTE: the messy-url snippet is substituted AFTER stripMargin —
+  // interpolating it into a stripMargin template would eat the first
+  // '|' of every line-leading '||' concat operator (binder-error
+  // caught in verification)
+  val docUrlCanonSql: String =
+    """SELECT doc_id,
+       | @MESSY_URL@ AS url,
+       | (CASE WHEN doc_id % 3 = 0 THEN 'http' ELSE 'https' END) || '://'
+       |  || lower(source) || '.example'
+       |  || (CASE WHEN doc_id % 5 = 0 THEN '.co.uk' ELSE '.com' END)
+       |  || (CASE WHEN doc_id % 4 = 2 THEN ':8080'
+       |           WHEN doc_id % 4 = 0 AND doc_id % 3 <> 0 THEN ':80'
+       |           WHEN doc_id % 4 = 1 AND doc_id % 3 = 0 THEN ':443'
+       |           ELSE '' END)
+       |  || '/Docs/' || doc_id
+       |  || (CASE WHEN doc_id % 3 = 1 THEN '?a=1&b=2' ELSE '' END) AS canon_url,
+       | (CASE WHEN doc_id % 5 = 0 THEN 'example.co.uk' ELSE 'example.com' END) AS domain
+       |FROM documents ORDER BY doc_id""".stripMargin
+      .replace("@MESSY_URL@", messyUrlSql)
+
+  /** Per-domain dedup rollup: docs, distinct texts, and duplicate
+    * counts per (registered domain, canonical host) — the report a
+    * crawl-curation pass reads to decide which sites to de-boost.
+    *
+    * Scale shape: the grouping key is derived map-side by the native
+    * URL expressions; text identity travels as a 128-bit md5 digest,
+    * not the document body, so the shuffle carries (domain, host,
+    * digest) triples; partial+final aggregation applies. At 100 TB
+    * this is one scan + one keyed exchange of fingerprints.
+    */
+  def dupDomainMatrix(s: SparkSession, d: String): DataFrame = {
+    GraftSession.tune(s)
+    docs(s, d)
+      .select(col("doc_id"), col("text"), messyUrl.as("url"))
+      .select(
+        org.apache.spark.sql.graft.RegisteredDomain(col("url")).as("domain"),
+        org.apache.spark.sql.graft.UrlHost(col("url")).as("host"),
+        md5(col("text")).as("fp"))
+      .groupBy(col("domain"), col("host"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        countDistinct(col("fp")).as("n_unique"),
+        (count(lit(1)) - countDistinct(col("fp"))).as("n_dup"))
+      .orderBy(col("domain"), col("host"))
+  }
+
+  val dupDomainMatrixSql: String =
+    """WITH e AS (SELECT
+      |  CASE WHEN doc_id % 5 = 0 THEN 'example.co.uk' ELSE 'example.com' END AS domain,
+      |  lower(source) || '.example'
+      |   || (CASE WHEN doc_id % 5 = 0 THEN '.co.uk' ELSE '.com' END) AS host,
+      |  md5(text) AS fp
+      | FROM documents)
+      |SELECT domain, host, count(*) AS n_docs,
+      | count(DISTINCT fp) AS n_unique,
+      | count(*) - count(DISTINCT fp) AS n_dup
+      |FROM e GROUP BY domain, host ORDER BY domain, host""".stripMargin
+
+  // ---------------------------------------------------------------
+  // BPE tokenizer training + application (graft.operators.Bpe)
+  // ---------------------------------------------------------------
+
+  /** BPE merge-table training on the REAL corpus ([[graft.operators.Bpe]]:
+    * distributed word-frequency aggregate → bounded top-V collect →
+    * deterministic greedy merge loop). The oracle COMPUTES the same
+    * training — not fixture literals: both sides work in the same
+    * symbol-id algebra (2-hex base ids, "mNN" merge ids), where one
+    * sequential `replace('|L|R' → '|M')` per learned merge is exactly
+    * the full application of that merge (a replacement introduces
+    * only the fresh id M, never a new (L, R) pair), and ties break on
+    * the space-joined id pair both sides. Drift-robust: a regenerated
+    * documents table changes the learned merges identically on both
+    * sides.
+    */
+  def docBpeVocab(s: SparkSession, d: String): DataFrame = {
+    GraftSession.tune(s)
+    val merges = graft.operators.Bpe.train(
+      graft.operators.Bpe.wordFreqs(docs(s, d)))
+    graft.operators.Bpe.mergesDf(s, merges).orderBy(col("rank"))
+  }
+
+  /** Shared train CTE chain for the BPE oracles: word freqs → id
+    * encoding → K stages of (pair counts → argmax merge → replace →
+    * decode-table extension). Generated programmatically — the SQL
+    * is K copies of one verbose stage template.
+    *
+    * Every stage CTE is MATERIALIZED: DuckDB inlines plain CTEs, and
+    * since stage t references stage t−1 more than once (enc via both
+    * p and enc, dec via both the union and the decode lookups), the
+    * default inlining re-evaluates the whole chain exponentially
+    * (2^K copies of the corpus scan — observed as a hung oracle). */
+  private def bpeTrainCtesSql(k: Int): String = {
+    val baseDec = (('a' to 'z') ++ ('0' to '9'))
+      .map(c => s"('${graft.operators.Bpe.charId(c)}', '$c')")
+      .mkString(", ")
+    val head =
+      s"""wf AS MATERIALIZED (SELECT word, CAST(count(*) AS BIGINT) AS freq FROM (
+         |  SELECT lower(unnest(regexp_extract_all(text, '[A-Za-z0-9]+'))) AS word
+         |  FROM documents) GROUP BY word),
+         |enc0 AS MATERIALIZED (SELECT '|' || array_to_string(
+         |    list_transform(regexp_extract_all(word, '.'), c -> lower(hex(c))), '|') AS e,
+         |  freq FROM wf),
+         |dec0 AS MATERIALIZED (SELECT * FROM (VALUES $baseDec) d(id, s))""".stripMargin
+    val stages = (1 to k).map { t =>
+      val mid = graft.operators.Bpe.mergeId(t)
+      val prev = t - 1
+      s"""p$t AS MATERIALIZED (SELECT unnest([ids[i] || ' ' || ids[i+1] FOR i IN range(1, len(ids))]) AS pr, freq
+         |  FROM (SELECT string_split(substr(e, 2), '|') AS ids, freq FROM enc$prev)),
+         |b$t AS MATERIALIZED (SELECT coalesce((SELECT pr FROM p$t GROUP BY pr
+         |  ORDER BY sum(freq) DESC, pr LIMIT 1), 'zz zz') AS pr),
+         |m$t AS MATERIALIZED (SELECT split_part(pr, ' ', 1) AS l, split_part(pr, ' ', 2) AS r FROM b$t),
+         |enc$t AS MATERIALIZED (SELECT replace(e, '|' || m.l || '|' || m.r, '|$mid') AS e, freq
+         |  FROM enc$prev, m$t m),
+         |dec$t AS MATERIALIZED (SELECT id, s FROM dec$prev UNION ALL
+         |  SELECT '$mid' AS id,
+         |   coalesce((SELECT s FROM dec$prev WHERE id = m.l), '') ||
+         |   coalesce((SELECT s FROM dec$prev WHERE id = m.r), '') AS s
+         |  FROM m$t m)""".stripMargin
+    }
+    (head +: stages).mkString(",\n")
+  }
+
+  val docBpeVocabSql: String = {
+    val k = graft.operators.Bpe.DefaultMerges
+    val rows = (1 to k).map { t =>
+      val mid = graft.operators.Bpe.mergeId(t)
+      val prev = t - 1
+      s"""SELECT CAST($t AS BIGINT) AS rank,
+         | (SELECT coalesce((SELECT s FROM dec$prev WHERE id = m.l), '') FROM m$t m) AS lhs,
+         | (SELECT coalesce((SELECT s FROM dec$prev WHERE id = m.r), '') FROM m$t m) AS rhs,
+         | (SELECT s FROM dec$t WHERE id = '$mid') AS merged""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    s"WITH ${bpeTrainCtesSql(k)}\n$rows\nORDER BY rank"
+  }
+
+  /** BPE application over every document: train as in
+    * [[docBpeVocab]], then count subword tokens per doc via the
+    * native codegen'd [[org.apache.spark.sql.graft.BpeTokenCount]]
+    * (merge table rides as a codegen reference object — per-plan,
+    * not per-row). The oracle applies the same merges as sequential
+    * replaces per DISTINCT word and joins counts back — the word-
+    * level factoring a 100 TB pass would also use.
+    */
+  def docBpeApply(s: SparkSession, d: String): DataFrame = {
+    GraftSession.tune(s)
+    val merges = graft.operators.Bpe.train(
+      graft.operators.Bpe.wordFreqs(docs(s, d)))
+    docs(s, d)
+      .select(col("doc_id"),
+        org.apache.spark.sql.graft.BpeTokenCount(col("text"), merges)
+          .as("n_bpe_tokens"))
+      .orderBy(col("doc_id"))
+  }
+
+  val docBpeApplySql: String = {
+    val k = graft.operators.Bpe.DefaultMerges
+    val aliases = (1 to k).map(t => s"m$t g$t").mkString(", ")
+    val applied = (1 to k).foldLeft("e") { (acc, t) =>
+      s"replace($acc, '|' || g$t.l || '|' || g$t.r, '|${graft.operators.Bpe.mergeId(t)}')"
+    }
+    s"""WITH ${bpeTrainCtesSql(k)},
+       |enc_words AS (SELECT word, '|' || array_to_string(
+       |    list_transform(regexp_extract_all(word, '.'), c -> lower(hex(c))), '|') AS e
+       |  FROM wf),
+       |wapp AS (SELECT word, $applied AS e FROM enc_words, $aliases),
+       |wtok AS (SELECT word, len(e) - len(replace(e, '|', '')) AS nt FROM wapp),
+       |docw AS (SELECT doc_id, lower(unnest(regexp_extract_all(text, '[A-Za-z0-9]+'))) AS word
+       |  FROM documents),
+       |per_doc AS (SELECT doc_id, sum(nt) AS n FROM docw JOIN wtok USING (word)
+       |  GROUP BY doc_id)
+       |SELECT d.doc_id, CAST(coalesce(p.n, 0) AS BIGINT) AS n_bpe_tokens
+       |FROM documents d LEFT JOIN per_doc p USING (doc_id)
+       |ORDER BY d.doc_id""".stripMargin
+  }
+
+  // ---------------------------------------------------------------
   // Event-time windows / sessionization (Structured Streaming's
   // window operators, exercised in batch for the oracle; the
   // streaming variants with watermarks live in graft.streaming)
@@ -726,6 +968,23 @@ object Queries {
 
   /** Correlated EXISTS subquery, expressed through the SQL entry
     * point (`spark.sql` over temp views) to exercise that API path.
+    *
+    * r9 NOTE on the r8 bench anomaly (r8 harness median 3.611 s vs
+    * r7's 0.362 s, all 5 runs ≥ 2.7 s, judged "weak"): root-cause
+    * investigation could NOT reproduce it on identical code + data.
+    * Evidence (r9 session, sf0.1, local[32]): (a) instrumented probe,
+    * isolated: view-registration 0.14 s + sql() analysis 0.02 s +
+    * execution 0.35 s ≈ 0.51 s steady state; (b) same probe AFTER
+    * running all 92 other queries with the bench's inter-run cache
+    * clearing: 0.35-0.48 s — the "polluted" context is not slower;
+    * (c) the REAL Bench main, full 93-query × 5-run harness: median
+    * 0.332 s, min 0.311 s, contended=false, noisy_frac 0.0. Neither
+    * the spark.sql path (analysis is 20 ms warm) nor harness context
+    * reproduces the 2 s overhead, so the r8 number was environmental
+    * to that session despite its clean calibration probes. The
+    * decorrelated plan shape (BroadcastHashJoin LeftSemi, quantity
+    * filter pushed to the scan) is now pinned in PlanSpec so a
+    * genuine planner regression cannot hide behind harness noise.
     */
   def q16Exists(s: SparkSession, d: String): DataFrame = {
     GraftSession.tune(s)
@@ -1135,8 +1394,13 @@ object Queries {
     * and three audio containers
     * ([[graft.multimodal.AudioFixtures]]: two WAVs, one AU; ids
     * 900011..3) exercising the REAL `javax.sound.sampled` header
-    * parse (format/channels/sample-rate/frame-count → duration).
-    * For the text-byte rows no JDK reader matches, so they take the
+    * parse (format/channels/sample-rate/frame-count → duration),
+    * and three video containers
+    * ([[graft.multimodal.VideoFixtures]]: two MP4s — mvhd v0 and v1
+    * — and one RIFF-AVI; ids 900021..3) exercising the REAL pure-JDK
+    * MP4/AVI container-header parser (timescale/duration →
+    * duration_ms, tkhd/avih dims, stream count).
+    * For the text-byte rows no parser matches, so they take the
     * deterministic byte-derived stub the oracle mirrors
     * arithmetically; for the fixtures the oracle states the
     * containers' ground-truth metadata as literals while Spark
@@ -1148,6 +1412,7 @@ object Queries {
     val media = graft.multimodal.Multimodal.fromDocuments(s, d)
       .unionByName(s.createDataset(graft.multimodal.ImageFixtures.records))
       .unionByName(s.createDataset(graft.multimodal.AudioFixtures.records))
+      .unionByName(s.createDataset(graft.multimodal.VideoFixtures.records))
     graft.multimodal.Multimodal
       .decodeMeta(media)
       .toDF()
@@ -1194,7 +1459,14 @@ object Queries {
       |-- RIFF/WAVE + Sun AU containers; duration = frames*1000/rate exact
       |  (CAST(900011 AS BIGINT), 'audio', CAST(8044  AS BIGINT), 'wav', CAST(0 AS BIGINT), CAST(0 AS BIGINT), CAST(500  AS BIGINT), CAST(1 AS BIGINT)),
       |  (CAST(900012 AS BIGINT), 'audio', CAST(88244 AS BIGINT), 'wav', CAST(0 AS BIGINT), CAST(0 AS BIGINT), CAST(500  AS BIGINT), CAST(2 AS BIGINT)),
-      |  (CAST(900013 AS BIGINT), 'audio', CAST(32024 AS BIGINT), 'au',  CAST(0 AS BIGINT), CAST(0 AS BIGINT), CAST(2000 AS BIGINT), CAST(1 AS BIGINT))
+      |  (CAST(900013 AS BIGINT), 'audio', CAST(32024 AS BIGINT), 'au',  CAST(0 AS BIGINT), CAST(0 AS BIGINT), CAST(2000 AS BIGINT), CAST(1 AS BIGINT)),
+      |-- planted real-video fixtures (VideoFixtures.scala): MP4 (mvhd
+      |-- v0 + v1) and RIFF-AVI containers; duration/dims/stream-count
+      |-- are the assembled headers' ground truth, parsed by the
+      |-- pure-JDK container parser on the Spark side
+      |  (CAST(900021 AS BIGINT), 'video', CAST(260 AS BIGINT), 'mp4', CAST(320  AS BIGINT), CAST(240  AS BIGINT), CAST(2000  AS BIGINT), CAST(1 AS BIGINT)),
+      |  (CAST(900022 AS BIGINT), 'video', CAST(100 AS BIGINT), 'avi', CAST(640  AS BIGINT), CAST(360  AS BIGINT), CAST(10000 AS BIGINT), CAST(1 AS BIGINT)),
+      |  (CAST(900023 AS BIGINT), 'video', CAST(372 AS BIGINT), 'mp4', CAST(1920 AS BIGINT), CAST(1080 AS BIGINT), CAST(3000  AS BIGINT), CAST(2 AS BIGINT))
       |) t(media_id, media_type, byte_len, format, width, height, duration_ms, channels)
       |ORDER BY media_id""".stripMargin
 
@@ -2119,6 +2391,18 @@ object Queries {
     * happens AFTER the LSH candidate stage because planted duplicates
     * collide in every LSH table regardless of label — at production
     * scale the cluster id would be folded into the bucket key.
+    *
+    * EXACTNESS CAVEAT (data-dependent, unlike [[q46BloomDecontam]]'s
+    * provably-exact bloom pre-filter): the Spark side's candidate set
+    * comes from [[Similarity.cosinePairs]]'s LSH tables, whose recall
+    * at the 0.95 threshold is near-1 but probabilistic, while the
+    * DuckDB oracle computes the exact all-pairs same-label join. A
+    * NATURAL same-label pair at sim >= 0.95 that missed every LSH
+    * table would diverge from the oracle; today's testdata has no
+    * such natural pairs (only the planted exact copies, which collide
+    * in every table), so the comparison is exact in practice. The
+    * production-scale fix if exactness were required is more tables /
+    * (label, bucket) keys sized for recall ~= 1 at the threshold.
     */
   def embSemdedup(s: SparkSession, d: String): DataFrame = {
     GraftSession.tune(s)
@@ -3130,14 +3414,18 @@ object Queries {
       when(bucket < 8, lit("train")).otherwise(lit("test")).as("split"))
     val shingled = withSplit.select(col("doc_id"), col("split"),
       explode(org.apache.spark.sql.graft.ShingleHashes(col("text"), 3)).as("h"))
+    // cached: three actions read this set (the size count, the bloom
+    // build, and the final exact join) — without the cache each one
+    // recomputes the explode+distinct. The harness mains drop it
+    // between runs (clearCache / getPersistentRDDs.unpersist), the
+    // same per-run ownership contract as Dedup.minhashPairs.
     val trainShingles = shingled.filter(col("split") === "train")
-      .select(col("h")).distinct()
+      .select(col("h")).distinct().cache()
     // expected-items bound: docs * (chars upper bound) would
     // over-size; distinct train shingles are what the filter holds.
-    // The count is one narrow aggregate over a plan this query runs
-    // anyway, and at production scale the builder would thread a
-    // known corpus statistic here instead (the cosinePairs
-    // knownCount pattern).
+    // The count is one narrow aggregate over the cached set, and at
+    // production scale the builder would thread a known corpus
+    // statistic here instead (the cosinePairs knownCount pattern).
     val nTrain = math.max(trainShingles.count(), 1L)
     val bloom = trainShingles.stat.bloomFilter("h", nTrain, 0.01)
     val bloomBytes = org.apache.spark.sql.graft.BloomProbe.serialize(bloom)
@@ -3532,6 +3820,10 @@ object Queries {
     "ann_lsh_top5" -> (annLshTop5 _),
     "q39_ivf_fullprobe" -> (q39IvfFullprobe _),
     "media_meta" -> (mediaMeta _),
+    "doc_url_canon" -> (docUrlCanon _),
+    "dup_domain_matrix" -> (dupDomainMatrix _),
+    "doc_bpe_vocab" -> (docBpeVocab _),
+    "doc_bpe_apply" -> (docBpeApply _),
     "media_decode" -> (mediaDecode _),
     "media_resize" -> (mediaResize _),
     "media_image_resize" -> (mediaImageResize _),
@@ -3627,6 +3919,10 @@ object Queries {
     "ann_lsh_top5" -> annLshTop5Sql,
     "q39_ivf_fullprobe" -> q39IvfFullprobeSql,
     "media_meta" -> mediaMetaSql,
+    "doc_url_canon" -> docUrlCanonSql,
+    "dup_domain_matrix" -> dupDomainMatrixSql,
+    "doc_bpe_vocab" -> docBpeVocabSql,
+    "doc_bpe_apply" -> docBpeApplySql,
     "media_decode" -> mediaDecodeSql,
     "media_resize" -> mediaResizeSql,
     "media_image_resize" -> mediaImageResizeSql,

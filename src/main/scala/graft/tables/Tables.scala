@@ -18,6 +18,50 @@ object Tables {
   def load(spark: SparkSession, sfDir: String, name: String): DataFrame =
     spark.read.parquet(s"$sfDir/$name.parquet")
 
+  // -----------------------------------------------------------------
+  // Generation-robust dispatch (the r8 lesson, generalized): the
+  // driver regenerates /root/testdata between rounds and has already
+  // changed a physical encoding once (events.ts NANOS → MICROS-NTZ,
+  // which crashed 26 queries whose failures the driver then silently
+  // omitted). These helpers make the loaders themselves validate the
+  // SCANNED schema at plan-build time: tolerated generations (integer
+  // widening, either float width for embeddings) normalize to one
+  // contract, anything novel throws ONE line naming table, column,
+  // and type — a red `graft_error` row per query instead of a silent
+  // family flip. SchemaDriftSpec pins the same envelope at test time;
+  // this is the runtime half that still fires inside the driver's
+  // Verify/Bench runs against freshly regenerated parquet.
+  // -----------------------------------------------------------------
+  import org.apache.spark.sql.types._
+
+  private def scannedType(df: DataFrame, table: String, col: String): DataType =
+    df.schema.fields.find(_.name == col).map(_.dataType).getOrElse {
+      throw new IllegalStateException(
+        s"$table.$col MISSING from scanned parquet schema ${df.schema.simpleString} — driver testdata drifted")
+    }
+
+  /** Require the scanned column's type in the tolerated set — loud
+    * single-line failure otherwise. */
+  private def requireType(df: DataFrame, table: String, col: String,
+      ok: Set[DataType]): Unit = {
+    val dt = scannedType(df, table, col)
+    if (!ok.contains(dt))
+      throw new IllegalStateException(
+        s"$table.$col has unsupported scanned type $dt (tolerated: ${ok.mkString(", ")}) — driver testdata drifted")
+  }
+
+  /** Normalize an id/count column to the LongType contract: int64
+    * passes through, int32 (a tolerated regeneration) widens exactly,
+    * anything else is loud. */
+  private def normLong(df: DataFrame, table: String, colName: String): DataFrame =
+    scannedType(df, table, colName) match {
+      case LongType => df
+      case IntegerType => df.withColumn(colName, col(colName).cast(LongType))
+      case other =>
+        throw new IllegalStateException(
+          s"$table.$colName has unsupported scanned type $other (tolerated: bigint, int) — driver testdata drifted")
+    }
+
   def region(s: SparkSession, d: String): DataFrame = load(s, d, "region")
   def nation(s: SparkSession, d: String): DataFrame = load(s, d, "nation")
   def customer(s: SparkSession, d: String): DataFrame = load(s, d, "customer")
@@ -26,8 +70,34 @@ object Tables {
   def orders(s: SparkSession, d: String): DataFrame = load(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame = load(s, d, "lineitem")
   def events(s: SparkSession, d: String): DataFrame = load(s, d, "events")
-  def documents(s: SparkSession, d: String): DataFrame = load(s, d, "documents")
-  def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")
+  /** `documents` under the fixed contract (doc_id/n_chars: Long,
+    * text/lang/source: String) regardless of which generation the
+    * driver wrote — the [[eventsNorm]] pattern applied to this table.
+    * Integer ids widen exactly (keeps planted negative-Long fixture
+    * ids union-compatible); a string column changing type throws at
+    * plan-build time rather than silently flipping a query family.
+    */
+  def documents(s: SparkSession, d: String): DataFrame = {
+    val raw = load(s, d, "documents")
+    Seq("text", "lang", "source").foreach(c =>
+      requireType(raw, "documents", c, Set(StringType)))
+    normLong(normLong(raw, "documents", "doc_id"), "documents", "n_chars")
+  }
+
+  /** `embeddings` under the fixed contract (vec_id: Long; embedding:
+    * float OR double array — both are exact vs the oracle because
+    * every kernel accumulates in double and DuckDB reads the same
+    * parquet values; label: int or long, queries cast at output).
+    * Novel encodings throw at plan-build time.
+    */
+  def embeddings(s: SparkSession, d: String): DataFrame = {
+    val raw = load(s, d, "embeddings")
+    requireType(raw, "embeddings", "embedding",
+      Set(ArrayType(FloatType, true), ArrayType(FloatType, false),
+        ArrayType(DoubleType, true), ArrayType(DoubleType, false)))
+    requireType(raw, "embeddings", "label", Set(IntegerType, LongType))
+    normLong(raw, "embeddings", "vec_id")
+  }
 
   /** The auth dimension analog of the reference's Postgres `api_keys`
     * table (`publisher/migrations/001_create_api_keys.up.sql:2-9`):

@@ -27,6 +27,8 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
   *    built-in `json_object_keys` is lenient and insertion-ordered;
   *    see [[JsonObjectKeys]])
   *  - `vector_norm(v)` — fused double-precision L2 norm
+  *  - `canonical_url(s)` / `url_host(s)` / `registered_domain(s)` —
+  *    crawl-curation URL canonicalization (see [[UrlFunctions]])
   *
   * Two wiring paths:
   *  - [[GraftExtensions]] for `spark.sql.extensions` at session
@@ -104,7 +106,16 @@ object GraftSqlFunctions {
       (es: Seq[Expression]) => JsonObjectKeys(es.head)),
     (FunctionIdentifier("vector_norm"),
       new ExpressionInfo(classOf[VectorNorm].getName, "vector_norm"),
-      (es: Seq[Expression]) => VectorNorm(es.head)))
+      (es: Seq[Expression]) => VectorNorm(es.head)),
+    (FunctionIdentifier("canonical_url"),
+      new ExpressionInfo(classOf[CanonicalUrl].getName, "canonical_url"),
+      (es: Seq[Expression]) => CanonicalUrl(es.head)),
+    (FunctionIdentifier("url_host"),
+      new ExpressionInfo(classOf[UrlHost].getName, "url_host"),
+      (es: Seq[Expression]) => UrlHost(es.head)),
+    (FunctionIdentifier("registered_domain"),
+      new ExpressionInfo(classOf[RegisteredDomain].getName, "registered_domain"),
+      (es: Seq[Expression]) => RegisteredDomain(es.head)))
 
   /** Idempotent runtime registration into an existing session. */
   def register(spark: SparkSession): Unit = {

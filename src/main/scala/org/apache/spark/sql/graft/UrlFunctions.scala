@@ -1,0 +1,242 @@
+/* Hosted under org.apache.spark.sql for the same reason as
+ * JsonIsValid: ImplicitCastInputTypes / ExpressionUtils are
+ * private[sql] — the standard packaging for third-party native
+ * Catalyst expressions.
+ */
+package org.apache.spark.sql.graft
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.{Expression, ImplicitCastInputTypes, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.classic.ExpressionUtils
+import org.apache.spark.sql.types.{AbstractDataType, DataType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** URL/host canonicalization for crawl curation — the standard
+  * pre-dedup gate in a web-scale training pipeline (the same URL
+  * crawled as `HTTP://WWW.Site.COM:80/page/?b=2&utm_source=x&a=1#f`
+  * and `http://site.com/page?a=1&b=2` must collapse before any
+  * per-URL dedup or per-domain rollup is meaningful).
+  *
+  * Rules (the common-practice subset used by public crawl pipelines,
+  * e.g. CommonCrawl-style normalizers):
+  *  1. scheme and host lowercase; only http/https are URLs (NULL
+  *     otherwise — pipelines filter, not crash);
+  *  2. a leading `www.` label and a trailing host dot are dropped;
+  *  3. the scheme-default port (`:80` http, `:443` https) is
+  *     dropped, any other explicit port kept;
+  *  4. the fragment is dropped;
+  *  5. tracking params are dropped (`utm_*` prefix, plus the exact
+  *     keys gclid / fbclid / msclkid), remaining `k=v` params sort
+  *     bytewise; an emptied query drops its `?`;
+  *  6. the path keeps its case (paths are case-sensitive per RFC
+  *     3986), loses a trailing slash (except the bare root, which an
+  *     empty path also normalizes to).
+  *
+  * All three expressions are native Catalyst `UnaryExpression`s with
+  * `doGenCode` — one static call per row inside whole-stage codegen,
+  * no UDF boundary, per the zero-UDF rule this engine holds.
+  */
+object UrlFunctions {
+
+  /** Multi-part public suffixes recognized by [[registeredDomain]].
+    * A deliberately tiny embedded subset of the public-suffix list —
+    * the full Mozilla PSL is a data file a production deployment
+    * would broadcast; the algorithm (longest-suffix match, then one
+    * more label) is the real one.
+    */
+  private[graft] val multiPartSuffixes: Set[String] = Set(
+    "co.uk", "org.uk", "ac.uk", "gov.uk",
+    "co.jp", "ne.jp", "or.jp",
+    "com.au", "net.au", "org.au",
+    "com.br", "com.cn", "com.mx", "co.in", "co.kr", "co.za")
+
+  private val trackingExact: Set[String] = Set("gclid", "fbclid", "msclkid")
+
+  /** (scheme, host, port, path, query) or null if not http(s). Hand
+    * split rather than `java.net.URI`: real crawl URLs routinely
+    * carry characters URI rejects, and a canonicalizer that throws
+    * on 0.1% of a 100 TB crawl is useless.
+    */
+  private def parse(url: String): Array[String] = {
+    val sep = url.indexOf("://")
+    if (sep <= 0) return null
+    val scheme = url.substring(0, sep).toLowerCase(java.util.Locale.ROOT)
+    if (scheme != "http" && scheme != "https") return null
+    val rest = url.substring(sep + 3)
+    if (rest.isEmpty) return null
+    // authority ends at the first /, ?, or #
+    var aEnd = rest.length
+    var i = 0
+    while (i < aEnd) {
+      val c = rest.charAt(i)
+      if (c == '/' || c == '?' || c == '#') aEnd = i else i += 1
+    }
+    var authority = rest.substring(0, aEnd)
+    // userinfo (rare, but cheap to handle correctly)
+    val at = authority.lastIndexOf('@')
+    if (at >= 0) authority = authority.substring(at + 1)
+    var host = authority
+    var port = ""
+    val colon = authority.lastIndexOf(':')
+    if (colon >= 0 && authority.indexOf(']') < colon) { // [v6]:port safe
+      host = authority.substring(0, colon)
+      port = authority.substring(colon + 1)
+      if (!port.forall(_.isDigit)) return null
+    }
+    host = host.toLowerCase(java.util.Locale.ROOT).stripSuffix(".")
+    if (host.isEmpty) return null
+    val tail = rest.substring(aEnd)
+    val hash = tail.indexOf('#')
+    val noFrag = if (hash >= 0) tail.substring(0, hash) else tail
+    val q = noFrag.indexOf('?')
+    val path = if (q >= 0) noFrag.substring(0, q) else noFrag
+    val query = if (q >= 0) noFrag.substring(q + 1) else ""
+    Array(scheme, host, port, path, query)
+  }
+
+  private def isTracking(param: String): Boolean = {
+    val eq = param.indexOf('=')
+    val key = (if (eq >= 0) param.substring(0, eq) else param)
+      .toLowerCase(java.util.Locale.ROOT)
+    key.startsWith("utm_") || trackingExact.contains(key)
+  }
+
+  /** Canonical form per the object Scaladoc, or null for non-http(s)
+    * input. */
+  def canonicalize(url: String): String = {
+    val p = parse(url)
+    if (p == null) return null
+    val scheme = p(0)
+    var host = p(1)
+    if (host.startsWith("www.") && host.length > 4) host = host.substring(4)
+    val defaultPort = if (scheme == "http") "80" else "443"
+    val port = if (p(2).isEmpty || p(2) == defaultPort) "" else ":" + p(2)
+    var path = p(3)
+    if (path.length > 1 && path.endsWith("/")) path = path.substring(0, path.length - 1)
+    if (path.isEmpty) path = "/"
+    val kept = p(4).split('&').filter(s => s.nonEmpty && !isTracking(s)).sorted
+    val query = if (kept.isEmpty) "" else "?" + kept.mkString("&")
+    scheme + "://" + host + port + path + query
+  }
+
+  /** The canonical host alone (lowercased, www- and dot-stripped), or
+    * null for non-http(s) input. Accepts a bare host too — crawl
+    * indexes carry both. */
+  def host(s: String): String =
+    if (s.indexOf("://") >= 0) {
+      val p = parse(s)
+      if (p == null) null
+      else {
+        val h = p(1)
+        if (h.startsWith("www.") && h.length > 4) h.substring(4) else h
+      }
+    } else {
+      val h = s.toLowerCase(java.util.Locale.ROOT).stripSuffix(".")
+      // bare-host path: require hostname-legal characters only
+      if (h.isEmpty ||
+          !h.forall(c => c.isLetterOrDigit || c == '-' || c == '.' || c == '_')) null
+      else if (h.startsWith("www.") && h.length > 4) h.substring(4)
+      else h
+    }
+
+  /** eTLD+1: longest matching multi-part suffix plus one label, else
+    * the last two labels. IP literals and single-label hosts return
+    * as-is. Accepts a URL or a bare host. */
+  def registeredDomain(s: String): String = {
+    val h = host(s)
+    if (h == null) return null
+    val labels = h.split('.')
+    if (labels.length <= 2) return h
+    if (labels.forall(l => l.nonEmpty && l.forall(_.isDigit))) return h // IPv4
+    val lastTwo = labels(labels.length - 2) + "." + labels(labels.length - 1)
+    if (multiPartSuffixes.contains(lastTwo) && labels.length >= 3)
+      labels(labels.length - 3) + "." + lastTwo
+    else lastTwo
+  }
+}
+
+/** `canonical_url(url)` — see [[UrlFunctions]] rules. NULL in, NULL
+  * out; NULL for anything that isn't an http(s) URL. */
+case class CanonicalUrl(child: Expression)
+    extends UnaryExpression with ImplicitCastInputTypes {
+  override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
+  override def dataType: DataType = StringType
+  override def nullable: Boolean = true
+  override protected def nullSafeEval(input: Any): Any = {
+    val r = UrlFunctions.canonicalize(input.asInstanceOf[UTF8String].toString)
+    if (r == null) null else UTF8String.fromString(r)
+  }
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      val tmp = ctx.freshName("canon")
+      s"""String $tmp = org.apache.spark.sql.graft.UrlFunctions.canonicalize($c.toString());
+         |if ($tmp == null) { ${ev.isNull} = true; }
+         |else { ${ev.value} = org.apache.spark.unsafe.types.UTF8String.fromString($tmp); }
+         |""".stripMargin
+    })
+  override protected def withNewChildInternal(newChild: Expression): CanonicalUrl =
+    copy(child = newChild)
+  override def prettyName: String = "canonical_url"
+}
+
+object CanonicalUrl {
+  def apply(c: Column): Column =
+    ExpressionUtils.column(CanonicalUrl(ExpressionUtils.expression(c)))
+}
+
+/** `url_host(url_or_host)` — canonical host. */
+case class UrlHost(child: Expression)
+    extends UnaryExpression with ImplicitCastInputTypes {
+  override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
+  override def dataType: DataType = StringType
+  override def nullable: Boolean = true
+  override protected def nullSafeEval(input: Any): Any = {
+    val r = UrlFunctions.host(input.asInstanceOf[UTF8String].toString)
+    if (r == null) null else UTF8String.fromString(r)
+  }
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      val tmp = ctx.freshName("host")
+      s"""String $tmp = org.apache.spark.sql.graft.UrlFunctions.host($c.toString());
+         |if ($tmp == null) { ${ev.isNull} = true; }
+         |else { ${ev.value} = org.apache.spark.unsafe.types.UTF8String.fromString($tmp); }
+         |""".stripMargin
+    })
+  override protected def withNewChildInternal(newChild: Expression): UrlHost =
+    copy(child = newChild)
+  override def prettyName: String = "url_host"
+}
+
+object UrlHost {
+  def apply(c: Column): Column =
+    ExpressionUtils.column(UrlHost(ExpressionUtils.expression(c)))
+}
+
+/** `registered_domain(url_or_host)` — eTLD+1 per [[UrlFunctions]]. */
+case class RegisteredDomain(child: Expression)
+    extends UnaryExpression with ImplicitCastInputTypes {
+  override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
+  override def dataType: DataType = StringType
+  override def nullable: Boolean = true
+  override protected def nullSafeEval(input: Any): Any = {
+    val r = UrlFunctions.registeredDomain(input.asInstanceOf[UTF8String].toString)
+    if (r == null) null else UTF8String.fromString(r)
+  }
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      val tmp = ctx.freshName("dom")
+      s"""String $tmp = org.apache.spark.sql.graft.UrlFunctions.registeredDomain($c.toString());
+         |if ($tmp == null) { ${ev.isNull} = true; }
+         |else { ${ev.value} = org.apache.spark.unsafe.types.UTF8String.fromString($tmp); }
+         |""".stripMargin
+    })
+  override protected def withNewChildInternal(newChild: Expression): RegisteredDomain =
+    copy(child = newChild)
+  override def prettyName: String = "registered_domain"
+}
+
+object RegisteredDomain {
+  def apply(c: Column): Column =
+    ExpressionUtils.column(RegisteredDomain(ExpressionUtils.expression(c)))
+}

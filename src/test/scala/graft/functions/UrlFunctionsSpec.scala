@@ -1,0 +1,105 @@
+package graft.functions
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import org.apache.spark.sql.graft.{CanonicalUrl, RegisteredDomain, UrlFunctions, UrlHost}
+import graft.SparkSpec
+
+/** Unit matrix for the URL canonicalizer — the generic behavior the
+  * closed-form `doc_url_canon` oracle can't cover (it only exercises
+  * the synthesized distribution). Cases follow the rules documented
+  * on [[UrlFunctions]].
+  */
+class UrlFunctionsSpec extends SparkSpec {
+
+  private def canon(u: String): String = UrlFunctions.canonicalize(u)
+  private def dom(u: String): String = UrlFunctions.registeredDomain(u)
+
+  test("scheme and host lowercase; www and default ports drop; fragment drops") {
+    assert(canon("HTTP://WWW.Example.COM:80/Page#frag") === "http://example.com/Page")
+    assert(canon("HTTPS://Example.com:443/") === "https://example.com/")
+    assert(canon("https://example.com") === "https://example.com/")
+  }
+
+  test("non-default ports survive; path case survives") {
+    assert(canon("http://example.com:443/A/B") === "http://example.com:443/A/B")
+    assert(canon("https://example.com:80/x") === "https://example.com:80/x")
+    assert(canon("http://example.com:8080/CaseSensitive") ===
+      "http://example.com:8080/CaseSensitive")
+  }
+
+  test("trailing slash trims except the bare root") {
+    assert(canon("http://example.com/a/b/") === "http://example.com/a/b")
+    assert(canon("http://example.com/") === "http://example.com/")
+  }
+
+  test("query params: tracking dropped, rest sorted, emptied query drops '?'") {
+    assert(canon("http://e.com/p?b=2&a=1") === "http://e.com/p?a=1&b=2")
+    assert(canon("http://e.com/p?b=2&utm_source=x&a=1&gclid=99") ===
+      "http://e.com/p?a=1&b=2")
+    assert(canon("http://e.com/p?utm_campaign=x") === "http://e.com/p")
+    assert(canon("http://e.com/p?UTM_Source=x&FBCLID=1") === "http://e.com/p")
+    // empty segments ('&&') drop; valueless keys survive
+    assert(canon("http://e.com/p?&b&a=1&") === "http://e.com/p?a=1&b")
+  }
+
+  test("userinfo strips; trailing host dot strips; host keeps subdomains") {
+    assert(canon("http://user:pw@Sub.Example.com./x") === "http://sub.example.com/x")
+  }
+
+  test("non-URLs canonicalize to null") {
+    assert(canon("not a url") === null)
+    assert(canon("ftp://example.com/x") === null)
+    assert(canon("http://") === null)
+    assert(canon("http://:8080/x") === null)
+    assert(canon("http://e.com:bad/x") === null)
+  }
+
+  test("registered domain: eTLD+1 with the multi-part suffix subset") {
+    assert(dom("http://a.b.example.com/x") === "example.com")
+    assert(dom("www.example.com") === "example.com")
+    assert(dom("http://deep.sub.example.co.uk/") === "example.co.uk")
+    assert(dom("example.co.jp") === "example.co.jp")
+    assert(dom("localhost") === "localhost")
+    assert(dom("10.0.0.1") === "10.0.0.1") // IPv4 literal stays whole
+    assert(dom("https://www.gov.uk/") === "gov.uk") // suffix itself, 2 labels
+  }
+
+  test("url_host accepts URLs and bare hosts, rejects junk") {
+    assert(UrlFunctions.host("HTTP://WWW.E.com:80/x") === "e.com")
+    assert(UrlFunctions.host("WWW.Example.ORG.") === "example.org")
+    assert(UrlFunctions.host("plainhost") === "plainhost") // legal bare label
+    assert(UrlFunctions.host("has/slash") === null)
+    assert(UrlFunctions.host("two words") === null)
+  }
+
+  test("expressions run inside codegen over a DataFrame and null-propagate") {
+    import spark.implicits._
+    val df = Seq(
+      Some("HTTP://WWW.Example.COM:80/Page/?b=2&utm_source=x&a=1#f"),
+      Some("not a url"), // spaces: invalid as URL and as bare host
+      None).toDF("url")
+      .select(
+        CanonicalUrl(col("url")).as("c"),
+        UrlHost(col("url")).as("h"),
+        RegisteredDomain(col("url")).as("d"))
+    val rows = df.collect()
+    assert(rows(0).getString(0) === "http://example.com/Page?a=1&b=2")
+    assert(rows(0).getString(1) === "example.com")
+    assert(rows(0).getString(2) === "example.com")
+    assert(rows(1).isNullAt(0) && rows(1).isNullAt(1) && rows(1).isNullAt(2))
+    assert(rows(2).isNullAt(0) && rows(2).isNullAt(1) && rows(2).isNullAt(2))
+  }
+
+  test("SQL registration: canonical_url/url_host/registered_domain callable from spark.sql") {
+    graft.GraftSession.tune(spark)
+    val r = spark.sql(
+      "SELECT canonical_url('HTTPS://A.B.co.uk:443/p/?utm_source=t&z=1') AS c, " +
+        "url_host('WWW.X.Com') AS h, registered_domain('a.b.co.uk') AS d")
+      .collect()(0)
+    assert(r.getString(0) === "https://a.b.co.uk/p?z=1")
+    assert(r.getString(1) === "x.com")
+    assert(r.getString(2) === "b.co.uk")
+  }
+}

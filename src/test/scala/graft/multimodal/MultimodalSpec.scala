@@ -110,9 +110,53 @@ class MultimodalSpec extends SparkSpec {
     // rejects it → image stub, not a cross-type audio parse)
     val img = MediaRecord(11L, "image", AudioFixtures.wav(1, 8000, 100))
     assert(MediaCodec.decodeMeta(img) === MediaCodec.decodeMetaStub(img))
-    // video is always stubbed — no JDK codec
+    // a WAV blob typed "video" stubs too: the video container parser
+    // requires MP4/AVI magic, and RIFF + "WAVE" form type is neither
     val vid = MediaRecord(12L, "video", AudioFixtures.wav(1, 8000, 100))
     assert(MediaCodec.decodeMeta(vid) === MediaCodec.decodeMetaStub(vid))
+  }
+
+  test("real codec: video container header parse returns ground truth for every fixture") {
+    for ((id, bytes, fmt, w, h, durMs, streams, byteLen) <- VideoFixtures.expected) {
+      val meta = MediaCodec.decodeMeta(MediaRecord(id, "video", bytes))
+      assert(meta.format === fmt, s"fixture $id format")
+      assert(meta.width === w, s"fixture $id width")
+      assert(meta.height === h, s"fixture $id height")
+      assert(meta.durationMs === durMs, s"fixture $id duration")
+      assert(meta.channels === streams, s"fixture $id stream count")
+      assert(meta.byteLen === byteLen, s"fixture $id byte length")
+      assert(meta.byteLen === bytes.length.toLong,
+        s"fixture $id declared byteLen must equal the assembled blob")
+      // real containers are binary-sniffed (length/dims fields carry
+      // control bytes), so they reach the parser at all
+      assert(!MediaCodec.printableText(bytes), s"fixture $id sniff")
+    }
+  }
+
+  test("real codec: malformed video containers fall back to the byte stub") {
+    // truncated MP4: ftyp magic but the moov walk runs off the end
+    val mp4Bytes = VideoFixtures.expected.head._2
+    val truncated = java.util.Arrays.copyOf(mp4Bytes, 40)
+    val t = MediaRecord(20L, "video", truncated)
+    assert(MediaCodec.decodeMeta(t) === MediaCodec.decodeMetaStub(t))
+    // a size field pointing past the buffer aborts the parse
+    val corrupt = mp4Bytes.clone()
+    corrupt(0) = 0x7f.toByte // ftyp size becomes ~2 GB
+    val c = MediaRecord(21L, "video", corrupt)
+    assert(MediaCodec.decodeMeta(c) === MediaCodec.decodeMetaStub(c))
+    // binary garbage with no recognizable magic
+    val g = MediaRecord(22L, "video", Array[Byte](0, 1, 2, 3, 4, 5, 6, 7, -1, -2))
+    assert(MediaCodec.decodeMeta(g) === MediaCodec.decodeMetaStub(g))
+    // an MP4 blob typed "image" never reaches the video parser
+    val i = MediaRecord(23L, "image", mp4Bytes)
+    assert(MediaCodec.decodeMeta(i) === MediaCodec.decodeMetaStub(i))
+  }
+
+  test("real codec: text sniff keeps RIFF-AVI-prefixed prose away from the video parser") {
+    val rec = MediaRecord(24L, "video",
+      "RIFF AVI  is the container format AVI files use today".getBytes("UTF-8"))
+    assert(MediaCodec.printableText(rec.content))
+    assert(MediaCodec.decodeMeta(rec) === MediaCodec.decodeMetaStub(rec))
   }
 
   test("real codec: text sniff keeps RIFF-prefixed prose away from the audio reader") {

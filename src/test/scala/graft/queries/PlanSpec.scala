@@ -321,6 +321,20 @@ class PlanSpec extends SparkSpec {
       "derived ts_ns must not block pushdown of sibling-column predicates\n" + p.take(1500))
   }
 
+  test("q16: SQL EXISTS decorrelates to a broadcast left-semi join with the quantity filter pushed") {
+    // Pins the r8-audited optimal shape of the one spark.sql/temp-view
+    // query on the surface, so a planner regression can't hide behind
+    // harness timing noise: the correlated EXISTS must decorrelate to
+    // a LeftSemi BroadcastHashJoin (lineitem filtered THEN broadcast,
+    // never sort-merge), and `l_quantity >= 45` must reach the scan.
+    val p = plan(Queries.q16Exists(spark, sfSmoke))
+    assert(p.contains("BroadcastHashJoin") && p.contains("LeftSemi"),
+      "EXISTS must decorrelate to a broadcast left-semi join\n" + p.take(1500))
+    assert(!p.contains("SortMergeJoin"), p.take(1500))
+    assert(p.contains("GreaterThanOrEqual(l_quantity,45") ,
+      "quantity predicate must push into the lineitem scan\n" + p.take(1500))
+  }
+
   test("whole-stage codegen covers the text-analysis projections") {
     val df = Queries.docStats(spark, sfSmoke)
     // AQE finalizes the plan only on execution — run THIS query
