@@ -12,4 +12,10 @@ object GraftFunctions {
     */
   def jsonIsValid(c: Column): Column =
     org.apache.spark.sql.graft.JsonIsValid(c)
+
+  /** Strict validity AND top-level object, in one byte-level pass —
+    * see [[org.apache.spark.sql.graft.JsonIsValidObject]].
+    */
+  def jsonIsValidObject(c: Column): Column =
+    org.apache.spark.sql.graft.JsonIsValidObject(c)
 }

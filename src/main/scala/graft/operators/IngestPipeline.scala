@@ -40,32 +40,45 @@ object IngestPipeline {
 
   /** PERMISSIVE parse with explicit corrupt-record routing.
     *
-    * Two detectors are needed to reproduce the reference's
-    * `json.Valid` + typed-decode semantics (`handler.go:74-78`,
-    * `MessageProcessor.kt:64-71`):
-    *  - `columnNameOfCorruptRecord`: in Spark 4.x PERMISSIVE mode,
-    *    `from_json` on malformed input returns a struct of all-null
-    *    FIELDS (not a null struct) — the corrupt column inside the
-    *    parse schema is the sanctioned malformed-row flag;
-    *  - [[graft.functions.GraftFunctions.jsonIsValid]]: Jackson
-    *    (hence `from_json`, and `try_parse_json` too) ACCEPTS
-    *    trailing garbage like `{"a":1}x`, which Go's `json.Valid`
-    *    rejects; the strict native expression closes that gap.
+    * Corruption — the union of the reference's `json.Valid` strict
+    * check (`handler.go:74-78`) and the typed-decode object
+    * requirement (`MessageProcessor.kt:64-71`) — is decided by ONE
+    * native byte-level pass,
+    * [[graft.functions.GraftFunctions.jsonIsValidObject]]:
+    * strict whole-string validity (Jackson, and hence `from_json`,
+    * ACCEPTS trailing garbage like `{"a":1}x` that Go rejects) AND a
+    * top-level object (a struct-schema decode of `42`/`[1]` has no
+    * fields to bind). That predicate is exactly the complement of
+    * "from_json would mark this row corrupt ∨ strict validity
+    * fails", so no `from_json` appears in the corrupt flag at all.
     *
-    * The union lands in one top-level [[corruptCol]] holding the raw
-    * payload iff the row is malformed (DLQ retention).
+    * WHY THIS SHAPE (r9, the q6 hot path): the previous form derived
+    * the flag from `from_json`'s corrupt pseudo-field plus a
+    * `json_is_valid` conjunct. Filter pushdown then inlined that
+    * whole expression into the admission filter, leaving TWO
+    * `from_json` copies in the optimized plan — for an admitted row,
+    * Jackson ran three times (corrupt probe + strict check + field
+    * decode). Now the admission filter costs one streaming byte pass
+    * and the single remaining `from_json` decodes fields AFTER the
+    * filter, so rejected rows never pay a typed decode (measured at
+    * sf0.1: q6 1.33 s → see BENCH; Q6Probe counts the copies).
+    *
+    * The [[corruptCol]] lands top-level holding the raw payload iff
+    * the row is malformed (DLQ retention). Semantics note vs the old
+    * form: a valid OBJECT whose field has the wrong JSON type (e.g.
+    * `{"k": {"a": 1}}`) is now ADMITTED with that field null —
+    * PERMISSIVE semantics, and what the DuckDB oracle's
+    * `TRY_CAST(props->>k)` always did; the old corrupt-pseudo-field
+    * path rejected it (divergence was documented on q6, now gone).
     */
   def parse(raw: DataFrame, jsonCol: String = "props",
             schema: StructType = payloadSchema): DataFrame =
     raw
-      .withColumn("parsed",
-        from_json(col(jsonCol), schema.add(corruptCol, StringType),
-          Map("columnNameOfCorruptRecord" -> corruptCol)))
       .withColumn(corruptCol,
         when(col(jsonCol).isNotNull &&
-          (col("parsed").getField(corruptCol).isNotNull ||
-            !graft.functions.GraftFunctions.jsonIsValid(col(jsonCol))),
+          !graft.functions.GraftFunctions.jsonIsValidObject(col(jsonCol)),
           col(jsonCol)))
+      .withColumn("parsed", from_json(col(jsonCol), schema))
 
   /** F3 + F4: admission filter — non-null, non-empty, well-formed
     * JSON. (The reference returns 400 for both; here the rows simply

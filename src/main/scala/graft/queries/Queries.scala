@@ -113,14 +113,15 @@ object Queries {
       .accepted(ev(s, d), Tables.activeKeys(s, d), Some(lit(receivedAtMicros)))
       .orderBy(col("event_id"))
 
-  /** `json_type(props) = 'OBJECT'` matches from_json's semantics:
-    * Spark parses against a struct schema, so valid-but-non-object
-    * JSON (`42`, `[1]`) is corrupt → rejected, while bare
-    * `json_valid` would admit it. TRY_CAST mirrors the permissive
-    * field decode (a non-integer k yields NULL, not a query error).
-    * Payloads with an object-typed k would still diverge (from_json
-    * marks the row corrupt; the oracle keeps it with k NULL) — the
-    * driver data has only scalar k values.
+  /** `json_type(props) = 'OBJECT'` mirrors the pipeline's
+    * `json_is_valid_object` admission exactly: strict whole-string
+    * validity plus a top-level object (valid-but-non-object JSON —
+    * `42`, `[1]` — is rejected, which bare `json_valid` would
+    * admit). TRY_CAST mirrors the permissive field decode (a
+    * non-integer k yields NULL, not a query error) — including an
+    * object-typed k, which both sides now admit with k NULL (the
+    * r8 divergence note is obsolete: admission no longer consults
+    * from_json's corrupt pseudo-field).
     */
   val q6IngestAcceptedSql =
     s"""SELECT event_id, user_id, event_type, value,
@@ -766,6 +767,47 @@ object Queries {
       | count(DISTINCT fp) AS n_unique,
       | count(*) - count(DISTINCT fp) AS n_dup
       |FROM e GROUP BY domain, host ORDER BY domain, host""".stripMargin
+
+  /** Unicode text normalization — the pre-tokenization gate (NFC
+    * compose, strip non-whitespace controls, collapse whitespace,
+    * trim) via the native codegen'd
+    * [[org.apache.spark.sql.graft.NormalizeText]] (Spark has no NFC
+    * built-in; DuckDB's `nfc_normalize` mirrors it in the oracle).
+    * The driver corpus is ASCII-clean, so planted rows (NFD combining
+    * accent, TAB/BEL controls, whitespace runs, CRLF tail) keep every
+    * rule non-vacuous; `changed` uses null-safe equality so a fuzzed
+    * NULL text stays comparable.
+    */
+  def docNormalize(s: SparkSession, d: String): DataFrame = {
+    GraftSession.tune(s)
+    import s.implicits._
+    val planted = Seq(
+      (-2003L, "already clean"),
+      (-2002L, "  leading and trailing\r\n"),
+      (-2001L, "cafe\u0301  du\tmonde\u0007!")) // NFD accent + BEL control
+      .toDF("doc_id", "text")
+    val norm = org.apache.spark.sql.graft.NormalizeText(col("text"))
+    docs(s, d).select(col("doc_id"), col("text"))
+      .unionByName(planted)
+      .select(col("doc_id"), norm.as("norm_text"),
+        (!(norm <=> col("text"))).cast("long").as("changed"))
+      .orderBy(col("doc_id"))
+  }
+
+  val docNormalizeSql: String =
+    """WITH all_docs AS (
+      |  SELECT doc_id, text FROM documents
+      |  UNION ALL SELECT -2003, 'already clean'
+      |  UNION ALL SELECT -2002, '  leading and trailing' || chr(13) || chr(10)
+      |  UNION ALL SELECT -2001, 'cafe' || chr(769) || '  du' || chr(9) || 'monde' || chr(7) || '!'),
+      |n AS (SELECT doc_id, text,
+      |  trim(regexp_replace(regexp_replace(nfc_normalize(text),
+      |      '[\x00-\x08\x0E-\x1F\x7F]', '', 'g'),
+      |      '[ \t\n\x0B\f\r]+', ' ', 'g'), ' ') AS norm_text
+      | FROM all_docs)
+      |SELECT doc_id, norm_text,
+      | CAST(CASE WHEN norm_text IS NOT DISTINCT FROM text THEN 0 ELSE 1 END AS BIGINT) AS changed
+      |FROM n ORDER BY doc_id""".stripMargin
 
   // ---------------------------------------------------------------
   // BPE tokenizer training + application (graft.operators.Bpe)
@@ -3824,6 +3866,7 @@ object Queries {
     "dup_domain_matrix" -> (dupDomainMatrix _),
     "doc_bpe_vocab" -> (docBpeVocab _),
     "doc_bpe_apply" -> (docBpeApply _),
+    "doc_normalize" -> (docNormalize _),
     "media_decode" -> (mediaDecode _),
     "media_resize" -> (mediaResize _),
     "media_image_resize" -> (mediaImageResize _),
@@ -3923,6 +3966,7 @@ object Queries {
     "dup_domain_matrix" -> dupDomainMatrixSql,
     "doc_bpe_vocab" -> docBpeVocabSql,
     "doc_bpe_apply" -> docBpeApplySql,
+    "doc_normalize" -> docNormalizeSql,
     "media_decode" -> mediaDecodeSql,
     "media_resize" -> mediaResizeSql,
     "media_image_resize" -> mediaImageResizeSql,

@@ -107,6 +107,9 @@ object GraftSqlFunctions {
     (FunctionIdentifier("vector_norm"),
       new ExpressionInfo(classOf[VectorNorm].getName, "vector_norm"),
       (es: Seq[Expression]) => VectorNorm(es.head)),
+    (FunctionIdentifier("json_is_valid_object"),
+      new ExpressionInfo(classOf[JsonIsValidObject].getName, "json_is_valid_object"),
+      (es: Seq[Expression]) => JsonIsValidObject(es.head)),
     (FunctionIdentifier("canonical_url"),
       new ExpressionInfo(classOf[CanonicalUrl].getName, "canonical_url"),
       (es: Seq[Expression]) => CanonicalUrl(es.head)),
@@ -115,7 +118,10 @@ object GraftSqlFunctions {
       (es: Seq[Expression]) => UrlHost(es.head)),
     (FunctionIdentifier("registered_domain"),
       new ExpressionInfo(classOf[RegisteredDomain].getName, "registered_domain"),
-      (es: Seq[Expression]) => RegisteredDomain(es.head)))
+      (es: Seq[Expression]) => RegisteredDomain(es.head)),
+    (FunctionIdentifier("normalize_text"),
+      new ExpressionInfo(classOf[NormalizeText].getName, "normalize_text"),
+      (es: Seq[Expression]) => NormalizeText(es.head)))
 
   /** Idempotent runtime registration into an existing session. */
   def register(spark: SparkSession): Unit = {

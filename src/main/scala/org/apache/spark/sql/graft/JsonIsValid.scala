@@ -80,7 +80,58 @@ object JsonIsValid {
       case _: Exception => false
     }
 
+  /** Byte-level twin of [[isValid]] with an object-only gate: exactly
+    * one complete JSON OBJECT, nothing after it. Parses the UTF-8
+    * bytes directly (Jackson's byte parser) — no UTF8String → String
+    * UTF-16 conversion on the hot path. This is precisely
+    * `from_json`-against-a-struct-schema corruption ∪ strict-validity
+    * failure, which lets the ingest admission filter decide
+    * accept/reject in ONE streaming pass with no `from_json` in the
+    * predicate (see [[graft.operators.IngestPipeline.parse]]).
+    */
+  def isValidObject(u: UTF8String): Boolean =
+    try {
+      val b = u.getBytes
+      val p = factory.createParser(b, 0, b.length)
+      try {
+        if (p.nextToken() != com.fasterxml.jackson.core.JsonToken.START_OBJECT)
+          return false
+        p.skipChildren()
+        p.nextToken() == null
+      } finally p.close()
+    } catch {
+      case _: Exception => false
+    }
+
   /** Column wrapper. */
   def apply(c: Column): Column =
     ExpressionUtils.column(JsonIsValid(ExpressionUtils.expression(c)))
+}
+
+/** `json_is_valid_object(s)` — strict whole-string validity AND the
+  * top-level value is an object. One streaming Jackson pass over the
+  * raw UTF-8 bytes; native codegen like [[JsonIsValid]].
+  */
+case class JsonIsValidObject(child: Expression)
+    extends UnaryExpression with ImplicitCastInputTypes {
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
+  override def dataType: DataType = BooleanType
+
+  override protected def nullSafeEval(input: Any): Any =
+    JsonIsValid.isValidObject(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"org.apache.spark.sql.graft.JsonIsValid.isValidObject($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): JsonIsValidObject =
+    copy(child = newChild)
+
+  override def prettyName: String = "json_is_valid_object"
+}
+
+object JsonIsValidObject {
+  def apply(c: Column): Column =
+    ExpressionUtils.column(JsonIsValidObject(ExpressionUtils.expression(c)))
 }

@@ -20,6 +20,36 @@ class SqlFunctionsSpec extends SparkSpec {
     assert(sql1[Boolean]("SELECT json_is_valid('42')"))
   }
 
+  test("json_is_valid_object requires strict validity AND a top-level object") {
+    assert(sql1[Boolean]("""SELECT json_is_valid_object('{"a": 1}')"""))
+    assert(sql1[Boolean]("""SELECT json_is_valid_object('{"k": {"nested": [1]}}')"""))
+    assert(sql1[Boolean]("SELECT json_is_valid_object('{}')"))
+    assert(!sql1[Boolean]("""SELECT json_is_valid_object('{"a": 1}x')""")) // trailing garbage
+    assert(!sql1[Boolean]("SELECT json_is_valid_object('42')"))   // valid, not object
+    assert(!sql1[Boolean]("SELECT json_is_valid_object('[1]')"))  // valid, not object
+    assert(!sql1[Boolean]("SELECT json_is_valid_object('')"))
+    assert(!sql1[Boolean]("""SELECT json_is_valid_object('{"a": }')"""))
+    // non-ASCII payload exercises the byte-level parser path
+    assert(sql1[Boolean]("""SELECT json_is_valid_object('{"k": "héllo ✓"}')"""))
+  }
+
+  test("normalize_text: NFC + control strip + whitespace collapse + trim") {
+    import org.apache.spark.sql.graft.NormalizeText
+    assert(NormalizeText.normalize("cafe\u0301  du\tmonde\u0007!") === "caf\u00e9 du monde!")
+    assert(NormalizeText.normalize("  leading and trailing\r\n") === "leading and trailing")
+    assert(NormalizeText.normalize("already clean") === "already clean")
+    assert(NormalizeText.normalize("") === "")
+    assert(NormalizeText.normalize(" \t\r\n ") === "")       // all-whitespace → empty
+    assert(NormalizeText.normalize("\u0000\u0007\u007f") === "") // all-control → empty
+    assert(NormalizeText.normalize("a\u000bb\fc") === "a b c")   // VT/FF are whitespace
+    // composed input is untouched; supplementary chars survive as pairs
+    assert(NormalizeText.normalize("café") === "café")
+    val emoji = new String(Character.toChars(0x1F600))
+    assert(NormalizeText.normalize(s"x $emoji y") === s"x $emoji y")
+    // SQL registration path
+    assert(sql1[String]("SELECT normalize_text('a  b\tc')") === "a b c")
+  }
+
   test("simhash64 and cosine_similarity are callable from SQL") {
     val h1 = sql1[Long]("SELECT simhash64('the quick brown fox')")
     val h2 = sql1[Long]("SELECT simhash64('THE  quick   BROWN fox!')")

@@ -34,6 +34,19 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), p.take(800))
   }
 
+  test("q6: exactly one from_json in the optimized plan (parse-once admission)") {
+    // the r8 shape carried TWO copies (corrupt-flag alias inlined
+    // into the admission filter by predicate pushdown) — Jackson
+    // parsed every payload twice; admission now decides via the
+    // single-pass json_is_valid_object byte check and the one
+    // remaining from_json decodes fields after the filter
+    val opt = Queries.q6IngestAccepted(spark, sfSmoke)
+      .queryExecution.optimizedPlan.toString
+    assert("from_json".r.findAllIn(opt).size === 1,
+      "expected exactly one from_json\n" + opt.take(1500))
+    assert(opt.contains("json_is_valid_object"), opt.take(1500))
+  }
+
   test("q8: nation dimension broadcasts in the star join") {
     val p = plan(Queries.q8RevenueByNation(spark, sfSmoke))
     assert(p.contains("BroadcastHashJoin"), p.take(800))
@@ -333,6 +346,43 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("SortMergeJoin"), p.take(1500))
     assert(p.contains("GreaterThanOrEqual(l_quantity,45") ,
       "quantity predicate must push into the lineitem scan\n" + p.take(1500))
+  }
+
+  test("doc_url_canon: pure map-side projection — no shuffle before the output sort") {
+    val p = plan(Queries.docUrlCanon(spark, sfSmoke))
+    // exactly one exchange: the range partitioning for ORDER BY
+    assert("Exchange".r.findAllIn(p).size <= 1,
+      "canonicalization must not shuffle\n" + p.take(1200))
+    assert(!p.contains("BatchEvalPython") && !p.contains("SQLUDF"), p.take(800))
+  }
+
+  test("dup_domain_matrix: fingerprints shuffle, document bodies do not") {
+    val p = plan(Queries.dupDomainMatrix(spark, sfSmoke))
+    assert("HashAggregate".r.findAllIn(p).size >= 2,
+      "expect partial + final aggregation\n" + p.take(1200))
+    // every exchange partitions on (domain, host[, fp]) — the text
+    // column never appears in an exchange row (it dies at the
+    // pre-shuffle md5 projection)
+    val exchanges = p.split('\n').filter(_.contains("Exchange"))
+    assert(exchanges.nonEmpty, p.take(1200))
+    assert(exchanges.forall(!_.contains("text#")),
+      "shuffle must carry md5 fingerprints, not bodies\n" + exchanges.mkString("\n"))
+  }
+
+  test("doc_bpe_apply: token counting is one codegen'd scan, no join or shuffle before the sort") {
+    val p = plan(Queries.docBpeApply(spark, sfSmoke))
+    assert(!p.contains("SortMergeJoin") && !p.contains("BroadcastHashJoin"),
+      "apply is a map-side expression, not a join\n" + p.take(1200))
+    assert("Exchange".r.findAllIn(p).size <= 1,
+      "only the output sort may exchange\n" + p.take(1200))
+  }
+
+  test("doc_normalize: single-pass native expression inside whole-stage codegen") {
+    val df = Queries.docNormalize(spark, sfSmoke)
+    df.queryExecution.executedPlan.execute().count()
+    val p = plan(df)
+    assert(p.contains("normalize_text"), p.take(1200))
+    assert(p.contains("*(1)"), "expression must stay inside codegen\n" + p.take(1200))
   }
 
   test("whole-stage codegen covers the text-analysis projections") {
