@@ -76,9 +76,9 @@ object StressBenchFull {
       "dedup_exact", "dedup_minhash", "dedup_prefix", "dedup_clusters",
       "dedup_canonical", "doc_simhash_pairs", "doc_winnow", "winnow_pairs",
       "corpus_clean", "corpus_clean_cc", "dup_source_matrix",
-      "emb_cosine_pairs", "ann_lsh_top5", "knn_top10", "q38_decontamination",
-      "dedup_incremental", "doc_dup_spans", "doc_strip_dup_spans",
-      "corpus_increment")
+      "emb_cosine_pairs", "ann_lsh_top5", "knn_top10", "emb_hard_negatives",
+      "q38_decontamination", "dedup_incremental", "doc_dup_spans",
+      "doc_strip_dup_spans", "corpus_increment")
 
     /** Max scale factor over the parquet tables this query scans
       * (collectWithSubqueries — an EXISTS subquery's scan counts

@@ -3771,6 +3771,244 @@ object Queries {
       |FROM events e JOIN sk USING (event_type)
       |GROUP BY e.event_type ORDER BY e.event_type""".stripMargin
 
+  /** Deterministic heavy-hitters via the Misra-Gries summary
+    * ([[org.apache.spark.sql.graft.MisraGriesTopK]]) — the third
+    * sketch of the family (q35 = HLL cardinality, q45 = GK
+    * quantiles, this = frequent items). At 100 TB a full
+    * `groupBy(key).count` shuffles every distinct key; the MG
+    * summary reduces each scan partition to one m-entry buffer
+    * merged map-side, and — unlike count-min — its guarantee is
+    * DETERMINISTIC: every key with true count > n/(m+1) is present,
+    * with `est <= true <= est + n/(m+1)`.
+    *
+    * The events user distribution is near-uniform, so the query
+    * plants two hot users (8% and 5% of the stream, sized from the
+    * table so the plant scales with SF) that provably clear the
+    * n/33 threshold at capacity m = 32. Like q35/q45, the
+    * hash-compared surface is engine-independent: the exact counts
+    * of the guaranteed-heavy keys plus booleans asserting the
+    * sketch found each one within the MG error bound — DuckDB has
+    * no MG aggregate, so the oracle states the theorem's promised
+    * outcome (TRUE), which a broken sketch would fail to deliver.
+    * `HeavyHittersSpec` pins the bound adversarially (random
+    * streams vs brute force, merge under repartitioning, exactness
+    * when m >= distinct).
+    */
+  def q47HeavyHitters(s: SparkSession, d: String): DataFrame = {
+    val m = 32
+    val evs = ev(s, d)
+    val base = evs.select(col("user_id")).filter(col("user_id").isNotNull)
+    // deterministic hot-key plants that scale with SF: ~8% / ~5% of
+    // rows re-tagged to the reserved negative ids (event_id-modulo
+    // membership, expressible identically in both engines)
+    val p1 = evs.filter(col("event_id") % 100 < 8)
+      .select(lit(-1L).as("user_id"))
+    val p2 = evs.filter(col("event_id") % 100 >= 8 && col("event_id") % 100 < 13)
+      .select(lit(-2L).as("user_id"))
+    val allRows = base.unionByName(p1).unionByName(p2)
+    val bound = allRows.count().toDouble / (m + 1)
+    val sketch = allRows.agg(
+      org.apache.spark.sql.graft.MisraGriesTopK(col("user_id"), m).as("sk"))
+    val est = element_at(
+      filter(col("sk"), e => e.getField("key") === col("user_id")), 1)
+      .getField("est")
+    allRows.groupBy(col("user_id")).agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") > bound)
+      .crossJoin(broadcast(sketch))
+      .select(col("user_id"), col("cnt"),
+        est.isNotNull.as("found_in_sketch"),
+        coalesce(est <= col("cnt") && (col("cnt") - est) <= bound, lit(false))
+          .as("estimate_ok"))
+      .orderBy(col("user_id"))
+  }
+
+  val q47HeavyHittersSql =
+    """WITH base AS (SELECT user_id FROM events WHERE user_id IS NOT NULL),
+      |p1 AS (SELECT CAST(-1 AS BIGINT) AS user_id FROM events
+      |       WHERE event_id % 100 < 8),
+      |p2 AS (SELECT CAST(-2 AS BIGINT) AS user_id FROM events
+      |       WHERE event_id % 100 >= 8 AND event_id % 100 < 13),
+      |allr AS (SELECT user_id FROM base
+      |  UNION ALL SELECT user_id FROM p1
+      |  UNION ALL SELECT user_id FROM p2),
+      |tot AS (SELECT count(*) AS n FROM allr)
+      |SELECT user_id, count(*) AS cnt,
+      |  TRUE AS found_in_sketch, TRUE AS estimate_ok
+      |FROM allr GROUP BY user_id
+      |HAVING count(*) > (SELECT n FROM tot) / 33.0
+      |ORDER BY user_id""".stripMargin
+
+  /** Gopher quality-rule filter (Rae et al. 2021, Appendix A) — the
+    * canonical rule-based document gate every LLM curation pipeline
+    * runs before model-based scoring: word count in [50, 100k],
+    * mean word length in [3, 10], symbol-to-word ratio <= 0.1
+    * ('#' and '...'), < 90% bullet-started lines, < 30%
+    * ellipsis-ended lines, >= 80% of words containing a letter, and
+    * at least two canonical English stopwords. Pure single-scan
+    * projection — no shuffle, no UDF — and every ratio comparison
+    * is cross-multiplied into integer arithmetic so the booleans
+    * are bit-portable across engines. The driver corpus is
+    * single-line prose that passes most rules, so eight planted
+    * docs (negative ids) each violate exactly one target rule,
+    * keeping every boolean column non-vacuous.
+    */
+  def docGopherRules(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val planted = Seq(
+      (-1L, "tiny doc with few words"),
+      (-2L, ("the data and pipeline " * 20) + ("# " * 10)),
+      (-3L, Seq.fill(10)("- the point and detail number one").mkString("\n")),
+      (-4L, Seq.fill(10)("the tale and the mystery kept going on then ...")
+        .mkString("\n")),
+      (-5L, ("1234 5678 " * 30) + ("the data and code " * 5)),
+      (-6L, "alpha beta gamma delta epsilon " * 12),
+      (-7L, "the and " + ("extraordinarily " * 58)),
+      (-8L, "the quick brown fox jumps over the lazy dog and " * 6))
+      .toDF("doc_id", "text")
+    val all = docs(s, d).select(col("doc_id"), col("text"))
+      .filter(col("text").isNotNull)
+      .unionByName(planted)
+    val w = regexp_extract_all(col("text"), lit("\\S+"), lit(0))
+    val ln = split(col("text"), "\n")
+    val stopArr = array(
+      Seq("the", "be", "to", "of", "and", "that", "have", "with").map(lit): _*)
+    val m = all.select(
+      col("doc_id"),
+      size(w).cast("long").as("n_words"),
+      coalesce(
+        aggregate(transform(w, x => length(x).cast("long")), lit(0L), _ + _),
+        lit(0L)).as("sum_wlen"),
+      // non-overlapping greedy replace in both engines => same count
+      (length(col("text")) - length(expr("replace(text, '#', '')")) +
+        expr("(length(text) - length(replace(text, '...', ''))) div 3"))
+        .cast("long").as("n_symbols"),
+      size(ln).cast("long").as("n_lines"),
+      size(filter(ln, l => ltrim(l).startsWith("- ") ||
+        ltrim(l).startsWith("* ") || ltrim(l).startsWith("•")))
+        .cast("long").as("n_bullet"),
+      size(filter(ln, l => rtrim(l).endsWith("...") ||
+        rtrim(l).endsWith("…"))).cast("long").as("n_ellipsis"),
+      size(filter(w, x => x.rlike("[A-Za-z]"))).cast("long").as("n_alpha"),
+      size(array_intersect(transform(w, x => lower(x)), stopArr)).cast("long")
+        .as("n_stop"))
+    val rWordcount = col("n_words") >= 50 && col("n_words") <= 100000
+    val rMeanlen = lit(3) * col("n_words") <= col("sum_wlen") &&
+      col("sum_wlen") <= lit(10) * col("n_words")
+    val rSymbol = lit(10) * col("n_symbols") <= col("n_words")
+    val rBullet = lit(10) * col("n_bullet") < lit(9) * col("n_lines")
+    val rEllipsis = lit(10) * col("n_ellipsis") < lit(3) * col("n_lines")
+    val rAlpha = lit(5) * col("n_alpha") >= lit(4) * col("n_words")
+    val rStop = col("n_stop") >= 2
+    m.select(col("doc_id"), col("n_words"),
+      rWordcount.as("r_wordcount"), rMeanlen.as("r_meanlen"),
+      rSymbol.as("r_symbol"), rBullet.as("r_bullet"),
+      rEllipsis.as("r_ellipsis"), rAlpha.as("r_alpha"), rStop.as("r_stop"),
+      (rWordcount && rMeanlen && rSymbol && rBullet && rEllipsis &&
+        rAlpha && rStop).as("keep"))
+      .orderBy(col("doc_id"))
+  }
+
+  val docGopherRulesSql =
+    """WITH planted AS (
+      |  SELECT * FROM (VALUES
+      |   (CAST(-1 AS BIGINT), 'tiny doc with few words'),
+      |   (-2, repeat('the data and pipeline ', 20) || repeat('# ', 10)),
+      |   (-3, rtrim(repeat('- the point and detail number one' || chr(10), 10), chr(10))),
+      |   (-4, rtrim(repeat('the tale and the mystery kept going on then ...' || chr(10), 10), chr(10))),
+      |   (-5, repeat('1234 5678 ', 30) || repeat('the data and code ', 5)),
+      |   (-6, repeat('alpha beta gamma delta epsilon ', 12)),
+      |   (-7, 'the and ' || repeat('extraordinarily ', 58)),
+      |   (-8, repeat('the quick brown fox jumps over the lazy dog and ', 6))
+      |  ) v(doc_id, text)),
+      |base AS (
+      |  SELECT doc_id, text FROM documents WHERE text IS NOT NULL
+      |  UNION ALL SELECT doc_id, text FROM planted),
+      |tok AS (
+      |  SELECT doc_id, text,
+      |    regexp_extract_all(text, '\S+') AS w,
+      |    string_split(text, chr(10)) AS ln
+      |  FROM base),
+      |m AS (
+      |  SELECT doc_id,
+      |    CAST(len(w) AS BIGINT) AS n_words,
+      |    CAST(coalesce(list_sum(list_transform(w, x -> length(x))), 0) AS BIGINT) AS sum_wlen,
+      |    CAST(length(text) - length(replace(text, '#', '')) +
+      |      (length(text) - length(replace(text, '...', ''))) // 3 AS BIGINT) AS n_symbols,
+      |    CAST(len(ln) AS BIGINT) AS n_lines,
+      |    CAST(len(list_filter(ln, l -> starts_with(ltrim(l), '- ')
+      |      OR starts_with(ltrim(l), '* ')
+      |      OR starts_with(ltrim(l), chr(8226)))) AS BIGINT) AS n_bullet,
+      |    CAST(len(list_filter(ln, l -> ends_with(rtrim(l), '...')
+      |      OR ends_with(rtrim(l), chr(8230)))) AS BIGINT) AS n_ellipsis,
+      |    CAST(len(list_filter(w, x -> regexp_matches(x, '[A-Za-z]'))) AS BIGINT) AS n_alpha,
+      |    CAST(len(list_intersect(list_transform(w, x -> lower(x)),
+      |      ['the','be','to','of','and','that','have','with'])) AS BIGINT) AS n_stop
+      |  FROM tok)
+      |SELECT doc_id, n_words,
+      |  n_words BETWEEN 50 AND 100000 AS r_wordcount,
+      |  3 * n_words <= sum_wlen AND sum_wlen <= 10 * n_words AS r_meanlen,
+      |  10 * n_symbols <= n_words AS r_symbol,
+      |  10 * n_bullet < 9 * n_lines AS r_bullet,
+      |  10 * n_ellipsis < 3 * n_lines AS r_ellipsis,
+      |  5 * n_alpha >= 4 * n_words AS r_alpha,
+      |  n_stop >= 2 AS r_stop,
+      |  (n_words BETWEEN 50 AND 100000)
+      |   AND (3 * n_words <= sum_wlen AND sum_wlen <= 10 * n_words)
+      |   AND 10 * n_symbols <= n_words
+      |   AND 10 * n_bullet < 9 * n_lines
+      |   AND 10 * n_ellipsis < 3 * n_lines
+      |   AND 5 * n_alpha >= 4 * n_words
+      |   AND n_stop >= 2 AS keep
+      |FROM m ORDER BY doc_id""".stripMargin
+
+  /** Hard-negative mining for contrastive embedding training: for
+    * each query vector, the top-5 most-similar vectors with a
+    * DIFFERENT label — the highest-loss negatives a trainer wants
+    * in-batch. Same plan shape as [[knnTop10]] (broadcast queries x
+    * corpus scan, two-phase bounded-heap top-k so the scored corpus
+    * never shuffles); the label-mismatch predicate rides the scan
+    * filter, so at 100 TB this costs exactly what kNN costs.
+    */
+  def embHardNegatives(s: SparkSession, d: String): DataFrame = {
+    GraftSession.tune(s)
+    val nonDeg = Tables.embeddings(s, d)
+      .filter(org.apache.spark.sql.graft.VectorNorm(col("embedding")) > 0)
+    val q = nonDeg.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("query_id"), col("label").as("query_label"),
+        col("embedding").as("query_vec"))
+    val scored = nonDeg
+      .crossJoin(broadcast(q))
+      .filter(col("vec_id") =!= col("query_id") &&
+        col("label") =!= col("query_label"))
+      .withColumn("sim", Similarity.cosine(col("query_vec"), col("embedding")))
+      .select(col("query_id"), col("vec_id"), col("sim"))
+    Similarity.topKPerQuery(scored, 5)
+      .withColumn("rank", col("rank").cast("long"))
+      .withColumn("sim", round(col("sim"), 6))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  val embHardNegativesSql =
+    """WITH q AS (
+      |  SELECT vec_id AS query_id, label AS query_label, embedding AS query_vec
+      |  FROM embeddings WHERE vec_id < 5
+      |   AND list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))) > 0),
+      |scored AS (
+      |  SELECT q.query_id, e.vec_id AS neighbor_id,
+      |   list_sum(list_transform(list_zip(q.query_vec, e.embedding),
+      |     p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))
+      |   / (sqrt(list_sum(list_transform(q.query_vec, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+      |      * sqrt(list_sum(list_transform(e.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))) AS sim
+      |  FROM embeddings e CROSS JOIN q
+      |  WHERE e.vec_id <> q.query_id AND e.label <> q.query_label
+      |   AND list_sum(list_transform(e.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))) > 0),
+      |ranked AS (
+      |  SELECT query_id, neighbor_id, sim,
+      |   row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rank
+      |  FROM scored)
+      |SELECT query_id, rank, neighbor_id, round(sim, 6) AS sim
+      |FROM ranked WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
+
   // ---------------------------------------------------------------
   // Registry
   // ---------------------------------------------------------------
@@ -3873,7 +4111,10 @@ object Queries {
     "doc_chunks" -> (docChunks _),
     "dedup_canonical" -> (dedupCanonical _),
     "emb_norms" -> (embNorms _),
-    "q45_approx_quantiles" -> (q45ApproxQuantiles _))
+    "q45_approx_quantiles" -> (q45ApproxQuantiles _),
+    "q47_heavy_hitters" -> (q47HeavyHitters _),
+    "doc_gopher_rules" -> (docGopherRules _),
+    "emb_hard_negatives" -> (embHardNegatives _))
 
   val oracles: Map[String, String] = Map(
     "q1_count" -> q1CountSql,
@@ -3973,5 +4214,8 @@ object Queries {
     "doc_chunks" -> docChunksSql,
     "dedup_canonical" -> dedupCanonicalSql,
     "emb_norms" -> embNormsSql,
-    "q45_approx_quantiles" -> q45ApproxQuantilesSql)
+    "q45_approx_quantiles" -> q45ApproxQuantilesSql,
+    "q47_heavy_hitters" -> q47HeavyHittersSql,
+    "doc_gopher_rules" -> docGopherRulesSql,
+    "emb_hard_negatives" -> embHardNegativesSql)
 }

@@ -29,6 +29,8 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
   *  - `vector_norm(v)` — fused double-precision L2 norm
   *  - `canonical_url(s)` / `url_host(s)` / `registered_domain(s)` —
   *    crawl-curation URL canonicalization (see [[UrlFunctions]])
+  *  - `mg_topk(key, m)` — deterministic Misra-Gries heavy-hitters
+  *    aggregate (see [[MisraGriesTopK]])
   *
   * Two wiring paths:
   *  - [[GraftExtensions]] for `spark.sql.extensions` at session
@@ -121,7 +123,11 @@ object GraftSqlFunctions {
       (es: Seq[Expression]) => RegisteredDomain(es.head)),
     (FunctionIdentifier("normalize_text"),
       new ExpressionInfo(classOf[NormalizeText].getName, "normalize_text"),
-      (es: Seq[Expression]) => NormalizeText(es.head)))
+      (es: Seq[Expression]) => NormalizeText(es.head)),
+    (FunctionIdentifier("mg_topk"),
+      new ExpressionInfo(classOf[MisraGriesTopK].getName, "mg_topk"),
+      (es: Seq[Expression]) =>
+        MisraGriesTopK(es(0), intArg(es(1), "capacity m"))))
 
   /** Idempotent runtime registration into an existing session. */
   def register(spark: SparkSession): Unit = {

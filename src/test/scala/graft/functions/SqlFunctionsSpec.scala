@@ -75,6 +75,18 @@ class SqlFunctionsSpec extends SparkSpec {
     assert(rows === Seq(("a", 2L, 0.9), ("a", 3L, 0.9), ("b", 5L, 0.7)))
   }
 
+  test("mg_topk aggregates heavy hitters from SQL, estimate-desc key-asc order") {
+    graft.GraftSession.tune(spark)
+    // capacity 3 covers the 3 distinct keys => exact counts
+    Seq(1L, 1L, 1L, 2L, 2L, 9L).toDF("k").createOrReplaceTempView("mg_v")
+    val rows = spark.sql("""
+      SELECT hh.key, hh.est
+      FROM (SELECT mg_topk(k, 3) AS sk FROM mg_v)
+      LATERAL VIEW explode(sk) AS hh""")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(rows === Seq((1L, 3L), (2L, 2L), (9L, 1L)))
+  }
+
   test("json_object_keys: strict object gate, sorted distinct keys, NULL otherwise") {
     assert(sql1[scala.collection.Seq[String]](
       """SELECT json_keys_strict('{"zk": 1, "a": {"nested": 2}, "m": [1,2]}')""")

@@ -395,4 +395,34 @@ class PlanSpec extends SparkSpec {
     // executedPlan.toString renders WholeStageCodegen stages as "*(n)"
     assert(p.contains("*(1)"), p.take(800))
   }
+
+  test("q47: MG sketch aggregates partially map-side; sketch row broadcasts") {
+    val p = plan(Queries.q47HeavyHitters(spark, sfSmoke))
+    // TypedImperativeAggregate runs as ObjectHashAggregate with a
+    // partial phase — each scan partition reduces to one m-entry
+    // buffer BEFORE the shuffle (the whole point of the sketch)
+    assert("ObjectHashAggregate".r.findAllIn(p).size >= 2,
+      "expect partial + final ObjectHashAggregate for mg_topk\n" + p.take(1200))
+    assert(p.contains("mg_topk"), p.take(1200))
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
+      "single-row sketch must broadcast, not shuffle\n" + p.take(1200))
+  }
+
+  test("doc_gopher_rules: rule gate is one scan-side projection, no shuffle before the sort") {
+    val p = plan(Queries.docGopherRules(spark, sfSmoke))
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"),
+      p.take(1200))
+    // exactly the output-sort exchange (rangepartitioning), nothing else
+    assert("Exchange hashpartitioning".r.findAllIn(p).isEmpty,
+      "rule evaluation must not shuffle\n" + p.take(1200))
+  }
+
+  test("emb_hard_negatives: broadcast queries x corpus scan, bounded-heap top-k, no window") {
+    val p = plan(Queries.embHardNegatives(spark, sfSmoke))
+    assert(p.contains("top_k_by_score"), p.take(1200))
+    assert(p.contains("BroadcastNestedLoopJoin"), p.take(1200))
+    assert(!p.contains("Window"),
+      "per-query ranking must be the bounded-heap aggregate, not a window\n" +
+        p.take(1200))
+  }
 }
