@@ -4009,6 +4009,104 @@ object Queries {
       |SELECT query_id, rank, neighbor_id, round(sim, 6) AS sim
       |FROM ranked WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
 
+  /** Funnel analysis — the ClickHouse `windowFunnel` analog (the
+    * reference's analytics engine is ClickHouse; this closes one of
+    * its signature event-analytics functions, alongside `retention`
+    * = [[q49Retention]] and `topK` ~= `mg_topk`). Longest
+    * view→click→purchase chain per user with strictly increasing
+    * timestamps inside a 6-hour window anchored at the chain's view
+    * (sized so the depth histogram is non-degenerate at every SF) —
+    * computed by the native buffering aggregate
+    * [[org.apache.spark.sql.graft.WindowFunnel]]: ONE shuffle keyed
+    * by user, per-user state bounded by that user's funnel events
+    * (the sessionize-style justified bound), then a depth histogram.
+    * The relational alternative is one join per funnel step —
+    * k corpus-sized shuffles instead of one.
+    *
+    * The oracle mirrors the pinned semantics exactly: for every
+    * candidate view start, greedy earliest-next-step extension
+    * (optimal for a fixed start), MAX depth over starts — so the
+    * aggregate's chain search is value-checked, not just smoke-run.
+    */
+  def q48Funnel(s: SparkSession, d: String): DataFrame = {
+    val windowNs = 6L * 3600 * 1000000000L
+    val step = when(col("event_type") === "view", 1)
+      .when(col("event_type") === "click", 2)
+      .when(col("event_type") === "purchase", 3)
+      .otherwise(lit(null).cast("int"))
+    ev(s, d)
+      .filter(col("user_id").isNotNull)
+      .select(col("user_id"), col("ts_ns"), step.as("step"))
+      .groupBy(col("user_id"))
+      .agg(org.apache.spark.sql.graft.WindowFunnel(
+        col("ts_ns"), col("step"), 3, windowNs).as("depth"))
+      .groupBy(col("depth")).agg(count(lit(1)).as("users"))
+      .orderBy(col("depth"))
+  }
+
+  val q48FunnelSql =
+    """WITH e AS (
+      |  SELECT user_id, event_type, epoch_ns(ts) AS tns
+      |  FROM events WHERE user_id IS NOT NULL),
+      |v AS (SELECT user_id, tns AS t1 FROM e WHERE event_type = 'view'),
+      |c2 AS (
+      |  SELECT v.user_id, v.t1, min(e2.tns) AS t2
+      |  FROM v LEFT JOIN e e2 ON e2.user_id = v.user_id
+      |    AND e2.event_type = 'click'
+      |    AND e2.tns > v.t1 AND e2.tns <= v.t1 + 21600000000000
+      |  GROUP BY v.user_id, v.t1),
+      |c3 AS (
+      |  SELECT c2.user_id, c2.t1, c2.t2, min(e3.tns) AS t3
+      |  FROM c2 LEFT JOIN e e3 ON e3.user_id = c2.user_id
+      |    AND e3.event_type = 'purchase' AND c2.t2 IS NOT NULL
+      |    AND e3.tns > c2.t2 AND e3.tns <= c2.t1 + 21600000000000
+      |  GROUP BY c2.user_id, c2.t1, c2.t2),
+      |pu AS (
+      |  SELECT user_id,
+      |   max(CASE WHEN t3 IS NOT NULL THEN 3
+      |        WHEN t2 IS NOT NULL THEN 2 ELSE 1 END) AS depth
+      |  FROM c3 GROUP BY user_id),
+      |allu AS (SELECT DISTINCT user_id FROM e)
+      |SELECT coalesce(p.depth, 0) AS depth, count(*) AS users
+      |FROM allu a LEFT JOIN pu p USING (user_id)
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
+  /** Cohort retention — the ClickHouse `retention` analog: of the
+    * users who signed up, how many also viewed / clicked /
+    * purchased (first condition anchors; each later column counts
+    * `cond1 AND condK`, exactly ClickHouse's semantics). Plain
+    * partial+final aggregation — per-user boolean rollup then one
+    * global sum; no windows, no joins.
+    */
+  def q49Retention(s: SparkSession, d: String): DataFrame = {
+    def did(t: String) =
+      max(when(col("event_type") === t, 1).otherwise(0))
+    ev(s, d)
+      .filter(col("user_id").isNotNull)
+      .groupBy(col("user_id"))
+      .agg(did("signup").as("c1"), did("view").as("c2"),
+        did("click").as("c3"), did("purchase").as("c4"))
+      .agg(
+        sum(col("c1")).cast("long").as("r_signup"),
+        sum(col("c1") * col("c2")).cast("long").as("r_view"),
+        sum(col("c1") * col("c3")).cast("long").as("r_click"),
+        sum(col("c1") * col("c4")).cast("long").as("r_purchase"))
+  }
+
+  val q49RetentionSql =
+    """WITH pu AS (
+      |  SELECT user_id,
+      |   max(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS c1,
+      |   max(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS c2,
+      |   max(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS c3,
+      |   max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS c4
+      |  FROM events WHERE user_id IS NOT NULL GROUP BY user_id)
+      |SELECT CAST(sum(c1) AS BIGINT) AS r_signup,
+      |  CAST(sum(c1 * c2) AS BIGINT) AS r_view,
+      |  CAST(sum(c1 * c3) AS BIGINT) AS r_click,
+      |  CAST(sum(c1 * c4) AS BIGINT) AS r_purchase
+      |FROM pu""".stripMargin
+
   // ---------------------------------------------------------------
   // Registry
   // ---------------------------------------------------------------
@@ -4113,6 +4211,8 @@ object Queries {
     "emb_norms" -> (embNorms _),
     "q45_approx_quantiles" -> (q45ApproxQuantiles _),
     "q47_heavy_hitters" -> (q47HeavyHitters _),
+    "q48_funnel" -> (q48Funnel _),
+    "q49_retention" -> (q49Retention _),
     "doc_gopher_rules" -> (docGopherRules _),
     "emb_hard_negatives" -> (embHardNegatives _))
 
@@ -4216,6 +4316,8 @@ object Queries {
     "emb_norms" -> embNormsSql,
     "q45_approx_quantiles" -> q45ApproxQuantilesSql,
     "q47_heavy_hitters" -> q47HeavyHittersSql,
+    "q48_funnel" -> q48FunnelSql,
+    "q49_retention" -> q49RetentionSql,
     "doc_gopher_rules" -> docGopherRulesSql,
     "emb_hard_negatives" -> embHardNegativesSql)
 }

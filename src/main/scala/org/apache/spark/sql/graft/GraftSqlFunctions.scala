@@ -31,6 +31,8 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
   *    crawl-curation URL canonicalization (see [[UrlFunctions]])
   *  - `mg_topk(key, m)` — deterministic Misra-Gries heavy-hitters
   *    aggregate (see [[MisraGriesTopK]])
+  *  - `window_funnel(ts, step, n, window)` — funnel chain-depth
+  *    aggregate (see [[WindowFunnel]])
   *
   * Two wiring paths:
   *  - [[GraftExtensions]] for `spark.sql.extensions` at session
@@ -52,6 +54,20 @@ object GraftSqlFunctions {
         require(l.toDouble == n.doubleValue() && l.isValidInt,
           s"$what must be an integer, got $n")
         l.toInt
+      case other => throw new IllegalArgumentException(
+        s"$what must be an integer literal, got '$other'")
+    }
+  }
+
+  private def longArg(e: Expression, what: String): Long = {
+    require(e.foldable, s"$what must be a literal")
+    e.eval() match {
+      case null => throw new IllegalArgumentException(
+        s"$what must be a non-NULL integer literal")
+      case n: java.lang.Number =>
+        val l = n.longValue()
+        require(l.toDouble == n.doubleValue(), s"$what must be an integer, got $n")
+        l
       case other => throw new IllegalArgumentException(
         s"$what must be an integer literal, got '$other'")
     }
@@ -127,7 +143,12 @@ object GraftSqlFunctions {
     (FunctionIdentifier("mg_topk"),
       new ExpressionInfo(classOf[MisraGriesTopK].getName, "mg_topk"),
       (es: Seq[Expression]) =>
-        MisraGriesTopK(es(0), intArg(es(1), "capacity m"))))
+        MisraGriesTopK(es(0), intArg(es(1), "capacity m"))),
+    (FunctionIdentifier("window_funnel"),
+      new ExpressionInfo(classOf[WindowFunnel].getName, "window_funnel"),
+      (es: Seq[Expression]) =>
+        WindowFunnel(es(0), es(1), intArg(es(2), "nSteps"),
+          longArg(es(3), "window"))))
 
   /** Idempotent runtime registration into an existing session. */
   def register(spark: SparkSession): Unit = {

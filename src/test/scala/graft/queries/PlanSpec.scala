@@ -417,6 +417,23 @@ class PlanSpec extends SparkSpec {
       "rule evaluation must not shuffle\n" + p.take(1200))
   }
 
+  test("q48_funnel: one user-keyed shuffle, no per-step joins, no ranking window") {
+    val p = plan(Queries.q48Funnel(spark, sfSmoke))
+    assert(p.contains("window_funnel"), p.take(1200))
+    assert("ObjectHashAggregate".r.findAllIn(p).size >= 2,
+      "expect partial + final ObjectHashAggregate for window_funnel\n" + p.take(1200))
+    assert(!p.contains("SortMergeJoin") && !p.contains("BroadcastHashJoin") &&
+      !p.contains("Window"),
+      "funnel must be one keyed aggregate, not per-step joins or windows\n" +
+        p.take(1200))
+  }
+
+  test("q49_retention: two-level partial+final aggregation, no joins") {
+    val p = plan(Queries.q49Retention(spark, sfSmoke))
+    assert("HashAggregate".r.findAllIn(p).size >= 2, p.take(1200))
+    assert(!p.contains("Join"), p.take(1200))
+  }
+
   test("emb_hard_negatives: broadcast queries x corpus scan, bounded-heap top-k, no window") {
     val p = plan(Queries.embHardNegatives(spark, sfSmoke))
     assert(p.contains("top_k_by_score"), p.take(1200))
