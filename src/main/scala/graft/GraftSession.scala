@@ -30,6 +30,9 @@ object GraftSession {
     // SQL names for graft's native expressions (json_is_valid,
     // simhash64, cosine_similarity, ...) — idempotent
     org.apache.spark.sql.graft.GraftSqlFunctions.register(spark)
+    // optimizer rules (collapse idempotent normalize/canonicalize
+    // chains) — idempotent
+    org.apache.spark.sql.graft.GraftOptimizations.register(spark)
     spark
   }
 

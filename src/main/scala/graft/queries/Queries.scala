@@ -784,7 +784,10 @@ object Queries {
     val planted = Seq(
       (-2003L, "already clean"),
       (-2002L, "  leading and trailing\r\n"),
-      (-2001L, "cafe\u0301  du\tmonde\u0007!")) // NFD accent + BEL control
+      (-2001L, "cafe\u0301  du\tmonde\u0007!"), // NFD accent + BEL control
+      // control BETWEEN base and combining mark: strip-before-NFC
+      // must compose this to a single e-acute (the idempotence case)
+      (-2000L, "cafe\u0007\u0301 noir"))
       .toDF("doc_id", "text")
     val norm = org.apache.spark.sql.graft.NormalizeText(col("text"))
     docs(s, d).select(col("doc_id"), col("text"))
@@ -799,10 +802,11 @@ object Queries {
       |  SELECT doc_id, text FROM documents
       |  UNION ALL SELECT -2003, 'already clean'
       |  UNION ALL SELECT -2002, '  leading and trailing' || chr(13) || chr(10)
-      |  UNION ALL SELECT -2001, 'cafe' || chr(769) || '  du' || chr(9) || 'monde' || chr(7) || '!'),
+      |  UNION ALL SELECT -2001, 'cafe' || chr(769) || '  du' || chr(9) || 'monde' || chr(7) || '!'
+      |  UNION ALL SELECT -2000, 'cafe' || chr(7) || chr(769) || ' noir'),
       |n AS (SELECT doc_id, text,
-      |  trim(regexp_replace(regexp_replace(nfc_normalize(text),
-      |      '[\x00-\x08\x0E-\x1F\x7F]', '', 'g'),
+      |  trim(regexp_replace(nfc_normalize(regexp_replace(text,
+      |      '[\x00-\x08\x0E-\x1F\x7F]', '', 'g')),
       |      '[ \t\n\x0B\f\r]+', ' ', 'g'), ' ') AS norm_text
       | FROM all_docs)
       |SELECT doc_id, norm_text,
@@ -1218,7 +1222,8 @@ object Queries {
       | CAST(month(o_orderdate) AS BIGINT) AS mo,
       | count(*) AS n_orders,
       | CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
-      | FROM orders GROUP BY yr, mo ORDER BY yr, mo""".stripMargin
+      | FROM orders GROUP BY yr, mo
+ ORDER BY yr NULLS FIRST, mo NULLS FIRST""".stripMargin
 
   /** AS-OF join: attach each event's customer's most recent order at
     * or before the event time ([[graft.operators.AsOfJoin]] — union
@@ -1888,11 +1893,13 @@ object Queries {
   val q28RunningTotalSql =
     """SELECT o_custkey, o_orderkey, epoch_us(o_orderdate) AS order_us,
       | CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)))
-      |   OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+      |   OVER (PARTITION BY o_custkey
+      |         ORDER BY o_orderdate NULLS FIRST, o_orderkey
       |         ROWS UNBOUNDED PRECEDING) AS DOUBLE) AS running_rev,
       | epoch_us(o_orderdate) - lag(epoch_us(o_orderdate))
-      |   OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS gap_us
-      | FROM orders ORDER BY o_custkey, o_orderkey""".stripMargin
+      |   OVER (PARTITION BY o_custkey
+      |         ORDER BY o_orderdate NULLS FIRST, o_orderkey) AS gap_us
+      | FROM orders ORDER BY o_custkey NULLS FIRST, o_orderkey""".stripMargin
 
   /** UNPIVOT (wide → long): part's numeric attributes melted to
     * (key, attr, val) rows — the `Dataset.unpivot` API, a narrow
@@ -3280,7 +3287,7 @@ object Queries {
       | round((CAST(a.rev AS DOUBLE) - CAST(b.rev AS DOUBLE))
       |   / CAST(b.rev AS DOUBLE) * 100.0, 4) AS pct_change
       |FROM m a LEFT JOIN m b ON a.yr * 12 + a.mo = b.yr * 12 + b.mo + 1
-      |ORDER BY a.yr, a.mo""".stripMargin
+      |ORDER BY a.yr NULLS FIRST, a.mo NULLS FIRST""".stripMargin
 
   /** Dynamic-schema overflow (SURVEY §1.3): the reference projects a
     * fixed key list and DISCARDS everything else
@@ -4107,6 +4114,74 @@ object Queries {
       |  CAST(sum(c1 * c4) AS BIGINT) AS r_purchase
       |FROM pu""".stripMargin
 
+  /** Data-profiling report — the schema-quality audit a pipeline runs
+    * before admitting a new table drop: per-column row count, NULL
+    * count, exact distinct cardinality, and min/max (rendered through
+    * engine-portable representations: integers and strings verbatim,
+    * doubles as floor-of-cents, timestamps as epoch micros — every
+    * rendering is an IEEE-exact or integer operation, so the report
+    * hash-matches across engines). One scan, one aggregate row,
+    * exploded to long format; the distinct counts expand the scan
+    * per profiled column (Spark's standard multi-distinct plan),
+    * which at 100 TB is the documented cost of EXACT cardinality —
+    * the HLL sketch (q35) is the cheap alternative when ±5% is fine.
+    */
+  def tableProfile(s: SparkSession, d: String): DataFrame = {
+    GraftSession.tune(s)
+    val o = Tables.orders(s, d)
+    val cols = Seq("o_orderkey", "o_custkey", "o_orderstatus",
+      "o_totalprice", "o_orderdate", "o_orderpriority")
+    def repr(c: String): Column => Column = c match {
+      case "o_totalprice" => e => floor(e * 100).cast("long").cast("string")
+      // parquet micros-NTZ: the UTC session timezone makes the
+      // NTZ->TZ cast an identity on the stored micros, matching
+      // DuckDB's epoch_us over its naive TIMESTAMP
+      case "o_orderdate" => e => unix_micros(e.cast("timestamp")).cast("string")
+      case _ => e => e.cast("string")
+    }
+    val aggs = Seq(count(lit(1)).as("n_rows")) ++ cols.flatMap { c =>
+      Seq(
+        sum(when(col(c).isNull, 1).otherwise(0)).cast("long").as(s"nn_$c"),
+        countDistinct(col(c)).as(s"nd_$c"),
+        // repr AFTER the aggregate: min/max order on the native type,
+        // never lexicographically on the rendering
+        repr(c)(min(col(c))).as(s"mn_$c"),
+        repr(c)(max(col(c))).as(s"mx_$c"))
+    }
+    val one = o.agg(aggs.head, aggs.tail: _*)
+    val entries = cols.map { c =>
+      struct(lit(c).as("column_name"), col("n_rows"),
+        col(s"nn_$c").as("n_nulls"), col(s"nd_$c").as("n_distinct"),
+        col(s"mn_$c").as("min_repr"), col(s"mx_$c").as("max_repr"))
+    }
+    one.select(explode(array(entries: _*)).as("p"))
+      .select(col("p.*"))
+      .orderBy(col("column_name"))
+  }
+
+  val tableProfileSql: String = {
+    def block(c: String, minE: String, maxE: String) =
+      s"""SELECT '$c' AS column_name, count(*) AS n_rows,
+         | CAST(sum(CASE WHEN $c IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls,
+         | count(DISTINCT $c) AS n_distinct,
+         | $minE AS min_repr, $maxE AS max_repr
+         |FROM orders""".stripMargin
+    def plain(c: String) =
+      block(c, s"CAST(min($c) AS VARCHAR)", s"CAST(max($c) AS VARCHAR)")
+    Seq(
+      plain("o_orderkey"),
+      plain("o_custkey"),
+      plain("o_orderstatus"),
+      block("o_totalprice",
+        "CAST(CAST(floor(min(o_totalprice * 100)) AS BIGINT) AS VARCHAR)",
+        "CAST(CAST(floor(max(o_totalprice * 100)) AS BIGINT) AS VARCHAR)"),
+      block("o_orderdate",
+        "CAST(min(epoch_us(o_orderdate)) AS VARCHAR)",
+        "CAST(max(epoch_us(o_orderdate)) AS VARCHAR)"),
+      plain("o_orderpriority")
+    ).mkString("\nUNION ALL\n") + "\nORDER BY column_name"
+  }
+
   // ---------------------------------------------------------------
   // Registry
   // ---------------------------------------------------------------
@@ -4213,6 +4288,7 @@ object Queries {
     "q47_heavy_hitters" -> (q47HeavyHitters _),
     "q48_funnel" -> (q48Funnel _),
     "q49_retention" -> (q49Retention _),
+    "table_profile" -> (tableProfile _),
     "doc_gopher_rules" -> (docGopherRules _),
     "emb_hard_negatives" -> (embHardNegatives _))
 
@@ -4318,6 +4394,7 @@ object Queries {
     "q47_heavy_hitters" -> q47HeavyHittersSql,
     "q48_funnel" -> q48FunnelSql,
     "q49_retention" -> q49RetentionSql,
+    "table_profile" -> tableProfileSql,
     "doc_gopher_rules" -> docGopherRulesSql,
     "emb_hard_negatives" -> embHardNegativesSql)
 }

@@ -163,6 +163,8 @@ object GraftSqlFunctions {
 
 /** `spark.sql.extensions=org.apache.spark.sql.graft.GraftExtensions` */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     GraftSqlFunctions.all.foreach(ext.injectFunction)
+    ext.injectOptimizerRule(_ => CollapseIdempotentCalls)
+  }
 }

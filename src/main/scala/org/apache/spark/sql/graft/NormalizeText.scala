@@ -14,11 +14,13 @@ import org.apache.spark.unsafe.types.UTF8String
   * normalization gate of a training-data pipeline, in one codegen'd
   * pass:
   *
-  *  1. Unicode NFC composition (`java.text.Normalizer`) — an NFD
-  *     sequence like `e` + U+0301 becomes the composed `é`, so
-  *     byte-level dedup/fingerprinting sees one spelling;
-  *  2. non-whitespace control characters stripped: C0 except
+  *  1. non-whitespace control characters stripped: C0 except
   *     TAB/LF/VT/FF/CR (U+0000-08, U+000E-1F) plus DEL (U+007F);
+  *  2. Unicode NFC composition (`java.text.Normalizer`) — an NFD
+  *     sequence like `e` + U+0301 becomes the composed `é`, so
+  *     byte-level dedup/fingerprinting sees one spelling (strip
+  *     FIRST so a control between base and mark cannot hide a
+  *     composable pair — see [[NormalizeText.normalize]]);
   *  3. whitespace runs (space, TAB, LF, VT, FF, CR) collapse to one
   *     space;
   *  4. leading/trailing whitespace trimmed.
@@ -59,24 +61,58 @@ object NormalizeText {
     c == ' ' || c == '\t' || c == '\n' || c == '\r' ||
       c == 0x0b.toChar || c == '\f'
 
-  /** Called from generated code. */
+  /** Called from generated code.
+    *
+    * Order matters for IDEMPOTENCE (the contract
+    * [[CollapseIdempotentCalls]] depends on, property-proven in
+    * GraftOptimizationsSpec): controls are stripped BEFORE NFC. The
+    * original NFC-first order was not a fixed point — stripping a
+    * control that sat between a base char and a combining mark
+    * created a newly-composable pair that only the NEXT application
+    * composed (e.g. `e` + BEL + U+0301 → `e` + U+0301 → `é`), so
+    * reapplying the normalizer changed bytes and destabilized
+    * fingerprints. Whitespace collapse/trim after NFC cannot create
+    * composable adjacencies (a space always survives between
+    * collapsed runs, and NFC never composes across the start of
+    * string), so the composed pipeline's output is a fixed point.
+    */
   def normalize(s: String): String = {
+    var hasControl = false
+    var i = 0
+    while (i < s.length && !hasControl) {
+      if (isStrippedControl(s.charAt(i))) hasControl = true
+      i += 1
+    }
+    val stripped =
+      if (!hasControl) s
+      else {
+        val sb = new java.lang.StringBuilder(s.length)
+        var j = 0
+        while (j < s.length) {
+          val c = s.charAt(j)
+          if (!isStrippedControl(c)) sb.append(c)
+          j += 1
+        }
+        sb.toString
+      }
     val nfc =
-      if (java.text.Normalizer.isNormalized(s, java.text.Normalizer.Form.NFC)) s
-      else java.text.Normalizer.normalize(s, java.text.Normalizer.Form.NFC)
+      if (java.text.Normalizer.isNormalized(stripped, java.text.Normalizer.Form.NFC)) {
+        stripped
+      } else {
+        java.text.Normalizer.normalize(stripped, java.text.Normalizer.Form.NFC)
+      }
     val sb = new java.lang.StringBuilder(nfc.length)
     var pendingSpace = false
-    var i = 0
-    while (i < nfc.length) {
-      val c = nfc.charAt(i)
-      if (isStrippedControl(c)) ()      // dropped entirely
-      else if (isWs(c)) pendingSpace = true
+    var k = 0
+    while (k < nfc.length) {
+      val c = nfc.charAt(k)
+      if (isWs(c)) pendingSpace = true
       else {
         if (pendingSpace && sb.length > 0) sb.append(' ')
         pendingSpace = false
         sb.append(c)
       }
-      i += 1
+      k += 1
     }
     sb.toString
   }

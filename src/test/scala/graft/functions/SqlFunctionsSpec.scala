@@ -44,6 +44,11 @@ class SqlFunctionsSpec extends SparkSpec {
     assert(NormalizeText.normalize("a\u000bb\fc") === "a b c")   // VT/FF are whitespace
     // composed input is untouched; supplementary chars survive as pairs
     assert(NormalizeText.normalize("café") === "café")
+    // control BETWEEN base and mark: strip-before-NFC composes it
+    // (idempotence — output is a fixed point)
+    assert(NormalizeText.normalize("e\u0007\u0301") === "\u00e9")
+    assert(NormalizeText.normalize(
+      NormalizeText.normalize("e\u0007\u0301")) === "\u00e9")
     val emoji = new String(Character.toChars(0x1F600))
     assert(NormalizeText.normalize(s"x $emoji y") === s"x $emoji y")
     // SQL registration path

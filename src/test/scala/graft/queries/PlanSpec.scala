@@ -434,6 +434,15 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("Join"), p.take(1200))
   }
 
+  test("table_profile: one scan expanded for multi-distinct, no joins") {
+    val p = plan(Queries.tableProfile(spark, sfSmoke))
+    assert(p.contains("Expand"),
+      "exact multi-column distinct should use Spark's expand plan\n" + p.take(1200))
+    assert(!p.contains("Join"), p.take(1200))
+    assert("scan parquet".r.findAllIn(p.toLowerCase).size === 1,
+      "profile must read the table once\n" + p.take(1200))
+  }
+
   test("emb_hard_negatives: broadcast queries x corpus scan, bounded-heap top-k, no window") {
     val p = plan(Queries.embHardNegatives(spark, sfSmoke))
     assert(p.contains("top_k_by_score"), p.take(1200))

@@ -107,6 +107,17 @@ def mutate(name: str, table: pa.Table) -> pa.Table:
             (50003, [x * 2.0 for x in first["embedding"]], 3),  # off-unit norm
         ]
         return append_rows(table, rows)
+    if name == "orders":
+        ts = table.column("o_orderdate")[0].as_py()
+        rows = [
+            # all-NULL attributes: profile NULL counting, NULL-safe
+            # joins/grouping downstream
+            (900000001, None, None, None, None, None),
+            # negative price: floor-of-cents must floor toward -inf in
+            # both engines
+            (900000002, 7, "Z", -123.456, ts, "0-FUZZ"),
+        ]
+        return append_rows(table, rows)
     if name == "customer":
         rows = [
             (900001, "Fuzz Zero", 0, 0.0, "BUILDING"),    # exactly-zero balance
