@@ -4182,6 +4182,47 @@ object Queries {
     ).mkString("\nUNION ALL\n") + "\nORDER BY column_name"
   }
 
+  /** Cohort retention matrix — the third ClickHouse-flavored event
+    * report next to [[q48Funnel]] and [[q49Retention]]: users
+    * cohorted by their FIRST signup week, counted distinct in each
+    * later activity week, keyed (cohort_week, week_offset) — the
+    * classic triangle every product-analytics stack derives. Plan:
+    * one aggregate for cohorts, one distinct for activity weeks, a
+    * user-keyed hash join, and a partial+final count-distinct — all
+    * shuffles on user_id or the small (cohort, offset) key space,
+    * nothing corpus-cartesian. Week bucketing uses the floor-div
+    * helper ([[Tables.tsNsFloorDiv]]) for DuckDB `//` parity.
+    */
+  def q50CohortMatrix(s: SparkSession, d: String): DataFrame = {
+    val weekNs = 7L * 24 * 3600 * 1000000000L
+    val wk = ev(s, d)
+      .filter(col("user_id").isNotNull)
+      .select(col("user_id"), col("event_type"),
+        expr(Tables.tsNsFloorDiv(weekNs)).as("w"))
+    val cohorts = wk.filter(col("event_type") === "signup")
+      .groupBy(col("user_id")).agg(min(col("w")).as("cohort_week"))
+    val active = wk.select(col("user_id"), col("w")).distinct()
+    active.join(cohorts, "user_id")
+      .filter(col("w") >= col("cohort_week"))
+      .groupBy(col("cohort_week"), (col("w") - col("cohort_week")).as("week_offset"))
+      .agg(countDistinct(col("user_id")).as("users"))
+      .orderBy(col("cohort_week"), col("week_offset"))
+  }
+
+  val q50CohortMatrixSql =
+    """WITH wk AS (
+      |  SELECT user_id, event_type,
+      |   epoch_ns(ts) // 604800000000000 AS w
+      |  FROM events WHERE user_id IS NOT NULL),
+      |su AS (SELECT user_id, min(w) AS cohort_week FROM wk
+      |       WHERE event_type = 'signup' GROUP BY user_id),
+      |ac AS (SELECT DISTINCT user_id, w FROM wk)
+      |SELECT su.cohort_week, ac.w - su.cohort_week AS week_offset,
+      | count(DISTINCT ac.user_id) AS users
+      |FROM ac JOIN su USING (user_id)
+      |WHERE ac.w >= su.cohort_week
+      |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
   // ---------------------------------------------------------------
   // Registry
   // ---------------------------------------------------------------
@@ -4289,6 +4330,7 @@ object Queries {
     "q48_funnel" -> (q48Funnel _),
     "q49_retention" -> (q49Retention _),
     "table_profile" -> (tableProfile _),
+    "q50_cohort_matrix" -> (q50CohortMatrix _),
     "doc_gopher_rules" -> (docGopherRules _),
     "emb_hard_negatives" -> (embHardNegatives _))
 
@@ -4395,6 +4437,7 @@ object Queries {
     "q48_funnel" -> q48FunnelSql,
     "q49_retention" -> q49RetentionSql,
     "table_profile" -> tableProfileSql,
+    "q50_cohort_matrix" -> q50CohortMatrixSql,
     "doc_gopher_rules" -> docGopherRulesSql,
     "emb_hard_negatives" -> embHardNegativesSql)
 }
