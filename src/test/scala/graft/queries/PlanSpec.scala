@@ -434,13 +434,17 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("Join"), p.take(1200))
   }
 
-  test("table_profile: one scan expanded for multi-distinct, no joins") {
+  test("table_profile: per-column two-level aggregates, pruned scans, no Expand") {
     val p = plan(Queries.tableProfile(spark, sfSmoke))
-    assert(p.contains("Expand"),
-      "exact multi-column distinct should use Spark's expand plan\n" + p.take(1200))
-    assert(!p.contains("Join"), p.take(1200))
-    assert("scan parquet".r.findAllIn(p.toLowerCase).size === 1,
-      "profile must read the table once\n" + p.take(1200))
+    // the multi-distinct Expand plan (scan replicated x columns)
+    // benched 3.3 s at sf0.1 — the per-column union must not regress
+    // back to it
+    assert(!p.contains("Expand"), p.take(1500))
+    assert(!p.contains("Join"), p.take(1500))
+    // one pruned scan per profiled column, each reading ONLY its column
+    assert("scan parquet".r.findAllIn(p.toLowerCase).size === 6, p.take(1500))
+    assert("HashAggregate".r.findAllIn(p).size >= 12,
+      "each column needs partial+final value-grouping then summary\n" + p.take(1500))
   }
 
   test("emb_hard_negatives: broadcast queries x corpus scan, bounded-heap top-k, no window") {
