@@ -31,6 +31,86 @@ final class FunnelState {
   def add(t: Long, s: Int): Unit = { ts += t; step += s }
 }
 
+object FunnelState {
+
+  /** Flat (size, ts, step, ...) byte image — shared by the aggregate
+    * buffer and the streaming keyed state
+    * ([[graft.streaming.StreamingFunnel]]).
+    */
+  def toBytes(st: FunnelState): Array[Byte] = {
+    val n = st.ts.length
+    val bb = ByteBuffer.allocate(4 + n * 12)
+    bb.putInt(n)
+    var i = 0
+    while (i < n) {
+      bb.putLong(st.ts(i))
+      bb.putInt(st.step(i))
+      i += 1
+    }
+    bb.array()
+  }
+
+  def fromBytes(bytes: Array[Byte]): FunnelState = {
+    val bb = ByteBuffer.wrap(bytes)
+    val n = bb.getInt()
+    val st = new FunnelState
+    var i = 0
+    while (i < n) {
+      val t = bb.getLong()
+      val s = bb.getInt()
+      st.add(t, s)
+      i += 1
+    }
+    st
+  }
+
+  /** Longest strictly-increasing step-1..k chain within `windowSpan`
+    * of its step-1 start — every start tried, greedy extension within
+    * a fixed start (optimal there). The chain-search core shared by
+    * the batch aggregate's eval and the streaming state operator.
+    */
+  def search(buffer: FunnelState, nSteps: Int, windowSpan: Long): Int = {
+    val byStep = Array.fill(nSteps)(new ArrayBuffer[Long]())
+    var i = 0
+    while (i < buffer.ts.length) {
+      byStep(buffer.step(i) - 1) += buffer.ts(i)
+      i += 1
+    }
+    val sorted = byStep.map { b =>
+      val a = b.toArray
+      java.util.Arrays.sort(a)
+      a
+    }
+    def nextIn(a: Array[Long], lo: Long, hi: Long): Option[Long] = {
+      var idx = java.util.Arrays.binarySearch(a, lo)
+      if (idx >= 0) {
+        while (idx < a.length && a(idx) == lo) idx += 1
+      } else idx = -idx - 1
+      if (idx < a.length && a(idx) <= hi) Some(a(idx)) else None
+    }
+    var best = 0
+    val starts = sorted(0)
+    var s = 0
+    while (s < starts.length && best < nSteps) {
+      val t1 = starts(s)
+      val hi = t1 + windowSpan
+      var depth = 1
+      var prev = t1
+      var k = 1
+      var alive = true
+      while (alive && k < nSteps) {
+        nextIn(sorted(k), prev, hi) match {
+          case Some(t) => depth += 1; prev = t; k += 1
+          case None => alive = false
+        }
+      }
+      if (depth > best) best = depth
+      s += 1
+    }
+    best
+  }
+}
+
 /** `window_funnel(ts, step, nSteps, window)` — longest funnel chain
   * depth within a sliding window, the ClickHouse `windowFunnel`
   * analog re-expressed as a Spark aggregate.
@@ -96,78 +176,14 @@ case class WindowFunnel(
     buffer
   }
 
-  override def eval(buffer: FunnelState): Any = {
-    // per-step sorted timestamp arrays
-    val byStep = Array.fill(nSteps)(new ArrayBuffer[Long]())
-    var i = 0
-    while (i < buffer.ts.length) {
-      byStep(buffer.step(i) - 1) += buffer.ts(i)
-      i += 1
-    }
-    val sorted = byStep.map { b =>
-      val a = b.toArray
-      java.util.Arrays.sort(a)
-      a
-    }
-    /** Smallest element of `a` strictly greater than `lo` and at most
-      * `hi`, or None.
-      */
-    def nextIn(a: Array[Long], lo: Long, hi: Long): Option[Long] = {
-      var idx = java.util.Arrays.binarySearch(a, lo)
-      if (idx >= 0) {
-        // skip duplicates of lo itself (need strictly greater)
-        while (idx < a.length && a(idx) == lo) idx += 1
-      } else idx = -idx - 1
-      if (idx < a.length && a(idx) <= hi) Some(a(idx)) else None
-    }
-    var best = 0
-    val starts = sorted(0)
-    var s = 0
-    while (s < starts.length && best < nSteps) {
-      val t1 = starts(s)
-      val hi = t1 + windowSpan
-      var depth = 1
-      var prev = t1
-      var k = 1
-      var alive = true
-      while (alive && k < nSteps) {
-        nextIn(sorted(k), prev, hi) match {
-          case Some(t) => depth += 1; prev = t; k += 1
-          case None => alive = false
-        }
-      }
-      if (depth > best) best = depth
-      s += 1
-    }
-    best
-  }
+  override def eval(buffer: FunnelState): Any =
+    FunnelState.search(buffer, nSteps, windowSpan)
 
-  override def serialize(buffer: FunnelState): Array[Byte] = {
-    val n = buffer.ts.length
-    val bb = ByteBuffer.allocate(4 + n * 12)
-    bb.putInt(n)
-    var i = 0
-    while (i < n) {
-      bb.putLong(buffer.ts(i))
-      bb.putInt(buffer.step(i))
-      i += 1
-    }
-    bb.array()
-  }
+  override def serialize(buffer: FunnelState): Array[Byte] =
+    FunnelState.toBytes(buffer)
 
-  override def deserialize(bytes: Array[Byte]): FunnelState = {
-    val bb = ByteBuffer.wrap(bytes)
-    val n = bb.getInt()
-    val st = new FunnelState
-    var i = 0
-    while (i < n) {
-      val t = bb.getLong()
-      val s = bb.getInt()
-      st.add(t, s)
-      i += 1
-    }
-    st
-  }
+  override def deserialize(bytes: Array[Byte]): FunnelState =
+    FunnelState.fromBytes(bytes)
 
   override def withNewMutableAggBufferOffset(newOffset: Int): WindowFunnel =
     copy(mutableAggBufferOffset = newOffset)
