@@ -6,6 +6,8 @@ import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.graft.WindowFunnel
 
+import org.scalatest.BeforeAndAfterAll
+
 import graft.SparkSpec
 
 case class SFEvent(u: Long, t: Long, s: Int)
@@ -15,8 +17,26 @@ case class SFEvent(u: Long, t: Long, s: Int)
   * chunking, the completed-user state drop, and monotone depth across
   * triggers.
   */
-class StreamingFunnelSpec extends SparkSpec {
+class StreamingFunnelSpec extends SparkSpec with BeforeAndAfterAll {
   import spark.implicits._
+
+  // keyed state on RocksDB — the at-scale provider (matches the
+  // other stateful suites); restored after the suite
+  private val providerKey = "spark.sql.streaming.stateStore.providerClass"
+  private var prevProvider: Option[String] = None
+  override def beforeAll(): Unit = {
+    prevProvider = spark.conf.getOption(providerKey)
+    spark.conf.set(providerKey,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    super.beforeAll()
+  }
+  override def afterAll(): Unit = {
+    prevProvider match {
+      case Some(p) => spark.conf.set(providerKey, p)
+      case None => spark.conf.unset(providerKey)
+    }
+    super.afterAll()
+  }
 
   private val window = 50L
   private val nSteps = 3

@@ -3,6 +3,8 @@ package graft.streaming
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.apache.spark.sql.functions._
 
+import org.scalatest.BeforeAndAfterAll
+
 import graft.SparkSpec
 
 case class SHKey(g: String, k: Long)
@@ -13,8 +15,26 @@ case class SHKey(g: String, k: Long)
   * stay bounded at m entries per group, and capacity >= distinct
   * keys must degenerate to exact running counts.
   */
-class StreamingHeavyHittersSpec extends SparkSpec {
+class StreamingHeavyHittersSpec extends SparkSpec with BeforeAndAfterAll {
   import spark.implicits._
+
+  // keyed state on RocksDB — the at-scale provider (matches the
+  // other stateful suites); restored after the suite
+  private val providerKey = "spark.sql.streaming.stateStore.providerClass"
+  private var prevProvider: Option[String] = None
+  override def beforeAll(): Unit = {
+    prevProvider = spark.conf.getOption(providerKey)
+    spark.conf.set(providerKey,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    super.beforeAll()
+  }
+  override def afterAll(): Unit = {
+    prevProvider match {
+      case Some(p) => spark.conf.set(providerKey, p)
+      case None => spark.conf.unset(providerKey)
+    }
+    super.afterAll()
+  }
 
   /** Drive chunks through the trending op, one micro-batch per chunk;
     * returns every update-mode emission in arrival order.
