@@ -3875,29 +3875,12 @@ object Queries {
     val all = docs(s, d).select(col("doc_id"), col("text"))
       .filter(col("text").isNotNull)
       .unionByName(planted)
-    val w = regexp_extract_all(col("text"), lit("\\S+"), lit(0))
-    val ln = split(col("text"), "\n")
-    val stopArr = array(
-      Seq("the", "be", "to", "of", "and", "that", "have", "with").map(lit): _*)
-    val m = all.select(
-      col("doc_id"),
-      size(w).cast("long").as("n_words"),
-      coalesce(
-        aggregate(transform(w, x => length(x).cast("long")), lit(0L), _ + _),
-        lit(0L)).as("sum_wlen"),
-      // non-overlapping greedy replace in both engines => same count
-      (length(col("text")) - length(expr("replace(text, '#', '')")) +
-        expr("(length(text) - length(replace(text, '...', ''))) div 3"))
-        .cast("long").as("n_symbols"),
-      size(ln).cast("long").as("n_lines"),
-      size(filter(ln, l => ltrim(l).startsWith("- ") ||
-        ltrim(l).startsWith("* ") || ltrim(l).startsWith("•")))
-        .cast("long").as("n_bullet"),
-      size(filter(ln, l => rtrim(l).endsWith("...") ||
-        rtrim(l).endsWith("…"))).cast("long").as("n_ellipsis"),
-      size(filter(w, x => x.rlike("[A-Za-z]"))).cast("long").as("n_alpha"),
-      size(array_intersect(transform(w, x => lower(x)), stopArr)).cast("long")
-        .as("n_stop"))
+    // every count in ONE codegen'd scan — the HOF formulation (six
+    // interpreted regex/array passes) benched 1.4-1.6 s at sf0.1;
+    // GopherStatsSpec pins bit-equality against the HOF formulas
+    val st = org.apache.spark.sql.graft.GopherStats(col("text"))
+    val m = all.select(col("doc_id"), st.as("gs"))
+      .select(col("doc_id"), col("gs.*"))
     val rWordcount = col("n_words") >= 50 && col("n_words") <= 100000
     val rMeanlen = lit(3) * col("n_words") <= col("sum_wlen") &&
       col("sum_wlen") <= lit(10) * col("n_words")

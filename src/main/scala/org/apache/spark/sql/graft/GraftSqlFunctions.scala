@@ -33,6 +33,8 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
   *    aggregate (see [[MisraGriesTopK]])
   *  - `window_funnel(ts, step, n, window)` — funnel chain-depth
   *    aggregate (see [[WindowFunnel]])
+  *  - `gopher_stats(s)` — all Gopher quality-rule counts in one
+  *    scan (see [[GopherStats]])
   *
   * Two wiring paths:
   *  - [[GraftExtensions]] for `spark.sql.extensions` at session
@@ -148,7 +150,10 @@ object GraftSqlFunctions {
       new ExpressionInfo(classOf[WindowFunnel].getName, "window_funnel"),
       (es: Seq[Expression]) =>
         WindowFunnel(es(0), es(1), intArg(es(2), "nSteps"),
-          longArg(es(3), "window"))))
+          longArg(es(3), "window"))),
+    (FunctionIdentifier("gopher_stats"),
+      new ExpressionInfo(classOf[GopherStats].getName, "gopher_stats"),
+      (es: Seq[Expression]) => GopherStats(es.head)))
 
   /** Idempotent runtime registration into an existing session. */
   def register(spark: SparkSession): Unit = {
