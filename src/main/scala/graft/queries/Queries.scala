@@ -4318,7 +4318,7 @@ object Queries {
     "table_profile" -> (tableProfile _),
     "q50_cohort_matrix" -> (q50CohortMatrix _),
     "doc_gopher_rules" -> (docGopherRules _),
-    "emb_hard_negatives" -> (embHardNegatives _))
+    "emb_hard_negatives" -> (embHardNegatives _)) ++ QueriesOps.all
 
   val oracles: Map[String, String] = Map(
     "q1_count" -> q1CountSql,
@@ -4425,5 +4425,5 @@ object Queries {
     "table_profile" -> tableProfileSql,
     "q50_cohort_matrix" -> q50CohortMatrixSql,
     "doc_gopher_rules" -> docGopherRulesSql,
-    "emb_hard_negatives" -> embHardNegativesSql)
+    "emb_hard_negatives" -> embHardNegativesSql) ++ QueriesOps.oracles
 }

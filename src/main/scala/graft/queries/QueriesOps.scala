@@ -1,0 +1,457 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.GraftSession
+import graft.operators.{AggState, FuzzyJoin, TableDiff}
+import graft.tables.Tables
+
+/** Round-9 additions: event-sequence pattern matching (ClickHouse
+  * `sequenceMatch`/`sequenceCount` analogs), exact fuzzy joining,
+  * C4-style corpus line dedup, mergeable aggregate states, and
+  * merkle-style table diff. Registered via [[Queries.all]].
+  *
+  * Same determinism contract as [[Queries]]: total-order sorts,
+  * DECIMAL sums, nanos-portable timestamps.
+  */
+object QueriesOps {
+
+  private def ev(s: SparkSession, d: String): DataFrame = {
+    GraftSession.tune(s)
+    Tables.eventsNorm(s, d)
+  }
+  private def docs(s: SparkSession, d: String): DataFrame = {
+    GraftSession.tune(s)
+    Tables.documents(s, d)
+  }
+
+  // ---------------------------------------------------------------
+  // q51: sequenceMatch / sequenceCount (ClickHouse parametric aggs)
+  // ---------------------------------------------------------------
+
+  /** ClickHouse `sequenceMatch('(?1)(?2)(?3)')(ts, c1, c2, c3)` and
+    * `sequenceCount('(?1)(?2)')` analogs: per user, did
+    * signup → purchase → error occur as a subsequence, and how many
+    * non-overlapping signup→purchase chains fit (greedy left-to-
+    * right — the ClickHouse semantics)?
+    *
+    * The per-user event list is materialized (ClickHouse does the
+    * same inside the aggregate state); the shuffle carries one
+    * single-char code + two longs per event, and matching runs as a
+    * regex over the collapsed per-user string — `s.*p.*e` IS
+    * subsequence match, and non-overlapping lazy `s.*?p` matches ARE
+    * the greedy chain count. Per-user work is bounded by per-user
+    * activity, the same bound `q48_funnel` already carries.
+    */
+  def q51SequenceMatch(s: SparkSession, d: String): DataFrame = {
+    val code = expr(
+      """CASE event_type WHEN 'signup' THEN 's' WHEN 'purchase' THEN 'p'
+        | WHEN 'error' THEN 'e' WHEN 'click' THEN 'c' ELSE 'v' END""".stripMargin)
+    ev(s, d)
+      .filter(col("user_id").isNotNull)
+      .select(col("user_id"), col("ts_ns"), col("event_id"), code.as("c"))
+      .groupBy(col("user_id"))
+      .agg(array_sort(collect_list(
+        struct(col("ts_ns").as("t"), col("event_id").as("eid"), col("c").as("c"))))
+        .as("evs"))
+      .select(col("user_id"),
+        array_join(transform(col("evs"), x => x.getField("c")), "").as("seq"))
+      .select(col("user_id"),
+        col("seq").rlike("s.*p.*e").cast("long").as("matched_spe"),
+        size(expr("regexp_extract_all(seq, 's.*?p', 0)")).cast("long").as("n_sp"))
+      .orderBy(col("user_id"))
+  }
+
+  val q51SequenceMatchSql: String =
+    """WITH e AS (
+      |  SELECT user_id, epoch_ns(ts) AS t, event_id,
+      |   CASE event_type WHEN 'signup' THEN 's' WHEN 'purchase' THEN 'p'
+      |    WHEN 'error' THEN 'e' WHEN 'click' THEN 'c' ELSE 'v' END AS c
+      |  FROM events WHERE user_id IS NOT NULL),
+      |seqs AS (
+      |  SELECT user_id, string_agg(c, '' ORDER BY t, event_id) AS seq
+      |  FROM e GROUP BY user_id)
+      |SELECT user_id,
+      | CAST(CASE WHEN regexp_matches(seq, 's.*p.*e') THEN 1 ELSE 0 END AS BIGINT) AS matched_spe,
+      | CAST(len(regexp_extract_all(seq, 's.*?p')) AS BIGINT) AS n_sp
+      |FROM seqs ORDER BY user_id""".stripMargin
+
+  // ---------------------------------------------------------------
+  // fuzzy_join: edit-distance <= 1 entity resolution
+  // ---------------------------------------------------------------
+
+  /** Exact Levenshtein<=1 join of corrupted probe names back to the
+    * customer dimension via [[FuzzyJoin]]'s deletion-neighborhood
+    * blocking (100% recall, no all-pairs). Probes are closed-form
+    * corruptions: every 7th key gets one digit substituted with 'X',
+    * every 7th+3 gets one digit deleted — so the result contains
+    * both unique matches and genuine multi-match fans (an 'X' in a
+    * low digit position matches 10 customers), while the DuckDB
+    * oracle brute-forces the all-pairs truth.
+    */
+  def fuzzyJoin(s: SparkSession, d: String): DataFrame = {
+    GraftSession.tune(s)
+    val cust = Tables.customer(s, d).select(col("c_custkey"), col("c_name"))
+    // 1-indexed corruption position: always inside the 9-digit zone
+    val pos = (col("c_custkey") % 9 + 10).cast("int")
+    val subbed = cust.filter(col("c_custkey") % 7 === 0)
+      .select(col("c_custkey").as("probe_id"),
+        concat(col("c_name").substr(lit(1), pos - 1), lit("X"),
+          col("c_name").substr(pos + 1, lit(1 << 20))).as("probe"))
+    val deleted = cust.filter(col("c_custkey") % 7 === 3)
+      .select(col("c_custkey").as("probe_id"),
+        concat(col("c_name").substr(lit(1), pos - 1),
+          col("c_name").substr(pos + 1, lit(1 << 20))).as("probe"))
+    FuzzyJoin.joinWithin1(
+      subbed.unionByName(deleted), "probe_id", "probe",
+      cust, "c_custkey", "c_name")
+      .orderBy(col("probe_id"), col("c_custkey"))
+  }
+
+  val fuzzyJoinSql: String =
+    """WITH probes AS (
+      |  SELECT c_custkey AS probe_id,
+      |   substr(c_name, 1, CAST(10 + c_custkey % 9 AS INT) - 1) || 'X' ||
+      |   substr(c_name, CAST(10 + c_custkey % 9 AS INT) + 1) AS probe
+      |  FROM customer WHERE c_custkey % 7 = 0
+      |  UNION ALL
+      |  SELECT c_custkey,
+      |   substr(c_name, 1, CAST(10 + c_custkey % 9 AS INT) - 1) ||
+      |   substr(c_name, CAST(10 + c_custkey % 9 AS INT) + 1)
+      |  FROM customer WHERE c_custkey % 7 = 3)
+      |SELECT p.probe_id, c.c_custkey,
+      | CAST(levenshtein(p.probe, c.c_name) AS BIGINT) AS dist
+      |FROM probes p, customer c
+      |WHERE levenshtein(p.probe, c.c_name) <= 1
+      |ORDER BY probe_id, c_custkey""".stripMargin
+
+  // ---------------------------------------------------------------
+  // doc_line_dedup: C4-style corpus-level line dedup
+  // ---------------------------------------------------------------
+
+  /** C4's "discard any line that occurs >= 3 times in the corpus"
+    * rule (Raffel et al. 2020 §2.2 — boilerplate like cookie
+    * banners / nav menus repeats across pages; prose does not).
+    *
+    * The driver corpus is single-line, so multi-line bodies are
+    * planted closed-form (the [[Queries.docUrlCanon]] messy-URL
+    * recipe): two boilerplate lines shared by ~half/third of docs, a
+    * `share N widget` line with ~71 copies per N, and two unique
+    * lines per doc. The RULE is corpus-driven, not closed-form: line
+    * counts come from a real corpus-wide aggregate.
+    *
+    * Scale shape: lines travel the count shuffle as xxhash64 keys
+    * (never the line text; a collision could only merge two distinct
+    * lines' counts at ~2^-64·lines^2 odds), the count join is
+    * hash-keyed, and reassembly is one keyed shuffle by doc — all
+    * linear, no pair joins. Order inside a doc is restored by
+    * `array_sort` over (pos, line) structs.
+    */
+  def docLineDedup(s: SparkSession, d: String): DataFrame = {
+    val body = docs(s, d).select(col("doc_id"), filter(array(
+      when(col("doc_id") % 2 === 0, lit("Subscribe to our newsletter")),
+      concat(lit("doc "), col("doc_id").cast("string"), lit(": "),
+        substring(col("text"), 1, 40)),
+      concat(lit("share "), (col("doc_id") % 7).cast("string"), lit(" widget")),
+      when(col("doc_id") % 3 === 0, lit("Copyright 2024 Example Inc")),
+      concat(lit("tail content "), col("doc_id").cast("string"))),
+      x => x.isNotNull).as("lines"))
+    val ex = body
+      .select(col("doc_id"), posexplode(col("lines")).as(Seq("pos", "line")))
+      .withColumn("lh", xxhash64(col("line")))
+    val counts = ex.groupBy(col("lh")).agg(count(lit(1)).as("n"))
+    val kept = ex.join(counts, "lh").filter(col("n") < 3)
+    val reassembled = kept.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_kept"),
+        array_join(
+          transform(array_sort(collect_list(struct(col("pos"), col("line")))),
+            x => x.getField("line")), "\n").as("clean_text"))
+    body.select(col("doc_id"), size(col("lines")).cast("long").as("n_lines"))
+      .join(reassembled, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_lines"),
+        (col("n_lines") - coalesce(col("n_kept"), lit(0L))).as("n_removed"),
+        coalesce(col("clean_text"), lit("")).as("clean_text"))
+      .orderBy(col("doc_id"))
+  }
+
+  val docLineDedupSql: String =
+    """WITH b AS (
+      |  SELECT doc_id, list_filter([
+      |    CASE WHEN doc_id % 2 = 0 THEN 'Subscribe to our newsletter' END,
+      |    'doc ' || doc_id || ': ' || substr(text, 1, 40),
+      |    'share ' || (doc_id % 7) || ' widget',
+      |    CASE WHEN doc_id % 3 = 0 THEN 'Copyright 2024 Example Inc' END,
+      |    'tail content ' || doc_id], x -> x IS NOT NULL) AS lines
+      |  FROM documents),
+      |ex AS (
+      |  SELECT doc_id, unnest(lines) AS line,
+      |   generate_subscripts(lines, 1) AS pos FROM b),
+      |cnts AS (SELECT line, count(*) AS n FROM ex GROUP BY line),
+      |kept AS (
+      |  SELECT e.doc_id, e.pos, e.line
+      |  FROM ex e JOIN cnts c ON e.line = c.line WHERE c.n < 3)
+      |SELECT b.doc_id, CAST(len(b.lines) AS BIGINT) AS n_lines,
+      | CAST(len(b.lines) - count(k.line) AS BIGINT) AS n_removed,
+      | coalesce(string_agg(k.line, chr(10) ORDER BY k.pos), '') AS clean_text
+      |FROM b LEFT JOIN kept k USING (doc_id)
+      |GROUP BY b.doc_id, len(b.lines)
+      |ORDER BY b.doc_id""".stripMargin
+
+  // ---------------------------------------------------------------
+  // agg_state_merge: AggregatingMergeTree -State/-Merge analog
+  // ---------------------------------------------------------------
+
+  /** Per-(event_type, day) partial states merged down to per-type
+    * totals via [[AggState]] — the DuckDB oracle aggregates the raw
+    * events directly, so equality proves the state merge is exact
+    * (the classic pitfall this guards is avg-of-avgs / re-summed
+    * doubles; states carry count + DECIMAL sum instead).
+    */
+  def aggStateMerge(s: SparkSession, d: String): DataFrame = {
+    val e = ev(s, d)
+    val day = expr(Tables.tsNsFloorDiv(86400L * 1000L * 1000L * 1000L))
+    val states = AggState.partials(e, Seq("event_type"), day, col("value"))
+    AggState.merge(states, Seq("event_type"))
+      .select(col("event_type"), col("n"),
+        col("sum_value").cast("double").as("sum_value"),
+        col("min_value"), col("max_value"))
+      .orderBy(col("event_type"))
+  }
+
+  val aggStateMergeSql: String =
+    """SELECT event_type, count(value) AS n,
+      | CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value,
+      | min(value) AS min_value, max(value) AS max_value
+      |FROM events GROUP BY event_type
+      |ORDER BY event_type NULLS FIRST""".stripMargin
+
+  // ---------------------------------------------------------------
+  // table_diff: merkle bucket anti-entropy
+  // ---------------------------------------------------------------
+
+  /** [[TableDiff]] between events and a closed-form mutated version
+    * (every 97th key deleted, every 101st value bumped, every 103rd
+    * re-inserted under a shifted key). The oracle is the naive
+    * full-outer-join diff — equality proves the bucket-checksum
+    * pruning loses nothing on this data.
+    */
+  def tableDiff(s: SparkSession, d: String): DataFrame = {
+    val cols = Seq("event_id", "user_id", "event_type", "value", "props", "ts_ns")
+    val e = ev(s, d).select(cols.map(col): _*)
+    val mutated = e.filter(col("event_id") % 97 =!= 0)
+      .withColumn("value",
+        when(col("event_id") % 101 === 0, col("value") + 1).otherwise(col("value")))
+      .unionByName(
+        e.filter(col("event_id") % 103 === 0)
+          .withColumn("event_id", col("event_id") + lit(10000000L)))
+    TableDiff.diff(e, mutated, "event_id", cols, numBuckets = 1024)
+      .orderBy(col("event_id"))
+  }
+
+  val tableDiffSql: String =
+    """WITH m AS (
+      |  SELECT event_id,
+      |   CASE WHEN event_id % 101 = 0 THEN value + 1 ELSE value END AS value
+      |  FROM events WHERE event_id % 97 <> 0
+      |  UNION ALL
+      |  SELECT event_id + 10000000, value FROM events WHERE event_id % 103 = 0),
+      |b AS (SELECT event_id, value FROM events)
+      |SELECT coalesce(b.event_id, m.event_id) AS event_id,
+      | CASE WHEN m.event_id IS NULL THEN 'deleted'
+      |      WHEN b.event_id IS NULL THEN 'inserted'
+      |      ELSE 'changed' END AS status
+      |FROM b FULL OUTER JOIN m ON b.event_id = m.event_id
+      |WHERE b.event_id IS NULL OR m.event_id IS NULL
+      |   OR (b.value IS DISTINCT FROM m.value)
+      |ORDER BY event_id""".stripMargin
+
+  // ---------------------------------------------------------------
+  // emb_pq_codes: product quantization (train 1 Lloyd step + encode)
+  // ---------------------------------------------------------------
+
+  /** Product quantization (Jégou et al. 2011): split each 64-dim
+    * embedding into M=4 16-dim subvectors, learn K=8 codewords per
+    * subspace (seed codebook = subvectors of vec_id 0..7, then ONE
+    * exact Lloyd iteration: assign → recompute means → re-assign),
+    * and emit each vector's 4 codes. This is the training+encode
+    * path of an IVF-PQ index — [[graft.operators.IvfIndex]] covers
+    * the coarse quantizer; this covers the residual compressor.
+    *
+    * Determinism: distances accumulate as DECIMAL(28,12) (partial-agg
+    * order can't change them), Lloyd means as DECIMAL(18,9) sums over
+    * exact counts, argmin ties break on the lower code via a
+    * (distance, code) struct-min — all mirrored in the oracle, which
+    * re-derives the same iteration relationally in DuckDB.
+    *
+    * Scale shape: the codebook is 8 codes × 64 dims — broadcast on
+    * every pass; assignment is a map-side broadcast join + one keyed
+    * aggregate per (vec, subspace); the Lloyd update is one keyed
+    * aggregate. Nothing quadratic; K·M more rows through the agg
+    * than a plain scan, constant-factor. (At 100 TB the exploded
+    * component form would be fused into a native expression over the
+    * array — the relational form here matches `emb_centroids`, whose
+    * fixed-point pattern is already plan-audited.)
+    */
+  def embPqCodes(s: SparkSession, d: String): DataFrame = {
+    GraftSession.tune(s)
+    val comps = Tables.embeddings(s, d)
+      .select(col("vec_id"), posexplode(col("embedding")).as(Seq("dim", "v")))
+      .select(col("vec_id"), floor(col("dim") / 16).cast("long").as("m"),
+        col("dim").cast("long").as("dim"), col("v").cast("double").as("v"))
+    val seeds = comps.filter(col("vec_id") < 8)
+      .select(col("m"), col("vec_id").as("code"), col("dim"), col("v").as("c"))
+
+    def assign(codebook: DataFrame): DataFrame =
+      comps.join(broadcast(codebook), Seq("m", "dim"))
+        .withColumn("sq",
+          ((col("v") - col("c")) * (col("v") - col("c"))).cast("decimal(28,12)"))
+        .groupBy(col("vec_id"), col("m"), col("code"))
+        .agg(sum(col("sq")).as("d2"))
+        .groupBy(col("vec_id"), col("m"))
+        .agg(min(struct(col("d2"), col("code"))).as("best"))
+        .select(col("vec_id"), col("m"), col("best.code").as("code"))
+
+    val a1 = assign(seeds)
+    val means = a1.join(comps, Seq("vec_id", "m"))
+      .groupBy(col("m"), col("code"), col("dim"))
+      .agg((sum(col("v").cast("decimal(18,9)")).cast("double") / count(lit(1)))
+        .as("mu"))
+    // empty clusters keep their seed codeword
+    val cb2 = seeds.join(means, Seq("m", "code", "dim"), "left")
+      .select(col("m"), col("code"), col("dim"),
+        coalesce(col("mu"), col("c")).as("c"))
+    assign(cb2).orderBy(col("vec_id"), col("m"))
+  }
+
+  val embPqCodesSql: String =
+    """WITH comps AS (
+      |  SELECT vec_id,
+      |   CAST((generate_subscripts(embedding, 1) - 1) // 16 AS BIGINT) AS m,
+      |   CAST(generate_subscripts(embedding, 1) - 1 AS BIGINT) AS dim,
+      |   CAST(unnest(embedding) AS DOUBLE) AS v
+      |  FROM embeddings),
+      |seeds AS (SELECT m, vec_id AS code, dim, v AS c FROM comps WHERE vec_id < 8),
+      |d1 AS (
+      |  SELECT p.vec_id, p.m, s.code,
+      |   sum(CAST((p.v - s.c) * (p.v - s.c) AS DECIMAL(28,12))) AS d2
+      |  FROM comps p JOIN seeds s ON p.m = s.m AND p.dim = s.dim
+      |  GROUP BY 1, 2, 3),
+      |a1 AS (
+      |  SELECT d.vec_id, d.m, min(d.code) AS code
+      |  FROM d1 d JOIN (SELECT vec_id, m, min(d2) AS md FROM d1 GROUP BY 1, 2) x
+      |    ON d.vec_id = x.vec_id AND d.m = x.m AND d.d2 = x.md
+      |  GROUP BY 1, 2),
+      |means AS (
+      |  SELECT a.m, a.code, p.dim,
+      |   CAST(sum(CAST(p.v AS DECIMAL(18,9))) AS DOUBLE) / count(*) AS mu
+      |  FROM a1 a JOIN comps p ON p.vec_id = a.vec_id AND p.m = a.m
+      |  GROUP BY 1, 2, 3),
+      |cb2 AS (
+      |  SELECT s.m, s.code, s.dim, coalesce(mu.mu, s.c) AS c
+      |  FROM seeds s LEFT JOIN means mu
+      |    ON s.m = mu.m AND s.code = mu.code AND s.dim = mu.dim),
+      |d2t AS (
+      |  SELECT p.vec_id, p.m, s.code,
+      |   sum(CAST((p.v - s.c) * (p.v - s.c) AS DECIMAL(28,12))) AS d2
+      |  FROM comps p JOIN cb2 s ON p.m = s.m AND p.dim = s.dim
+      |  GROUP BY 1, 2, 3)
+      |SELECT d.vec_id, d.m, min(d.code) AS code
+      |FROM d2t d JOIN (SELECT vec_id, m, min(d2) AS md FROM d2t GROUP BY 1, 2) x
+      |  ON d.vec_id = x.vec_id AND d.m = x.m AND d.d2 = x.md
+      |GROUP BY 1, 2
+      |ORDER BY 1, 2""".stripMargin
+
+  // ---------------------------------------------------------------
+  // doc_hash_classifier: hashed-feature linear quality scorer
+  // ---------------------------------------------------------------
+
+  /** fastText-style hashed-unigram linear classifier applied at
+    * scale: each token hashes (md5 → first 6 hex digits, the same
+    * engine-portable trick the SimHash oracle uses) into a weight
+    * `(h % 1001) - 500`, and a document's score is the sum — integer
+    * weights, so the score is EXACT and order-independent with no
+    * decimal scaffolding. The weight table is closed-form here; in
+    * production it would be a broadcast array learned offline.
+    *
+    * Scale shape: pure map-side — the whole scorer is one HOF
+    * `aggregate` over the token array inside the scan projection, no
+    * explode, no shuffle except the final sort. This is the pattern
+    * for applying any linear-probe quality model at 100 TB: the cost
+    * is exactly one pass over the text bytes.
+    */
+  def docHashClassifier(s: SparkSession, d: String): DataFrame =
+    docs(s, d)
+      .select(col("doc_id"),
+        size(split(col("text"), " ")).cast("long").as("n_tokens"),
+        expr("""aggregate(split(text, ' '), 0L, (acc, t) ->
+                acc + ((CAST(conv(substring(md5(t), 1, 6), 16, 10) AS BIGINT) % 1001) - 500))""")
+          .as("score"))
+      .withColumn("label", (col("score") >= 0).cast("long"))
+      .orderBy(col("doc_id"))
+
+  val docHashClassifierSql: String =
+    """SELECT doc_id,
+      | CAST(len(str_split(text, ' ')) AS BIGINT) AS n_tokens,
+      | CAST(list_sum(list_transform(str_split(text, ' '), t ->
+      |   (('0x' || substr(md5(t), 1, 6))::BIGINT % 1001) - 500)) AS BIGINT) AS score,
+      | CAST(CASE WHEN list_sum(list_transform(str_split(text, ' '), t ->
+      |   (('0x' || substr(md5(t), 1, 6))::BIGINT % 1001) - 500)) >= 0
+      |  THEN 1 ELSE 0 END AS BIGINT) AS label
+      |FROM documents ORDER BY doc_id""".stripMargin
+
+  // ---------------------------------------------------------------
+  // q52: hopping (sliding) window aggregate, batch form
+  // ---------------------------------------------------------------
+
+  /** ClickHouse `hop()` / Spark sliding `window()` analog in batch:
+    * 2-hour windows advancing every 30 minutes, so each event lands
+    * in exactly 4 windows. The oracle replays Spark's epoch-aligned
+    * window assignment arithmetic explicitly (k = 0..3 shifted
+    * starts). Streaming twin: [[graft.streaming.WindowedAggs.sliding]].
+    */
+  def q52HoppingWindow(s: SparkSession, d: String): DataFrame =
+    ev(s, d)
+      .groupBy(window(col("ts"), "2 hours", "30 minutes").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(18,2)")).cast("double").as("total_value"))
+      .select(unix_micros(col("w.start")).as("w_start_us"), col("event_type"),
+        col("n"), col("total_value"))
+      .orderBy(col("w_start_us"), col("event_type"))
+
+  val q52HoppingWindowSql: String =
+    """WITH e AS (SELECT epoch_us(ts) AS tu, event_type, value FROM events),
+      |h AS (
+      |  SELECT (tu // 1800000000) * 1800000000
+      |    - CAST(k.k AS BIGINT) * 1800000000 AS w_start_us,
+      |   event_type, value
+      |  FROM e CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS k) k)
+      |SELECT w_start_us, event_type, count(*) AS n,
+      | CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+      |FROM h GROUP BY w_start_us, event_type
+      |ORDER BY w_start_us, event_type NULLS FIRST""".stripMargin
+
+  // ---------------------------------------------------------------
+  // Registry (merged into Queries.all / Queries.oracles)
+  // ---------------------------------------------------------------
+
+  val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q51_sequence_match" -> (q51SequenceMatch _),
+    "fuzzy_join" -> (fuzzyJoin _),
+    "doc_line_dedup" -> (docLineDedup _),
+    "agg_state_merge" -> (aggStateMerge _),
+    "table_diff" -> (tableDiff _),
+    "emb_pq_codes" -> (embPqCodes _),
+    "doc_hash_classifier" -> (docHashClassifier _),
+    "q52_hopping_window" -> (q52HoppingWindow _))
+
+  val oracles: Map[String, String] = Map(
+    "q51_sequence_match" -> q51SequenceMatchSql,
+    "fuzzy_join" -> fuzzyJoinSql,
+    "doc_line_dedup" -> docLineDedupSql,
+    "agg_state_merge" -> aggStateMergeSql,
+    "table_diff" -> tableDiffSql,
+    "emb_pq_codes" -> embPqCodesSql,
+    "doc_hash_classifier" -> docHashClassifierSql,
+    "q52_hopping_window" -> q52HoppingWindowSql)
+}
