@@ -432,6 +432,183 @@ object QueriesOps {
       |ORDER BY w_start_us, event_type NULLS FIRST""".stripMargin
 
   // ---------------------------------------------------------------
+  // doc_rule_filter: config-driven curation policy
+  // ---------------------------------------------------------------
+
+  /** A JSON curation policy compiled by [[graft.operators.RuleEngine]]
+    * into a Catalyst predicate and applied to the documents table.
+    * The oracle hand-writes the same policy in SQL — equality proves
+    * the compiler's semantics (including SQL three-valued logic for
+    * NULL fields). The compiled predicate is a plain `Column`, so
+    * pushdown/codegen apply exactly as for a hand-written filter
+    * (plan-asserted in RuleEngineSpec).
+    */
+  val docRulePolicy: String =
+    """{"and": [
+      |  {"gte": ["n_chars", 150]},
+      |  {"in": ["lang", ["en", "de", "fr"]]},
+      |  {"not": {"in": ["source", ["src3", "src7"]]}},
+      |  {"or": [{"contains": ["text", "data"]}, {"lt": ["n_chars", 300]}]}
+      |]}""".stripMargin
+
+  def docRuleFilter(s: SparkSession, d: String): DataFrame =
+    docs(s, d)
+      .filter(graft.operators.RuleEngine.compile(docRulePolicy))
+      .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
+      .orderBy(col("doc_id"))
+
+  val docRuleFilterSql: String =
+    """SELECT doc_id, lang, source, n_chars FROM documents
+      |WHERE n_chars >= 150 AND lang IN ('en', 'de', 'fr')
+      |  AND NOT (source IN ('src3', 'src7'))
+      |  AND (contains(text, 'data') OR n_chars < 300)
+      |ORDER BY doc_id""".stripMargin
+
+  // ---------------------------------------------------------------
+  // q53: z-score outlier detection per group
+  // ---------------------------------------------------------------
+
+  /** 3-sigma outlier flagging per event_type — the monitoring query
+    * an ops team runs over the ingested stream. Mean/variance come
+    * from exact DECIMAL component sums (n, Σv, Σv²), broadcast back,
+    * so the double threshold is bit-identical in both engines; the
+    * squared values cast to DECIMAL(28,4) can never land on a
+    * rounding tie (a decimal ...5 at the 4th place has a factor-5
+    * denominator and is not binary-representable).
+    *
+    * Scale: one aggregate producing one row per type, broadcast
+    * back, one map-side filter — one scan + a 5-row broadcast.
+    */
+  def q53Outliers(s: SparkSession, d: String): DataFrame = {
+    val e = ev(s, d)
+    val stats = e.groupBy(col("event_type"))
+      .agg(count(col("value")).as("n"),
+        sum(col("value").cast("decimal(18,2)")).cast("double").as("s1"),
+        sum((col("value") * col("value")).cast("decimal(28,4)")).cast("double").as("s2"))
+      .select(col("event_type"), (col("s1") / col("n")).as("mean"),
+        sqrt(greatest(col("s2") / col("n") - (col("s1") / col("n")) * (col("s1") / col("n")),
+          lit(0.0))).as("sd"))
+    e.join(broadcast(stats), Seq("event_type"))
+      .filter(col("value") > col("mean") + lit(3.0) * col("sd") ||
+        col("value") < col("mean") - lit(3.0) * col("sd"))
+      .select(col("event_id"), col("event_type"), col("value"),
+        when(col("value") > col("mean") + lit(3.0) * col("sd"), lit("hi"))
+          .otherwise(lit("lo")).as("side"))
+      .orderBy(col("event_id"))
+  }
+
+  val q53OutliersSql: String =
+    """WITH st AS (
+      |  SELECT event_type,
+      |   CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / count(value) AS mean,
+      |   sqrt(greatest(
+      |     CAST(sum(CAST(value * value AS DECIMAL(28,4))) AS DOUBLE) / count(value)
+      |      - (CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / count(value))
+      |        * (CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / count(value)),
+      |     0.0)) AS sd
+      |  FROM events GROUP BY event_type)
+      |SELECT e.event_id, e.event_type, e.value,
+      | CASE WHEN e.value > st.mean + 3.0 * st.sd THEN 'hi' ELSE 'lo' END AS side
+      |FROM events e JOIN st ON e.event_type = st.event_type
+      |WHERE e.value > st.mean + 3.0 * st.sd OR e.value < st.mean - 3.0 * st.sd
+      |ORDER BY e.event_id""".stripMargin
+
+  // ---------------------------------------------------------------
+  // q54: interval (range) join via bucketization
+  // ---------------------------------------------------------------
+
+  /** Join events to OVERLAPPING campaign windows (20 closed-form
+    * 36-hour campaigns starting every 12 hours) — a non-equi range
+    * join with no shared key, the case the user-keyed q26 join can't
+    * cover. The oracle does the naive non-equi join; the Spark plan
+    * bucketizes: each interval explodes into its 12-hour buckets
+    * (3 per campaign), events compute one bucket key map-side, and
+    * the range predicate only runs on bucket-collided pairs — an
+    * equi-join shuffle instead of a broadcast-nested-loop over
+    * everything. At 100 TB with bounded-length intervals this is THE
+    * standard trick: cost linear in events, not events × intervals.
+    */
+  def q54IntervalJoin(s: SparkSession, d: String): DataFrame = {
+    GraftSession.tune(s)
+    val twelveH = 43200000000L // micros
+    val base = 1704067200000000L // 2024-01-01T00:00:00Z
+    val intervals = s.range(0, 20).select(
+      col("id").as("campaign_id"),
+      (lit(base) + col("id") * twelveH).as("s_us"),
+      (lit(base) + (col("id") + 3) * twelveH).as("e_us"))
+    val ibuckets = intervals.select(col("campaign_id"), col("s_us"), col("e_us"),
+      explode(sequence(expr(s"s_us div $twelveH"), expr(s"(e_us - 1) div $twelveH")))
+        .as("b"))
+    val e = ev(s, d).select(expr(Tables.tsUsExpr).as("tu"), col("value"))
+      .withColumn("b", expr(s"tu div $twelveH"))
+    e.join(broadcast(ibuckets), Seq("b"))
+      .filter(col("tu") >= col("s_us") && col("tu") < col("e_us"))
+      .groupBy(col("campaign_id"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(18,2)")).cast("double").as("total_value"))
+      .orderBy(col("campaign_id"))
+  }
+
+  val q54IntervalJoinSql: String =
+    """WITH c AS (
+      |  SELECT k AS campaign_id,
+      |   1704067200000000 + k * 43200000000 AS s_us,
+      |   1704067200000000 + (k + 3) * 43200000000 AS e_us
+      |  FROM range(20) t(k)),
+      |e AS (SELECT epoch_us(ts) AS tu, value FROM events)
+      |SELECT c.campaign_id, count(*) AS n,
+      | CAST(sum(CAST(e.value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+      |FROM c JOIN e ON e.tu >= c.s_us AND e.tu < c.e_us
+      |GROUP BY c.campaign_id
+      |ORDER BY c.campaign_id""".stripMargin
+
+  // ---------------------------------------------------------------
+  // q55: small ClickHouse aggregate analogs (uniqUpTo, argMin/argMax)
+  // ---------------------------------------------------------------
+
+  /** ClickHouse `uniqUpTo(10)(user_id)` (exact distinct count
+    * saturating at 11, the "more than 10?" gate) and `argMax`/
+    * `argMin` of event_id by value, per event_type. Ties break to
+    * the LOWER event_id deterministically (struct-ordering min/max,
+    * mirrored relationally in the oracle); NULL values are excluded
+    * from the arg extrema exactly as ClickHouse skips them.
+    */
+  def q55ChAggs(s: SparkSession, d: String): DataFrame = {
+    val e = ev(s, d)
+    val uniq = e.groupBy(col("event_type"))
+      .agg(least(countDistinct(col("user_id")), lit(11L)).as("uniq_upto_10"))
+    val args = e.filter(col("value").isNotNull)
+      .groupBy(col("event_type"))
+      .agg(
+        max(struct(col("value"), (-col("event_id")).as("nid"))).as("mx"),
+        min(struct(col("value"), col("event_id").as("pid"))).as("mn"))
+      .select(col("event_type"), (-col("mx.nid")).as("argmax_id"),
+        col("mn.pid").as("argmin_id"))
+    uniq.join(args, Seq("event_type"), "left")
+      .orderBy(col("event_type"))
+  }
+
+  val q55ChAggsSql: String =
+    """WITH u AS (
+      |  SELECT event_type,
+      |   least(count(DISTINCT user_id), 11) AS uniq_upto_10
+      |  FROM events GROUP BY event_type),
+      |nn AS (SELECT event_type, event_id, value FROM events WHERE value IS NOT NULL),
+      |ex AS (SELECT event_type, max(value) AS mxv, min(value) AS mnv
+      |       FROM nn GROUP BY event_type),
+      |amx AS (SELECT n.event_type, min(n.event_id) AS argmax_id
+      |        FROM nn n JOIN ex ON n.event_type = ex.event_type
+      |        WHERE n.value = ex.mxv GROUP BY n.event_type),
+      |amn AS (SELECT n.event_type, min(n.event_id) AS argmin_id
+      |        FROM nn n JOIN ex ON n.event_type = ex.event_type
+      |        WHERE n.value = ex.mnv GROUP BY n.event_type)
+      |SELECT u.event_type, u.uniq_upto_10, amx.argmax_id, amn.argmin_id
+      |FROM u
+      |LEFT JOIN amx ON u.event_type = amx.event_type
+      |LEFT JOIN amn ON u.event_type = amn.event_type
+      |ORDER BY u.event_type NULLS FIRST""".stripMargin
+
+  // ---------------------------------------------------------------
   // Registry (merged into Queries.all / Queries.oracles)
   // ---------------------------------------------------------------
 
@@ -443,7 +620,11 @@ object QueriesOps {
     "table_diff" -> (tableDiff _),
     "emb_pq_codes" -> (embPqCodes _),
     "doc_hash_classifier" -> (docHashClassifier _),
-    "q52_hopping_window" -> (q52HoppingWindow _))
+    "q52_hopping_window" -> (q52HoppingWindow _),
+    "doc_rule_filter" -> (docRuleFilter _),
+    "q53_outliers" -> (q53Outliers _),
+    "q54_interval_join" -> (q54IntervalJoin _),
+    "q55_ch_aggs" -> (q55ChAggs _))
 
   val oracles: Map[String, String] = Map(
     "q51_sequence_match" -> q51SequenceMatchSql,
@@ -453,5 +634,9 @@ object QueriesOps {
     "table_diff" -> tableDiffSql,
     "emb_pq_codes" -> embPqCodesSql,
     "doc_hash_classifier" -> docHashClassifierSql,
-    "q52_hopping_window" -> q52HoppingWindowSql)
+    "q52_hopping_window" -> q52HoppingWindowSql,
+    "doc_rule_filter" -> docRuleFilterSql,
+    "q53_outliers" -> q53OutliersSql,
+    "q54_interval_join" -> q54IntervalJoinSql,
+    "q55_ch_aggs" -> q55ChAggsSql)
 }

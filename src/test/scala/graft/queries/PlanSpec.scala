@@ -455,4 +455,47 @@ class PlanSpec extends SparkSpec {
       "per-query ranking must be the bounded-heap aggregate, not a window\n" +
         p.take(1200))
   }
+
+  test("fuzzy_join: variant-hash equi-join — no cartesian/nested-loop all-pairs") {
+    val p = plan(QueriesOps.fuzzyJoin(spark, sfSmoke))
+    assert(!p.contains("CartesianProduct"), p.take(1200))
+    assert(!p.contains("BroadcastNestedLoopJoin"),
+      "blocking must produce an equi-join, not an all-pairs scan\n" + p.take(1200))
+  }
+
+  test("q53_outliers: stats come back as a broadcast, events never sort-merge") {
+    val p = plan(QueriesOps.q53Outliers(spark, sfSmoke))
+    assert(p.contains("BroadcastHashJoin"), p.take(1200))
+    assert(!p.contains("SortMergeJoin"), p.take(1200))
+  }
+
+  test("q54_interval_join: bucketized range join is a broadcast equi-join on the bucket key") {
+    val p = plan(QueriesOps.q54IntervalJoin(spark, sfSmoke))
+    assert(p.contains("BroadcastHashJoin"), p.take(1200))
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      "the range predicate must ride a bucket equi-join, not a nested loop\n" +
+        p.take(1200))
+  }
+
+  test("doc_hash_classifier: scoring is map-side — no exchange before the final sort") {
+    val p = plan(QueriesOps.docHashClassifier(spark, sfSmoke))
+    // exactly the sort's range exchange; scoring adds no shuffle
+    assert("Exchange".r.findAllIn(p).size === 1, p.take(1200))
+    assert(!p.contains("Generate"),
+      "HOF aggregate must not explode tokens into rows\n" + p.take(1200))
+  }
+
+  test("emb_pq_codes: codebooks broadcast on every assignment pass") {
+    val p = plan(QueriesOps.embPqCodes(spark, sfSmoke))
+    assert(!p.contains("CartesianProduct"), p.take(1200))
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 2,
+      "both assignment passes must broadcast the codebook\n" + p.take(1200))
+  }
+
+  test("doc_rule_filter: compiled policy pushes into the parquet scan") {
+    val p = plan(QueriesOps.docRuleFilter(spark, sfSmoke))
+    assert(p.contains("PushedFilters") &&
+      p.contains("GreaterThanOrEqual(n_chars,150)"), p.take(1500))
+    assert(p.contains("In(lang"), p.take(1500))
+  }
 }
