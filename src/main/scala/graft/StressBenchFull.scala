@@ -78,7 +78,11 @@ object StressBenchFull {
       "corpus_clean", "corpus_clean_cc", "dup_source_matrix",
       "emb_cosine_pairs", "ann_lsh_top5", "knn_top10", "emb_hard_negatives",
       "q38_decontamination", "dedup_incremental", "doc_dup_spans",
-      "doc_strip_dup_spans", "corpus_increment")
+      "doc_strip_dup_spans", "corpus_increment",
+      // round-9 second wave: every op whose failure mode is a
+      // candidate/variant blowup rather than raw wall time
+      "fuzzy_join", "doc_line_dedup", "emb_pq_codes", "table_diff",
+      "doc_keyword_search", "q51_sequence_match")
 
     /** Max scale factor over the parquet tables this query scans
       * (collectWithSubqueries — an EXISTS subquery's scan counts

@@ -609,6 +609,36 @@ object QueriesOps {
       |ORDER BY u.event_type NULLS FIRST""".stripMargin
 
   // ---------------------------------------------------------------
+  // doc_keyword_search: boolean keyword search over posting lists
+  // ---------------------------------------------------------------
+
+  /** Conjunctive (AND) keyword search resolved over
+    * [[graft.operators.InvertedIndex]] posting lists — docs matching
+    * all three query terms, scored by summed term frequency. The
+    * oracle recomputes the same boolean-AND-with-tf from the raw
+    * text. (The persisted-index lifecycle — sorted parquet layout,
+    * term-pruned point reads — is proven in InvertedIndexSpec; the
+    * query exercises the posting-aggregate + search semantics.)
+    */
+  val keywordTerms: Seq[String] = Seq("spark", "window", "data")
+
+  def docKeywordSearch(s: SparkSession, d: String): DataFrame =
+    graft.operators.InvertedIndex.search(
+      graft.operators.InvertedIndex.postings(docs(s, d)),
+      keywordTerms, requireAll = true)
+
+  val docKeywordSearchSql: String =
+    """WITH toks AS (
+      |  SELECT doc_id, unnest(str_split(text, ' ')) AS term FROM documents),
+      |p AS (
+      |  SELECT doc_id, term, count(*) AS tf FROM toks
+      |  WHERE len(term) > 0 AND term IN ('spark', 'window', 'data')
+      |  GROUP BY doc_id, term)
+      |SELECT doc_id, CAST(sum(tf) AS BIGINT) AS score
+      |FROM p GROUP BY doc_id HAVING count(DISTINCT term) = 3
+      |ORDER BY score DESC, doc_id""".stripMargin
+
+  // ---------------------------------------------------------------
   // Registry (merged into Queries.all / Queries.oracles)
   // ---------------------------------------------------------------
 
@@ -624,7 +654,8 @@ object QueriesOps {
     "doc_rule_filter" -> (docRuleFilter _),
     "q53_outliers" -> (q53Outliers _),
     "q54_interval_join" -> (q54IntervalJoin _),
-    "q55_ch_aggs" -> (q55ChAggs _))
+    "q55_ch_aggs" -> (q55ChAggs _),
+    "doc_keyword_search" -> (docKeywordSearch _))
 
   val oracles: Map[String, String] = Map(
     "q51_sequence_match" -> q51SequenceMatchSql,
@@ -638,5 +669,6 @@ object QueriesOps {
     "doc_rule_filter" -> docRuleFilterSql,
     "q53_outliers" -> q53OutliersSql,
     "q54_interval_join" -> q54IntervalJoinSql,
-    "q55_ch_aggs" -> q55ChAggsSql)
+    "q55_ch_aggs" -> q55ChAggsSql,
+    "doc_keyword_search" -> docKeywordSearchSql)
 }
