@@ -639,6 +639,103 @@ object QueriesOps {
       |ORDER BY score DESC, doc_id""".stripMargin
 
   // ---------------------------------------------------------------
+  // q56: referential-integrity / data-quality audit
+  // ---------------------------------------------------------------
+
+  /** The cross-table conformance report a pipeline runs after every
+    * load: foreign-key orphans (anti-joins — the dimension sides
+    * broadcast), duplicate-key counts, and orphaned-dimension
+    * coverage. The driver tables are referentially CLEAN (every
+    * check is 0 on them — verified, which would make the audit
+    * vacuous), so the audit runs against a deterministically
+    * corrupted "staged load": every 211th order's custkey, every
+    * 223rd first lineitem's orderkey, and every 257th event's
+    * user_id are shifted out of range, and every 251st event row is
+    * double-loaded — each check detects its planted class, mirrored
+    * closed-form in the oracle. NULL keys are excluded from FK
+    * checks per SQL FK semantics (a NULL reference is not a
+    * violation).
+    */
+  def q56FkAudit(s: SparkSession, d: String): DataFrame = {
+    GraftSession.tune(s)
+    val cust = Tables.customer(s, d).select(col("c_custkey"))
+    val ord = Tables.orders(s, d)
+      .withColumn("o_custkey",
+        when(col("o_orderkey") % 211 === 0, col("o_custkey") + lit(1000000L))
+          .otherwise(col("o_custkey")))
+    val li = Tables.lineitem(s, d)
+      .withColumn("l_orderkey",
+        when(col("l_orderkey") % 223 === 0 && col("l_linenumber") === 1,
+          col("l_orderkey") + lit(5000000L))
+          .otherwise(col("l_orderkey")))
+    val em = ev(s, d)
+      .withColumn("user_id",
+        when(col("event_id") % 257 === 0, col("user_id") + lit(1000000L))
+          .otherwise(col("user_id")))
+    val e = em.unionByName(em.filter(col("event_id") % 251 === 0))
+    def check(name: String, df: DataFrame): DataFrame =
+      df.agg(count(lit(1)).cast("long").as("n_violations"))
+        .select(lit(name).as("check_name"), col("n_violations"))
+    Seq(
+      check("fk_orders_customer",
+        ord.filter(col("o_custkey").isNotNull)
+          .join(broadcast(cust), col("o_custkey") === col("c_custkey"), "left_anti")),
+      check("fk_lineitem_orders",
+        li.filter(col("l_orderkey").isNotNull)
+          .join(ord.select(col("o_orderkey")),
+            col("l_orderkey") === col("o_orderkey"), "left_anti")),
+      check("fk_events_user",
+        e.filter(col("user_id").isNotNull)
+          .join(broadcast(cust), col("user_id") === col("c_custkey"), "left_anti")),
+      check("customers_without_orders",
+        cust.join(ord.select(col("o_custkey")),
+          col("c_custkey") === col("o_custkey"), "left_anti")),
+      e.filter(col("event_id").isNotNull)
+        .agg((count(lit(1)) - countDistinct(col("event_id"))).cast("long")
+          .as("n_violations"))
+        .select(lit("dup_event_id").as("check_name"), col("n_violations")))
+      .reduce(_.unionByName(_))
+      .orderBy(col("check_name"))
+  }
+
+  val q56FkAuditSql: String =
+    """WITH ord AS (
+      |  SELECT o_orderkey,
+      |   CASE WHEN o_orderkey % 211 = 0 THEN o_custkey + 1000000
+      |        ELSE o_custkey END AS o_custkey
+      |  FROM orders),
+      |li AS (
+      |  SELECT CASE WHEN l_orderkey % 223 = 0 AND l_linenumber = 1
+      |              THEN l_orderkey + 5000000 ELSE l_orderkey END AS l_orderkey
+      |  FROM lineitem),
+      |em AS (
+      |  SELECT event_id,
+      |   CASE WHEN event_id % 257 = 0 THEN user_id + 1000000
+      |        ELSE user_id END AS user_id
+      |  FROM events),
+      |ev2 AS (
+      |  SELECT * FROM em
+      |  UNION ALL SELECT * FROM em WHERE event_id % 251 = 0)
+      |SELECT 'fk_orders_customer' AS check_name, count(*) AS n_violations
+      | FROM ord o WHERE o.o_custkey IS NOT NULL
+      |  AND NOT EXISTS (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey)
+      |UNION ALL
+      |SELECT 'fk_lineitem_orders', count(*) FROM li l
+      | WHERE l.l_orderkey IS NOT NULL
+      |  AND NOT EXISTS (SELECT 1 FROM ord o WHERE o.o_orderkey = l.l_orderkey)
+      |UNION ALL
+      |SELECT 'fk_events_user', count(*) FROM ev2 e
+      | WHERE e.user_id IS NOT NULL
+      |  AND NOT EXISTS (SELECT 1 FROM customer c WHERE c.c_custkey = e.user_id)
+      |UNION ALL
+      |SELECT 'customers_without_orders', count(*) FROM customer c
+      | WHERE NOT EXISTS (SELECT 1 FROM ord o WHERE o.o_custkey = c.c_custkey)
+      |UNION ALL
+      |SELECT 'dup_event_id', count(*) - count(DISTINCT event_id) FROM ev2
+      | WHERE event_id IS NOT NULL
+      |ORDER BY check_name""".stripMargin
+
+  // ---------------------------------------------------------------
   // Registry (merged into Queries.all / Queries.oracles)
   // ---------------------------------------------------------------
 
@@ -655,7 +752,8 @@ object QueriesOps {
     "q53_outliers" -> (q53Outliers _),
     "q54_interval_join" -> (q54IntervalJoin _),
     "q55_ch_aggs" -> (q55ChAggs _),
-    "doc_keyword_search" -> (docKeywordSearch _))
+    "doc_keyword_search" -> (docKeywordSearch _),
+    "q56_fk_audit" -> (q56FkAudit _))
 
   val oracles: Map[String, String] = Map(
     "q51_sequence_match" -> q51SequenceMatchSql,
@@ -670,5 +768,6 @@ object QueriesOps {
     "q53_outliers" -> q53OutliersSql,
     "q54_interval_join" -> q54IntervalJoinSql,
     "q55_ch_aggs" -> q55ChAggsSql,
-    "doc_keyword_search" -> docKeywordSearchSql)
+    "doc_keyword_search" -> docKeywordSearchSql,
+    "q56_fk_audit" -> q56FkAuditSql)
 }
