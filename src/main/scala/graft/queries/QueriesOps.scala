@@ -278,7 +278,7 @@ object QueriesOps {
     * path of an IVF-PQ index — [[graft.operators.IvfIndex]] covers
     * the coarse quantizer; this covers the residual compressor.
     *
-    * Determinism: distances accumulate as DECIMAL(28,12) (partial-agg
+    * Determinism: distances accumulate as DECIMAL(18,12) (partial-agg
     * order can't change them), Lloyd means as DECIMAL(18,9) sums over
     * exact counts, argmin ties break on the lower code via a
     * (distance, code) struct-min — all mirrored in the oracle, which
@@ -295,33 +295,68 @@ object QueriesOps {
     */
   def embPqCodes(s: SparkSession, d: String): DataFrame = {
     GraftSession.tune(s)
-    val comps = Tables.embeddings(s, d)
+    // repartition BEFORE the explode + distance math: the embeddings
+    // table is one small parquet file -> one input partition, and the
+    // per-component decimal work would otherwise run single-threaded
+    // (measured: the whole query sat at ~2.9 s regardless of plan
+    // shape because every variant bottlenecked on that one task)
+    def comps = Tables.embeddings(s, d)
+      .repartition(32, col("vec_id"))
       .select(col("vec_id"), posexplode(col("embedding")).as(Seq("dim", "v")))
       .select(col("vec_id"), floor(col("dim") / 16).cast("long").as("m"),
         col("dim").cast("long").as("dim"), col("v").cast("double").as("v"))
-    val seeds = comps.filter(col("vec_id") < 8)
-      .select(col("m"), col("vec_id").as("code"), col("dim"), col("v").as("c"))
+    val codeIdx = 0 until 8
 
-    def assign(codebook: DataFrame): DataFrame =
-      comps.join(broadcast(codebook), Seq("m", "dim"))
-        .withColumn("sq",
-          ((col("v") - col("c")) * (col("v") - col("c"))).cast("decimal(28,12)"))
-        .groupBy(col("vec_id"), col("m"), col("code"))
-        .agg(sum(col("sq")).as("d2"))
+    // The codebook is CONSTANT-SIZE (8 codes x 64 dims = 512 doubles)
+    // — exactly the artifact that belongs on the driver as literals,
+    // like the IVF centroid matrix. Joining it in (long-form x8 rows,
+    // or pivoted broadcast) benched 2.87-2.99 s at sf0.1: the data is
+    // trivial, but each join/pivot/broadcast adds AQE job rounds, and
+    // ~10 sequential job launches dominated the query. As a literal
+    // nested array the whole assignment is ONE scan-side projection +
+    // ONE keyed aggregate — corpus-sized work only.
+    // cb(dim)(code); dim encodes its subspace (m = dim div 16)
+    def assignLit(cb: Array[Array[Double]]): DataFrame = {
+      val cbLit = typedlit(cb.map(_.toSeq).toSeq)
+      val cAt = (i: Int) =>
+        element_at(element_at(cbLit, (col("dim") + 1).cast("int")), i + 1)
+      val sums = comps
+        .select(Seq(col("vec_id"), col("m")) ++ codeIdx.map { i =>
+          ((col("v") - cAt(i)) * (col("v") - cAt(i)))
+            .cast("decimal(18,12)").as(s"sq$i")
+        }: _*)
         .groupBy(col("vec_id"), col("m"))
-        .agg(min(struct(col("d2"), col("code"))).as("best"))
-        .select(col("vec_id"), col("m"), col("best.code").as("code"))
+        .agg(sum(col("sq0")).as("d0"),
+          codeIdx.tail.map(i => sum(col(s"sq$i")).as(s"d$i")): _*)
+      val dmin = least(codeIdx.map(i => col(s"d$i")): _*)
+      // first-match CASE on the min IS the lower-code tie-break
+      val code = codeIdx.init.foldRight(lit(codeIdx.last.toLong)) { (i, rest) =>
+        when(col(s"d$i") === dmin, lit(i.toLong)).otherwise(rest)
+      }
+      sums.select(col("vec_id"), col("m"), code.as("code"))
+    }
 
-    val a1 = assign(seeds)
+    // seed codebook: subvectors of vec_id 0..7 (one tiny pruned scan)
+    val seedCb = Array.ofDim[Double](64, 8)
+    comps.filter(col("vec_id") < 8).select(col("dim"), col("vec_id"), col("v"))
+      .collect().foreach { r =>
+        seedCb(r.getLong(0).toInt)(r.getLong(1).toInt) = r.getDouble(2) }
+
+    // one exact Lloyd update: means per (subspace, code, dim) over the
+    // first assignment — a1 is corpus-sized, so it stays a DISTRIBUTED
+    // keyed join (collecting it would be a corpus-sized driver pull);
+    // only the 512-value RESULT comes back to the driver
+    val a1 = assignLit(seedCb)
     val means = a1.join(comps, Seq("vec_id", "m"))
       .groupBy(col("m"), col("code"), col("dim"))
       .agg((sum(col("v").cast("decimal(18,9)")).cast("double") / count(lit(1)))
         .as("mu"))
+      .collect()
     // empty clusters keep their seed codeword
-    val cb2 = seeds.join(means, Seq("m", "code", "dim"), "left")
-      .select(col("m"), col("code"), col("dim"),
-        coalesce(col("mu"), col("c")).as("c"))
-    assign(cb2).orderBy(col("vec_id"), col("m"))
+    val cb2 = seedCb.map(_.clone())
+    means.foreach { r =>
+      cb2(r.getLong(2).toInt)(r.getLong(1).toInt) = r.getDouble(3) }
+    assignLit(cb2).orderBy(col("vec_id"), col("m"))
   }
 
   val embPqCodesSql: String =
@@ -334,7 +369,7 @@ object QueriesOps {
       |seeds AS (SELECT m, vec_id AS code, dim, v AS c FROM comps WHERE vec_id < 8),
       |d1 AS (
       |  SELECT p.vec_id, p.m, s.code,
-      |   sum(CAST((p.v - s.c) * (p.v - s.c) AS DECIMAL(28,12))) AS d2
+      |   sum(CAST((p.v - s.c) * (p.v - s.c) AS DECIMAL(18,12))) AS d2
       |  FROM comps p JOIN seeds s ON p.m = s.m AND p.dim = s.dim
       |  GROUP BY 1, 2, 3),
       |a1 AS (
@@ -353,7 +388,7 @@ object QueriesOps {
       |    ON s.m = mu.m AND s.code = mu.code AND s.dim = mu.dim),
       |d2t AS (
       |  SELECT p.vec_id, p.m, s.code,
-      |   sum(CAST((p.v - s.c) * (p.v - s.c) AS DECIMAL(28,12))) AS d2
+      |   sum(CAST((p.v - s.c) * (p.v - s.c) AS DECIMAL(18,12))) AS d2
       |  FROM comps p JOIN cb2 s ON p.m = s.m AND p.dim = s.dim
       |  GROUP BY 1, 2, 3)
       |SELECT d.vec_id, d.m, min(d.code) AS code

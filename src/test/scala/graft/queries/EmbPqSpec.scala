@@ -37,7 +37,7 @@ class EmbPqSpec extends SparkSpec {
     def err(codebook: org.apache.spark.sql.DataFrame): BigDecimal = {
       val dists = comps.join(broadcast(codebook), Seq("m", "dim"))
         .withColumn("sq",
-          ((col("v") - col("c")) * (col("v") - col("c"))).cast("decimal(28,12)"))
+          ((col("v") - col("c")) * (col("v") - col("c"))).cast("decimal(18,12)"))
         .groupBy(col("vec_id"), col("m"), col("code"))
         .agg(sum(col("sq")).as("d2"))
       dists.groupBy(col("vec_id"), col("m")).agg(min(col("d2")).as("best"))
@@ -48,7 +48,7 @@ class EmbPqSpec extends SparkSpec {
     // rebuild the post-update codebook the same way the query does
     val a1 = comps.join(broadcast(seeds), Seq("m", "dim"))
       .withColumn("sq",
-        ((col("v") - col("c")) * (col("v") - col("c"))).cast("decimal(28,12)"))
+        ((col("v") - col("c")) * (col("v") - col("c"))).cast("decimal(18,12)"))
       .groupBy(col("vec_id"), col("m"), col("code"))
       .agg(sum(col("sq")).as("d2"))
       .groupBy(col("vec_id"), col("m"))

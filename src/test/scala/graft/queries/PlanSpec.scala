@@ -485,11 +485,13 @@ class PlanSpec extends SparkSpec {
       "HOF aggregate must not explode tokens into rows\n" + p.take(1200))
   }
 
-  test("emb_pq_codes: codebooks broadcast on every assignment pass") {
+  test("emb_pq_codes: assignment is join-free — the codebook rides as literals") {
+    // the constant-size codebook is inlined as a literal nested array
+    // (the join/pivot/broadcast variants each benched ~2.9 s at sf0.1
+    // purely on job-round overhead; literal + explicit repartition
+    // runs 1.7 s) — the returned encode plan must carry NO join at all
     val p = plan(QueriesOps.embPqCodes(spark, sfSmoke))
-    assert(!p.contains("CartesianProduct"), p.take(1200))
-    assert("BroadcastHashJoin".r.findAllIn(p).size >= 2,
-      "both assignment passes must broadcast the codebook\n" + p.take(1200))
+    assert(!p.contains("Join") && !p.contains("CartesianProduct"), p.take(1200))
   }
 
   test("doc_rule_filter: compiled policy pushes into the parquet scan") {
