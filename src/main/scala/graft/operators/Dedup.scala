@@ -118,6 +118,13 @@ object Dedup {
     // between queries so repeated invocations neither re-cache the
     // same plan (the "already cached" warning) nor pin executor
     // memory for the session lifetime.
+    // NO pre-shingle repartition (measured round 9, do not "add"): the
+    // native ShingleHashes kernel is fast enough that forcing the
+    // single-row-group bench file onto 32 partitions costs more in
+    // text shuffle + cache rebuild than the parallelism returns
+    // (dedup_minhash 0.37 s -> 1.16 s, dedup_canonical 2.2 -> 3.4).
+    // CPU-bound regex scans (doc_redact) are the shape that wins from
+    // that trade; hash kernels are not.
     val hashed = docs
       .select(col(idCol).as("id"),
         org.apache.spark.sql.graft.ShingleHashes(col(textCol), 3).as("hs"))

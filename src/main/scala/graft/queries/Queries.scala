@@ -1939,7 +1939,10 @@ object Queries {
       (-1L, "Contact john.doe@example.com or call 555-123-4567 for details"),
       (-2L, "Multiple emails: a.b@test.org and c_d@mail.co plus host 192.168.1.100"),
       (-3L, "no pii in this row at all")).toDF("doc_id", "text")
+    // repartition before six regex passes over every text: the
+    // single-row-group bench file otherwise pins them to one thread
     val all = docs(s, d).select(col("doc_id"), col("text")).unionByName(planted)
+      .repartition(32, col("doc_id"))
     val redacted = regexp_replace(
       regexp_replace(
         regexp_replace(col("text"), emailRe, "[EMAIL]"),
