@@ -82,7 +82,7 @@ object StressBenchFull {
       // round-9 second wave: every op whose failure mode is a
       // candidate/variant blowup rather than raw wall time
       "fuzzy_join", "doc_line_dedup", "emb_pq_codes", "table_diff",
-      "doc_keyword_search", "q51_sequence_match")
+      "doc_keyword_search", "q51_sequence_match", "ann_adc_top5")
 
     /** Max scale factor over the parquet tables this query scans
       * (collectWithSubqueries — an EXISTS subquery's scan counts

@@ -293,7 +293,14 @@ object QueriesOps {
     * array — the relational form here matches `emb_centroids`, whose
     * fixed-point pattern is already plan-audited.)
     */
-  def embPqCodes(s: SparkSession, d: String): DataFrame = {
+  def embPqCodes(s: SparkSession, d: String): DataFrame =
+    pqModel(s, d)._1.orderBy(col("vec_id"), col("m"))
+
+  /** Train the PQ model (seed + one Lloyd step) and return
+    * (codes DataFrame, trained codebook cb2(dim)(code)) — shared by
+    * [[embPqCodes]] and the ADC search [[annAdcTop5]].
+    */
+  private def pqModel(s: SparkSession, d: String): (DataFrame, Array[Array[Double]]) = {
     GraftSession.tune(s)
     // repartition BEFORE the explode + distance math: the embeddings
     // table is one small parquet file -> one input partition, and the
@@ -356,11 +363,15 @@ object QueriesOps {
     val cb2 = seedCb.map(_.clone())
     means.foreach { r =>
       cb2(r.getLong(2).toInt)(r.getLong(1).toInt) = r.getDouble(3) }
-    assignLit(cb2).orderBy(col("vec_id"), col("m"))
+    (assignLit(cb2), cb2)
   }
 
-  val embPqCodesSql: String =
-    """WITH comps AS (
+  /** Shared CTE chain re-deriving the PQ training (seed assignment,
+    * Lloyd update, final codes) — the body of both the code-matrix
+    * oracle and the ADC-search oracle.
+    */
+  private val pqCte: String =
+    """comps AS (
       |  SELECT vec_id,
       |   CAST((generate_subscripts(embedding, 1) - 1) // 16 AS BIGINT) AS m,
       |   CAST(generate_subscripts(embedding, 1) - 1 AS BIGINT) AS dim,
@@ -390,12 +401,88 @@ object QueriesOps {
       |  SELECT p.vec_id, p.m, s.code,
       |   sum(CAST((p.v - s.c) * (p.v - s.c) AS DECIMAL(18,12))) AS d2
       |  FROM comps p JOIN cb2 s ON p.m = s.m AND p.dim = s.dim
-      |  GROUP BY 1, 2, 3)
-      |SELECT d.vec_id, d.m, min(d.code) AS code
-      |FROM d2t d JOIN (SELECT vec_id, m, min(d2) AS md FROM d2t GROUP BY 1, 2) x
-      |  ON d.vec_id = x.vec_id AND d.m = x.m AND d.d2 = x.md
-      |GROUP BY 1, 2
-      |ORDER BY 1, 2""".stripMargin
+      |  GROUP BY 1, 2, 3),
+      |codes AS (
+      |  SELECT d.vec_id, d.m, min(d.code) AS code
+      |  FROM d2t d JOIN (SELECT vec_id, m, min(d2) AS md FROM d2t GROUP BY 1, 2) x
+      |    ON d.vec_id = x.vec_id AND d.m = x.m AND d.d2 = x.md
+      |  GROUP BY 1, 2)""".stripMargin
+
+  val embPqCodesSql: String =
+    s"WITH $pqCte\nSELECT vec_id, m, code FROM codes ORDER BY 1, 2"
+
+  // ---------------------------------------------------------------
+  // ann_adc_top5: asymmetric-distance PQ search
+  // ---------------------------------------------------------------
+
+  /** ADC search over the PQ codes (the query path of an IVF-PQ
+    * index, Jégou 2011 §IV): each query precomputes a 4×8 lookup
+    * table of exact subspace distances to the trained codewords, and
+    * a candidate's approximate distance is the 4-entry LUT sum for
+    * its codes — the corpus is scanned as CODES (4 bytes of signal
+    * per vector), never as raw floats.
+    *
+    * Scale shape: the LUT is |queries|×32 rows, broadcast; scoring
+    * is one broadcast join on (subspace, code) + one keyed sum; the
+    * per-query ranking is the bounded-heap [[Similarity]] top-k (no
+    * corpus-wide window). Distances stay DECIMAL through both sums,
+    * and ranking compares their DOUBLE casts with id tie-breaks —
+    * mirrored exactly by the oracle's window.
+    */
+  def annAdcTop5(s: SparkSession, d: String): DataFrame = {
+    val (codes, cb2) = pqModel(s, d)
+    import s.implicits._
+    val cbDf = (for (dim <- 0 until 64; code <- 0 until 8)
+      yield (dim.toLong, dim / 16L, code.toLong, cb2(dim)(code)))
+      .toDF("dim", "m", "code", "c")
+    val qcomps = Tables.embeddings(s, d).filter(col("vec_id") < 5)
+      .select(col("vec_id").as("query_id"),
+        posexplode(col("embedding")).as(Seq("dim", "v")))
+      .select(col("query_id"), col("dim").cast("long").as("dim"),
+        col("v").cast("double").as("v"))
+    val lut = qcomps.join(broadcast(cbDf), "dim")
+      .select(col("query_id"), col("m"), col("code"),
+        ((col("v") - col("c")) * (col("v") - col("c")))
+          .cast("decimal(18,12)").as("sq"))
+      .groupBy(col("query_id"), col("m"), col("code"))
+      .agg(sum(col("sq")).as("d2"))
+    val scored = codes.join(broadcast(lut), Seq("m", "code"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .groupBy(col("query_id"), col("vec_id"))
+      .agg(sum(col("d2")).as("dist"))
+      .select(col("query_id"), col("vec_id"),
+        (-col("dist").cast("double")).as("sim"))
+    graft.operators.Similarity.topKPerQuery(scored, 5)
+      .select(col("query_id"), col("rank").cast("long").as("rank"),
+        col("neighbor_id"), (-col("sim")).as("dist"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  val annAdcTop5Sql: String =
+    s"""WITH $pqCte,
+      |qc AS (
+      |  SELECT vec_id AS query_id,
+      |   CAST(generate_subscripts(embedding, 1) - 1 AS BIGINT) AS dim,
+      |   CAST(unnest(embedding) AS DOUBLE) AS v
+      |  FROM embeddings WHERE vec_id < 5),
+      |lut AS (
+      |  SELECT q.query_id, s.m, s.code,
+      |   sum(CAST((q.v - s.c) * (q.v - s.c) AS DECIMAL(18,12))) AS d2
+      |  FROM qc q JOIN cb2 s ON q.dim = s.dim
+      |  GROUP BY 1, 2, 3),
+      |adc AS (
+      |  SELECT l.query_id, c.vec_id, CAST(sum(l.d2) AS DOUBLE) AS dist
+      |  FROM codes c JOIN lut l ON c.m = l.m AND c.code = l.code
+      |  WHERE c.vec_id <> l.query_id
+      |  GROUP BY 1, 2),
+      |rk AS (
+      |  SELECT query_id, vec_id, dist,
+      |   row_number() OVER (PARTITION BY query_id ORDER BY dist, vec_id) AS rank
+      |  FROM adc)
+      |SELECT query_id, CAST(rank AS BIGINT) AS rank,
+      | vec_id AS neighbor_id, dist
+      |FROM rk WHERE rank <= 5
+      |ORDER BY query_id, rank""".stripMargin
 
   // ---------------------------------------------------------------
   // doc_hash_classifier: hashed-feature linear quality scorer
@@ -788,7 +875,8 @@ object QueriesOps {
     "q54_interval_join" -> (q54IntervalJoin _),
     "q55_ch_aggs" -> (q55ChAggs _),
     "doc_keyword_search" -> (docKeywordSearch _),
-    "q56_fk_audit" -> (q56FkAudit _))
+    "q56_fk_audit" -> (q56FkAudit _),
+    "ann_adc_top5" -> (annAdcTop5 _))
 
   val oracles: Map[String, String] = Map(
     "q51_sequence_match" -> q51SequenceMatchSql,
@@ -804,5 +892,6 @@ object QueriesOps {
     "q54_interval_join" -> q54IntervalJoinSql,
     "q55_ch_aggs" -> q55ChAggsSql,
     "doc_keyword_search" -> docKeywordSearchSql,
-    "q56_fk_audit" -> q56FkAuditSql)
+    "q56_fk_audit" -> q56FkAuditSql,
+    "ann_adc_top5" -> annAdcTop5Sql)
 }

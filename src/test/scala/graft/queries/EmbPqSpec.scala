@@ -64,6 +64,41 @@ class EmbPqSpec extends SparkSpec {
     assert(e1 < e0, "fixture should actually improve (seeds are raw samples)")
   }
 
+  test("ADC search recalls most true neighbors (approximation quality)") {
+    graft.GraftSession.tune(spark)
+    val adc = QueriesOps.annAdcTop5(spark, sfSmoke)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect()
+      .groupBy(_._1).map { case (q, ns) => q -> ns.map(_._2).toSet }
+    // exact truth: brute-force L2 top-5 per query
+    import org.apache.spark.sql.functions._
+    val emb = graft.tables.Tables.embeddings(spark, sfSmoke)
+      .select(col("vec_id"), col("embedding"))
+    val queries = emb.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+    val exact = emb.crossJoin(broadcast(queries))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"),
+        expr("""aggregate(zip_with(embedding, qv, (a, b) ->
+                (CAST(a AS DOUBLE) - CAST(b AS DOUBLE)) *
+                (CAST(a AS DOUBLE) - CAST(b AS DOUBLE))), 0.0D, (acc, x) -> acc + x)""")
+          .as("d2"))
+      .withColumn("rk", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(col("query_id")).orderBy(col("d2"), col("vec_id"))))
+      .filter(col("rk") <= 5)
+      .select("query_id", "vec_id").as[(Long, Long)].collect()
+      .groupBy(_._1).map { case (q, ns) => q -> ns.map(_._2).toSet }
+    val recalls = adc.map { case (q, got) =>
+      got.intersect(exact(q)).size.toDouble / 5.0 }
+    val mean = recalls.sum / recalls.size
+    // 4 subspaces x 8 codewords = 12-bit codes — a deliberately tiny
+    // demo quantizer over unclustered synthetic vectors. Chance
+    // recall@5 is 5/499 ~= 0.01; measured ADC recall is ~0.24 (24x
+    // chance). Assert the signal, not production recall (which needs
+    // K=256 x 8 subspaces and real cluster structure).
+    assert(mean >= 0.15, s"mean ADC recall@5 = $mean (chance ~0.01)")
+  }
+
   test("hash classifier: score is the exact sum of per-token weights") {
     val got = QueriesOps.docHashClassifier(spark, sfSmoke)
       .as[(Long, Long, Long, Long)].collect()

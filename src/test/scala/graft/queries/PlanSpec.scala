@@ -494,6 +494,14 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("Join") && !p.contains("CartesianProduct"), p.take(1200))
   }
 
+  test("ann_adc_top5: LUT broadcasts, ranking is the bounded heap, no corpus window") {
+    val p = plan(QueriesOps.annAdcTop5(spark, sfSmoke))
+    assert(p.contains("top_k_by_score"), p.take(1200))
+    assert(p.contains("BroadcastHashJoin"), p.take(1200))
+    assert(!p.contains("Window"),
+      "per-query ranking must be the bounded-heap aggregate\n" + p.take(1200))
+  }
+
   test("doc_rule_filter: compiled policy pushes into the parquet scan") {
     val p = plan(QueriesOps.docRuleFilter(spark, sfSmoke))
     assert(p.contains("PushedFilters") &&
