@@ -59,4 +59,102 @@ object Sinks {
         columnTypes.fold(w)(t => w.option("createTableColumnTypes", t))
           .jdbc(url, table, connProps)
       }
+
+  /** EXACTLY-once JDBC sink — the upgrade over [[jdbcBatch]]'s
+    * at-least-once contract (which duplicates a replayed batch). The
+    * standard `foreachBatch` staging-commit recipe:
+    *
+    *  1. a (query-scoped) LEDGER table records committed batch ids;
+    *     a replayed batch found in the ledger is skipped outright;
+    *  2. batch data lands in a per-batch STAGING table (overwrite —
+    *     a crash-leftover stage from a previous attempt is replaced,
+    *     never double-counted);
+    *  3. ONE driver-side RDBMS transaction moves staging → target
+    *     AND inserts the ledger row. The transaction is the
+    *     atomicity boundary: a crash before commit leaves only an
+    *     invisible staging table, a crash after it leaves the ledger
+    *     row that makes the replay a no-op. Duplicates are
+    *     impossible on any crash/replay interleaving.
+    *
+    * Scale note: step 3 is an INSERT..SELECT inside the warehouse —
+    * no data moves through the driver; the driver holds one
+    * connection for two statements. Staging cleanup is best-effort
+    * AFTER commit (an orphaned stage is garbage, not corruption).
+    */
+  def jdbcExactlyOnce(url: String, table: String, ledger: String,
+                      connProps: Properties, batchSize: Int = 100,
+                      maxConnections: Int = 10,
+                      columnTypes: Option[String] = None): (DataFrame, Long) => Unit =
+    (batch: DataFrame, batchId: Long) =>
+      if (!batch.isEmpty) {
+        stageBatch(batch, url, table, batchId, connProps, batchSize,
+          maxConnections, columnTypes)
+        commitStaged(url, table, ledger, batchId, connProps)
+      }
+
+  /** Step 2 alone (public so the crash-window spec can stop here). */
+  def stageBatch(batch: DataFrame, url: String, table: String, batchId: Long,
+                 connProps: Properties, batchSize: Int = 100,
+                 maxConnections: Int = 10,
+                 columnTypes: Option[String] = None): Unit = {
+    val w = batch.coalesce(maxConnections).write
+      .mode(SaveMode.Overwrite)
+      .option("batchsize", batchSize)
+    columnTypes.fold(w)(t => w.option("createTableColumnTypes", t))
+      .jdbc(url, stagingName(table, batchId), connProps)
+  }
+
+  private def stagingName(table: String, batchId: Long): String =
+    s"${table}_stage_$batchId"
+
+  /** Step 3: transactional staging → target + ledger mark; skips
+    * committed batches; drops the stage afterwards (best-effort).
+    */
+  def commitStaged(url: String, table: String, ledger: String,
+                   batchId: Long, connProps: Properties): Unit = {
+    val conn = java.sql.DriverManager.getConnection(url, connProps)
+    try {
+      def tableExists(name: String): Boolean = {
+        val rs = conn.getMetaData.getTables(null, null, name.toUpperCase, null)
+        try rs.next() finally rs.close()
+      }
+      val stage = stagingName(table, batchId)
+      if (!tableExists(ledger)) {
+        val st = conn.createStatement()
+        try st.executeUpdate(s"CREATE TABLE $ledger (batch_id BIGINT PRIMARY KEY)")
+        catch { case _: java.sql.SQLException => () } // racer created it
+        finally st.close()
+      }
+      val seen = {
+        val ps = conn.prepareStatement(s"SELECT 1 FROM $ledger WHERE batch_id = ?")
+        ps.setLong(1, batchId)
+        val rs = ps.executeQuery()
+        try rs.next() finally { rs.close(); ps.close() }
+      }
+      if (!seen) {
+        if (!tableExists(table)) {
+          // first batch creates the target with the staged shape
+          val st = conn.createStatement()
+          try st.executeUpdate(
+            s"CREATE TABLE $table AS SELECT * FROM $stage WITH NO DATA")
+          finally st.close()
+        }
+        conn.setAutoCommit(false)
+        val st = conn.createStatement()
+        try {
+          st.executeUpdate(s"INSERT INTO $table SELECT * FROM $stage")
+          st.executeUpdate(s"INSERT INTO $ledger (batch_id) VALUES ($batchId)")
+          conn.commit()
+        } catch { case e: Throwable => conn.rollback(); throw e }
+        finally { st.close(); conn.setAutoCommit(true) }
+      }
+      // cleanup outside the transaction: orphaned staging is harmless
+      if (tableExists(stage)) {
+        val st = conn.createStatement()
+        try st.executeUpdate(s"DROP TABLE $stage")
+        catch { case _: java.sql.SQLException => () }
+        finally st.close()
+      }
+    } finally conn.close()
+  }
 }
