@@ -20,11 +20,14 @@ import org.apache.spark.sql.functions._
   * skipping (re-asserted by EventsSinkSpec's checker post-compaction,
   * and re-verified here by row count before the swap). The rewrite
   * goes to a temp directory first; the swap happens only after the
-  * rewritten row count matches the source, so a failed job leaves
-  * the original intact. The directory rename is atomic on HDFS-like
-  * stores; object stores want a manifest-commit layer (Delta/
-  * Iceberg) instead of rename — out of scope here, the operator's
-  * shape is the same.
+  * rewritten row count matches the source, and the original is
+  * PARKED aside (rename) rather than deleted, so every failure
+  * window leaves a recoverable copy on disk — a pre-swap failure
+  * leaves the original in place, a mid-swap crash leaves it parked
+  * at `__compact_old`. Each individual rename is atomic on
+  * HDFS-like stores; object stores want a manifest-commit layer
+  * (Delta/Iceberg, or [[Snapshots]] here) instead of rename — out
+  * of scope here, the operator's shape is the same.
   */
 object Compaction {
 
@@ -34,11 +37,16 @@ object Compaction {
   case class CompactionStats(
       beforeFiles: Int, afterFiles: Int, rows: Long, bytes: Long)
 
-  private def fs(spark: SparkSession): FileSystem =
-    FileSystem.get(spark.sparkContext.hadoopConfiguration)
+  /** The path's OWN filesystem — `FileSystem.get(conf)` would return
+    * the default FS and silently operate on the wrong store when the
+    * table path carries a different scheme (e.g. a `file:/` table on
+    * an `hdfs://`-default cluster; review-caught).
+    */
+  private def fsFor(spark: SparkSession, path: String): FileSystem =
+    new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
 
   private def parquetFiles(spark: SparkSession, path: String): Seq[FileStatus] = {
-    val f = fs(spark)
+    val f = fsFor(spark, path)
     val p = new Path(path)
     if (!f.exists(p)) Seq.empty
     else {
@@ -67,7 +75,7 @@ object Compaction {
     val src = spark.read.parquet(path)
     val srcRows = src.count()
     val tmp = path.stripSuffix("/") + "__compact_tmp"
-    val f = fs(spark)
+    val f = fsFor(spark, path)
     f.delete(new Path(tmp), true)
     src
       .repartition(col(EventsSink.dayCol))
@@ -83,10 +91,23 @@ object Compaction {
     require(rewrittenRows == srcRows,
       s"compaction row mismatch: source $srcRows, rewritten $rewrittenRows — " +
         s"original left untouched at $path")
-    // swap: the original is only dropped after the verified rewrite
+    // swap via PARK-then-rename, never delete-then-rename: deleting
+    // the original first opened a window where a crash (or a failed
+    // cross-filesystem rename) lost the table with only the tmp copy
+    // left (review-caught). Parking the original aside keeps it
+    // recoverable through every window: a crash between the two
+    // renames leaves `path` absent but BOTH copies on disk; a failed
+    // tmp rename restores the original immediately.
     val dst = new Path(path)
-    f.delete(dst, true)
-    require(f.rename(new Path(tmp), dst), s"rename $tmp -> $path failed")
+    val old = new Path(path.stripSuffix("/") + "__compact_old")
+    f.delete(old, true) // leftover park from an earlier crash
+    require(f.rename(dst, old), s"park $path -> $old failed — original untouched")
+    if (!f.rename(new Path(tmp), dst)) {
+      require(f.rename(old, dst), s"rename AND restore failed — data parked at $old")
+      throw new IllegalStateException(
+        s"rename $tmp -> $path failed; original restored")
+    }
+    f.delete(old, true) // committed: drop the parked original
     val after = audit(spark, path)
     CompactionStats(before.files, after.files, srcRows, after.bytes)
   }

@@ -36,15 +36,25 @@ object Snapshots {
   private def manifest(dir: String, v: Long): Path =
     root(dir).resolve(f"_v$v%06d.manifest")
 
-  /** Largest committed version, or -1 for an empty/new table. */
+  /** Largest committed version, or -1 for an empty/new table.
+    * Streams are closed (they hold directory handles — leaking them
+    * exhausts fds on a long-lived driver); non-numeric `_v*.manifest`
+    * names (manual backups etc.) are ignored, not fatal.
+    */
   def currentVersion(dir: String): Long = {
     val r = root(dir)
     if (!Files.isDirectory(r)) -1L
-    else Files.list(r).iterator().asScala
-      .map(_.getFileName.toString)
-      .collect { case n if n.startsWith("_v") && n.endsWith(".manifest") =>
-        n.stripPrefix("_v").stripSuffix(".manifest").toLong }
-      .foldLeft(-1L)(math.max)
+    else {
+      val s = Files.list(r)
+      try s.iterator().asScala
+        .map(_.getFileName.toString)
+        .collect { case n if n.startsWith("_v") && n.endsWith(".manifest") =>
+          n.stripPrefix("_v").stripSuffix(".manifest") }
+        .filter(v => v.nonEmpty && v.forall(_.isDigit))
+        .map(_.toLong)
+        .foldLeft(-1L)(math.max)
+      finally s.close()
+    }
   }
 
   /** Commit `df` as the next version. `expectedVersion` (if given)
@@ -60,10 +70,13 @@ object Snapshots {
     val v = cur + 1
     val dataDir = root(dir).resolve("data").resolve(f"v$v%06d")
     df.write.mode("errorifexists").parquet(dataDir.toString)
-    val files = Files.walk(dataDir).iterator().asScala
-      .filter(p => p.toString.endsWith(".parquet") && Files.isRegularFile(p))
-      .map(p => root(dir).relativize(p).toString)
-      .toSeq.sorted
+    val walk = Files.walk(dataDir)
+    val files =
+      try walk.iterator().asScala
+        .filter(p => p.toString.endsWith(".parquet") && Files.isRegularFile(p))
+        .map(p => root(dir).relativize(p).toString)
+        .toSeq.sorted
+      finally walk.close()
     require(files.nonEmpty || df.isEmpty, s"no data files written under $dataDir")
     // write-then-rename: the manifest appears atomically or not at all
     val tmp = root(dir).resolve(f"_v$v%06d.manifest.tmp")

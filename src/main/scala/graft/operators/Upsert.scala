@@ -6,7 +6,8 @@ import org.apache.spark.sql.functions._
 /** Partition-scoped keyed upsert for the [[EventsSink]] layout — the
   * MERGE-INTO analog on plain parquet: replace-or-insert rows keyed
   * by an id column, rewriting ONLY the day partitions the updates
-  * touch. At 100 TB this is the difference between a maintenance
+  * touch (plus, when keys may move across days, the partitions that
+  * currently hold an updated key — see `keysMayChangeDay`). At 100 TB this is the difference between a maintenance
   * job that rewrites gigabytes (the affected days) and one that
   * rewrites the table: the anti-join runs against the
   * partition-PRUNED slice of the table, and Spark's dynamic
@@ -35,17 +36,39 @@ object Upsert {
   /** @param updates rows to upsert; must carry the table's schema
     *                (day derived from `ts` if absent)
     * @param keyCol  unique row key (e.g. event_id)
+    * @param keysMayChangeDay when an update moves a key to a
+    *   DIFFERENT day (e.g. a timestamp correction), the key's old row
+    *   lives in a partition the update days alone would never prune
+    *   to — and would survive as a stale duplicate (review-caught).
+    *   Default true: one extra key+day-column scan of the table finds
+    *   every partition holding an updated key, and those partitions
+    *   join the rewrite set. Deployments whose day derives from an
+    *   IMMUTABLE event time can pass false to skip that scan and keep
+    *   the pure update-day pruning.
     */
   def upsertByKey(spark: SparkSession, path: String, updates: DataFrame,
-                  keyCol: String): UpsertStats = {
+                  keyCol: String, keysMayChangeDay: Boolean = true): UpsertStats = {
     val dayCol = EventsSink.dayCol
     val up =
       (if (updates.columns.contains(dayCol)) updates
        else updates.withColumn(dayCol, date_format(col("ts"), "yyyy-MM-dd")))
         .withColumn(dayCol, col(dayCol).cast("string"))
-    val days = up.select(col(dayCol)).distinct()
-      .collect().map(_.getString(0)).toSeq.sorted
-    require(days.nonEmpty, "no updates to apply")
+    val updateDays = up.select(col(dayCol)).distinct()
+      .collect().map(_.getString(0)).toSeq
+    require(updateDays.nonEmpty, "no updates to apply")
+    val days: Seq[String] =
+      (if (!keysMayChangeDay) updateDays
+       else {
+         // every partition currently holding one of the updated keys —
+         // a key+day projection over the table (columnar: two thin
+         // columns), not a data rewrite
+         val holding = spark.read.parquet(path)
+           .withColumn(dayCol, col(dayCol).cast("string"))
+           .join(broadcast(up.select(col(keyCol))), Seq(keyCol), "left_semi")
+           .select(col(dayCol)).distinct()
+           .collect().map(_.getString(0)).toSeq
+         (updateDays ++ holding).distinct
+       }).sorted
 
     // partition inference types `day=` directories as DATE — pin the
     // column back to the writer's string form so the union and the
@@ -66,6 +89,14 @@ object Upsert {
     // files the write below replaces
     val survivorCount = survivors.count()
     val upCount = up.count()
+    // dynamic overwrite only replaces partitions PRESENT in the
+    // output — an affected day whose every row was consumed by a
+    // key-move would keep its stale directory. Find such days now
+    // (from the materialized merged slice) and drop them after the
+    // write.
+    val nonEmptyDays = merged.select(col(dayCol)).distinct()
+      .collect().map(_.getString(0)).toSet
+    val emptiedDays = days.filterNot(nonEmptyDays)
     val prev = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
     try {
@@ -79,6 +110,13 @@ object Upsert {
           spark.conf.set("spark.sql.sources.partitionOverwriteMode", v)
         case None =>
           spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
+      }
+    }
+    if (emptiedDays.nonEmpty) {
+      val root = new org.apache.hadoop.fs.Path(path)
+      val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      emptiedDays.foreach { d =>
+        fs.delete(new org.apache.hadoop.fs.Path(root, s"$dayCol=$d"), true)
       }
     }
     UpsertStats(days, upCount, survivorCount)

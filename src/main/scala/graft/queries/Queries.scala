@@ -31,11 +31,11 @@ object Queries {
     */
   val receivedAtMicros = 1704067200000000L
 
-  private def ev(s: SparkSession, d: String): DataFrame = {
+  private[queries] def ev(s: SparkSession, d: String): DataFrame = {
     GraftSession.tune(s)
     Tables.eventsNorm(s, d)
   }
-  private def docs(s: SparkSession, d: String): DataFrame = {
+  private[queries] def docs(s: SparkSession, d: String): DataFrame = {
     GraftSession.tune(s)
     Tables.documents(s, d)
   }
@@ -853,7 +853,8 @@ object Queries {
     val head =
       s"""wf AS MATERIALIZED (SELECT word, CAST(count(*) AS BIGINT) AS freq FROM (
          |  SELECT lower(unnest(regexp_extract_all(text, '[A-Za-z0-9]+'))) AS word
-         |  FROM documents) GROUP BY word),
+         |  FROM documents) GROUP BY word
+         |  ORDER BY freq DESC, word LIMIT ${graft.operators.Bpe.DefaultTopWords}),
          |enc0 AS MATERIALIZED (SELECT '|' || array_to_string(
          |    list_transform(regexp_extract_all(word, '.'), c -> lower(hex(c))), '|') AS e,
          |  freq FROM wf),

@@ -17,14 +17,10 @@ import graft.tables.Tables
   */
 object QueriesOps {
 
-  private def ev(s: SparkSession, d: String): DataFrame = {
-    GraftSession.tune(s)
-    Tables.eventsNorm(s, d)
-  }
-  private def docs(s: SparkSession, d: String): DataFrame = {
-    GraftSession.tune(s)
-    Tables.documents(s, d)
-  }
+  // the tune-and-load helpers are shared with Queries (review-caught
+  // duplication: two copies would drift apart silently)
+  private def ev(s: SparkSession, d: String): DataFrame = Queries.ev(s, d)
+  private def docs(s: SparkSession, d: String): DataFrame = Queries.docs(s, d)
 
   // ---------------------------------------------------------------
   // q51: sequenceMatch / sequenceCount (ClickHouse parametric aggs)

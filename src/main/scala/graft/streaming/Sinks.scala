@@ -114,8 +114,23 @@ object Sinks {
                    batchId: Long, connProps: Properties): Unit = {
     val conn = java.sql.DriverManager.getConnection(url, connProps)
     try {
+      // fold the name the way THIS database stores unquoted
+      // identifiers (Derby/Oracle upper, Postgres/MySQL lower) and
+      // escape '_' — it is a single-char wildcard in getTables
+      // patterns, so 'events_ledger' would otherwise also match
+      // 'eventsXledger' (review-caught; the previous unconditional
+      // toUpperCase broke every lowercase-folding RDBMS on batch 1)
+      val md = conn.getMetaData
       def tableExists(name: String): Boolean = {
-        val rs = conn.getMetaData.getTables(null, null, name.toUpperCase, null)
+        val folded =
+          if (md.storesUpperCaseIdentifiers) name.toUpperCase
+          else if (md.storesLowerCaseIdentifiers) name.toLowerCase
+          else name
+        val esc = md.getSearchStringEscape
+        val pattern =
+          if (esc == null || esc.isEmpty) folded
+          else folded.replace(esc, esc + esc).replace("_", esc + "_")
+        val rs = md.getTables(null, null, pattern, null)
         try rs.next() finally rs.close()
       }
       val stage = stagingName(table, batchId)

@@ -22,7 +22,10 @@ import org.apache.spark.unsafe.types.UTF8String
   * e.g. CommonCrawl-style normalizers):
   *  1. scheme and host lowercase; only http/https are URLs (NULL
   *     otherwise — pipelines filter, not crash);
-  *  2. a leading `www.` label and a trailing host dot are dropped;
+  *  2. EVERY leading `www.` label and a trailing host dot are
+  *     dropped (all of them — one-shot stripping would make the
+  *     function non-idempotent on `www.www.` hosts, breaking the
+  *     CollapseIdempotentCalls optimizer rule's soundness);
   *  3. the scheme-default port (`:80` http, `:443` https) is
   *     dropped, any other explicit port kept;
   *  4. the fragment is dropped;
@@ -109,7 +112,7 @@ object UrlFunctions {
     if (p == null) return null
     val scheme = p(0)
     var host = p(1)
-    if (host.startsWith("www.") && host.length > 4) host = host.substring(4)
+    while (host.startsWith("www.") && host.length > 4) host = host.substring(4)
     val defaultPort = if (scheme == "http") "80" else "443"
     val port = if (p(2).isEmpty || p(2) == defaultPort) "" else ":" + p(2)
     var path = p(3)
@@ -128,16 +131,20 @@ object UrlFunctions {
       val p = parse(s)
       if (p == null) null
       else {
-        val h = p(1)
-        if (h.startsWith("www.") && h.length > 4) h.substring(4) else h
+        var h = p(1)
+        while (h.startsWith("www.") && h.length > 4) h = h.substring(4)
+        h
       }
     } else {
       val h = s.toLowerCase(java.util.Locale.ROOT).stripSuffix(".")
       // bare-host path: require hostname-legal characters only
       if (h.isEmpty ||
           !h.forall(c => c.isLetterOrDigit || c == '-' || c == '.' || c == '_')) null
-      else if (h.startsWith("www.") && h.length > 4) h.substring(4)
-      else h
+      else {
+        var hh = h
+        while (hh.startsWith("www.") && hh.length > 4) hh = hh.substring(4)
+        hh
+      }
     }
 
   /** eTLD+1: longest matching multi-part suffix plus one label, else

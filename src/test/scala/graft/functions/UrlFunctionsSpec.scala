@@ -22,6 +22,17 @@ class UrlFunctionsSpec extends SparkSpec {
     assert(canon("https://example.com") === "https://example.com/")
   }
 
+  test("EVERY leading www label strips — required for idempotence (review-caught)") {
+    // one-shot stripping made canonicalize non-idempotent on
+    // 'www.www.' hosts, which silently changed results under the
+    // CollapseIdempotentCalls optimizer rule
+    assert(canon("http://www.www.example.com/") === "http://example.com/")
+    assert(canon(canon("http://www.www.example.com/"))
+      === canon("http://www.www.example.com/"))
+    assert(UrlFunctions.host("www.www.example.com") === "example.com")
+    assert(UrlFunctions.host("https://www.www.example.com/x") === "example.com")
+  }
+
   test("non-default ports survive; path case survives") {
     assert(canon("http://example.com:443/A/B") === "http://example.com:443/A/B")
     assert(canon("https://example.com:80/x") === "https://example.com:80/x")

@@ -81,6 +81,64 @@ class UpsertSpec extends SparkSpec {
     assert(rows.zip(rows.tail).forall { case (a, b) => a <= b })
   }
 
+  test("a key moved to a DIFFERENT day leaves no stale duplicate (review-caught)") {
+    val path = freshTable()
+    val before = spark.read.parquet(path)
+    val victim = before.filter(col("day") === "2024-01-15")
+      .orderBy(col("event_id")).limit(1).collect().head
+    val key = victim.getAs[Long]("event_id")
+    // timestamp correction: same key, shifted 3 days
+    val moved = before.filter(col("event_id") === key)
+      .withColumn("ts", col("ts") + expr("INTERVAL 3 DAYS"))
+      .withColumn("day", date_format(col("ts"), "yyyy-MM-dd"))
+      .withColumn("value", lit(777.5))
+    val newDay = moved.select("day").as[String].head()
+    assert(newDay !== "2024-01-15")
+
+    val stats = Upsert.upsertByKey(spark, path, moved, "event_id")
+    assert(stats.affectedDays.toSet === Set("2024-01-15", newDay),
+      "the old partition holding the key must join the rewrite set")
+    val after = spark.read.parquet(path)
+    val copies = after.filter(col("event_id") === key)
+      .select(col("day").cast("string"), col("value")).as[(String, Double)].collect()
+    assert(copies.toSeq === Seq((newDay, 777.5)),
+      "exactly one copy, in the new day")
+  }
+
+  test("keysMayChangeDay=false is the documented fast-path trade: stale copy survives") {
+    val path = freshTable()
+    val before = spark.read.parquet(path)
+    val key = before.filter(col("day") === "2024-01-15")
+      .orderBy(col("event_id")).limit(1).collect().head.getAs[Long]("event_id")
+    val moved = before.filter(col("event_id") === key)
+      .withColumn("ts", col("ts") + expr("INTERVAL 3 DAYS"))
+      .withColumn("day", date_format(col("ts"), "yyyy-MM-dd"))
+    Upsert.upsertByKey(spark, path, moved, "event_id", keysMayChangeDay = false)
+    assert(spark.read.parquet(path).filter(col("event_id") === key).count() === 2,
+      "without the holding scan the old-day copy is out of pruning reach")
+  }
+
+  test("a day emptied by a key-move is dropped, not left stale") {
+    val path = freshTable()
+    val template = spark.read.parquet(path).limit(1)
+    // seed a brand-new day holding exactly one (new) key
+    val seeded = template
+      .withColumn("event_id", lit(900000777L))
+      .withColumn("ts", to_timestamp(lit("2030-01-01 12:00:00")))
+      .withColumn("day", lit("2030-01-01"))
+    Upsert.upsertByKey(spark, path, seeded, "event_id")
+    assert(spark.read.parquet(path).filter(col("day") === "2030-01-01").count() === 1)
+    // move that lone key elsewhere: 2030-01-01 becomes empty
+    val moved = seeded
+      .withColumn("ts", to_timestamp(lit("2030-02-02 12:00:00")))
+      .withColumn("day", lit("2030-02-02"))
+    Upsert.upsertByKey(spark, path, moved, "event_id")
+    val after = spark.read.parquet(path)
+    assert(after.filter(col("event_id") === 900000777L)
+      .select(col("day").cast("string")).as[String].collect().toSeq === Seq("2030-02-02"))
+    assert(after.filter(col("day") === "2030-01-01").count() === 0)
+  }
+
   test("empty updates are refused loudly") {
     val path = freshTable()
     val empty = spark.read.parquet(path).limit(0)
