@@ -854,6 +854,85 @@ object QueriesOps {
       |ORDER BY check_name""".stripMargin
 
   // ---------------------------------------------------------------
+  // q57/q58: remaining correlated-subquery decorrelation paths
+  // ---------------------------------------------------------------
+
+  /** Correlated SCALAR subquery through the `spark.sql` entry point —
+    * the decorrelation path q16's EXISTS does not exercise (a scalar
+    * agg subquery rewrites to an aggregate + left outer join, not a
+    * semi-join): orders whose total price runs above 20x their own
+    * lineitems' average extended price. NULL semantics ride along: an
+    * order with no lineitems has a NULL subquery value, and `>` over
+    * NULL filters it — identically in both engines.
+    */
+  def q57ScalarSubquery(s: SparkSession, d: String): DataFrame = {
+    GraftSession.tune(s)
+    Tables.orders(s, d).createOrReplaceTempView("orders_v57")
+    Tables.lineitem(s, d).createOrReplaceTempView("lineitem_v57")
+    s.sql("""
+      SELECT o_orderkey, o_totalprice
+      FROM orders_v57 o
+      WHERE o_totalprice > (
+        SELECT 20.0 * CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+               / count(l_extendedprice)
+        FROM lineitem_v57 l WHERE l.l_orderkey = o.o_orderkey)
+      ORDER BY o_orderkey""")
+  }
+
+  val q57ScalarSubquerySql: String =
+    """SELECT o_orderkey, o_totalprice
+      |FROM orders o
+      |WHERE o_totalprice > (
+      |  SELECT 20.0 * CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+      |         / count(l_extendedprice)
+      |  FROM lineitem l WHERE l.l_orderkey = o.o_orderkey)
+      |ORDER BY o_orderkey""".stripMargin
+
+  /** LATERAL correlated derived table (SQL:1999; Spark 3.2+ supports
+    * it natively): each region's top revenue nation, computed by a
+    * per-row correlated subquery with its own ORDER BY/LIMIT — the
+    * "top-1 per group via LATERAL" idiom. Deterministic: ties break
+    * on nation name inside the LATERAL's own ordering.
+    */
+  def q58LateralTopk(s: SparkSession, d: String): DataFrame = {
+    GraftSession.tune(s)
+    Tables.region(s, d).createOrReplaceTempView("region_v58")
+    Tables.nation(s, d).createOrReplaceTempView("nation_v58")
+    Tables.customer(s, d).createOrReplaceTempView("customer_v58")
+    Tables.orders(s, d).createOrReplaceTempView("orders_v58")
+    s.sql("""
+      SELECT r.r_name, t.n_name,
+             CAST(t.revenue AS DOUBLE) AS revenue
+      FROM region_v58 r,
+      LATERAL (
+        SELECT n.n_name,
+               sum(CAST(o.o_totalprice AS DECIMAL(18,2))) AS revenue
+        FROM nation_v58 n
+        JOIN customer_v58 c ON c.c_nationkey = n.n_nationkey
+        JOIN orders_v58 o ON o.o_custkey = c.c_custkey
+        WHERE n.n_regionkey = r.r_regionkey
+        GROUP BY n.n_name
+        ORDER BY revenue DESC, n.n_name
+        LIMIT 1) t
+      ORDER BY r.r_name""")
+  }
+
+  val q58LateralTopkSql: String =
+    """SELECT r.r_name, t.n_name, CAST(t.revenue AS DOUBLE) AS revenue
+      |FROM region r,
+      |LATERAL (
+      |  SELECT n.n_name,
+      |         sum(CAST(o.o_totalprice AS DECIMAL(18,2))) AS revenue
+      |  FROM nation n
+      |  JOIN customer c ON c.c_nationkey = n.n_nationkey
+      |  JOIN orders o ON o.o_custkey = c.c_custkey
+      |  WHERE n.n_regionkey = r.r_regionkey
+      |  GROUP BY n.n_name
+      |  ORDER BY revenue DESC, n.n_name
+      |  LIMIT 1) t
+      |ORDER BY r.r_name""".stripMargin
+
+  // ---------------------------------------------------------------
   // Registry (merged into Queries.all / Queries.oracles)
   // ---------------------------------------------------------------
 
@@ -872,7 +951,9 @@ object QueriesOps {
     "q55_ch_aggs" -> (q55ChAggs _),
     "doc_keyword_search" -> (docKeywordSearch _),
     "q56_fk_audit" -> (q56FkAudit _),
-    "ann_adc_top5" -> (annAdcTop5 _))
+    "ann_adc_top5" -> (annAdcTop5 _),
+    "q57_scalar_subquery" -> (q57ScalarSubquery _),
+    "q58_lateral_topk" -> (q58LateralTopk _))
 
   val oracles: Map[String, String] = Map(
     "q51_sequence_match" -> q51SequenceMatchSql,
@@ -889,5 +970,7 @@ object QueriesOps {
     "q55_ch_aggs" -> q55ChAggsSql,
     "doc_keyword_search" -> docKeywordSearchSql,
     "q56_fk_audit" -> q56FkAuditSql,
-    "ann_adc_top5" -> annAdcTop5Sql)
+    "ann_adc_top5" -> annAdcTop5Sql,
+    "q57_scalar_subquery" -> q57ScalarSubquerySql,
+    "q58_lateral_topk" -> q58LateralTopkSql)
 }
