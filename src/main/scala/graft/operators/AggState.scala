@@ -40,13 +40,17 @@ object AggState {
 
   /** Merge state rows down to `keys` (dropping the shard or any
     * prefix of it). count-of-counts is a sum; min-of-mins / max-of-
-    * maxes compose; the DECIMAL sums add exactly.
+    * maxes compose; the DECIMAL sums add exactly. The merged sum
+    * keeps Spark's widened DECIMAL(28,2) — casting it back down to
+    * (18,2) would, under non-ANSI mode, turn an overflow into a
+    * silent NULL and break the documented exactness guarantee
+    * (review-caught).
     */
   def merge(states: DataFrame, keys: Seq[String]): DataFrame =
     states.groupBy(keys.map(col): _*)
       .agg(
         sum(col("st_n")).as("n"),
-        sum(col("st_sum")).cast("decimal(18,2)").as("sum_value"),
+        sum(col("st_sum")).as("sum_value"),
         min(col("st_min")).as("min_value"),
         max(col("st_max")).as("max_value"))
 }

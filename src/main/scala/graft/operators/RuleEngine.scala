@@ -42,7 +42,11 @@ object RuleEngine {
 
   private def lit0(v: JValue): Column = v match {
     case JString(s) => lit(s)
-    case JInt(i) => lit(i.longValue)
+    case JInt(i) =>
+      // .longValue on an out-of-Long-range BigInt silently truncates —
+      // a policy typo must fail at submit time, not filter wrongly
+      if (!i.isValidLong) fail(s"integer literal out of BIGINT range: $i")
+      lit(i.longValue)
     case JLong(i) => lit(i)
     case JDouble(d) => lit(d)
     case JDecimal(d) => lit(d.doubleValue)

@@ -147,17 +147,53 @@ object Sinks {
         try rs.next() finally { rs.close(); ps.close() }
       }
       if (!seen) {
+        // column list read from the STAGE's own metadata (ordinal
+        // order): the INSERT below names its columns explicitly, so a
+        // later batch whose DataFrame happens to serialize its columns
+        // in a different order still lands by NAME, never by position
+        // (review-caught positional assumption)
+        def columnsOf(name: String): Seq[String] = {
+          val folded =
+            if (md.storesUpperCaseIdentifiers) name.toUpperCase
+            else if (md.storesLowerCaseIdentifiers) name.toLowerCase
+            else name
+          // same '_'-wildcard escaping as tableExists above
+          val esc = md.getSearchStringEscape
+          val pattern =
+            if (esc == null || esc.isEmpty) folded
+            else folded.replace(esc, esc + esc).replace("_", esc + "_")
+          val rs = md.getColumns(null, null, pattern, null)
+          val out = scala.collection.mutable.ArrayBuffer[(Int, String)]()
+          try while (rs.next())
+            out += ((rs.getInt("ORDINAL_POSITION"), rs.getString("COLUMN_NAME")))
+          finally rs.close()
+          out.sortBy(_._1).map(_._2).toSeq
+        }
+        // Spark's JDBC writer QUOTES identifiers at CREATE time, so
+        // the stage's columns are stored case-sensitively ("id", not
+        // ID) — the explicit lists below must quote them the same way
+        // or the database case-folds the reference and misses
+        val q = Option(md.getIdentifierQuoteString).filter(_.trim.nonEmpty)
+        def quoted(c: String): String =
+          q.fold(c)(qq => qq + c.replace(qq, qq + qq) + qq)
         if (!tableExists(table)) {
-          // first batch creates the target with the staged shape
+          // first batch creates the target with the staged shape.
+          // Dialect note: `CREATE TABLE .. AS SELECT .. WITH NO DATA`
+          // is SQL:2008 and covers the runtime-verified Derby plus
+          // Postgres; MySQL/SQLite reject it — deployments on those
+          // dialects pre-create the target table (the sink then never
+          // takes this branch; everything else below is portable).
           val st = conn.createStatement()
           try st.executeUpdate(
             s"CREATE TABLE $table AS SELECT * FROM $stage WITH NO DATA")
           finally st.close()
         }
+        val cols = columnsOf(stage).map(quoted).mkString(", ")
         conn.setAutoCommit(false)
         val st = conn.createStatement()
         try {
-          st.executeUpdate(s"INSERT INTO $table SELECT * FROM $stage")
+          st.executeUpdate(
+            s"INSERT INTO $table ($cols) SELECT $cols FROM $stage")
           st.executeUpdate(s"INSERT INTO $ledger (batch_id) VALUES ($batchId)")
           conn.commit()
         } catch { case e: Throwable => conn.rollback(); throw e }
