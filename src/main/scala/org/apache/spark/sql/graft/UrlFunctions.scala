@@ -42,11 +42,11 @@ import org.apache.spark.unsafe.types.UTF8String
   */
 object UrlFunctions {
 
-  /** Multi-part public suffixes recognized by [[registeredDomain]].
-    * A deliberately tiny embedded subset of the public-suffix list —
-    * the full Mozilla PSL is a data file a production deployment
-    * would broadcast; the algorithm (longest-suffix match, then one
-    * more label) is the real one.
+  /** Multi-part public suffixes in the EMBEDDED fallback list — used
+    * only when no PSL data file is configured. Production wires the
+    * full Mozilla PSL via `graft.psl.path` / `GRAFT_PSL_PATH`; see
+    * [[PublicSuffixList]] for the deploy shape and the full rule
+    * grammar (wildcards, exceptions) the matcher supports.
     */
   private[graft] val multiPartSuffixes: Set[String] = Set(
     "co.uk", "org.uk", "ac.uk", "gov.uk",
@@ -147,19 +147,31 @@ object UrlFunctions {
       }
     }
 
-  /** eTLD+1: longest matching multi-part suffix plus one label, else
-    * the last two labels. IP literals and single-label hosts return
-    * as-is. Accepts a URL or a bare host. */
+  /** eTLD+1 under [[PublicSuffixList.active]] (full publicsuffix.org
+    * matching: longest rule, wildcards, exceptions, implicit `*`
+    * default). IP literals, single-label hosts, and hosts that ARE a
+    * public suffix return as-is (totality over PSL's "no registrable
+    * domain" — a canonicalizer that nulls 0.1% of a crawl is
+    * useless, same stance as [[parse]]). Accepts a URL or a bare
+    * host. */
   def registeredDomain(s: String): String = {
     val h = host(s)
     if (h == null) return null
     val labels = h.split('.')
-    if (labels.length <= 2) return h
+    if (labels.length <= 1) return h
     if (labels.forall(l => l.nonEmpty && l.forall(_.isDigit))) return h // IPv4
-    val lastTwo = labels(labels.length - 2) + "." + labels(labels.length - 1)
-    if (multiPartSuffixes.contains(lastTwo) && labels.length >= 3)
-      labels(labels.length - 3) + "." + lastTwo
-    else lastTwo
+    val sfx = PublicSuffixList.active.suffixLabels(labels)
+    if (sfx + 1 > labels.length) h
+    else {
+      var i = labels.length - sfx - 1
+      val sb = new java.lang.StringBuilder
+      while (i < labels.length) {
+        if (sb.length > 0) sb.append('.')
+        sb.append(labels(i))
+        i += 1
+      }
+      sb.toString
+    }
   }
 }
 

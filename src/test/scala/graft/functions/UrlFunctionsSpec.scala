@@ -103,6 +103,66 @@ class UrlFunctionsSpec extends SparkSpec {
     assert(rows(2).isNullAt(0) && rows(2).isNullAt(1) && rows(2).isNullAt(2))
   }
 
+  test("PSL data file: full rule grammar — comments, multi-part, wildcard, exception") {
+    import org.apache.spark.sql.graft.PublicSuffixList
+    val psl = java.nio.file.Files.createTempFile("graft-psl", ".dat")
+    java.nio.file.Files.write(psl,
+      """// ===BEGIN ICANN DOMAINS===
+        |com
+        |uk
+        |co.uk
+        |ck   trailing-junk-after-whitespace-ignored
+        |*.ck
+        |!www.ck
+        |jp
+        |kobe.jp
+        |*.kobe.jp
+        |!city.kobe.jp
+        |""".stripMargin.getBytes("UTF-8"))
+    PublicSuffixList.install(PublicSuffixList.load(psl.toString))
+    try {
+      // exact multi-part: longest rule wins over 'uk'
+      assert(dom("deep.sub.example.co.uk") === "example.co.uk")
+      // wildcard: every label under ck is a public suffix
+      assert(dom("foo.bar.x.ck") === "bar.x.ck")
+      // exception beats the wildcard: www.ck IS registrable
+      assert(dom("sub.www.ck") === "www.ck")
+      // (the bare host "www.ck" is out of reach here by design: the
+      // canonicalizer strips EVERY leading www label before the PSL
+      // sees the host, so it arrives as "ck" — rule 2 of canonicalize)
+      assert(dom("www.ck") === "ck")
+      // the canonical kobe.jp triple from the PSL spec examples
+      assert(dom("a.b.ide.kobe.jp") === "b.ide.kobe.jp") // *.kobe.jp
+      assert(dom("x.city.kobe.jp") === "city.kobe.jp")   // !city.kobe.jp
+      assert(dom("y.kobe.jp") === "y.kobe.jp")           // exact kobe.jp
+      // unlisted TLD: implicit '*' default rule
+      assert(dom("a.b.example.zz") === "example.zz")
+    } finally {
+      PublicSuffixList.reset() // back to property/env/embedded resolution
+      java.nio.file.Files.deleteIfExists(psl)
+    }
+  }
+
+  test("PSL resolution: graft.psl.path property activates a file; missing file fails loudly") {
+    import org.apache.spark.sql.graft.PublicSuffixList
+    val psl = java.nio.file.Files.createTempFile("graft-psl", ".dat")
+    java.nio.file.Files.write(psl, "com.example\n".getBytes("UTF-8"))
+    try {
+      System.setProperty("graft.psl.path", psl.toString)
+      PublicSuffixList.reset()
+      assert(dom("a.b.com.example") === "b.com.example")
+      System.setProperty("graft.psl.path", "/nonexistent/psl.dat")
+      PublicSuffixList.reset()
+      intercept[IllegalArgumentException](dom("a.b.com"))
+    } finally {
+      System.clearProperty("graft.psl.path")
+      PublicSuffixList.reset()
+      java.nio.file.Files.deleteIfExists(psl)
+    }
+    // embedded fallback restored
+    assert(dom("deep.sub.example.co.uk") === "example.co.uk")
+  }
+
   test("SQL registration: canonical_url/url_host/registered_domain callable from spark.sql") {
     graft.GraftSession.tune(spark)
     val r = spark.sql(
