@@ -931,6 +931,55 @@ object Queries {
        |ORDER BY d.doc_id""".stripMargin
   }
 
+  /** BPE id-sequence emission — the data a training pipeline actually
+    * consumes ([[org.apache.spark.sql.graft.BpeTokenIds]]): per doc,
+    * the ordered `array<int>` of subword-token ids under the
+    * deterministic vocabulary (a..z = 0..25, 0..9 = 26..35, merge
+    * rank t = 35 + t). The registered result renders the array as a
+    * CSV string so the cross-engine hash compares byte-for-byte; the
+    * real operator output stays the int array (packing/bucketing
+    * feed from it — BpeSpec proves `size(ids) == bpe_token_count`).
+    * The oracle recomputes the sequences closed-form: per word,
+    * encode to symbol ids, apply the K learned merges as the same
+    * sequential replaces the other BPE oracles use, then map each
+    * surviving symbol id to its vocabulary id.
+    */
+  def docBpeIds(s: SparkSession, d: String): DataFrame = {
+    GraftSession.tune(s)
+    val merges = graft.operators.Bpe.train(
+      graft.operators.Bpe.wordFreqs(docs(s, d)))
+    docs(s, d)
+      .select(col("doc_id"),
+        org.apache.spark.sql.graft.BpeTokenIds(col("text"), merges).as("ids"))
+      .select(col("doc_id"),
+        concat_ws(",", col("ids").cast("array<string>")).as("token_ids"))
+      .orderBy(col("doc_id"))
+  }
+
+  val docBpeIdsSql: String = {
+    val k = graft.operators.Bpe.DefaultMerges
+    val aliases = (1 to k).map(t => s"m$t g$t").mkString(", ")
+    val enc = "'|' || array_to_string(list_transform(" +
+      "regexp_extract_all(lower(w), '.'), c -> lower(hex(c))), '|')"
+    val applied = (1 to k).foldLeft(enc) { (acc, t) =>
+      s"replace($acc, '|' || g$t.l || '|' || g$t.r, '|${graft.operators.Bpe.mergeId(t)}')"
+    }
+    val baseIds = (('a' to 'z') ++ ('0' to '9'))
+      .map(c => s"'${graft.operators.Bpe.charId(c)}'").mkString(", ")
+    // DuckDB array_to_string([]) is NULL (vs Spark's '') — coalesce
+    s"""WITH ${bpeTrainCtesSql(k)}
+       |SELECT d.doc_id, coalesce(array_to_string(
+       |  list_transform(regexp_extract_all(d.text, '[A-Za-z0-9]+'),
+       |    w -> array_to_string(
+       |      list_transform(string_split(substr($applied, 2), '|'),
+       |        id -> CAST(CASE WHEN id LIKE 'm%'
+       |                        THEN 35 + CAST(substr(id, 2) AS INT)
+       |                        ELSE list_position([$baseIds], id) - 1
+       |                   END AS VARCHAR)), ',')), ','), '') AS token_ids
+       |FROM documents d, $aliases
+       |ORDER BY d.doc_id""".stripMargin
+  }
+
   // ---------------------------------------------------------------
   // Event-time windows / sessionization (Structured Streaming's
   // window operators, exercised in batch for the oracle; the
@@ -4308,6 +4357,7 @@ object Queries {
     "dup_domain_matrix" -> (dupDomainMatrix _),
     "doc_bpe_vocab" -> (docBpeVocab _),
     "doc_bpe_apply" -> (docBpeApply _),
+    "doc_bpe_ids" -> (docBpeIds _),
     "doc_normalize" -> (docNormalize _),
     "media_decode" -> (mediaDecode _),
     "media_resize" -> (mediaResize _),
@@ -4415,6 +4465,7 @@ object Queries {
     "dup_domain_matrix" -> dupDomainMatrixSql,
     "doc_bpe_vocab" -> docBpeVocabSql,
     "doc_bpe_apply" -> docBpeApplySql,
+    "doc_bpe_ids" -> docBpeIdsSql,
     "doc_normalize" -> docNormalizeSql,
     "media_decode" -> mediaDecodeSql,
     "media_resize" -> mediaResizeSql,

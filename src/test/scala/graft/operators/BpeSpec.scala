@@ -98,6 +98,40 @@ class BpeSpec extends SparkSpec {
     assert(out === (10 * 1 + 5 * 2 + 12 * 1 + 4 * 2 + 5 * 2).toLong)
   }
 
+  test("token ids: deterministic vocabulary, order preserved, count-consistent") {
+    val merges = Bpe.train(Bpe.wordFreqs(teaching), k = 4)
+    val table = new BpeMergeTable(
+      merges.map(x => Array(x.leftId, x.rightId, x.mergedId)).toArray)
+    def ids(s: String): Seq[Int] = {
+      val a = table.tokenIds(org.apache.spark.unsafe.types.UTF8String.fromString(s))
+      (0 until a.numElements()).map(a.getInt)
+    }
+    // merges learned: 1=(u,g)->ug, 2=(u,n)->un, 3=(h,ug)->hug, 4=(p,un)->pun
+    // vocab: a..z=0..25, 0..9=26..35, merge t=35+t
+    assert(ids("hug") === Seq(38))               // [hug]=m03
+    assert(ids("hugs") === Seq(38, 18))          // [hug, s]
+    assert(ids("pug") === Seq(15, 36))           // [p, ug=m01]
+    assert(ids("bun") === Seq(1, 37))            // [b, un=m02]
+    assert(ids("HUG bun7") === Seq(38, 1, 37, 33)) // folds, splits, digit id
+    assert(ids("") === Seq.empty)
+    // id sequence length always equals the counted tokens
+    for (s <- Seq("hug pug pun", "mug...z", "a1b2c3", "HUGS HUGS"))
+      assert(ids(s).length ===
+        table.countTokens(org.apache.spark.unsafe.types.UTF8String.fromString(s)))
+  }
+
+  test("BpeTokenIds runs distributed inside codegen; size equals BpeTokenCount") {
+    import org.apache.spark.sql.graft.BpeTokenIds
+    val merges = Bpe.train(Bpe.wordFreqs(teaching), k = 4)
+    val mismatches = teaching
+      .select(
+        BpeTokenIds(col("text"), merges).as("ids"),
+        BpeTokenCount(col("text"), merges).as("n"))
+      .filter(size(col("ids")).cast("long") =!= col("n"))
+      .count()
+    assert(mismatches === 0L)
+  }
+
   test("wordFreqs is the distributed corpus-sized stage (partial+final agg)") {
     val p = Bpe.wordFreqs(teaching).queryExecution.executedPlan.toString
     assert("HashAggregate".r.findAllIn(p).size >= 2,
