@@ -1,17 +1,19 @@
 package graft.operators
 
 import java.nio.charset.StandardCharsets
-import java.nio.file.{Files, Path, Paths, StandardCopyOption, StandardOpenOption}
+import java.util.Base64
 
-import scala.jdk.CollectionConverters._
-
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.{FileSystem, Path}
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.{col, lit}
+import org.apache.spark.sql.types.{DataType, StringType, StructField, StructType}
 
 /** Snapshot-versioned parquet table — a minimal manifest-based
   * transaction log (the Delta/Iceberg mechanism in one file): each
   * commit writes new data files into the table directory, then
-  * atomically publishes a manifest listing EXACTLY the files that
-  * make up that version.
+  * publishes a manifest listing EXACTLY the files that make up that
+  * version.
   *
   * Why this matters at scale: plain `overwrite` on object storage is
   * neither atomic nor isolated — readers see partial file sets
@@ -20,118 +22,354 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *  - readers resolve `_v<N>.manifest` and read ONLY its files —
   *    concurrent commits never affect a running read (snapshot
   *    isolation);
-  *  - a commit is one atomic rename of the manifest — a crash before
-  *    it leaves invisible orphan files, never a torn table;
+  *  - a commit publishes its manifest with create-if-absent
+  *    semantics — a crash before it leaves invisible orphan files,
+  *    never a torn table, and a half-written manifest is DETECTED
+  *    (v2 manifests carry a `#end <n>` trailer the reader validates);
   *  - old versions stay readable (time travel) until vacuumed;
   *  - optimistic concurrency: a commit expecting version N fails if
   *    N+1 already exists, instead of silently clobbering a racer.
   *
+  * All I/O goes through the path's own Hadoop `FileSystem`, so the
+  * table may live on any supported store (local, HDFS, S3A…) — the
+  * same resolution [[Compaction]] uses (review-caught: the previous
+  * java.nio implementation silently inspected the DRIVER's local
+  * disk when the table path carried a remote scheme). Mutual
+  * exclusion between racing commits rests on TWO create-if-absent
+  * points: the `errorifexists` data-directory write (first, and on
+  * stores with atomic namespace operations the decisive one) and the
+  * no-overwrite manifest create (second; on local filesystems its
+  * exists-check+create pair has a small TOCTOU window — the data-dir
+  * write is the real mutex there, which is why every commit writes
+  * its data directory BEFORE publishing).
+  *
+  * Manifest format v2 (v1 — a bare file list — remains readable):
+  * {{{
+  *   #graft-manifest v=2 schema=<base64(StructType.json)>
+  *   data/v000000/part-....parquet
+  *   ...
+  *   #end <fileCount>
+  * }}}
+  * The recorded schema makes SCHEMA EVOLUTION well-defined:
+  * [[commitAppend]] may add columns (never retype them), the
+  * manifest stores the merged schema, and [[read]] applies it so
+  * files written before the column existed read as NULL (parquet
+  * by-name resolution). [[readAligned]] presents ANY old version in
+  * the table's latest schema the same way.
+  *
   * Files are listed relative to the table root so the table
   * relocates. Data files land under `data/` with a version prefix —
-  * nothing is ever rewritten in place.
+  * nothing is ever rewritten in place; [[commitAppend]] reuses the
+  * previous version's files by reference, which is what makes
+  * [[diffVersions]]' file-level pruning exact.
   */
 object Snapshots {
 
-  private def root(dir: String): Path = Paths.get(dir)
-  private def manifest(dir: String, v: Long): Path =
-    root(dir).resolve(f"_v$v%06d.manifest")
+  /** A version's resolved manifest: relative file list plus the
+    * recorded schema (absent on legacy v1 manifests). */
+  final case class Manifest(files: Seq[String], schema: Option[StructType])
+
+  private def hconf(): Configuration =
+    SparkSession.getActiveSession
+      .map(_.sparkContext.hadoopConfiguration)
+      .getOrElse(new Configuration())
+
+  /** The path's OWN filesystem — `FileSystem.get(conf)` would return
+    * the default FS and operate on the wrong store for scheme-
+    * qualified table paths (same rationale as Compaction.fsFor). */
+  private def fsFor(dir: String): FileSystem =
+    new Path(dir).getFileSystem(hconf())
+
+  private def rootOf(f: FileSystem, dir: String): Path =
+    f.makeQualified(new Path(dir))
+
+  private def manifestPath(root: Path, v: Long): Path =
+    new Path(root, f"_v$v%06d.manifest")
 
   /** Largest committed version, or -1 for an empty/new table.
-    * Streams are closed (they hold directory handles — leaking them
-    * exhausts fds on a long-lived driver); non-numeric `_v*.manifest`
-    * names (manual backups etc.) are ignored, not fatal.
-    */
+    * Non-numeric `_v*.manifest` names (manual backups etc.) are
+    * ignored, not fatal. */
   def currentVersion(dir: String): Long = {
-    val r = root(dir)
-    if (!Files.isDirectory(r)) -1L
-    else {
-      val s = Files.list(r)
-      try s.iterator().asScala
-        .map(_.getFileName.toString)
-        .collect { case n if n.startsWith("_v") && n.endsWith(".manifest") =>
-          n.stripPrefix("_v").stripSuffix(".manifest") }
-        .filter(v => v.nonEmpty && v.forall(_.isDigit))
-        .map(_.toLong)
-        .foldLeft(-1L)(math.max)
-      finally s.close()
+    val f = fsFor(dir)
+    val root = rootOf(f, dir)
+    if (!f.exists(root)) -1L
+    else f.listStatus(root).iterator
+      .map(_.getPath.getName)
+      .collect { case n if n.startsWith("_v") && n.endsWith(".manifest") =>
+        n.stripPrefix("_v").stripSuffix(".manifest") }
+      .filter(v => v.nonEmpty && v.forall(_.isDigit))
+      .map(_.toLong)
+      .foldLeft(-1L)(math.max)
+  }
+
+  // --- manifest I/O ------------------------------------------------
+
+  private def readBytes(f: FileSystem, p: Path): Array[Byte] = {
+    val in = f.open(p)
+    try {
+      val out = new java.io.ByteArrayOutputStream()
+      val buf = new Array[Byte](8192)
+      var n = in.read(buf)
+      while (n >= 0) { out.write(buf, 0, n); n = in.read(buf) }
+      out.toByteArray
+    } finally in.close()
+  }
+
+  private[operators] def readManifest(f: FileSystem, root: Path, v: Long): Manifest = {
+    val m = manifestPath(root, v)
+    require(f.exists(m), s"version $v does not exist in $root")
+    val lines = new String(readBytes(f, m), StandardCharsets.UTF_8).split("\n", -1)
+    if (lines.nonEmpty && lines.head.startsWith("#graft-manifest")) {
+      val schema = lines.head.split("\\s+")
+        .collectFirst { case s if s.startsWith("schema=") =>
+          DataType.fromJson(new String(
+            Base64.getDecoder.decode(s.stripPrefix("schema=")),
+            StandardCharsets.UTF_8)).asInstanceOf[StructType] }
+      val files = lines.tail.filter(l => l.nonEmpty && !l.startsWith("#")).toSeq
+      // trailer validation: a crash mid-write leaves a manifest with
+      // no (or wrong) #end line — fail the READ loudly rather than
+      // serve a silently truncated file list
+      val end = lines.reverse.find(_.nonEmpty)
+      require(end.contains(s"#end ${files.length}"),
+        s"torn manifest for version $v in $root (missing or mismatched #end trailer) — " +
+          "the publishing commit crashed mid-write; re-commit or remove the manifest")
+      Manifest(files, schema)
+    } else {
+      // legacy v1: bare file list, no schema, no trailer
+      Manifest(lines.filter(_.nonEmpty).toSeq, None)
     }
   }
 
-  /** Commit `df` as the next version. `expectedVersion` (if given)
-    * enables optimistic concurrency: the commit refuses when the
-    * table moved under it.
-    */
-  def commit(df: DataFrame, dir: String, expectedVersion: Option[Long] = None): Long = {
+  private def publish(f: FileSystem, root: Path, v: Long,
+                      files: Seq[String], schema: StructType): Unit = {
+    val m = manifestPath(root, v)
+    val header = "#graft-manifest v=2 schema=" +
+      Base64.getEncoder.encodeToString(schema.json.getBytes(StandardCharsets.UTF_8))
+    val body = (header +: files :+ s"#end ${files.length}").mkString("\n")
+    // create-if-absent: a racer that already published v fails HERE
+    // (FileAlreadyExists on stores with atomic create; exists-check
+    // inside RawLocalFileSystem otherwise — see object doc for why
+    // the data-dir write is the decisive mutex)
+    val out =
+      try f.create(m, false)
+      catch { case e: java.io.IOException if f.exists(m) =>
+        throw new IllegalStateException(
+          s"concurrent commit: version $v appeared during publish", e)
+      }
+    try out.write(body.getBytes(StandardCharsets.UTF_8)) finally out.close()
+  }
+
+  private def listParquet(f: FileSystem, root: Path, dataDir: Path): Seq[String] = {
+    if (!f.exists(dataDir)) return Seq.empty
+    val it = f.listFiles(dataDir, true)
+    val out = Seq.newBuilder[String]
+    val rootUri = root.toUri
+    while (it.hasNext) {
+      val st = it.next()
+      if (st.isFile && st.getPath.getName.endsWith(".parquet"))
+        out += rootUri.relativize(st.getPath.toUri).getPath
+    }
+    out.result().sorted
+  }
+
+  /** New columns may be added (nullable, appended in arrival order);
+    * retyping an existing column fails loudly. */
+  private def mergeSchemas(prev: StructType, next: StructType): StructType = {
+    prev.foreach { pf =>
+      next.find(_.name == pf.name).foreach { nf =>
+        require(nf.dataType == pf.dataType,
+          s"schema evolution type conflict on '${pf.name}': " +
+            s"${pf.dataType.simpleString} vs ${nf.dataType.simpleString} — " +
+            "column adds are supported, retypes are not")
+      }
+    }
+    StructType(
+      prev.fields.map(_.copy(nullable = true)) ++
+        next.fields.filterNot(nf => prev.exists(_.name == nf.name))
+          .map(_.copy(nullable = true)))
+  }
+
+  private def nextVersion(dir: String, expectedVersion: Option[Long]): Long = {
     val cur = currentVersion(dir)
     expectedVersion.foreach { e =>
       require(cur == e,
         s"concurrent commit: table at version $cur, expected $e — rebase and retry")
     }
-    val v = cur + 1
-    val dataDir = root(dir).resolve("data").resolve(f"v$v%06d")
+    cur + 1
+  }
+
+  private def writeData(df: DataFrame, f: FileSystem, root: Path, v: Long): Seq[String] = {
+    val dataDir = new Path(new Path(root, "data"), f"v$v%06d")
     df.write.mode("errorifexists").parquet(dataDir.toString)
-    val walk = Files.walk(dataDir)
-    val files =
-      try walk.iterator().asScala
-        .filter(p => p.toString.endsWith(".parquet") && Files.isRegularFile(p))
-        .map(p => root(dir).relativize(p).toString)
-        .toSeq.sorted
-      finally walk.close()
+    val files = listParquet(f, root, dataDir)
     require(files.nonEmpty || df.isEmpty, s"no data files written under $dataDir")
-    // write-then-rename: the manifest appears atomically or not at all
-    val tmp = root(dir).resolve(f"_v$v%06d.manifest.tmp")
-    Files.write(tmp, files.mkString("\n").getBytes(StandardCharsets.UTF_8),
-      StandardOpenOption.CREATE_NEW)
-    try
-      Files.move(tmp, manifest(dir, v), StandardCopyOption.ATOMIC_MOVE)
-    catch { case e: java.nio.file.FileAlreadyExistsException =>
-      Files.deleteIfExists(tmp)
-      throw new IllegalStateException(
-        s"concurrent commit: version $v appeared during publish", e)
-    }
+    files
+  }
+
+  /** Commit `df` as the next version (full snapshot: the new version
+    * consists of exactly this data). `expectedVersion` (if given)
+    * enables optimistic concurrency: the commit refuses when the
+    * table moved under it. */
+  def commit(df: DataFrame, dir: String, expectedVersion: Option[Long] = None): Long = {
+    val f = fsFor(dir)
+    val root = rootOf(f, dir)
+    val v = nextVersion(dir, expectedVersion)
+    val files = writeData(df, f, root, v)
+    publish(f, root, v, files, df.schema)
     v
   }
 
-  /** Read a specific version (default: latest). */
+  /** Commit `df` as the next version APPENDED to the previous one:
+    * the new manifest references every previous file unchanged plus
+    * the freshly written ones — the incremental-ingest shape (no data
+    * is ever rewritten, [[diffVersions]] prunes the shared files, and
+    * added columns NULL-backfill on read). On an empty table this
+    * equals [[commit]]. */
+  def commitAppend(df: DataFrame, dir: String, expectedVersion: Option[Long] = None): Long = {
+    val f = fsFor(dir)
+    val root = rootOf(f, dir)
+    val v = nextVersion(dir, expectedVersion)
+    val prev =
+      if (v == 0) Manifest(Seq.empty, None)
+      else readManifest(f, root, v - 1)
+    val schema = prev.schema match {
+      case Some(p) => mergeSchemas(p, df.schema)
+      case None if prev.files.isEmpty => df.schema
+      case None =>
+        // legacy v1 base: infer its schema once so the merged schema
+        // still covers the old files
+        mergeSchemas(read(df.sparkSession, dir, v - 1).schema, df.schema)
+    }
+    val files = writeData(df, f, root, v)
+    publish(f, root, v, prev.files ++ files, schema)
+    v
+  }
+
+  /** Read a specific version (default: latest) in its RECORDED
+    * schema: a mixed-generation file list (appends after a column
+    * add) reads with the missing columns as NULL. Legacy v1
+    * manifests fall back to parquet schema inference. */
   def read(spark: SparkSession, dir: String, version: Long = -1L): DataFrame = {
+    val f = fsFor(dir)
+    val root = rootOf(f, dir)
     val v = if (version >= 0) version else currentVersion(dir)
     require(v >= 0, s"no committed version in $dir")
-    val m = manifest(dir, v)
-    require(Files.exists(m), s"version $v does not exist in $dir")
-    val files = new String(Files.readAllBytes(m), StandardCharsets.UTF_8)
-      .split("\n").filter(_.nonEmpty)
-      .map(rel => root(dir).resolve(rel).toString)
+    val man = readManifest(f, root, v)
+    readAs(spark, root, man.files, man.schema)
+  }
+
+  /** Read version `version` PRESENTED in the table's latest schema:
+    * columns added after the version read as NULL, columns since
+    * dropped are omitted — the contract an incremental consumer
+    * pinning "the current schema" wants for any point in time.
+    * Retype conflicts between the two schemas fail loudly. */
+  def readAligned(spark: SparkSession, dir: String, version: Long): DataFrame = {
+    val f = fsFor(dir)
+    val root = rootOf(f, dir)
+    val cur = currentVersion(dir)
+    require(cur >= 0, s"no committed version in $dir")
+    val latest = readManifest(f, root, cur)
+    val target = latest.schema.getOrElse(read(spark, dir, cur).schema)
+    val own = readManifest(f, root, version)
+    own.schema.foreach(_.foreach { fld =>
+      target.find(_.name == fld.name).foreach { t =>
+        require(t.dataType == fld.dataType,
+          s"readAligned: version $version column '${fld.name}' has type " +
+            s"${fld.dataType.simpleString}, latest schema says ${t.dataType.simpleString}")
+      }
+    })
+    readAs(spark, root, own.files,
+      Some(StructType(target.fields.map(_.copy(nullable = true)))))
+  }
+
+  private def readAs(spark: SparkSession, root: Path, files: Seq[String],
+                     schema: Option[StructType]): DataFrame = {
     if (files.isEmpty)
-      spark.emptyDataFrame
-    else
-      spark.read.parquet(files.toIndexedSeq: _*)
+      schema match {
+        case Some(sc) =>
+          spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], sc)
+        case None => spark.emptyDataFrame
+      }
+    else {
+      val paths = files.map(rel => new Path(root, rel).toString)
+      schema match {
+        case Some(sc) => spark.read.schema(sc).parquet(paths: _*)
+        case None => spark.read.parquet(paths: _*)
+      }
+    }
+  }
+
+  /** Snapshot CHANGELOG — the CDC read path: rows that differ between
+    * two committed versions, labeled `inserted` / `deleted` /
+    * `changed` on `key`. This is the incremental-consumption
+    * primitive a downstream trainer wants (read only what changed
+    * since the last refresh), and it prunes at TWO levels:
+    *
+    *  1. FILE level: files shared by both manifests (the
+    *     [[commitAppend]] lineage) are provably identical on both
+    *     sides and are never opened — an append-only commit chain
+    *     diffs by scanning ONLY the appended files;
+    *  2. ROW level: the residual non-shared slices go through
+    *     [[TableDiff]]'s merkle bucket checksums, so only rows in
+    *     dirty buckets are exchanged.
+    *
+    * Exactness requires `key` to be unique within each version (the
+    * keyed-table contract [[Upsert]] maintains): then a key in a
+    * shared file is byte-identical in both versions and its absence
+    * from the diff is correct.
+    */
+  def diffVersions(spark: SparkSession, dir: String, vOld: Long, vNew: Long,
+                   key: String, cols: Seq[String],
+                   numBuckets: Int = 1 << 12): DataFrame = {
+    val f = fsFor(dir)
+    val root = rootOf(f, dir)
+    val mo = readManifest(f, root, vOld)
+    val mn = readManifest(f, root, vNew)
+    val shared = mo.files.toSet.intersect(mn.files.toSet)
+    val onlyO = mo.files.filterNot(shared)
+    val onlyN = mn.files.filterNot(shared)
+    def keyType: DataType =
+      mn.schema.orElse(mo.schema).map(_.apply(key).dataType)
+        .getOrElse(read(spark, dir, vNew).schema(key).dataType)
+    if (onlyO.isEmpty && onlyN.isEmpty) {
+      spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        StructType(Seq(StructField(key, keyType),
+          StructField("status", StringType, nullable = false))))
+    } else if (onlyO.isEmpty) {
+      // pure append lineage: every non-shared new row is an insert
+      readAs(spark, root, onlyN, mn.schema)
+        .select(col(key), lit("inserted").as("status"))
+    } else if (onlyN.isEmpty) {
+      readAs(spark, root, onlyO, mo.schema)
+        .select(col(key), lit("deleted").as("status"))
+    } else {
+      TableDiff.diff(
+        readAs(spark, root, onlyO, mo.schema),
+        readAs(spark, root, onlyN, mn.schema),
+        key, cols, numBuckets)
+    }
   }
 
   /** Drop manifests AND their unreferenced data files for versions
     * older than `keepFrom`. Files still referenced by a surviving
-    * manifest are kept (versions may share files in future reuse
-    * schemes; today each version owns its directory).
-    */
+    * manifest are kept — load-bearing under [[commitAppend]], whose
+    * versions share files. */
   def vacuum(dir: String, keepFrom: Long): Unit = {
+    val f = fsFor(dir)
+    val root = rootOf(f, dir)
     val cur = currentVersion(dir)
     require(keepFrom <= cur, s"keepFrom $keepFrom beyond current $cur")
     val keep: Set[String] = (keepFrom to cur).flatMap { v =>
-      val m = manifest(dir, v)
-      if (Files.exists(m))
-        new String(Files.readAllBytes(m), StandardCharsets.UTF_8)
-          .split("\n").filter(_.nonEmpty).toSeq
+      if (f.exists(manifestPath(root, v))) readManifest(f, root, v).files
       else Seq.empty
     }.toSet
     (0L until keepFrom).foreach { v =>
-      val m = manifest(dir, v)
-      if (Files.exists(m)) {
-        new String(Files.readAllBytes(m), StandardCharsets.UTF_8)
-          .split("\n").filter(_.nonEmpty)
-          .foreach { rel =>
-            if (!keep.contains(rel))
-              Files.deleteIfExists(root(dir).resolve(rel))
-          }
-        Files.delete(m)
+      val m = manifestPath(root, v)
+      if (f.exists(m)) {
+        readManifest(f, root, v).files
+          .filterNot(keep.contains)
+          .foreach(rel => f.delete(new Path(root, rel), false))
+        f.delete(m, false)
       }
     }
   }

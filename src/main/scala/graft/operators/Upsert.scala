@@ -89,11 +89,60 @@ object Upsert {
     // files the write below replaces
     val survivorCount = survivors.count()
     val upCount = up.count()
-    // dynamic overwrite only replaces partitions PRESENT in the
-    // output — an affected day whose every row was consumed by a
-    // key-move would keep its stale directory. Find such days now
-    // (from the materialized merged slice) and drop them after the
-    // write.
+    rewritePartitions(spark, path, days, merged)
+    UpsertStats(days, upCount, survivorCount)
+  }
+
+  case class DeleteStats(
+      affectedDays: Seq[String], deleted: Long, survivors: Long)
+
+  /** Keyed DELETE on the same layout — the complement of
+    * [[upsertByKey]] and the GDPR-erasure / ClickHouse
+    * `ALTER TABLE DELETE` shape: remove every row whose `keyCol` is
+    * in `keys`, rewriting ONLY the day partitions that currently
+    * hold a doomed key. The affected-day discovery is the same
+    * two-thin-column (key, day) projection upsert's key-move scan
+    * uses; untouched partitions survive byte-identical (asserted in
+    * UpsertSpec), and a day whose every row is deleted has its
+    * directory dropped. Idempotent: deleting already-absent keys
+    * rewrites nothing.
+    */
+  def deleteByKey(spark: SparkSession, path: String, keys: DataFrame,
+                  keyCol: String): DeleteStats = {
+    val dayCol = EventsSink.dayCol
+    val doomed = keys.select(col(keyCol)).distinct()
+    val days = spark.read.parquet(path)
+      .withColumn(dayCol, col(dayCol).cast("string"))
+      .join(broadcast(doomed), Seq(keyCol), "left_semi")
+      .select(col(dayCol)).distinct()
+      .collect().map(_.getString(0)).toSeq.sorted
+    if (days.isEmpty) return DeleteStats(Seq.empty, 0L, 0L)
+    val existing = spark.read.parquet(path)
+      .withColumn(dayCol, col(dayCol).cast("string"))
+      .filter(col(dayCol).isin(days: _*)) // partition-pruned slice
+    val survivors = existing
+      .join(broadcast(doomed), Seq(keyCol), "left_anti")
+      .repartition(col(dayCol))
+      .sortWithinPartitions(col(dayCol), col("user_id"), col("ts"))
+      // materialize before overwriting the files the plan reads
+      .localCheckpoint(eager = true)
+    val sliceCount = existing.count()
+    val survivorCount = survivors.count()
+    rewritePartitions(spark, path, days, survivors)
+    DeleteStats(days, sliceCount - survivorCount, survivorCount)
+  }
+
+  /** Replace exactly `days`' directories with `merged`'s content
+    * (dynamic partition overwrite), dropping any affected day the
+    * merged slice no longer contains — dynamic overwrite only
+    * replaces partitions PRESENT in the output, so an emptied day
+    * would otherwise keep its stale directory. `merged` must be
+    * materialized (localCheckpoint) by the caller: the write
+    * overwrites the very files a lazy plan would still read.
+    */
+  private def rewritePartitions(spark: SparkSession, path: String,
+                                days: Seq[String], merged: DataFrame): Unit = {
+    val dayCol = EventsSink.dayCol
     val nonEmptyDays = merged.select(col(dayCol)).distinct()
       .collect().map(_.getString(0)).toSet
     val emptiedDays = days.filterNot(nonEmptyDays)
@@ -119,6 +168,5 @@ object Upsert {
         fs.delete(new org.apache.hadoop.fs.Path(root, s"$dayCol=$d"), true)
       }
     }
-    UpsertStats(days, upCount, survivorCount)
   }
 }

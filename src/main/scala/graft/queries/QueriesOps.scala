@@ -933,6 +933,88 @@ object QueriesOps {
       |ORDER BY r.r_name""".stripMargin
 
   // ---------------------------------------------------------------
+  // snapshot_diff: snapshot changelog / CDC read path
+  // ---------------------------------------------------------------
+
+  /** [[graft.operators.Snapshots.diffVersions]] over a three-version
+    * lineage built from the documents table in a scratch snapshot
+    * table: v0 = full base, v1 = [[graft.operators.Snapshots.commitAppend]]
+    * of fresh keys (the append lineage whose shared files the diff
+    * must PRUNE — SnapshotsSpec asserts they are never opened), v2 =
+    * full rewrite deleting every 97th key and bumping every 101st.
+    * The registered diff is v0 → v2 (all three statuses); the oracle
+    * is the naive full-outer diff of the same closed-form versions —
+    * equality proves neither the file-level pruning nor the merkle
+    * bucket pruning loses a row.
+    */
+  def snapshotDiff(s: SparkSession, d: String): DataFrame = {
+    GraftSession.tune(s)
+    val dir = java.nio.file.Files.createTempDirectory("graft-snapdiff").toString
+    val base = docs(s, d).select(col("doc_id"), col("source"), col("n_chars"))
+    graft.operators.Snapshots.commit(base, dir) // v0
+    val appendix = base.filter(col("doc_id") % 10 === 0 && col("doc_id") >= 0)
+      .withColumn("doc_id", col("doc_id") + lit(10000000L))
+    graft.operators.Snapshots.commitAppend(appendix, dir) // v1: shared files + new
+    val rewrite = base.filter(col("doc_id") % 97 =!= 0)
+      .withColumn("n_chars",
+        when(col("doc_id") % 101 === 0, col("n_chars") + 1).otherwise(col("n_chars")))
+      .unionByName(appendix)
+    graft.operators.Snapshots.commit(rewrite, dir) // v2: full rewrite
+    graft.operators.Snapshots
+      .diffVersions(s, dir, 0L, 2L, "doc_id", Seq("doc_id", "source", "n_chars"))
+      .orderBy(col("doc_id"))
+  }
+
+  val snapshotDiffSql: String =
+    """WITH base AS (SELECT doc_id, source, n_chars FROM documents),
+      |app AS (SELECT doc_id + 10000000 AS doc_id, source, n_chars
+      |        FROM base WHERE doc_id % 10 = 0 AND doc_id >= 0),
+      |v2 AS (SELECT doc_id, source,
+      |        CASE WHEN doc_id % 101 = 0 THEN n_chars + 1 ELSE n_chars END AS n_chars
+      |       FROM base WHERE doc_id % 97 <> 0
+      |       UNION ALL SELECT doc_id, source, n_chars FROM app)
+      |SELECT coalesce(a.doc_id, b.doc_id) AS doc_id,
+      | CASE WHEN b.doc_id IS NULL THEN 'deleted'
+      |      WHEN a.doc_id IS NULL THEN 'inserted'
+      |      ELSE 'changed' END AS status
+      |FROM base a FULL OUTER JOIN v2 b ON a.doc_id = b.doc_id
+      |WHERE a.doc_id IS NULL OR b.doc_id IS NULL
+      |   OR a.n_chars IS DISTINCT FROM b.n_chars
+      |   OR a.source IS DISTINCT FROM b.source
+      |ORDER BY doc_id""".stripMargin
+
+  // ---------------------------------------------------------------
+  // delete_by_key: partition-scoped keyed erasure (GDPR shape)
+  // ---------------------------------------------------------------
+
+  /** [[graft.operators.Upsert.deleteByKey]] against a scratch
+    * [[graft.operators.EventsSink]] layout of the events table:
+    * every 131st event_id is erased, then the surviving table reads
+    * back. Oracle: the complement filter on the raw table. NULL keys
+    * are never doomed (anti-join semantics) — mirrored with IS NULL
+    * in the oracle so the fuzz harness's null-key mutations stay
+    * equivalent. The partition-scoped physical contract (untouched
+    * files byte-identical, emptied dirs dropped) is UpsertSpec's job;
+    * this query gates the row-level semantics end to end.
+    */
+  def deleteByKeyQuery(s: SparkSession, d: String): DataFrame = {
+    GraftSession.tune(s)
+    val dir = java.nio.file.Files.createTempDirectory("graft-delete").toString
+    graft.operators.EventsSink.write(Tables.eventsNorm(s, d), dir)
+    graft.operators.Upsert.deleteByKey(s, dir,
+      ev(s, d).filter(col("event_id") % 131 === 0).select(col("event_id")),
+      "event_id")
+    s.read.parquet(dir)
+      .select(col("event_id"))
+      .orderBy(col("event_id"))
+  }
+
+  val deleteByKeySql: String =
+    """SELECT event_id FROM events
+      | WHERE event_id IS NULL OR event_id % 131 <> 0
+      | ORDER BY event_id""".stripMargin
+
+  // ---------------------------------------------------------------
   // Registry (merged into Queries.all / Queries.oracles)
   // ---------------------------------------------------------------
 
@@ -953,7 +1035,9 @@ object QueriesOps {
     "q56_fk_audit" -> (q56FkAudit _),
     "ann_adc_top5" -> (annAdcTop5 _),
     "q57_scalar_subquery" -> (q57ScalarSubquery _),
-    "q58_lateral_topk" -> (q58LateralTopk _))
+    "q58_lateral_topk" -> (q58LateralTopk _),
+    "snapshot_diff" -> (snapshotDiff _),
+    "delete_by_key" -> (deleteByKeyQuery _))
 
   val oracles: Map[String, String] = Map(
     "q51_sequence_match" -> q51SequenceMatchSql,
@@ -972,5 +1056,7 @@ object QueriesOps {
     "q56_fk_audit" -> q56FkAuditSql,
     "ann_adc_top5" -> annAdcTop5Sql,
     "q57_scalar_subquery" -> q57ScalarSubquerySql,
-    "q58_lateral_topk" -> q58LateralTopkSql)
+    "q58_lateral_topk" -> q58LateralTopkSql,
+    "snapshot_diff" -> snapshotDiffSql,
+    "delete_by_key" -> deleteByKeySql)
 }

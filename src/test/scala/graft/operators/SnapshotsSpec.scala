@@ -39,17 +39,20 @@ class SnapshotsSpec extends SparkSpec {
     assert(Snapshots.read(spark, dir, 2).select("id").as[Long].collect().toSet === Set(4L, 5L, 6L))
   }
 
+  private def manifestFiles(dir: String, v: Long): Seq[String] = {
+    val m = java.nio.file.Paths.get(dir).resolve(f"_v$v%06d.manifest")
+    new String(java.nio.file.Files.readAllBytes(m)).split("\n")
+      .filter(l => l.nonEmpty && !l.startsWith("#")).toSeq
+  }
+
   test("a new commit never touches the files an old version references") {
     val dir = fresh()
     Snapshots.commit(df(1, 2), dir)
-    def filesOf(v: Long): Map[String, Long] = {
-      val m = java.nio.file.Paths.get(dir).resolve(f"_v$v%06d.manifest")
-      new String(java.nio.file.Files.readAllBytes(m)).split("\n").filter(_.nonEmpty)
-        .map { rel =>
-          val p = java.nio.file.Paths.get(dir).resolve(rel)
-          rel -> java.nio.file.Files.getLastModifiedTime(p).toMillis
-        }.toMap
-    }
+    def filesOf(v: Long): Map[String, Long] =
+      manifestFiles(dir, v).map { rel =>
+        val p = java.nio.file.Paths.get(dir).resolve(rel)
+        rel -> java.nio.file.Files.getLastModifiedTime(p).toMillis
+      }.toMap
     val before = filesOf(0L)
     Snapshots.commit(df(99), dir)
     assert(filesOf(0L) === before, "v0 files must be physically untouched")
@@ -66,6 +69,107 @@ class SnapshotsSpec extends SparkSpec {
     // the failed commit must not have advanced the table
     assert(Snapshots.currentVersion(dir) === 1L)
     assert(Snapshots.read(spark, dir).select("id").as[Long].collect().toSet === Set(2L))
+  }
+
+  test("commitAppend references the previous files by name and appends the new ones") {
+    val dir = fresh()
+    Snapshots.commit(df(1, 2), dir) // v0
+    val v0Files = manifestFiles(dir, 0L).toSet
+    Snapshots.commitAppend(df(3, 4), dir) // v1 = v0 files + new
+    val v1Files = manifestFiles(dir, 1L).toSet
+    assert(v0Files.subsetOf(v1Files), "append must reference every v0 file")
+    assert(v1Files.size > v0Files.size, "append must add fresh files")
+    assert(Snapshots.read(spark, dir, 1).select("id").as[Long].collect().toSet
+      === Set(1L, 2L, 3L, 4L))
+    assert(Snapshots.read(spark, dir, 0).select("id").as[Long].collect().toSet
+      === Set(1L, 2L), "v0 stays readable as written")
+  }
+
+  test("schema evolution: appended column NULL-backfills on read; retype fails loudly") {
+    val dir = fresh()
+    Snapshots.commit(df(1, 2), dir) // v0: (id, payload)
+    Snapshots.commitAppend(df(3).withColumn("quality", col("id") * 10), dir) // v1 adds quality
+    val v1 = Snapshots.read(spark, dir, 1)
+    assert(v1.columns.toSeq === Seq("id", "payload", "quality"))
+    val rows = v1.select("id", "quality").collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(1)) None else Some(r.getLong(1)))).toMap
+    assert(rows === Map(1L -> None, 2L -> None, 3L -> Some(30L)),
+      "pre-evolution files must read the new column as NULL")
+    // the OLD version presented in the latest schema: quality all NULL
+    val aligned = Snapshots.readAligned(spark, dir, 0)
+    assert(aligned.columns.toSeq === Seq("id", "payload", "quality"))
+    assert(aligned.filter(col("quality").isNotNull).count() === 0L)
+    // retyping an existing column is refused at commit time
+    val e = intercept[IllegalArgumentException] {
+      Snapshots.commitAppend(df(4).withColumn("quality", lit("high")), dir)
+    }
+    assert(e.getMessage.contains("type conflict"))
+  }
+
+  test("a torn manifest (missing #end trailer) is detected, not served truncated") {
+    val dir = fresh()
+    Snapshots.commit(df(1, 2, 3), dir)
+    val m = java.nio.file.Paths.get(dir).resolve("_v000000.manifest")
+    val torn = new String(java.nio.file.Files.readAllBytes(m))
+      .split("\n").dropRight(1).mkString("\n") // crash before the trailer
+    java.nio.file.Files.write(m, torn.getBytes)
+    // drop the checksum sidecar: a real torn write flushes a crc
+    // consistent with the truncated bytes, so the TRAILER must catch it
+    java.nio.file.Files.deleteIfExists(
+      java.nio.file.Paths.get(dir).resolve("._v000000.manifest.crc"))
+    val e = intercept[IllegalArgumentException](Snapshots.read(spark, dir, 0))
+    assert(e.getMessage.contains("torn manifest"))
+  }
+
+  test("the data-directory errorifexists write is the first commit mutex") {
+    val dir = fresh()
+    Snapshots.commit(df(1), dir) // v0
+    // a racer's half-finished v1 data directory blocks the commit
+    // BEFORE any manifest could publish (the documented decisive
+    // mutex — the no-overwrite manifest create is the second line)
+    val racer = java.nio.file.Paths.get(dir, "data", "v000001")
+    java.nio.file.Files.createDirectories(racer)
+    java.nio.file.Files.write(racer.resolve("part-racer.parquet"), Array[Byte](1))
+    intercept[Exception](Snapshots.commit(df(2), dir))
+    assert(Snapshots.currentVersion(dir) === 0L, "failed commit must not publish")
+  }
+
+  test("snapshot diff: append lineage scans ONLY the appended files (clean files pruned)") {
+    val dir = fresh()
+    Snapshots.commit(df(1, 2, 3), dir) // v0
+    Snapshots.commitAppend(df(10, 11), dir) // v1 = append-only
+    val v0Files = manifestFiles(dir, 0L).toSet
+    val diff = Snapshots.diffVersions(spark, dir, 0L, 1L, "id", Seq("id", "payload"))
+    val out = diff.collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(out === Set(10L -> "inserted", 11L -> "inserted"))
+    // the load-bearing scale property: no shared (v0) file is opened
+    val opened = diff.inputFiles.map(_.replaceFirst("^file:/+", "/")).toSet
+    assert(opened.nonEmpty)
+    assert(v0Files.forall(rel => !opened.exists(_.endsWith(rel))),
+      s"shared files must never be rescanned; opened=$opened")
+  }
+
+  test("snapshot diff: rewrite lineage labels inserted/deleted/changed like TableDiff") {
+    val dir = fresh()
+    Snapshots.commit(df(1, 2, 3, 4), dir) // v0
+    val mutated = df(2, 3, 4, 5) // 1 deleted, 5 inserted
+      .withColumn("payload",
+        when(col("id") === 3, lit("row-3-CHANGED")).otherwise(col("payload")))
+    Snapshots.commit(mutated, dir) // v1: full rewrite
+    val out = Snapshots.diffVersions(spark, dir, 0L, 1L, "id", Seq("id", "payload"))
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(out === Set(1L -> "deleted", 3L -> "changed", 5L -> "inserted"))
+  }
+
+  test("vacuum under append lineage keeps files a surviving manifest still references") {
+    val dir = fresh()
+    Snapshots.commit(df(1, 2), dir) // v0
+    Snapshots.commitAppend(df(3), dir) // v1 shares v0's files
+    Snapshots.vacuum(dir, keepFrom = 1L)
+    intercept[IllegalArgumentException](Snapshots.read(spark, dir, 0))
+    // v1 must still read in full — its shared files survived the vacuum
+    assert(Snapshots.read(spark, dir, 1).select("id").as[Long].collect().toSet
+      === Set(1L, 2L, 3L))
   }
 
   test("vacuum drops old versions and their files, keeps the survivors") {

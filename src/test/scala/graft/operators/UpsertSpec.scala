@@ -146,4 +146,79 @@ class UpsertSpec extends SparkSpec {
       Upsert.upsertByKey(spark, path, empty, "event_id")
     }
   }
+
+  test("deleteByKey removes exactly the keyed rows; other partitions byte-untouched") {
+    val path = freshTable()
+    val before = spark.read.parquet(path)
+    val day = "2024-01-15"
+    val victims = before.filter(col("day") === day)
+      .orderBy(col("event_id")).limit(3)
+      .select($"event_id").as[Long].collect().toSeq
+    assert(victims.length === 3)
+    val beforeCount = before.count()
+    val filesBefore = fileSet(path)
+
+    val stats = Upsert.deleteByKey(spark, path,
+      victims.toDF("event_id"), "event_id")
+    assert(stats.affectedDays === Seq(day))
+    assert(stats.deleted === 3L)
+
+    val after = spark.read.parquet(path)
+    assert(after.filter(col("event_id").isin(victims: _*)).count() === 0L,
+      "doomed keys must be gone")
+    assert(after.count() === beforeCount - 3)
+
+    // erasure is partition-scoped: every file outside the affected
+    // day survives byte-identically (same path, same mtime)
+    def stamped(files: Set[String]): Map[String, Long] =
+      files.map(f => f -> java.nio.file.Files
+        .getLastModifiedTime(java.nio.file.Paths.get(f)).toMillis).toMap
+    val untouchedBefore = stamped(filesBefore.filterNot(_.contains(s"day=$day")))
+    val untouchedAfter = stamped(fileSet(path).filterNot(_.contains(s"day=$day")))
+    assert(untouchedBefore === untouchedAfter,
+      "partitions without doomed keys must not be rewritten")
+
+    // layout sort survives in the rewritten partition
+    val rewritten = fileSet(path).filter(_.contains(s"day=$day")).head
+    val rows = spark.read.parquet(rewritten)
+      .select($"user_id", $"ts".cast("long").as("t"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    import scala.math.Ordering.Implicits._
+    assert(rows.zip(rows.tail).forall { case (a, b) => a <= b })
+  }
+
+  test("deleteByKey spanning days rewrites each holding partition; full-day delete drops the dir") {
+    val path = freshTable()
+    val template = spark.read.parquet(path).limit(1)
+    // seed a new day holding exactly one key — deleting it must
+    // remove the whole directory, not leave a stale husk
+    val seeded = template
+      .withColumn("event_id", lit(900000555L))
+      .withColumn("ts", to_timestamp(lit("2031-05-05 08:00:00")))
+      .withColumn("day", lit("2031-05-05"))
+    Upsert.upsertByKey(spark, path, seeded, "event_id")
+    // one victim per existing day too
+    val others = spark.read.parquet(path)
+      .filter(col("day").isin("2024-01-15", "2024-01-16"))
+      .groupBy(col("day").cast("string").as("d"))
+      .agg(min(col("event_id")).as("event_id"))
+      .select($"event_id").as[Long].collect().toSeq
+    val doomed = (others :+ 900000555L).toDF("event_id")
+    val stats = Upsert.deleteByKey(spark, path, doomed, "event_id")
+    assert(stats.affectedDays.toSet === Set("2024-01-15", "2024-01-16", "2031-05-05"))
+    val after = spark.read.parquet(path)
+    assert(after.filter(col("event_id").isin((others :+ 900000555L): _*)).count() === 0L)
+    assert(after.filter(col("day") === "2031-05-05").count() === 0L,
+      "a fully erased day loses its directory")
+    assert(!fileSet(path).exists(_.contains("day=2031-05-05")))
+  }
+
+  test("deleteByKey of absent keys is an idempotent no-op: zero rewrites") {
+    val path = freshTable()
+    val filesBefore = fileSet(path)
+    val stats = Upsert.deleteByKey(spark, path,
+      Seq(123456789012L, 999999999999L).toDF("event_id"), "event_id")
+    assert(stats.affectedDays.isEmpty && stats.deleted === 0L)
+    assert(fileSet(path) === filesBefore, "no partition may be touched")
+  }
 }
