@@ -67,7 +67,12 @@ object StressBenchFull {
       "q30_gap_fill" -> evReplicas,
       "q42_spend_quartiles" -> evReplicas,
       "q43_moving_avg" -> evReplicas,
-      "q33_monthly_delta" -> 1) // orders — unscaled
+      "q33_monthly_delta" -> 1, // orders — unscaled
+      // r10: both build scratch tables from the scaled sources and
+      // return plans reading the SCRATCH paths — plan-based detection
+      // sees neither documents.parquet nor events.parquet
+      "snapshot_diff" -> docReplicas,
+      "delete_by_key" -> evReplicas)
 
     // Pair-join family: shuffle bytes asserted alongside wall time. A
     // candidate-pair explosion multiplies the (band|fingerprint, id)
