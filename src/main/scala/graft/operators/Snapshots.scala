@@ -350,6 +350,33 @@ object Snapshots {
     }
   }
 
+  /** The incremental consumer's API over [[diffVersions]]: every
+    * change committed AFTER `sinceVersion`, one labeled row per
+    * (key, step), stamped with the version that introduced it — the
+    * "give me everything since my last refresh" call a downstream
+    * trainer makes, then persists `currentVersion` as its new cursor.
+    * Each step diffs (v-1, v), so append-only commits in the range
+    * cost exactly their appended files (file-level pruning per step);
+    * a caller wanting net state instead of the event stream reads
+    * the latest version directly. `sinceVersion == currentVersion`
+    * returns the empty changelog.
+    */
+  def changelog(spark: SparkSession, dir: String, sinceVersion: Long,
+                key: String, cols: Seq[String],
+                numBuckets: Int = 1 << 12): DataFrame = {
+    val cur = currentVersion(dir)
+    require(sinceVersion >= 0 && sinceVersion <= cur,
+      s"sinceVersion $sinceVersion outside committed range 0..$cur")
+    if (sinceVersion == cur)
+      diffVersions(spark, dir, cur, cur, key, cols, numBuckets)
+        .withColumn("version", lit(cur))
+    else
+      (sinceVersion + 1 to cur).map { v =>
+        diffVersions(spark, dir, v - 1, v, key, cols, numBuckets)
+          .withColumn("version", lit(v))
+      }.reduce(_.unionByName(_))
+  }
+
   /** Drop manifests AND their unreferenced data files for versions
     * older than `keepFrom`. Files still referenced by a surviving
     * manifest are kept — load-bearing under [[commitAppend]], whose

@@ -161,6 +161,25 @@ class SnapshotsSpec extends SparkSpec {
     assert(out === Set(1L -> "deleted", 3L -> "changed", 5L -> "inserted"))
   }
 
+  test("changelog since a cursor concatenates per-step diffs stamped with their version") {
+    val dir = fresh()
+    Snapshots.commit(df(1, 2), dir)        // v0
+    Snapshots.commitAppend(df(3), dir)     // v1: +3
+    Snapshots.commit(                      // v2: 2 changed, 1/3 kept
+      df(1, 2, 3).withColumn("payload",
+        when(col("id") === 2, lit("row-2-CHANGED")).otherwise(col("payload"))), dir)
+    val log = Snapshots.changelog(spark, dir, sinceVersion = 0L,
+        "id", Seq("id", "payload"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    assert(log === Set((3L, "inserted", 1L), (2L, "changed", 2L)))
+    // a caught-up cursor yields the empty changelog
+    assert(Snapshots.changelog(spark, dir, sinceVersion = 2L,
+      "id", Seq("id", "payload")).count() === 0L)
+    // a cursor beyond the table refuses
+    intercept[IllegalArgumentException](
+      Snapshots.changelog(spark, dir, 3L, "id", Seq("id", "payload")))
+  }
+
   test("vacuum under append lineage keeps files a surviving manifest still references") {
     val dir = fresh()
     Snapshots.commit(df(1, 2), dir) // v0
