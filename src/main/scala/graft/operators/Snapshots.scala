@@ -377,6 +377,49 @@ object Snapshots {
       }.reduce(_.unionByName(_))
   }
 
+  /** Cursor-file-driven incremental consumption — the
+    * `Trigger.AvailableNow` analog for snapshot tables, and the loop
+    * a production consumer of [[changelog]] actually runs: read the
+    * persisted cursor, feed each not-yet-processed version to
+    * `f(batch, version)` one at a time (version 0 arrives as its
+    * full snapshot labeled `inserted`; later versions as their
+    * [[diffVersions]] changelog), and advance the cursor only AFTER
+    * `f` returns. Delivery is therefore at-least-once per version —
+    * a crash between `f` and the cursor write replays that version
+    * on the next run, the same contract as checkpointed
+    * `foreachBatch`, so `f` must be idempotent per version (e.g.
+    * [[Sinks.jdbcExactlyOnce]]'s ledger upgrade applies unchanged
+    * with `version` as the batch id). Returns the caught-up version.
+    */
+  def processNewVersions(spark: SparkSession, dir: String, cursorFile: String,
+                         key: String, cols: Seq[String],
+                         numBuckets: Int = 1 << 12)
+                        (f: (DataFrame, Long) => Unit): Long = {
+    val cfs = fsFor(cursorFile)
+    val cp = cfs.makeQualified(new Path(cursorFile))
+    val since =
+      if (cfs.exists(cp))
+        new String(readBytes(cfs, cp), StandardCharsets.UTF_8).trim.toLong
+      else -1L
+    val cur = currentVersion(dir)
+    var v = since + 1
+    while (v <= cur) {
+      val batch =
+        if (v == 0)
+          read(spark, dir, 0)
+            .select(col(key), lit("inserted").as("status"), lit(0L).as("version"))
+        else
+          diffVersions(spark, dir, v - 1, v, key, cols, numBuckets)
+            .withColumn("version", lit(v))
+      f(batch, v)
+      val out = cfs.create(cp, true) // tiny cursor: plain overwrite
+      try out.write(v.toString.getBytes(StandardCharsets.UTF_8))
+      finally out.close()
+      v += 1
+    }
+    cur
+  }
+
   /** Drop manifests AND their unreferenced data files for versions
     * older than `keepFrom`. Files still referenced by a surviving
     * manifest are kept — load-bearing under [[commitAppend]], whose

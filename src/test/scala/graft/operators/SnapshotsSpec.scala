@@ -180,6 +180,38 @@ class SnapshotsSpec extends SparkSpec {
       Snapshots.changelog(spark, dir, 3L, "id", Seq("id", "payload")))
   }
 
+  test("processNewVersions: cursor advances per version, replays after a crash, idles when caught up") {
+    val dir = fresh()
+    val cursor = java.nio.file.Paths.get(fresh(), "cursor").toString
+    Snapshots.commit(df(1, 2), dir)    // v0
+    Snapshots.commitAppend(df(3), dir) // v1
+    val seen = scala.collection.mutable.ArrayBuffer[(Long, Set[(Long, String)])]()
+    def consume(b: org.apache.spark.sql.DataFrame, v: Long): Unit =
+      seen += v -> b.collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(Snapshots.processNewVersions(spark, dir, cursor, "id",
+      Seq("id", "payload"))(consume) === 1L)
+    assert(seen.toSeq === Seq(
+      0L -> Set(1L -> "inserted", 2L -> "inserted"), // v0 = full snapshot
+      1L -> Set(3L -> "inserted")))                  // v1 = appended rows only
+    // caught up: nothing re-delivered
+    seen.clear()
+    Snapshots.processNewVersions(spark, dir, cursor, "id", Seq("id", "payload"))(consume)
+    assert(seen.isEmpty)
+    // crash mid-version: cursor must NOT advance past the failure
+    Snapshots.commit(df(3, 4), dir) // v2: 1,2 deleted; 4 inserted
+    Snapshots.commitAppend(df(5), dir) // v3
+    intercept[RuntimeException] {
+      Snapshots.processNewVersions(spark, dir, cursor, "id", Seq("id", "payload")) {
+        (b, v) => if (v == 3L) throw new RuntimeException("sink down") else consume(b, v)
+      }
+    }
+    assert(seen.map(_._1).toSeq === Seq(2L))
+    // recovery replays EXACTLY the failed version (at-least-once)
+    seen.clear()
+    Snapshots.processNewVersions(spark, dir, cursor, "id", Seq("id", "payload"))(consume)
+    assert(seen.toSeq === Seq(3L -> Set(5L -> "inserted")))
+  }
+
   test("vacuum under append lineage keeps files a surviving manifest still references") {
     val dir = fresh()
     Snapshots.commit(df(1, 2), dir) // v0
