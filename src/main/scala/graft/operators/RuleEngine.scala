@@ -49,7 +49,13 @@ object RuleEngine {
       lit(i.longValue)
     case JLong(i) => lit(i)
     case JDouble(d) => lit(d)
-    case JDecimal(d) => lit(d.doubleValue)
+    case JDecimal(d) =>
+      // same loud-failure contract as the JInt guard: a decimal
+      // literal that doesn't round-trip through double would compare
+      // against a silently rounded value (review-caught)
+      if (BigDecimal(d.doubleValue).compare(d) != 0)
+        fail(s"decimal literal loses precision as double: $d")
+      lit(d.doubleValue)
     case JBool(b) => lit(b)
     case other => fail(s"unsupported literal: $other")
   }

@@ -134,6 +134,14 @@ object Snapshots {
         s"torn manifest for version $v in $root (missing or mismatched #end trailer) — " +
           "the publishing commit crashed mid-write; re-commit or remove the manifest")
       Manifest(files, schema)
+    } else if (lines.exists(l => l.nonEmpty && l.startsWith("#"))) {
+      // a '#' line without the full v2 header can only be a manifest
+      // torn INSIDE its header (v1 manifests never contain '#') —
+      // keep the loud diagnostic instead of misparsing the fragment
+      // as a v1 file path (review-caught)
+      throw new IllegalArgumentException(
+        s"torn manifest for version $v in $root (truncated header) — " +
+          "the publishing commit crashed mid-write; re-commit or remove the manifest")
     } else {
       // legacy v1: bare file list, no schema, no trailer
       Manifest(lines.filter(_.nonEmpty).toSeq, None)
@@ -146,17 +154,32 @@ object Snapshots {
     val header = "#graft-manifest v=2 schema=" +
       Base64.getEncoder.encodeToString(schema.json.getBytes(StandardCharsets.UTF_8))
     val body = (header +: files :+ s"#end ${files.length}").mkString("\n")
-    // create-if-absent: a racer that already published v fails HERE
-    // (FileAlreadyExists on stores with atomic create; exists-check
-    // inside RawLocalFileSystem otherwise — see object doc for why
-    // the data-dir write is the decisive mutex)
-    val out =
-      try f.create(m, false)
-      catch { case e: java.io.IOException if f.exists(m) =>
+    // write-temp-then-rename: readers NEVER observe a partially
+    // written manifest under the final name (review-caught: writing
+    // through create(final) exposed an in-flight commit to concurrent
+    // reads as a phantom "torn manifest", and a crash mid-write
+    // wedged the version number). The temp name is unique per
+    // attempt so racing publishers never clobber each other's temp;
+    // FileContext.rename with Rename.NONE refuses an existing
+    // destination (atomically on HDFS; exists-check + atomic
+    // rename(2) on local — the data-dir errorifexists write remains
+    // the decisive mutex there, see object doc). Object stores
+    // without atomic rename need a committer, the standard caveat.
+    val tmp = new Path(root, f"_v$v%06d.manifest.inprogress.${System.nanoTime()}%d")
+    val out = f.create(tmp, true)
+    try out.write(body.getBytes(StandardCharsets.UTF_8)) finally out.close()
+    val fc = org.apache.hadoop.fs.FileContext.getFileContext(root.toUri, f.getConf)
+    try fc.rename(tmp, m)
+    catch { case e: java.io.IOException =>
+      f.delete(tmp, false)
+      if (f.exists(m))
         throw new IllegalStateException(
           s"concurrent commit: version $v appeared during publish", e)
-      }
-    try out.write(body.getBytes(StandardCharsets.UTF_8)) finally out.close()
+      else throw e
+    }
+    // local ChecksumFileSystem leaves the TEMP name's crc sidecar
+    // behind (the rename goes through the raw fs) — best-effort drop
+    f.delete(new Path(root, "." + tmp.getName + ".crc"), false)
   }
 
   private def listParquet(f: FileSystem, root: Path, dataDir: Path): Seq[String] = {
@@ -360,6 +383,15 @@ object Snapshots {
     * a caller wanting net state instead of the event stream reads
     * the latest version directly. `sinceVersion == currentVersion`
     * returns the empty changelog.
+    *
+    * Cost note: each STEP's merkle dirty-bucket pruning runs at call
+    * time (a bounded driver collect per step, by [[TableDiff]]
+    * design), so a consumer hundreds of versions behind pays that
+    * per-step driver work up front — such a consumer should either
+    * iterate [[processNewVersions]] or, when per-version attribution
+    * is not needed, take ONE [[diffVersions]](since, current) net
+    * diff instead. The per-step frames union via a balanced fold so
+    * the plan depth is logarithmic in the step count.
     */
   def changelog(spark: SparkSession, dir: String, sinceVersion: Long,
                 key: String, cols: Seq[String],
@@ -370,11 +402,15 @@ object Snapshots {
     if (sinceVersion == cur)
       diffVersions(spark, dir, cur, cur, key, cols, numBuckets)
         .withColumn("version", lit(cur))
-    else
-      (sinceVersion + 1 to cur).map { v =>
+    else {
+      var frames: Seq[DataFrame] = (sinceVersion + 1 to cur).map { v =>
         diffVersions(spark, dir, v - 1, v, key, cols, numBuckets)
           .withColumn("version", lit(v))
-      }.reduce(_.unionByName(_))
+      }
+      while (frames.size > 1)
+        frames = frames.grouped(2).map(_.reduce(_.unionByName(_))).toSeq
+      frames.head
+    }
   }
 
   /** Cursor-file-driven incremental consumption — the
@@ -412,9 +448,17 @@ object Snapshots {
           diffVersions(spark, dir, v - 1, v, key, cols, numBuckets)
             .withColumn("version", lit(v))
       f(batch, v)
-      val out = cfs.create(cp, true) // tiny cursor: plain overwrite
+      // temp-then-rename (OVERWRITE): a crash mid-write can never
+      // truncate the live cursor — truncate-in-place would wedge the
+      // consumer on an empty file, or silently rewind it on a
+      // partial numeric prefix (review-caught)
+      val tmp = new Path(cp.getParent, cp.getName + s".tmp.${System.nanoTime()}")
+      val out = cfs.create(tmp, true)
       try out.write(v.toString.getBytes(StandardCharsets.UTF_8))
       finally out.close()
+      org.apache.hadoop.fs.FileContext.getFileContext(cp.toUri, cfs.getConf)
+        .rename(tmp, cp, org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+      cfs.delete(new Path(cp.getParent, "." + tmp.getName + ".crc"), false)
       v += 1
     }
     cur

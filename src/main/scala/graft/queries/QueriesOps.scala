@@ -947,13 +947,37 @@ object QueriesOps {
     * equality proves neither the file-level pruning nor the merkle
     * bucket pruning loses a row.
     */
+  /** Deterministic per-(tag, source-dir) scratch path, wiped and
+    * recreated on every call: repeated Verify/Bench/stress runs keep
+    * at most ONE live copy per tag instead of leaking a fresh
+    * temp directory per invocation (review-caught — at stress scale
+    * each leaked copy is the full scaled table).
+    */
+  private def scratchDir(tag: String, d: String): String = {
+    val safe = d.replaceAll("[^A-Za-z0-9._-]", "_")
+    val p = java.nio.file.Paths.get(
+      sys.props("java.io.tmpdir"), "graft-scratch", s"$tag-$safe")
+    if (java.nio.file.Files.exists(p)) {
+      val walk = java.nio.file.Files.walk(p)
+      try walk.sorted(java.util.Comparator.reverseOrder())
+        .forEach(f => { java.nio.file.Files.deleteIfExists(f); () })
+      finally walk.close()
+    }
+    java.nio.file.Files.createDirectories(p)
+    p.toString
+  }
+
   def snapshotDiff(s: SparkSession, d: String): DataFrame = {
     GraftSession.tune(s)
-    val dir = java.nio.file.Files.createTempDirectory("graft-snapdiff").toString
+    val dir = scratchDir("snapdiff", d)
     val base = docs(s, d).select(col("doc_id"), col("source"), col("n_chars"))
     graft.operators.Snapshots.commit(base, dir) // v0
+    // appendix offset far above any scaled replica id: the stress
+    // harness replicates doc_ids at a 10M stride x26, so +10M would
+    // collide appended keys with replica k+1 and break diffVersions'
+    // unique-key-per-version contract (review-caught)
     val appendix = base.filter(col("doc_id") % 10 === 0 && col("doc_id") >= 0)
-      .withColumn("doc_id", col("doc_id") + lit(10000000L))
+      .withColumn("doc_id", col("doc_id") + lit(1000000000L))
     graft.operators.Snapshots.commitAppend(appendix, dir) // v1: shared files + new
     val rewrite = base.filter(col("doc_id") % 97 =!= 0)
       .withColumn("n_chars",
@@ -967,7 +991,7 @@ object QueriesOps {
 
   val snapshotDiffSql: String =
     """WITH base AS (SELECT doc_id, source, n_chars FROM documents),
-      |app AS (SELECT doc_id + 10000000 AS doc_id, source, n_chars
+      |app AS (SELECT doc_id + 1000000000 AS doc_id, source, n_chars
       |        FROM base WHERE doc_id % 10 = 0 AND doc_id >= 0),
       |v2 AS (SELECT doc_id, source,
       |        CASE WHEN doc_id % 101 = 0 THEN n_chars + 1 ELSE n_chars END AS n_chars
@@ -999,7 +1023,7 @@ object QueriesOps {
     */
   def deleteByKeyQuery(s: SparkSession, d: String): DataFrame = {
     GraftSession.tune(s)
-    val dir = java.nio.file.Files.createTempDirectory("graft-delete").toString
+    val dir = scratchDir("delete", d)
     graft.operators.EventsSink.write(Tables.eventsNorm(s, d), dir)
     graft.operators.Upsert.deleteByKey(s, dir,
       ev(s, d).filter(col("event_id") % 131 === 0).select(col("event_id")),

@@ -162,12 +162,25 @@ object Sinks {
           val pattern =
             if (esc == null || esc.isEmpty) folded
             else folded.replace(esc, esc + esc).replace("_", esc + "_")
-          val rs = md.getColumns(null, null, pattern, null)
+          // scope to the connection's current schema when the driver
+          // reports one: a same-named table in another schema would
+          // otherwise merge its columns into the list (review-caught)
+          val schemaPattern =
+            try Option(conn.getSchema).filter(_.nonEmpty).orNull
+            catch { case _: Throwable => null }
+          val rs = md.getColumns(null, schemaPattern, pattern, null)
           val out = scala.collection.mutable.ArrayBuffer[(Int, String)]()
           try while (rs.next())
             out += ((rs.getInt("ORDINAL_POSITION"), rs.getString("COLUMN_NAME")))
           finally rs.close()
-          out.sortBy(_._1).map(_._2).toSeq
+          val cols = out.sortBy(_._1).map(_._2).toSeq
+          require(cols.nonEmpty,
+            s"stage table $name has no resolvable columns — identifier " +
+              "folding or schema scoping failed; cannot build the INSERT")
+          require(cols.distinct.size == cols.size,
+            s"stage table $name resolves to duplicate column names $cols — " +
+              "ambiguous metadata (same-named table in another schema?)")
+          cols
         }
         // Spark's JDBC writer QUOTES identifiers at CREATE time, so
         // the stage's columns are stored case-sensitively ("id", not

@@ -119,6 +119,13 @@ class SnapshotsSpec extends SparkSpec {
       java.nio.file.Paths.get(dir).resolve("._v000000.manifest.crc"))
     val e = intercept[IllegalArgumentException](Snapshots.read(spark, dir, 0))
     assert(e.getMessage.contains("torn manifest"))
+    // a manifest torn INSIDE its header must ALSO diagnose loudly —
+    // not fall back to the v1 parser with '#graft-man' as a "file"
+    java.nio.file.Files.write(m, "#graft-man".getBytes)
+    java.nio.file.Files.deleteIfExists(
+      java.nio.file.Paths.get(dir).resolve("._v000000.manifest.crc"))
+    val e2 = intercept[IllegalArgumentException](Snapshots.read(spark, dir, 0))
+    assert(e2.getMessage.contains("torn manifest"))
   }
 
   test("the data-directory errorifexists write is the first commit mutex") {
