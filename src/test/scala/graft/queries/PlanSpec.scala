@@ -387,6 +387,32 @@ class PlanSpec extends SparkSpec {
       "only the output sort may exchange\n" + p.take(1200))
   }
 
+  test("doc_bpe_ids: id emission is one codegen'd scan, no join or shuffle before the sort") {
+    val p = plan(Queries.docBpeIds(spark, sfSmoke))
+    assert(!p.contains("SortMergeJoin") && !p.contains("BroadcastHashJoin"),
+      "apply is a map-side expression, not a join\n" + p.take(1200))
+    assert("Exchange".r.findAllIn(p).size <= 1,
+      "only the output sort may exchange\n" + p.take(1200))
+    assert(p.contains("bpe_token_ids"), p.take(1200))
+  }
+
+  test("doc_pack_bpe: prefix sum windows per SOURCE (never corpus-global), then partial+final agg") {
+    val p = plan(Queries.docPackBpe(spark, sfSmoke))
+    // the window must carry the source partition key — an
+    // unpartitioned prefix sum would serialize the corpus
+    assert(p.contains("windowspecdefinition(source"),
+      "pack window must partition by source\n" + p.take(1500))
+    assert("HashAggregate".r.findAllIn(p).size >= 2,
+      "pack rollup must combine map-side\n" + p.take(1200))
+    assert(!p.contains("Join"), p.take(1200))
+  }
+
+  test("snapshot_diff: CDC diff composes hash joins only — no cartesian product") {
+    val p = plan(QueriesOps.snapshotDiff(spark, sfSmoke))
+    assert(!p.contains("CartesianProduct"), p.take(1200))
+    assert(!p.contains("BroadcastNestedLoopJoin"), p.take(1200))
+  }
+
   test("doc_normalize: single-pass native expression inside whole-stage codegen") {
     val df = Queries.docNormalize(spark, sfSmoke)
     df.queryExecution.executedPlan.execute().count()
