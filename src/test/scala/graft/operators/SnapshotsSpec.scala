@@ -219,6 +219,25 @@ class SnapshotsSpec extends SparkSpec {
     assert(seen.toSeq === Seq(3L -> Set(5L -> "inserted")))
   }
 
+  test("legacy v1 manifests (bare file list) stay readable; appends on top merge by inference") {
+    val dir = fresh()
+    Snapshots.commit(df(1, 2), dir) // v0, written as v2 format
+    val m = java.nio.file.Paths.get(dir).resolve("_v000000.manifest")
+    // rewrite v0's manifest in the PRE-r10 format: bare relative paths
+    java.nio.file.Files.write(m,
+      (manifestFiles(dir, 0L).mkString("\n") + "\n").getBytes)
+    java.nio.file.Files.deleteIfExists(
+      java.nio.file.Paths.get(dir).resolve("._v000000.manifest.crc"))
+    assert(Snapshots.read(spark, dir, 0).select("id").as[Long].collect().toSet
+      === Set(1L, 2L), "v1 manifest must read (schema inferred from files)")
+    // an append on a legacy base infers the base schema once and merges
+    Snapshots.commitAppend(df(3).withColumn("extra", lit(7L)), dir)
+    val v1 = Snapshots.read(spark, dir, 1)
+    assert(v1.columns.toSeq === Seq("id", "payload", "extra"))
+    assert(v1.filter(col("extra").isNotNull).select("id").as[Long].collect().toSeq
+      === Seq(3L))
+  }
+
   test("vacuum under append lineage keeps files a surviving manifest still references") {
     val dir = fresh()
     Snapshots.commit(df(1, 2), dir) // v0
