@@ -52,8 +52,12 @@ object RuleEngine {
     case JDecimal(d) =>
       // same loud-failure contract as the JInt guard: a decimal
       // literal that doesn't round-trip through double would compare
-      // against a silently rounded value (review-caught)
-      if (BigDecimal(d.doubleValue).compare(d) != 0)
+      // against a silently rounded value. Magnitude first: an
+      // overflowing literal's doubleValue is Infinity, and
+      // BigDecimal(Infinity) would throw a raw NumberFormatException
+      // instead of the documented IllegalArgumentException
+      // (review-caught, both halves)
+      if (d.doubleValue.isInfinite || BigDecimal(d.doubleValue).compare(d) != 0)
         fail(s"decimal literal loses precision as double: $d")
       lit(d.doubleValue)
     case JBool(b) => lit(b)

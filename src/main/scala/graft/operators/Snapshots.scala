@@ -86,20 +86,31 @@ object Snapshots {
   private def manifestPath(root: Path, v: Long): Path =
     new Path(root, f"_v$v%06d.manifest")
 
-  /** Largest committed version, or -1 for an empty/new table.
-    * Non-numeric `_v*.manifest` names (manual backups etc.) are
-    * ignored, not fatal. */
-  def currentVersion(dir: String): Long = {
-    val f = fsFor(dir)
-    val root = rootOf(f, dir)
-    if (!f.exists(root)) -1L
+  private def versionNumbers(f: FileSystem, root: Path): Seq[Long] =
+    if (!f.exists(root)) Seq.empty
     else f.listStatus(root).iterator
       .map(_.getPath.getName)
       .collect { case n if n.startsWith("_v") && n.endsWith(".manifest") =>
         n.stripPrefix("_v").stripSuffix(".manifest") }
       .filter(v => v.nonEmpty && v.forall(_.isDigit))
       .map(_.toLong)
-      .foldLeft(-1L)(math.max)
+      .toSeq
+
+  /** Largest committed version, or -1 for an empty/new table.
+    * Non-numeric `_v*.manifest` names (manual backups etc.) are
+    * ignored, not fatal. */
+  def currentVersion(dir: String): Long = {
+    val f = fsFor(dir)
+    versionNumbers(f, rootOf(f, dir)).foldLeft(-1L)(math.max)
+  }
+
+  /** Smallest still-retained version (-1 for an empty table) — moves
+    * up as [[vacuum]] drops history; [[processNewVersions]] uses it
+    * to bootstrap fresh consumers and to detect vacuumed-away gaps. */
+  def earliestVersion(dir: String): Long = {
+    val f = fsFor(dir)
+    val vs = versionNumbers(f, rootOf(f, dir))
+    if (vs.isEmpty) -1L else vs.min
   }
 
   // --- manifest I/O ------------------------------------------------
@@ -417,8 +428,10 @@ object Snapshots {
     * `Trigger.AvailableNow` analog for snapshot tables, and the loop
     * a production consumer of [[changelog]] actually runs: read the
     * persisted cursor, feed each not-yet-processed version to
-    * `f(batch, version)` one at a time (version 0 arrives as its
-    * full snapshot labeled `inserted`; later versions as their
+    * `f(batch, version)` one at a time (a fresh consumer bootstraps
+    * from the EARLIEST retained version delivered as its full
+    * snapshot labeled `inserted` — which is also the net effect of
+    * any vacuumed-away history; later versions arrive as their
     * [[diffVersions]] changelog), and advance the cursor only AFTER
     * `f` returns. Delivery is therefore at-least-once per version —
     * a crash between `f` and the cursor write replays that version
@@ -438,12 +451,32 @@ object Snapshots {
         new String(readBytes(cfs, cp), StandardCharsets.UTF_8).trim.toLong
       else -1L
     val cur = currentVersion(dir)
-    var v = since + 1
+    // a cursor AHEAD of the table means the table was recreated (or
+    // the wrong cursor file was passed): treating it as caught-up
+    // would silently skip the new lineage's entire history
+    // (review-caught) — the operator must re-bootstrap deliberately
+    require(since <= cur,
+      s"cursor $cursorFile is at version $since but $dir is only at $cur — " +
+        "table recreated or wrong cursor; delete the cursor to re-bootstrap")
+    val earliest = earliestVersion(dir)
+    // vacuum interplay (review-caught): a fresh consumer whose
+    // initial full snapshot was vacuumed bootstraps from the EARLIEST
+    // retained version instead (delivered as a full snapshot, which
+    // IS the net effect of every vacuumed change); a LAGGING cursor
+    // below the retention floor cannot be caught up exactly
+    // (intermediate deletes are gone) and must fail loudly
+    if (since >= 0 && since + 1 < earliest)
+      throw new IllegalStateException(
+        s"cursor $cursorFile at version $since but versions below $earliest " +
+          s"were vacuumed from $dir — exact catch-up is impossible; delete " +
+          "the cursor to re-bootstrap from the earliest retained snapshot")
+    var v = if (since < 0) math.max(earliest, 0L) else since + 1
     while (v <= cur) {
       val batch =
-        if (v == 0)
-          read(spark, dir, 0)
-            .select(col(key), lit("inserted").as("status"), lit(0L).as("version"))
+        if (since < 0 && v == math.max(earliest, 0L))
+          // bootstrap: the first delivered version is a full snapshot
+          read(spark, dir, v)
+            .select(col(key), lit("inserted").as("status"), lit(v).as("version"))
         else
           diffVersions(spark, dir, v - 1, v, key, cols, numBuckets)
             .withColumn("version", lit(v))
@@ -485,6 +518,15 @@ object Snapshots {
           .foreach(rel => f.delete(new Path(root, rel), false))
         f.delete(m, false)
       }
+    }
+    // crashed publishes orphan `*.manifest.inprogress.*` temps (and
+    // local crc sidecars) that nothing else reclaims (review-caught).
+    // Vacuum is the operator-coordinated maintenance point, so a
+    // racing LIVE publisher losing its temp here fails its rename
+    // loudly and retries — the standard vacuum-vs-writer contract.
+    f.listStatus(root).foreach { st =>
+      val n = st.getPath.getName
+      if (n.contains(".manifest.inprogress.")) f.delete(st.getPath, false)
     }
   }
 }

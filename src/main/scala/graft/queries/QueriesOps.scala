@@ -947,22 +947,39 @@ object QueriesOps {
     * equality proves neither the file-level pruning nor the merkle
     * bucket pruning loses a row.
     */
-  /** Deterministic per-(tag, source-dir) scratch path, wiped and
-    * recreated on every call: repeated Verify/Bench/stress runs keep
-    * at most ONE live copy per tag instead of leaking a fresh
-    * temp directory per invocation (review-caught — at stress scale
-    * each leaked copy is the full scaled table).
+  /** Deterministic per-(process, tag, source-dir) scratch path,
+    * wiped and recreated on every call: repeated Verify/Bench/stress
+    * runs keep at most ONE live copy per tag instead of leaking a
+    * fresh temp directory per invocation (review-caught — at stress
+    * scale each leaked copy is the full scaled table). The path
+    * carries the JVM's pid (two local drivers never clobber each
+    * other's in-flight scratch — a second review catch; the old
+    * deterministic path raced across processes) and an md5 of the
+    * RAW source path (sanitization alone could collide distinct
+    * dirs). A shutdown hook reclaims the whole per-process root on
+    * normal exit; a crash leaks at most that one copy.
     */
-  private def scratchDir(tag: String, d: String): String = {
-    val safe = d.replaceAll("[^A-Za-z0-9._-]", "_")
-    val p = java.nio.file.Paths.get(
-      sys.props("java.io.tmpdir"), "graft-scratch", s"$tag-$safe")
+  private lazy val scratchRoot: java.nio.file.Path = {
+    val p = java.nio.file.Paths.get(sys.props("java.io.tmpdir"),
+      "graft-scratch", s"pid-${ProcessHandle.current().pid()}")
+    Runtime.getRuntime.addShutdownHook(new Thread(() => wipe(p)))
+    p
+  }
+
+  private def wipe(p: java.nio.file.Path): Unit =
     if (java.nio.file.Files.exists(p)) {
       val walk = java.nio.file.Files.walk(p)
       try walk.sorted(java.util.Comparator.reverseOrder())
         .forEach(f => { java.nio.file.Files.deleteIfExists(f); () })
       finally walk.close()
     }
+
+  private def scratchDir(tag: String, d: String): String = {
+    val safe = d.replaceAll("[^A-Za-z0-9._-]", "_").takeRight(40)
+    val digest = java.security.MessageDigest.getInstance("MD5")
+      .digest(d.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(8)
+    val p = scratchRoot.resolve(s"$tag-$safe-$digest")
+    wipe(p)
     java.nio.file.Files.createDirectories(p)
     p.toString
   }

@@ -121,16 +121,30 @@ object Sinks {
       // 'eventsXledger' (review-caught; the previous unconditional
       // toUpperCase broke every lowercase-folding RDBMS on batch 1)
       val md = conn.getMetaData
-      def tableExists(name: String): Boolean = {
+      def wildcardEscaped(s: String): String = {
+        val esc = md.getSearchStringEscape
+        if (esc == null || esc.isEmpty) s
+        else s.replace(esc, esc + esc).replace("_", esc + "_")
+      }
+      def likeEscaped(name: String): String = {
         val folded =
           if (md.storesUpperCaseIdentifiers) name.toUpperCase
           else if (md.storesLowerCaseIdentifiers) name.toLowerCase
           else name
-        val esc = md.getSearchStringEscape
-        val pattern =
-          if (esc == null || esc.isEmpty) folded
-          else folded.replace(esc, esc + esc).replace("_", esc + "_")
-        val rs = md.getTables(null, null, pattern, null)
+        wildcardEscaped(folded)
+      }
+      // scope EVERY metadata lookup to the connection's current
+      // schema when the driver reports one — a same-named table in
+      // another schema would otherwise shadow existence checks and
+      // merge foreign columns (review-caught). getSchema returns the
+      // STORED form, so it only needs wildcard escaping (a '_' in a
+      // schema name would otherwise LIKE-match sibling schemas), not
+      // case folding.
+      val schemaPattern: String =
+        try Option(conn.getSchema).filter(_.nonEmpty).map(wildcardEscaped).orNull
+        catch { case _: Throwable => null }
+      def tableExists(name: String): Boolean = {
+        val rs = md.getTables(null, schemaPattern, likeEscaped(name), null)
         try rs.next() finally rs.close()
       }
       val stage = stagingName(table, batchId)
@@ -153,22 +167,7 @@ object Sinks {
         // in a different order still lands by NAME, never by position
         // (review-caught positional assumption)
         def columnsOf(name: String): Seq[String] = {
-          val folded =
-            if (md.storesUpperCaseIdentifiers) name.toUpperCase
-            else if (md.storesLowerCaseIdentifiers) name.toLowerCase
-            else name
-          // same '_'-wildcard escaping as tableExists above
-          val esc = md.getSearchStringEscape
-          val pattern =
-            if (esc == null || esc.isEmpty) folded
-            else folded.replace(esc, esc + esc).replace("_", esc + "_")
-          // scope to the connection's current schema when the driver
-          // reports one: a same-named table in another schema would
-          // otherwise merge its columns into the list (review-caught)
-          val schemaPattern =
-            try Option(conn.getSchema).filter(_.nonEmpty).orNull
-            catch { case _: Throwable => null }
-          val rs = md.getColumns(null, schemaPattern, pattern, null)
+          val rs = md.getColumns(null, schemaPattern, likeEscaped(name), null)
           val out = scala.collection.mutable.ArrayBuffer[(Int, String)]()
           try while (rs.next())
             out += ((rs.getInt("ORDINAL_POSITION"), rs.getString("COLUMN_NAME")))

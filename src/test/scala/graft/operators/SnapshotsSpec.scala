@@ -219,6 +219,42 @@ class SnapshotsSpec extends SparkSpec {
     assert(seen.toSeq === Seq(3L -> Set(5L -> "inserted")))
   }
 
+  test("processNewVersions vs vacuum: fresh consumers bootstrap from the earliest retained snapshot; lagging cursors fail loudly; ahead cursors refuse") {
+    val dir = fresh()
+    Snapshots.commit(df(1), dir)        // v0
+    Snapshots.commit(df(1, 2), dir)     // v1
+    Snapshots.commitAppend(df(3), dir)  // v2
+    Snapshots.vacuum(dir, keepFrom = 1L) // v0 history is gone
+    // fresh consumer: bootstraps from v1 as a FULL snapshot (the net
+    // effect of everything vacuumed), then consumes v2's diff
+    val cursor = java.nio.file.Paths.get(fresh(), "cursor").toString
+    val seen = scala.collection.mutable.ArrayBuffer[(Long, Set[(Long, String)])]()
+    Snapshots.processNewVersions(spark, dir, cursor, "id", Seq("id", "payload")) {
+      (b, v) => seen += v -> b.collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    }
+    assert(seen.toSeq === Seq(
+      1L -> Set(1L -> "inserted", 2L -> "inserted"),
+      2L -> Set(3L -> "inserted")))
+    // lagging cursor below the retention floor: exact catch-up is
+    // impossible (intermediate deletes are gone) — loud refusal
+    Snapshots.vacuum(dir, keepFrom = 2L)
+    val behind = java.nio.file.Paths.get(fresh(), "cursor")
+    java.nio.file.Files.write(behind, "0".getBytes)
+    val e = intercept[IllegalStateException] {
+      Snapshots.processNewVersions(spark, dir, behind.toString,
+        "id", Seq("id", "payload"))((_, _) => ())
+    }
+    assert(e.getMessage.contains("vacuumed"))
+    // cursor AHEAD of the table (recreated table / wrong file): refuse
+    val ahead = java.nio.file.Paths.get(fresh(), "cursor")
+    java.nio.file.Files.write(ahead, "9".getBytes)
+    val e2 = intercept[IllegalArgumentException] {
+      Snapshots.processNewVersions(spark, dir, ahead.toString,
+        "id", Seq("id", "payload"))((_, _) => ())
+    }
+    assert(e2.getMessage.contains("re-bootstrap"))
+  }
+
   test("legacy v1 manifests (bare file list) stay readable; appends on top merge by inference") {
     val dir = fresh()
     Snapshots.commit(df(1, 2), dir) // v0, written as v2 format
