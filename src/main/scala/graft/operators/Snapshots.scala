@@ -450,7 +450,13 @@ object Snapshots {
       if (cfs.exists(cp))
         new String(readBytes(cfs, cp), StandardCharsets.UTF_8).trim.toLong
       else -1L
-    val cur = currentVersion(dir)
+    // ONE listing yields both bounds: two separate listings cost two
+    // object-store LIST round-trips per poll and can disagree under a
+    // concurrent vacuum/commit (review-caught)
+    val tfs = fsFor(dir)
+    val versions = versionNumbers(tfs, rootOf(tfs, dir))
+    val cur = versions.foldLeft(-1L)(math.max)
+    val earliest = if (versions.isEmpty) -1L else versions.min
     // a cursor AHEAD of the table means the table was recreated (or
     // the wrong cursor file was passed): treating it as caught-up
     // would silently skip the new lineage's entire history
@@ -458,14 +464,18 @@ object Snapshots {
     require(since <= cur,
       s"cursor $cursorFile is at version $since but $dir is only at $cur — " +
         "table recreated or wrong cursor; delete the cursor to re-bootstrap")
-    val earliest = earliestVersion(dir)
     // vacuum interplay (review-caught): a fresh consumer whose
     // initial full snapshot was vacuumed bootstraps from the EARLIEST
     // retained version instead (delivered as a full snapshot, which
     // IS the net effect of every vacuumed change); a LAGGING cursor
     // below the retention floor cannot be caught up exactly
     // (intermediate deletes are gone) and must fail loudly
-    if (since >= 0 && since + 1 < earliest)
+    // strict `<`: the first needed diff is (since -> since+1), which
+    // reads MANIFEST since — so a cursor at earliest-1 is already
+    // past recovery (review-caught off-by-one: `since + 1 < earliest`
+    // let that boundary fall through to a misleading
+    // version-does-not-exist error)
+    if (since >= 0 && since < earliest)
       throw new IllegalStateException(
         s"cursor $cursorFile at version $since but versions below $earliest " +
           s"were vacuumed from $dir — exact catch-up is impossible; delete " +
@@ -521,12 +531,17 @@ object Snapshots {
     }
     // crashed publishes orphan `*.manifest.inprogress.*` temps (and
     // local crc sidecars) that nothing else reclaims (review-caught).
-    // Vacuum is the operator-coordinated maintenance point, so a
-    // racing LIVE publisher losing its temp here fails its rename
-    // loudly and retries — the standard vacuum-vs-writer contract.
+    // AGE-GATED: a live publisher's temp exists for milliseconds, so
+    // only temps older than an hour are swept — deleting a live one
+    // would fail its rename AND leave its errorifexists data dir
+    // squatting on the version number (review-caught: an
+    // unconditional sweep could wedge a racing commit, not merely
+    // retry it).
+    val cutoff = System.currentTimeMillis() - 3600L * 1000
     f.listStatus(root).foreach { st =>
       val n = st.getPath.getName
-      if (n.contains(".manifest.inprogress.")) f.delete(st.getPath, false)
+      if (n.contains(".manifest.inprogress.") && st.getModificationTime < cutoff)
+        f.delete(st.getPath, false)
     }
   }
 }

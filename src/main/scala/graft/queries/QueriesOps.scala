@@ -960,8 +960,25 @@ object QueriesOps {
     * normal exit; a crash leaks at most that one copy.
     */
   private lazy val scratchRoot: java.nio.file.Path = {
-    val p = java.nio.file.Paths.get(sys.props("java.io.tmpdir"),
-      "graft-scratch", s"pid-${ProcessHandle.current().pid()}")
+    val base = java.nio.file.Paths.get(sys.props("java.io.tmpdir"), "graft-scratch")
+    // reclaim siblings left by CRASHED runs (kill -9 skips shutdown
+    // hooks — review-caught: per-pid roots would otherwise leak one
+    // full scaled-table copy per crash); a pid that no longer maps to
+    // a live process cannot be using its scratch
+    if (java.nio.file.Files.isDirectory(base)) {
+      val ls = java.nio.file.Files.list(base)
+      try ls.forEach { sib =>
+        val name = sib.getFileName.toString
+        if (name.startsWith("pid-")) {
+          val alive = name.stripPrefix("pid-").toLongOption
+            .flatMap(pid => scala.jdk.OptionConverters.RichOptional(
+              ProcessHandle.of(pid)).toScala)
+            .exists(_.isAlive)
+          if (!alive) wipe(sib)
+        }
+      } finally ls.close()
+    }
+    val p = base.resolve(s"pid-${ProcessHandle.current().pid()}")
     Runtime.getRuntime.addShutdownHook(new Thread(() => wipe(p)))
     p
   }

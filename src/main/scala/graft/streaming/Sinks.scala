@@ -124,7 +124,9 @@ object Sinks {
       def wildcardEscaped(s: String): String = {
         val esc = md.getSearchStringEscape
         if (esc == null || esc.isEmpty) s
-        else s.replace(esc, esc + esc).replace("_", esc + "_")
+        else s.replace(esc, esc + esc)
+          .replace("_", esc + "_")
+          .replace("%", esc + "%") // '%' is a LIKE wildcard too (review-caught)
       }
       def likeEscaped(name: String): String = {
         val folded =

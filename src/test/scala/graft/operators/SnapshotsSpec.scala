@@ -245,6 +245,17 @@ class SnapshotsSpec extends SparkSpec {
         "id", Seq("id", "payload"))((_, _) => ())
     }
     assert(e.getMessage.contains("vacuumed"))
+    // the boundary cursor (exactly earliest-1) needs MANIFEST
+    // earliest-1 for its first diff — same loud refusal, not a
+    // confusing version-does-not-exist error (review-caught
+    // off-by-one)
+    val boundary = java.nio.file.Paths.get(fresh(), "cursor")
+    java.nio.file.Files.write(boundary, "1".getBytes)
+    val e3 = intercept[IllegalStateException] {
+      Snapshots.processNewVersions(spark, dir, boundary.toString,
+        "id", Seq("id", "payload"))((_, _) => ())
+    }
+    assert(e3.getMessage.contains("vacuumed"))
     // cursor AHEAD of the table (recreated table / wrong file): refuse
     val ahead = java.nio.file.Paths.get(fresh(), "cursor")
     java.nio.file.Files.write(ahead, "9".getBytes)
