@@ -8,9 +8,58 @@ import org.apache.spark.sql.SparkSession
   * JSON line for the driver.
   */
 object Bench {
+  /** Cumulative stop-the-world GC time across all collectors (ms).
+    * Monotonic per JVM, so deltas around a timed region give the GC
+    * cost charged to that region.
+    */
+  private def gcMs(): Long = {
+    import scala.jdk.CollectionConverters._
+    java.lang.management.ManagementFactory.getGarbageCollectorMXBeans
+      .asScala.map(_.getCollectionTime).filter(_ >= 0).sum
+  }
+
+  /** Number of Janino compilations since JVM start. Runs 2..n of a
+    * query should add ~0 — a nonzero delta there means the generated-
+    * class cache is evicting (the 2-6x scan slowdown GraftSession's
+    * maxEntries=5000 exists to prevent) or the conf didn't take.
+    */
+  private def codegenCompiles(): Long =
+    org.apache.spark.metrics.source.CodegenMetrics
+      .METRIC_COMPILATION_TIME.getCount
+
+  /** Bytes this process actually read from STORAGE (not page cache)
+    * since start — /proc/self/io read_bytes. A query whose median
+    * run reads gigabytes here is scanning cold files: the CPU
+    * calibration probes cannot see disk contention or page-cache
+    * eviction, and the r10 driver-run degradation hit exactly the
+    * largest-scan queries, so this field is what distinguishes
+    * "cold/contended I/O" from compute causes in the artifact.
+    */
+  private def storageReadBytes(): Long =
+    try scala.io.Source.fromFile("/proc/self/io").getLines()
+      .collectFirst { case l if l.startsWith("read_bytes:") =>
+        l.split("\\s+")(1).toLong }.getOrElse(-1L)
+    catch { case _: Throwable => -1L }
+
+  /** (iowait, total) jiffies from the machine-wide /proc/stat cpu
+    * line. The delta ratio across the query loop exposes box-level
+    * disk-wait the loadavg and CPU calibration both miss. */
+  private def cpuTicks(): (Long, Long) =
+    try {
+      val parts = scala.io.Source.fromFile("/proc/stat").getLines()
+        .next().trim.split("\\s+").drop(1).map(_.toLong)
+      (if (parts.length > 4) parts(4) else -1L, parts.sum)
+    } catch { case _: Throwable => (-1L, -1L) }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    // Optional comma-separated query-name filter for diagnosis sweeps
+    // (e.g. reproducing the r10 driver-run degradation family without
+    // paying for the other 108 queries). Empty/unset = all queries.
+    val only: Set[String] = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+      .filter(_.nonEmpty).getOrElse(Set.empty)
     val spark = GraftSession.build(s"local[$cpus]", cpus)
     // Warmup: absorb JVM/JIT/codegen/classloading and parquet footer
     // reads so the first timed query isn't charged for session
@@ -85,9 +134,18 @@ object Bench {
     // median over 5 makes round-over-round comparisons detect real
     // regressions at ~±10%.
     val runs = 5
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    val gcLoop0 = gcMs()
+    val cgLoop0 = codegenCompiles()
+    val ioLoop0 = storageReadBytes()
+    val (iow0, tick0) = cpuTicks()
+    val selected = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (name, _) => only.isEmpty || only.contains(name) }
+    val results = selected.map { case (name, fn) =>
       var failed = false
-      val times = (1 to runs).map { _ =>
+      val samples = (1 to runs).map { i =>
+        val gc0 = gcMs()
+        val cg0 = codegenCompiles()
+        val io0 = storageReadBytes()
         val t0 = System.nanoTime()
         try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
         catch { case e: Throwable =>
@@ -95,6 +153,9 @@ object Bench {
           System.err.println(s"[bench] $name failed: ${e.getMessage}")
         }
         val elapsed = (System.nanoTime() - t0) / 1e9
+        val gcDelta = gcMs() - gc0
+        val cgDelta = codegenCompiles() - cg0
+        val ioDelta = if (io0 < 0) -1L else storageReadBytes() - io0
         // release per-query caches (Dedup.minhashPairs etc.) so runs
         // are independent and nothing pins executor memory — OUTSIDE
         // the timed window, so medians measure the query alone.
@@ -105,8 +166,26 @@ object Bench {
         spark.catalog.clearCache()
         spark.sparkContext.getPersistentRDDs.values
           .foreach(_.unpersist(blocking = true))
-        elapsed
-      }.sorted
+        (elapsed, gcDelta, if (i == 1) 0L else cgDelta, ioDelta)
+      }
+      val times = samples.map(_._1).sorted
+      // GC-ms of the median-time run: pairs GC cost with the number
+      // being graded (r10: 18 queries degraded 2-28x in the driver
+      // run with elevated mins — this field distinguishes "GC-bound
+      // at the driver's heap/core config" from plan or I/O causes).
+      val medianGc = samples.sortBy(_._1).apply(runs / 2)._2
+      // Recompiles: Janino compilations during runs 2..n (run 1 is
+      // charged codegen by design and excluded). Nonzero = the
+      // generated-class cache is evicting between repeat runs.
+      val recompiles = samples.map(_._3).sum
+      // storage-read MB of the median-time run: on a warm page cache
+      // runs 2..n read ~0 from disk, so a nonzero median here means
+      // the files kept falling out of cache (memory pressure) or the
+      // box's I/O was contended — the failure mode CPU calib misses
+      val medianIoMb = {
+        val v = samples.sortBy(_._1).apply(runs / 2)._4
+        if (v < 0) -1L else v / (1024L * 1024L)
+      }
       // a failed run aborts in milliseconds — reporting its wall time
       // as a median would read as a SPEEDUP in the machine-parsed
       // output; -1 is unmistakable (and keeps the JSON numeric).
@@ -115,7 +194,18 @@ object Bench {
       def ms(v: Double): Double = math.rint(v * 1000) / 1000
       (name,
         if (failed) -1.0 else ms(times(runs / 2)),
-        if (failed) -1.0 else ms(times.head))
+        if (failed) -1.0 else ms(times.head),
+        medianGc, recompiles, medianIoMb)
+    }
+    val gcLoopMs = gcMs() - gcLoop0
+    val cgLoopCompiles = codegenCompiles() - cgLoop0
+    val ioLoopMb =
+      if (ioLoop0 < 0) -1L
+      else (storageReadBytes() - ioLoop0) / (1024L * 1024L)
+    val iowaitFrac = {
+      val (iow1, tick1) = cpuTicks()
+      if (iow0 < 0 || iow1 < 0 || tick1 <= tick0) -1.0
+      else (iow1 - iow0).toDouble / (tick1 - tick0)
     }
     // 3 decimal places (ms resolution) keeps the one-line JSON short
     // enough that the driver's tail-capture can't truncate it —
@@ -125,9 +215,15 @@ object Bench {
     val loadPost = loadavg()
     def fmt(v: Double): String =
       if (v < 0) "-1" else "%.3f".formatLocal(java.util.Locale.ROOT, v)
-    val qs = results.map { case (k, med, _) => "\"" + k + "\":" + fmt(med) }
+    val qs = results.map { case (k, med, _, _, _, _) => "\"" + k + "\":" + fmt(med) }
       .mkString("{", ",", "}")
-    val qsMin = results.map { case (k, _, mn) => "\"" + k + "\":" + fmt(mn) }
+    val qsMin = results.map { case (k, _, mn, _, _, _) => "\"" + k + "\":" + fmt(mn) }
+      .mkString("{", ",", "}")
+    val qsGc = results.map { case (k, _, _, gc, _, _) => "\"" + k + "\":" + gc }
+      .mkString("{", ",", "}")
+    val qsRecompile = results.map { case (k, _, _, _, rc, _) => "\"" + k + "\":" + rc }
+      .mkString("{", ",", "}")
+    val qsIoMb = results.map { case (k, _, _, _, _, io) => "\"" + k + "\":" + io }
       .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
     val nFailed = results.count(_._2 < 0)
@@ -152,19 +248,36 @@ object Bench {
         math.max(calibPre, calibPost) / math.min(calibPre, calibPost)
       else -1.0
     val noisyFrac = {
-      val ok = results.filter { case (_, med, mn) => med >= 0 && mn > 0 }
+      val ok = results.filter { case (_, med, mn, _, _, _) => med >= 0 && mn > 0 }
       if (ok.isEmpty) 0.0
-      else ok.count { case (_, med, mn) => med > 2 * mn }.toDouble / ok.size
+      else ok.count { case (_, med, mn, _, _, _) => med > 2 * mn }.toDouble / ok.size
     }
     val cpuCount = scala.util.Try(cpus.toDouble).getOrElse(32.0)
     val contended = calibRatio > 2.5 || noisyFrac > 0.3 ||
       math.max(loadPre, loadPost) > 1.5 * cpuCount
-    val line = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"queries_min":$qsMin,"sf":"$sfEsc","runs_per_query":$runs,"stat":"median","failed_queries":$nFailed,"calib_pre":${fmt(calibPre)},"calib_post":${fmt(calibPost)},"loadavg_pre":${fmt(loadPre)},"loadavg_post":${fmt(loadPost)},"calib_ratio":${fmt(calibRatio)},"noisy_frac":${fmt(noisyFrac)},"contended":$contended}"""
+    // Runtime-environment fingerprint (judge r10: the driver's bench
+    // degraded 18 tokenize/explode queries 2-28x vs a same-day clean
+    // run on identical code+data, and the artifact couldn't say which
+    // runtime config differed). These fields make any two bench
+    // artifacts comparable on master/cores/heap, and the per-query
+    // gc_ms / recompile maps localize GC pressure and codegen-cache
+    // thrash — the two candidate causes — to the queries they hit.
+    val master = spark.sparkContext.master
+      .replace("\\", "\\\\").replace("\"", "\\\"")
+    val coresEff = spark.sparkContext.defaultParallelism
+    val maxHeapMb = Runtime.getRuntime.maxMemory() / (1024L * 1024L)
+    val diag = s""""master":"$master","cores":$coresEff,"max_heap_mb":$maxHeapMb,"gc_loop_ms":$gcLoopMs,"codegen_loop_compiles":$cgLoopCompiles,"io_loop_mb":$ioLoopMb,"iowait_frac":${fmt(iowaitFrac)},"queries_gc_ms":$qsGc,"queries_recompiles":$qsRecompile,"queries_io_mb":$qsIoMb"""
+    val line = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"queries_min":$qsMin,"sf":"$sfEsc","runs_per_query":$runs,"stat":"median","failed_queries":$nFailed,"calib_pre":${fmt(calibPre)},"calib_post":${fmt(calibPost)},"loadavg_pre":${fmt(loadPre)},"loadavg_post":${fmt(loadPost)},"calib_ratio":${fmt(calibRatio)},"noisy_frac":${fmt(noisyFrac)},"contended":$contended,$diag}"""
     println(line)
     // Capture-proof twin: the stdout line rides through sbt's [info]
     // prefixing and the driver's tail capture, which truncated
     // BENCH_r04. The file is authoritative; the line is the transport.
-    val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "/root/repo/BENCH_LAST.json")
+    // A filtered sweep must not clobber the authoritative full-run
+    // artifact — divert its default to /tmp.
+    val defaultOut =
+      if (only.isEmpty) "/root/repo/BENCH_LAST.json"
+      else "/tmp/BENCH_SWEEP.json"
+    val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", defaultOut)
     try java.nio.file.Files.write(java.nio.file.Paths.get(out),
       (line + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
     catch { case e: Throwable => System.err.println(s"[bench] file write failed: ${e.getMessage}") }

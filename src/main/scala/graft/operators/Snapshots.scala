@@ -206,11 +206,24 @@ object Snapshots {
     out.result().sorted
   }
 
+  /** Column-name equality for schema evolution: CASE-INSENSITIVE,
+    * matching Spark's default resolution (advisor r10: a
+    * case-sensitive match treated an appended 'ID' as a NEW column
+    * next to existing 'id'; the merged schema then carried both and
+    * every later read hit ambiguous-column resolution instead of the
+    * intended loud retype refusal). Always-insensitive rather than
+    * per spark.sql.caseSensitive: the manifest schema outlives any
+    * one session's conf, so the stored schema must not depend on the
+    * writing session's setting. */
+  private def sameCol(a: String, b: String): Boolean = a.equalsIgnoreCase(b)
+
   /** New columns may be added (nullable, appended in arrival order);
-    * retyping an existing column fails loudly. */
+    * retyping an existing column fails loudly. A column matching an
+    * existing one case-insensitively IS that column (kept under its
+    * original stored name). */
   private def mergeSchemas(prev: StructType, next: StructType): StructType = {
     prev.foreach { pf =>
-      next.find(_.name == pf.name).foreach { nf =>
+      next.find(nf => sameCol(nf.name, pf.name)).foreach { nf =>
         require(nf.dataType == pf.dataType,
           s"schema evolution type conflict on '${pf.name}': " +
             s"${pf.dataType.simpleString} vs ${nf.dataType.simpleString} — " +
@@ -219,7 +232,7 @@ object Snapshots {
     }
     StructType(
       prev.fields.map(_.copy(nullable = true)) ++
-        next.fields.filterNot(nf => prev.exists(_.name == nf.name))
+        next.fields.filterNot(nf => prev.exists(pf => sameCol(pf.name, nf.name)))
           .map(_.copy(nullable = true)))
   }
 
@@ -306,7 +319,9 @@ object Snapshots {
     val target = latest.schema.getOrElse(read(spark, dir, cur).schema)
     val own = readManifest(f, root, version)
     own.schema.foreach(_.foreach { fld =>
-      target.find(_.name == fld.name).foreach { t =>
+      // same case-insensitive name matching as mergeSchemas — a
+      // case-only rename is the SAME column for the retype check
+      target.find(t => sameCol(t.name, fld.name)).foreach { t =>
         require(t.dataType == fld.dataType,
           s"readAligned: version $version column '${fld.name}' has type " +
             s"${fld.dataType.simpleString}, latest schema says ${t.dataType.simpleString}")
@@ -410,6 +425,19 @@ object Snapshots {
     val cur = currentVersion(dir)
     require(sinceVersion >= 0 && sinceVersion <= cur,
       s"sinceVersion $sinceVersion outside committed range 0..$cur")
+    // retention-floor check mirroring processNewVersions (advisor
+    // r10): a sinceVersion at or below a vacuumed version would
+    // otherwise surface as readManifest's raw "version N does not
+    // exist" instead of this actionable diagnostic. Strict `<`: the
+    // first needed diff is (since -> since+1), which reads MANIFEST
+    // since, so sinceVersion == earliest is still exactly servable.
+    val earliest = earliestVersion(dir)
+    if (sinceVersion < earliest)
+      throw new IllegalStateException(
+        s"changelog since version $sinceVersion but versions below $earliest " +
+          s"were vacuumed from $dir — exact catch-up is impossible; " +
+          "re-bootstrap from the earliest retained snapshot " +
+          s"(read(dir, $earliest)) and take changelog from there")
     if (sinceVersion == cur)
       diffVersions(spark, dir, cur, cur, key, cols, numBuckets)
         .withColumn("version", lit(cur))
@@ -542,6 +570,30 @@ object Snapshots {
       val n = st.getPath.getName
       if (n.contains(".manifest.inprogress.") && st.getModificationTime < cutoff)
         f.delete(st.getPath, false)
+    }
+    // A commit that crashed BETWEEN writeData and publish leaves
+    // data/vNNNNNN with no manifest. That orphan permanently squats
+    // on the version number: every retry recomputes the same next
+    // version and dies on the errorifexists data write — the table is
+    // wedged with no automated recovery (advisor r10, medium). Any
+    // data dir with a version ABOVE the current manifest is provably
+    // unreferenced (manifests only ever reference their own or
+    // EARLIER versions' dirs), so sweeping it is safe; dirs at or
+    // below currentVersion are never touched here (their files may be
+    // shared by surviving append manifests — the keep-set logic above
+    // owns those). Same 1-hour age gate as the temp sweep: a LIVE
+    // publisher's data dir is younger than that while its tasks are
+    // still creating files (each create bumps the dir mtime) — an
+    // ungated sweep would delete an in-flight commit's data.
+    val dataRoot = new Path(root, "data")
+    if (f.exists(dataRoot)) f.listStatus(dataRoot).foreach { st =>
+      val n = st.getPath.getName
+      val ver = if (n.startsWith("v") && n.length > 1 &&
+        n.drop(1).forall(_.isDigit)) Some(n.drop(1).toLong) else None
+      ver.foreach { v =>
+        if (v > cur && st.getModificationTime < cutoff)
+          f.delete(st.getPath, true)
+      }
     }
   }
 }

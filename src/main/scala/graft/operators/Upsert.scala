@@ -107,29 +107,47 @@ object Upsert {
     * directory dropped. Idempotent: deleting already-absent keys
     * rewrites nothing.
     */
+  /** Key-set size above which deleteByKey's semi/anti joins fall
+    * back from broadcast to shuffle: ~10M long keys ≈ 160 MB as a
+    * broadcast table — past the point where forcing a broadcast
+    * risks OOMing the driver/executors (advisor r10: GDPR-scale
+    * erasure batches can carry many millions of keys). */
+  private val MaxBroadcastKeys = 10L * 1000 * 1000
+
   def deleteByKey(spark: SparkSession, path: String, keys: DataFrame,
                   keyCol: String): DeleteStats = {
     val dayCol = EventsSink.dayCol
+    // persisted: read three times (size gate + semi-join discovery +
+    // anti-join rewrite); DISK spillover so a huge key set never
+    // pins executor memory
     val doomed = keys.select(col(keyCol)).distinct()
-    val days = spark.read.parquet(path)
-      .withColumn(dayCol, col(dayCol).cast("string"))
-      .join(broadcast(doomed), Seq(keyCol), "left_semi")
-      .select(col(dayCol)).distinct()
-      .collect().map(_.getString(0)).toSeq.sorted
-    if (days.isEmpty) return DeleteStats(Seq.empty, 0L, 0L)
-    val existing = spark.read.parquet(path)
-      .withColumn(dayCol, col(dayCol).cast("string"))
-      .filter(col(dayCol).isin(days: _*)) // partition-pruned slice
-    val survivors = existing
-      .join(broadcast(doomed), Seq(keyCol), "left_anti")
-      .repartition(col(dayCol))
-      .sortWithinPartitions(col(dayCol), col("user_id"), col("ts"))
-      // materialize before overwriting the files the plan reads
-      .localCheckpoint(eager = true)
-    val sliceCount = existing.count()
-    val survivorCount = survivors.count()
-    rewritePartitions(spark, path, days, survivors)
-    DeleteStats(days, sliceCount - survivorCount, survivorCount)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      // broadcast only a boundedly small key set; a multi-million-key
+      // erasure batch shuffle-joins instead (the keyed join stays
+      // partition-pruned to affected days either way)
+      val doomedSide =
+        if (doomed.count() <= MaxBroadcastKeys) broadcast(doomed) else doomed
+      val days = spark.read.parquet(path)
+        .withColumn(dayCol, col(dayCol).cast("string"))
+        .join(doomedSide, Seq(keyCol), "left_semi")
+        .select(col(dayCol)).distinct()
+        .collect().map(_.getString(0)).toSeq.sorted
+      if (days.isEmpty) return DeleteStats(Seq.empty, 0L, 0L)
+      val existing = spark.read.parquet(path)
+        .withColumn(dayCol, col(dayCol).cast("string"))
+        .filter(col(dayCol).isin(days: _*)) // partition-pruned slice
+      val survivors = existing
+        .join(doomedSide, Seq(keyCol), "left_anti")
+        .repartition(col(dayCol))
+        .sortWithinPartitions(col(dayCol), col("user_id"), col("ts"))
+        // materialize before overwriting the files the plan reads
+        .localCheckpoint(eager = true)
+      val sliceCount = existing.count()
+      val survivorCount = survivors.count()
+      rewritePartitions(spark, path, days, survivors)
+      DeleteStats(days, sliceCount - survivorCount, survivorCount)
+    } finally doomed.unpersist(blocking = false)
   }
 
   /** Replace exactly `days`' directories with `merged`'s content

@@ -312,4 +312,57 @@ class SnapshotsSpec extends SparkSpec {
     leftover.forEachRemaining(p => if (p.toString.endsWith(".parquet")) parquets += p.toString)
     assert(parquets.forall(_.contains("v000002")), parquets.mkString(","))
   }
+
+  test("vacuum reclaims an aged orphan data dir from a crashed commit, unwedging the version") {
+    val dir = fresh()
+    Snapshots.commit(df(1, 2), dir) // v0
+    // simulate a commit that crashed BETWEEN writeData and publish:
+    // data/v000001 exists, manifest does not — every retry of the
+    // next commit recomputes version 1 and dies on errorifexists
+    val orphan = java.nio.file.Paths.get(dir, "data", "v000001")
+    Files.createDirectories(orphan)
+    Files.write(orphan.resolve("part-00000-crashed.parquet"), Array[Byte](1, 2, 3))
+    intercept[Exception](Snapshots.commit(df(9), dir)) // wedged
+    // a FRESH orphan is never swept — it may be a live publisher
+    // mid-write (the same 1-hour age gate as the manifest-temp sweep)
+    Snapshots.vacuum(dir, keepFrom = 0L)
+    assert(Files.exists(orphan), "fresh orphan must survive the age gate")
+    // age it past the gate; the sweep reclaims it and commits resume
+    Files.setLastModifiedTime(orphan,
+      java.nio.file.attribute.FileTime.fromMillis(
+        System.currentTimeMillis() - 2 * 3600 * 1000L))
+    Snapshots.vacuum(dir, keepFrom = 0L)
+    assert(!Files.exists(orphan), "aged orphan must be swept")
+    assert(Snapshots.commit(df(9), dir) === 1L)
+    assert(Snapshots.read(spark, dir).select("id").as[Long].collect().toSet === Set(9L))
+  }
+
+  test("schema evolution: a case-only column rename is the SAME column, not a duplicate") {
+    val dir = fresh()
+    Snapshots.commit(df(1, 2), dir) // columns: id, payload
+    // appended 'ID' matches existing 'id' case-insensitively — the
+    // merged schema must carry ONE id column, and reads resolve
+    Snapshots.commitAppend(
+      Seq(7L).toDF("ID").withColumn("payload", lit("row-7")), dir)
+    val out = Snapshots.read(spark, dir)
+    assert(out.schema.fieldNames.count(_.equalsIgnoreCase("id")) === 1,
+      out.schema.treeString)
+    assert(out.select(col("id")).as[Long].collect().toSet === Set(1L, 2L, 7L))
+    // a retype hiding behind a case-only rename still refuses loudly
+    val bad = Seq("not-a-long").toDF("ID").withColumn("payload", lit("x"))
+    intercept[IllegalArgumentException](Snapshots.commitAppend(bad, dir))
+  }
+
+  test("changelog below the retention floor gives the vacuumed diagnostic, not a raw missing-version error") {
+    val dir = fresh()
+    Snapshots.commit(df(1), dir) // v0
+    Snapshots.commit(df(2), dir) // v1
+    Snapshots.commit(df(3), dir) // v2
+    Snapshots.vacuum(dir, keepFrom = 2L)
+    val e = intercept[IllegalStateException](
+      Snapshots.changelog(spark, dir, sinceVersion = 1L, "id", Seq("id", "payload")))
+    assert(e.getMessage.contains("vacuumed"), e.getMessage)
+    // AT the floor is still exactly servable (strict-< boundary)
+    Snapshots.changelog(spark, dir, 2L, "id", Seq("id", "payload")).collect()
+  }
 }

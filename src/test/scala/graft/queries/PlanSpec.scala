@@ -544,4 +544,28 @@ class PlanSpec extends SparkSpec {
       p.contains("GreaterThanOrEqual(n_chars,150)"), p.take(1500))
     assert(p.contains("In(lang"), p.take(1500))
   }
+
+  test("dedup_prefix: plan shape is cache-state-independent — dfreq broadcast survives materialization") {
+    // r8/r10 history: the dfreq⋈exploded join is broadcast when
+    // planned cold, but once the lazy `hashed` cache materializes
+    // (every run after the first in a session) the size estimates
+    // flipped it to sort-merge — 12x the shuffle bytes and the 6x
+    // median/min variance band the judge flagged. The explicit
+    // broadcast(dfreq) hint bypasses estimates entirely, so the
+    // fresh plan and the post-materialization plan must be the SAME
+    // shape: at least one broadcast hash join, and materializing the
+    // caches must not add a single sort-merge join.
+    val fresh = plan(Queries.dedupPrefix(spark, sfSmoke))
+    Queries.dedupPrefix(spark, sfSmoke)
+      .write.format("noop").mode("overwrite").save()
+    val warm = plan(Queries.dedupPrefix(spark, sfSmoke))
+    def smj(p: String) = "SortMergeJoin".r.findAllIn(p).size
+    assert(warm.contains("BroadcastHashJoin"), warm.take(1500))
+    assert(smj(warm) <= smj(fresh),
+      s"cache materialization degraded a broadcast join to sort-merge " +
+        s"(fresh=${smj(fresh)} warm=${smj(warm)})\n" + warm.take(1500))
+    // bench clears per-query caches between runs; mirror that so this
+    // test leaves no pinned executor memory for the rest of the suite
+    spark.catalog.clearCache()
+  }
 }

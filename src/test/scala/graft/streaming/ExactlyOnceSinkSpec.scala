@@ -82,4 +82,46 @@ class ExactlyOnceSinkSpec extends SparkSpec {
     Sinks.commitStaged(url, t, l, 0L, props)
     assert(readIds(t) === Seq(5L))
   }
+
+  test("target-creation DDL branches per JDBC dialect") {
+    def sql(u: String) = Sinks.createTargetSql(u, "t", "t_stage_0")
+    assert(sql("jdbc:derby:memory:x;create=true")
+      === "CREATE TABLE t AS SELECT * FROM t_stage_0 WITH NO DATA")
+    assert(sql("jdbc:postgresql://h:5432/db")
+      === "CREATE TABLE t AS SELECT * FROM t_stage_0 WITH NO DATA")
+    assert(sql("jdbc:mysql://h:3306/db") === "CREATE TABLE t LIKE t_stage_0")
+    assert(sql("jdbc:mariadb://h/db") === "CREATE TABLE t LIKE t_stage_0")
+    assert(sql("jdbc:sqlite:/tmp/x.db")
+      === "CREATE TABLE t AS SELECT * FROM t_stage_0 WHERE 1=0")
+    assert(sql("jdbc:sqlserver://h;databaseName=db")
+      === "SELECT * INTO t FROM t_stage_0 WHERE 1=0")
+    assert(sql("jdbc:clickhouse://h:8123/db") === "CREATE TABLE t AS t_stage_0")
+    // unknown dialects get the standard's spelling
+    assert(sql("jdbc:h2:mem:x")
+      === "CREATE TABLE t AS SELECT * FROM t_stage_0 WITH NO DATA")
+  }
+
+  test("pre-created target with unquoted (case-folded) DDL: inserts resolve at batch 1") {
+    // The documented MySQL/SQLite deployment path pre-creates the
+    // target with ordinary unquoted DDL, which case-folds the stored
+    // identifiers (Derby folds to UPPERCASE — the same class of
+    // folding). The stage's identifiers are quoted-lowercase (Spark's
+    // JDBC writer quotes at CREATE), so the insert's target-side
+    // column list must come from the TARGET's own stored forms —
+    // reusing the stage list quoted would reference "id" against a
+    // stored ID and fail to resolve (advisor r10).
+    val (t, l) = fresh()
+    val conn = java.sql.DriverManager.getConnection(url)
+    try {
+      val st = conn.createStatement()
+      // unquoted DDL → Derby stores ID / PAYLOAD
+      try st.executeUpdate(s"CREATE TABLE $t (id BIGINT, payload VARCHAR(64))")
+      finally st.close()
+    } finally conn.close()
+    val sink = Sinks.jdbcExactlyOnce(url, t, l, props,
+      columnTypes = Some("payload VARCHAR(64)"))
+    sink(rows(1, 2), 0L)
+    sink(rows(1, 2), 0L) // replay still idempotent on the folded target
+    assert(readIds(t) === Seq(1L, 2L))
+  }
 }
