@@ -428,22 +428,34 @@ object Multimodal {
   def decodeMeta(media: Dataset[MediaRecord]): Dataset[MediaMeta] = {
     import media.sparkSession.implicits._
     media.mapPartitions { it =>
-      // STUB: a real impl would initialize the codec here, once per
-      // partition, before draining the iterator.
-      it.map(MediaCodec.decodeMeta)
+      // SPI resolution INSIDE the task (once per partition): a
+      // deploy-time [[MediaDecoder]] — ServiceLoader jar or
+      // programmatic register — takes each record first; the
+      // pure-JDK default handles everything it declines.
+      val spi = MediaDecoder.current
+      it.map(r => spi.flatMap(_.decodeMeta(r))
+        .getOrElse(MediaCodec.decodeMeta(r)))
     }
   }
 
   /** Feature extraction with the same batch shape. */
   def extractFeatures(media: Dataset[MediaRecord], dim: Int = 64): Dataset[MediaFeatures] = {
     import media.sparkSession.implicits._
-    media.mapPartitions(it => it.map(MediaCodec.extractFeatures(_, dim)))
+    media.mapPartitions { it =>
+      val spi = MediaDecoder.current
+      it.map(r => spi.flatMap(_.extractFeatures(r, dim))
+        .getOrElse(MediaCodec.extractFeatures(r, dim)))
+    }
   }
 
   /** Frame sampling — flatMap shape (0..n frames per input row). */
   def sampleFrames(media: Dataset[MediaRecord], stride: Int = 2): Dataset[MediaFrame] = {
     import media.sparkSession.implicits._
-    media.mapPartitions(it => it.flatMap(MediaCodec.sampleFrames(_, stride)))
+    media.mapPartitions { it =>
+      val spi = MediaDecoder.current
+      it.flatMap(r => spi.flatMap(_.sampleFrames(r, stride))
+        .getOrElse(MediaCodec.sampleFrames(r, stride)))
+    }
   }
 
   /** Resize every blob to a fixed byte budget — same batched
@@ -452,7 +464,11 @@ object Multimodal {
     */
   def resize(media: Dataset[MediaRecord], targetBytes: Int): Dataset[MediaRecord] = {
     import media.sparkSession.implicits._
-    media.mapPartitions(it => it.map(MediaCodec.resize(_, targetBytes)))
+    media.mapPartitions { it =>
+      val spi = MediaDecoder.current
+      it.map(r => spi.flatMap(_.resize(r, targetBytes))
+        .getOrElse(MediaCodec.resize(r, targetBytes)))
+    }
   }
 
   /** REAL image rescale ([[MediaCodec.resizeImage]]: ImageIO decode →
@@ -463,7 +479,11 @@ object Multimodal {
     */
   def resizeImages(media: Dataset[MediaRecord], maxDim: Int): Dataset[MediaRecord] = {
     import media.sparkSession.implicits._
-    media.mapPartitions(it => it.map(MediaCodec.resizeImage(_, maxDim)))
+    media.mapPartitions { it =>
+      val spi = MediaDecoder.current
+      it.map(r => spi.flatMap(_.resizeImage(r, maxDim))
+        .getOrElse(MediaCodec.resizeImage(r, maxDim)))
+    }
   }
 
   /** Size partition count by total blob bytes instead of row count —

@@ -212,4 +212,52 @@ class MultimodalSpec extends SparkSpec {
     assert(types.keySet === Set("image", "audio", "video"))
     assert(ds.count() === 500)
   }
+
+  test("MediaDecoder SPI: a plugged decoder takes the records it claims; the default handles the rest") {
+    // fake deploy-time codec: handles EVEN media ids only, with
+    // unmistakable outputs — odd ids must still take the built-in
+    // path (per-record fall-through, not wholesale replacement)
+    object FakeDecoder extends MediaDecoder {
+      override def decodeMeta(r: MediaRecord): Option[MediaMeta] =
+        if (r.mediaId % 2 == 0)
+          Some(MediaMeta(r.mediaId, r.mediaType, r.content.length.toLong,
+            "fake-codec", 777, 555, 999L, 7))
+        else None
+      override def extractFeatures(r: MediaRecord, dim: Int): Option[MediaFeatures] =
+        if (r.mediaId % 2 == 0)
+          Some(MediaFeatures(r.mediaId, dim, Array.fill(dim)(42.0f)))
+        else None
+      override def resize(r: MediaRecord, targetBytes: Int): Option[MediaRecord] =
+        if (r.mediaId % 2 == 0)
+          Some(r.copy(content = Array.fill(targetBytes)(0x42.toByte)))
+        else None
+      override def sampleFrames(r: MediaRecord, stride: Int): Option[Iterator[MediaFrame]] =
+        if (r.mediaId % 2 == 0)
+          Some(Iterator(MediaFrame(r.mediaId, 123, Array[Byte](1))))
+        else None
+    }
+    val ds = media(
+      (1L, "image", "odd goes to the default"),
+      (2L, "image", "even goes to the fake"))
+    // baseline WITHOUT the SPI — also re-asserted after clear()
+    def builtins() = decodeMeta(ds).collect().map(m => m.mediaId -> m).toMap
+    val before = builtins()
+    MediaDecoder.register(FakeDecoder)
+    try {
+      val metas = builtins()
+      assert(metas(2L).format === "fake-codec")
+      assert(metas(2L).width === 777 && metas(2L).durationMs === 999L)
+      assert(metas(1L) === before(1L), "undeclined record must keep the built-in result")
+      val feats = extractFeatures(ds, dim = 8).collect().map(f => f.mediaId -> f).toMap
+      assert(feats(2L).features.forall(_ == 42.0f))
+      assert(!feats(1L).features.forall(_ == 42.0f))
+      val frames = sampleFrames(ds, 2).collect().groupBy(_.mediaId)
+      assert(frames(2L).map(_.frameIdx).toSeq === Seq(123))
+      val sized = resize(ds, 10).collect().map(r => r.mediaId -> r.content).toMap
+      assert(sized(2L).forall(_ == 0x42.toByte))
+      assert(sized(1L).length === 10 && !sized(1L).forall(_ == 0x42.toByte))
+    } finally MediaDecoder.clear()
+    // stub behavior unchanged once the SPI is gone
+    assert(builtins() === before)
+  }
 }
