@@ -1127,6 +1127,112 @@ object QueriesOps {
       | ORDER BY event_id""".stripMargin
 
   // ---------------------------------------------------------------
+  // doc_pii / doc_pii_redact: PII detection + redaction
+  // ---------------------------------------------------------------
+
+  /** Deterministic PII planting, shared VERBATIM between the Spark
+    * plan (via `expr`) and the DuckDB oracle so both engines detect
+    * against the identical corpus: every 3rd doc gains an email,
+    * every 5th an IPv4, every 7th a dashed phone (15th/21st/35th/
+    * 105th get combinations). The synthetic tables carry no real
+    * PII, so without planting the detection oracle would be vacuous
+    * zeros — same closed-form-corruption pattern as `q56_fk_audit`.
+    * The fragment is backslash-free on purpose: Spark SQL string
+    * literals process `\` escapes while DuckDB's do not, so only
+    * escape-free SQL may be shared verbatim (the regexes below go
+    * through the DataFrame API / dialect-specific text instead).
+    */
+  private val piiPlantSql: String =
+    """coalesce(text, '') ||
+      | CASE WHEN doc_id % 3 = 0 THEN ' Contact user' || CAST(doc_id % 97 AS STRING) ||
+      |   '@mail' || CAST(doc_id % 7 AS STRING) || '.example.com today.' ELSE '' END ||
+      | CASE WHEN doc_id % 5 = 0 THEN ' Origin 10.' || CAST(doc_id % 223 AS STRING) ||
+      |   '.' || CAST((doc_id * 7) % 256 AS STRING) ||
+      |   '.' || CAST((doc_id * 13) % 256 AS STRING) || ' accepted.' ELSE '' END ||
+      | CASE WHEN doc_id % 7 = 0 THEN ' Call 555-' ||
+      |   lpad(CAST(doc_id % 1000 AS STRING), 3, '0') || '-' ||
+      |   lpad(CAST((doc_id * 3) % 10000 AS STRING), 4, '0') || ' anytime.' ELSE '' END""".stripMargin
+
+  /** PII patterns — deliberately restricted to regex constructs on
+    * which Java regex (Spark) and RE2 (DuckDB) agree exactly:
+    * character classes, bounded repetition, greedy leftmost
+    * non-overlapping scan; no lazy quantifiers, backrefs, or
+    * lookaround. Any accidental match in the organic text is then
+    * CONSISTENT across engines, so the oracle stays exact. */
+  private val PiiEmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  private val PiiIpv4Re = "([0-9]{1,3}\\.){3}[0-9]{1,3}"
+  private val PiiPhoneRe = "[0-9]{3}-[0-9]{3}-[0-9]{4}"
+
+  /** PII detection counts per document — the audit pass every
+    * training-data pipeline runs before release (C4/Dolma-class
+    * curation). One scan, one codegen'd projection (RegExpExtractAll
+    * is codegen'd), no shuffle but the final sort's range exchange —
+    * the shape that holds at 100 TB.
+    */
+  def docPii(s: SparkSession, d: String): DataFrame = {
+    GraftSession.tune(s)
+    docs(s, d)
+      .select(col("doc_id"), expr(piiPlantSql).as("t"))
+      .select(col("doc_id"),
+        size(regexp_extract_all(col("t"), lit(PiiEmailRe), lit(0)))
+          .cast("long").as("n_emails"),
+        size(regexp_extract_all(col("t"), lit(PiiIpv4Re), lit(0)))
+          .cast("long").as("n_ipv4"),
+        size(regexp_extract_all(col("t"), lit(PiiPhoneRe), lit(0)))
+          .cast("long").as("n_phones"))
+      .withColumn("n_pii",
+        (col("n_emails") + col("n_ipv4") + col("n_phones")).cast("long"))
+      .orderBy(col("doc_id"))
+  }
+
+  val docPiiSql: String =
+    s"""WITH planted AS (
+       |  SELECT doc_id, $piiPlantSql AS t FROM documents),
+       |c AS (
+       |  SELECT doc_id,
+       |   CAST(len(regexp_extract_all(t, '$PiiEmailRe')) AS BIGINT) AS n_emails,
+       |   CAST(len(regexp_extract_all(t, '$PiiIpv4Re')) AS BIGINT) AS n_ipv4,
+       |   CAST(len(regexp_extract_all(t, '$PiiPhoneRe')) AS BIGINT) AS n_phones
+       |  FROM planted)
+       |SELECT doc_id, n_emails, n_ipv4, n_phones,
+       | CAST(n_emails + n_ipv4 + n_phones AS BIGINT) AS n_pii
+       |FROM c ORDER BY doc_id NULLS FIRST""".stripMargin
+
+  /** PII redaction — the matching transform: emails, then IPv4s,
+    * then phones replaced with bracket tokens, in that fixed order
+    * on both engines (order matters: an email's domain contains
+    * dots the IP pattern could otherwise nibble). Same single-scan
+    * codegen'd projection shape as [[docPii]]; the full redacted
+    * text is the output, value-compared byte-for-byte against the
+    * oracle's RE2 replacement (DuckDB needs the explicit 'g' flag —
+    * its regexp_replace defaults to first-match-only while Spark's
+    * is global).
+    */
+  def docPiiRedact(s: SparkSession, d: String): DataFrame = {
+    GraftSession.tune(s)
+    docs(s, d)
+      .select(col("doc_id"), expr(piiPlantSql).as("t"))
+      .select(col("doc_id"),
+        regexp_replace(
+          regexp_replace(
+            regexp_replace(col("t"), PiiEmailRe, "[EMAIL]"),
+            PiiIpv4Re, "[IP]"),
+          PiiPhoneRe, "[PHONE]").as("redacted"))
+      .orderBy(col("doc_id"))
+  }
+
+  val docPiiRedactSql: String =
+    s"""WITH planted AS (
+       |  SELECT doc_id, $piiPlantSql AS t FROM documents)
+       |SELECT doc_id,
+       | regexp_replace(
+       |   regexp_replace(
+       |     regexp_replace(t, '$PiiEmailRe', '[EMAIL]', 'g'),
+       |     '$PiiIpv4Re', '[IP]', 'g'),
+       |   '$PiiPhoneRe', '[PHONE]', 'g') AS redacted
+       |FROM planted ORDER BY doc_id NULLS FIRST""".stripMargin
+
+  // ---------------------------------------------------------------
   // Registry (merged into Queries.all / Queries.oracles)
   // ---------------------------------------------------------------
 
@@ -1149,7 +1255,9 @@ object QueriesOps {
     "q57_scalar_subquery" -> (q57ScalarSubquery _),
     "q58_lateral_topk" -> (q58LateralTopk _),
     "snapshot_diff" -> (snapshotDiff _),
-    "delete_by_key" -> (deleteByKeyQuery _))
+    "delete_by_key" -> (deleteByKeyQuery _),
+    "doc_pii" -> (docPii _),
+    "doc_pii_redact" -> (docPiiRedact _))
 
   val oracles: Map[String, String] = Map(
     "q51_sequence_match" -> q51SequenceMatchSql,
@@ -1170,5 +1278,7 @@ object QueriesOps {
     "q57_scalar_subquery" -> q57ScalarSubquerySql,
     "q58_lateral_topk" -> q58LateralTopkSql,
     "snapshot_diff" -> snapshotDiffSql,
-    "delete_by_key" -> deleteByKeySql)
+    "delete_by_key" -> deleteByKeySql,
+    "doc_pii" -> docPiiSql,
+    "doc_pii_redact" -> docPiiRedactSql)
 }

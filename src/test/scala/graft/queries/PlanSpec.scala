@@ -545,6 +545,15 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("In(lang"), p.take(1500))
   }
 
+  test("doc_pii: detection and redaction are one scan-side projection — no join, no explode, one exchange (the sort's)") {
+    for (df <- Seq(QueriesOps.docPii(spark, sfSmoke),
+                   QueriesOps.docPiiRedact(spark, sfSmoke))) {
+      val p = plan(df)
+      assert(!p.contains("Join") && !p.contains("Generate"), p.take(1200))
+      assert("Exchange".r.findAllIn(p).size === 1, p.take(1200))
+    }
+  }
+
   test("dedup_prefix: plan shape is cache-state-independent — dfreq broadcast survives materialization") {
     // r8/r10 history: the dfreq⋈exploded join is broadcast when
     // planned cold, but once the lazy `hashed` cache materializes
