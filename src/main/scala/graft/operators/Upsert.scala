@@ -112,10 +112,15 @@ object Upsert {
     * broadcast table — past the point where forcing a broadcast
     * risks OOMing the driver/executors (advisor r10: GDPR-scale
     * erasure batches can carry many millions of keys). */
-  private val MaxBroadcastKeys = 10L * 1000 * 1000
+  val DefaultMaxBroadcastKeys: Long = 10L * 1000 * 1000
 
+  /** @param maxBroadcastKeys override of the broadcast/shuffle
+    *   crossover (exposed so the shuffle-join path is testable
+    *   without materializing 10M keys; production callers keep the
+    *   default) */
   def deleteByKey(spark: SparkSession, path: String, keys: DataFrame,
-                  keyCol: String): DeleteStats = {
+                  keyCol: String,
+                  maxBroadcastKeys: Long = DefaultMaxBroadcastKeys): DeleteStats = {
     val dayCol = EventsSink.dayCol
     // persisted: read three times (size gate + semi-join discovery +
     // anti-join rewrite); DISK spillover so a huge key set never
@@ -127,7 +132,7 @@ object Upsert {
       // erasure batch shuffle-joins instead (the keyed join stays
       // partition-pruned to affected days either way)
       val doomedSide =
-        if (doomed.count() <= MaxBroadcastKeys) broadcast(doomed) else doomed
+        if (doomed.count() <= maxBroadcastKeys) broadcast(doomed) else doomed
       val days = spark.read.parquet(path)
         .withColumn(dayCol, col(dayCol).cast("string"))
         .join(doomedSide, Seq(keyCol), "left_semi")

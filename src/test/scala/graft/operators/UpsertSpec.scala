@@ -221,4 +221,29 @@ class UpsertSpec extends SparkSpec {
     assert(stats.affectedDays.isEmpty && stats.deleted === 0L)
     assert(fileSet(path) === filesBefore, "no partition may be touched")
   }
+
+  test("deleteByKey above the broadcast bound shuffle-joins with identical semantics") {
+    // advisor r10: GDPR-scale key sets must not be forced into a
+    // broadcast. Force the shuffle path with a zero threshold and
+    // assert the full contract is unchanged — same erasure, same
+    // partition scoping — so the crossover only changes the plan.
+    val path = freshTable()
+    val day = "2024-01-15"
+    val before = spark.read.parquet(path)
+    val victims = before.filter(col("day") === day)
+      .orderBy(col("event_id")).limit(3)
+      .select($"event_id").as[Long].collect().toSeq
+    val beforeCount = before.count()
+    val filesBefore = fileSet(path)
+    val stats = Upsert.deleteByKey(spark, path,
+      victims.toDF("event_id"), "event_id", maxBroadcastKeys = 0L)
+    assert(stats.affectedDays === Seq(day))
+    assert(stats.deleted === 3L)
+    val after = spark.read.parquet(path)
+    assert(after.filter(col("event_id").isin(victims: _*)).count() === 0L)
+    assert(after.count() === beforeCount - 3)
+    assert(fileSet(path).filterNot(_.contains(s"day=$day"))
+      === filesBefore.filterNot(_.contains(s"day=$day")),
+      "shuffle path must stay partition-scoped")
+  }
 }
