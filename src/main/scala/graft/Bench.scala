@@ -41,6 +41,23 @@ object Bench {
         l.split("\\s+")(1).toLong }.getOrElse(-1L)
     catch { case _: Throwable => -1L }
 
+  /** (minflt, majflt) of this process from /proc/self/stat. The r10
+    * degradation signature — allocation-heavy queries 2-28x slower
+    * with a CLEAN CPU calibration, normal GC, and (now measured)
+    * zero storage reads on a 17 MB input — leaves host-level memory
+    * stalls (THP compaction, ballooning, NUMA migration) as the
+    * remaining mechanism class; those stall page faults during
+    * allocation while leaving resident compute untouched, so a fault
+    * spike across the loop is their fingerprint. */
+  private def pageFaults(): (Long, Long) =
+    try {
+      val stat = scala.io.Source.fromFile("/proc/self/stat").mkString
+      // comm can contain spaces/parens — split after the LAST ')'
+      val rest = stat.substring(stat.lastIndexOf(')') + 2).split("\\s+")
+      // rest(0) = state (field 3); minflt = field 10, majflt = 12
+      (rest(7).toLong, rest(9).toLong)
+    } catch { case _: Throwable => (-1L, -1L) }
+
   /** (iowait, total) jiffies from the machine-wide /proc/stat cpu
     * line. The delta ratio across the query loop exposes box-level
     * disk-wait the loadavg and CPU calibration both miss. */
@@ -138,6 +155,7 @@ object Bench {
     val cgLoop0 = codegenCompiles()
     val ioLoop0 = storageReadBytes()
     val (iow0, tick0) = cpuTicks()
+    val (minflt0, majflt0) = pageFaults()
     val selected = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.isEmpty || only.contains(name) }
     val results = selected.map { case (name, fn) =>
@@ -207,6 +225,11 @@ object Bench {
       if (iow0 < 0 || iow1 < 0 || tick1 <= tick0) -1.0
       else (iow1 - iow0).toDouble / (tick1 - tick0)
     }
+    val (minfltLoop, majfltLoop) = {
+      val (m1, j1) = pageFaults()
+      (if (minflt0 < 0 || m1 < 0) -1L else m1 - minflt0,
+        if (majflt0 < 0 || j1 < 0) -1L else j1 - majflt0)
+    }
     // 3 decimal places (ms resolution) keeps the one-line JSON short
     // enough that the driver's tail-capture can't truncate it —
     // BENCH_r04 lost 21/84 timings to 17-digit doubles bloating the
@@ -266,7 +289,7 @@ object Bench {
       .replace("\\", "\\\\").replace("\"", "\\\"")
     val coresEff = spark.sparkContext.defaultParallelism
     val maxHeapMb = Runtime.getRuntime.maxMemory() / (1024L * 1024L)
-    val diag = s""""master":"$master","cores":$coresEff,"max_heap_mb":$maxHeapMb,"gc_loop_ms":$gcLoopMs,"codegen_loop_compiles":$cgLoopCompiles,"io_loop_mb":$ioLoopMb,"iowait_frac":${fmt(iowaitFrac)},"queries_gc_ms":$qsGc,"queries_recompiles":$qsRecompile,"queries_io_mb":$qsIoMb"""
+    val diag = s""""master":"$master","cores":$coresEff,"max_heap_mb":$maxHeapMb,"gc_loop_ms":$gcLoopMs,"codegen_loop_compiles":$cgLoopCompiles,"io_loop_mb":$ioLoopMb,"iowait_frac":${fmt(iowaitFrac)},"minflt_loop":$minfltLoop,"majflt_loop":$majfltLoop,"queries_gc_ms":$qsGc,"queries_recompiles":$qsRecompile,"queries_io_mb":$qsIoMb"""
     val line = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"queries_min":$qsMin,"sf":"$sfEsc","runs_per_query":$runs,"stat":"median","failed_queries":$nFailed,"calib_pre":${fmt(calibPre)},"calib_post":${fmt(calibPost)},"loadavg_pre":${fmt(loadPre)},"loadavg_post":${fmt(loadPost)},"calib_ratio":${fmt(calibRatio)},"noisy_frac":${fmt(noisyFrac)},"contended":$contended,$diag}"""
     println(line)
     // Capture-proof twin: the stdout line rides through sbt's [info]
