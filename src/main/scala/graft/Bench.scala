@@ -77,6 +77,18 @@ object Bench {
     val only: Set[String] = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
       .filter(_.nonEmpty).getOrElse(Set.empty)
+    // A misspelled filter name would silently shrink (or empty) the
+    // query set and still write a plausible artifact — exactly the
+    // quiet wrong-measurement the fingerprint fields exist to prevent.
+    // Abort loudly instead (advisor r11).
+    locally {
+      val unknown = only.diff(SparkEntry.queries.keySet)
+      if (unknown.nonEmpty) {
+        System.err.println(
+          s"[bench] unknown SPARK_GRAFT_BENCH_ONLY names: ${unknown.toSeq.sorted.mkString(",")}")
+        sys.exit(2)
+      }
+    }
     val spark = GraftSession.build(s"local[$cpus]", cpus)
     // Warmup: absorb JVM/JIT/codegen/classloading and parquet footer
     // reads so the first timed query isn't charged for session
@@ -145,11 +157,25 @@ object Bench {
       }
     val loadPre = loadavg()
     val calibPre = calibrateOrSentinel()
-    // n=5 runs per query, report the MEDIAN: single runs at
+    // n=5 samples per query, report the MEDIAN: single runs at
     // sub-second scale are dominated by JIT/GC noise (a 3-run median
     // still flagged a phantom 2.5x "regression" one round), and a
     // median over 5 makes round-over-round comparisons detect real
     // regressions at ~±10%.
+    //
+    // PASS STRUCTURE (judge r11): the samples are NOT taken
+    // back-to-back per query. The r11 driver run had an ~minutes-long
+    // host interference window; because all 5 samples of a query ran
+    // consecutively, every sample of whichever queries the window
+    // overlapped was poisoned — median AND min inflated 3-16x with
+    // gc/recompiles/io all zero, and the slow queries were contiguous
+    // in execution order (alphabetical positions 14-16 and 58-67).
+    // Instead we run 5 FULL PASSES over the query set, alternating
+    // direction (passes 1,3,5 alphabetical; 2,4 reversed), so any
+    // interference window shorter than ~half the loop inflates at
+    // most 2 of a query's 5 samples and the cross-pass median
+    // survives. Each sample also records its wall-clock start offset,
+    // making any residual window visible in the artifact itself.
     val runs = 5
     val gcLoop0 = gcMs()
     val cgLoop0 = codegenCompiles()
@@ -158,16 +184,29 @@ object Bench {
     val (minflt0, majflt0) = pageFaults()
     val selected = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.isEmpty || only.contains(name) }
-    val results = selected.map { case (name, fn) =>
-      var failed = false
-      val samples = (1 to runs).map { i =>
+    val names = selected.map(_._1)
+    val fnByName = selected.toMap
+    // sample = (elapsed_s, gcDelta_ms, cgDelta(0 for pass 1), ioDelta,
+    //           startOffset_s). Indexed by pass order 1..runs.
+    val loopEpoch = System.currentTimeMillis() / 1000
+    val loopNano0 = System.nanoTime()
+    val failedQ = scala.collection.mutable.Set.empty[String]
+    val samplesByQ = scala.collection.mutable.Map.empty[
+      String, scala.collection.mutable.ArrayBuffer[(Double, Long, Long, Long, Double)]]
+    names.foreach(n => samplesByQ(n) =
+      scala.collection.mutable.ArrayBuffer.empty)
+    for (pass <- 1 to runs) {
+      val order = if (pass % 2 == 1) names else names.reverse
+      for (name <- order) {
+        val fn = fnByName(name)
         val gc0 = gcMs()
         val cg0 = codegenCompiles()
         val io0 = storageReadBytes()
         val t0 = System.nanoTime()
+        val tsOff = (t0 - loopNano0) / 1e9
         try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
         catch { case e: Throwable =>
-          failed = true
+          failedQ += name
           System.err.println(s"[bench] $name failed: ${e.getMessage}")
         }
         val elapsed = (System.nanoTime() - t0) / 1e9
@@ -184,8 +223,16 @@ object Bench {
         spark.catalog.clearCache()
         spark.sparkContext.getPersistentRDDs.values
           .foreach(_.unpersist(blocking = true))
-        (elapsed, gcDelta, if (i == 1) 0L else cgDelta, ioDelta)
+        // pass 1 is every query's first execution: codegen compilation
+        // is charged there by design and excluded from the recompile
+        // counter (same semantics as the old back-to-back i==1 rule).
+        samplesByQ(name) +=
+          ((elapsed, gcDelta, if (pass == 1) 0L else cgDelta, ioDelta, tsOff))
       }
+    }
+    val results = names.map { name =>
+      val failed = failedQ.contains(name)
+      val samples = samplesByQ(name).toIndexedSeq
       val times = samples.map(_._1).sorted
       // GC-ms of the median-time run: pairs GC cost with the number
       // being graded (r10: 18 queries degraded 2-28x in the driver
@@ -215,6 +262,42 @@ object Bench {
         if (failed) -1.0 else ms(times.head),
         medianGc, recompiles, medianIoMb)
     }
+    // Fourth contended-detector (judge r11): a host interference
+    // window shows up as a CONTIGUOUS run of slow samples in a pass's
+    // execution order — the signature all three existing detectors
+    // missed in the r11 driver artifact (calib 1.99 < 2.5 gate,
+    // noisy_frac 0.008 because back-to-back samples were all inside
+    // the window, loadavg 2.11 < 48). With pass-interleaved samples a
+    // window can no longer poison a median, but it can still poison
+    // individual samples; flag when >=4 consecutive queries in any
+    // single pass's order ran >2x their own cross-pass min (with a
+    // 100 ms absolute floor so sub-100 ms jitter chains don't trip
+    // it). Flagged names are published so a reader can see exactly
+    // which samples to distrust — and the per-sample timestamps below
+    // bound the window in wall-clock terms.
+    val crossPassMin: Map[String, Double] = names
+      .filterNot(failedQ.contains)
+      .map(n => n -> samplesByQ(n).map(_._1).min).toMap
+    val windowFlagged = scala.collection.mutable.LinkedHashSet.empty[String]
+    for (pass <- 1 to runs) {
+      val order = if (pass % 2 == 1) names else names.reverse
+      val slow: IndexedSeq[Boolean] = order.toIndexedSeq.map { n =>
+        crossPassMin.get(n).exists { mn =>
+          val e = samplesByQ(n)(pass - 1)._1
+          e > 2 * mn && e - mn > 0.1
+        }
+      }
+      var i = 0
+      while (i < slow.length) {
+        if (slow(i)) {
+          var j = i
+          while (j < slow.length && slow(j)) j += 1
+          if (j - i >= 4) (i until j).foreach(k => windowFlagged += order(k))
+          i = j
+        } else i += 1
+      }
+    }
+    val windowed = windowFlagged.nonEmpty
     val gcLoopMs = gcMs() - gcLoop0
     val cgLoopCompiles = codegenCompiles() - cgLoop0
     val ioLoopMb =
@@ -277,7 +360,7 @@ object Bench {
     }
     val cpuCount = scala.util.Try(cpus.toDouble).getOrElse(32.0)
     val contended = calibRatio > 2.5 || noisyFrac > 0.3 ||
-      math.max(loadPre, loadPost) > 1.5 * cpuCount
+      math.max(loadPre, loadPost) > 1.5 * cpuCount || windowed
     // Runtime-environment fingerprint (judge r10: the driver's bench
     // degraded 18 tokenize/explode queries 2-28x vs a same-day clean
     // run on identical code+data, and the artifact couldn't say which
@@ -289,7 +372,22 @@ object Bench {
       .replace("\\", "\\\\").replace("\"", "\\\"")
     val coresEff = spark.sparkContext.defaultParallelism
     val maxHeapMb = Runtime.getRuntime.maxMemory() / (1024L * 1024L)
-    val diag = s""""master":"$master","cores":$coresEff,"max_heap_mb":$maxHeapMb,"gc_loop_ms":$gcLoopMs,"codegen_loop_compiles":$cgLoopCompiles,"io_loop_mb":$ioLoopMb,"iowait_frac":${fmt(iowaitFrac)},"minflt_loop":$minfltLoop,"majflt_loop":$majfltLoop,"queries_gc_ms":$qsGc,"queries_recompiles":$qsRecompile,"queries_io_mb":$qsIoMb"""
+    // Per-sample detail, pass-ordered (index i = pass i+1): start
+    // offset in seconds from loop_epoch (1 decimal) and duration
+    // (3 decimals). Together these reconstruct the full execution
+    // timeline, so a residual interference window is VISIBLE in the
+    // artifact — which wall-clock span, which pass, which queries —
+    // instead of needing a same-code clean rerun to infer it.
+    def fmt1(v: Double): String =
+      if (v < 0) "-1" else "%.1f".formatLocal(java.util.Locale.ROOT, v)
+    val qsTs = names.map { n =>
+      "\"" + n + "\":[" + samplesByQ(n).map(s => fmt1(s._5)).mkString(",") + "]"
+    }.mkString("{", ",", "}")
+    val qsSamples = names.map { n =>
+      "\"" + n + "\":[" + samplesByQ(n).map(s => fmt(s._1)).mkString(",") + "]"
+    }.mkString("{", ",", "}")
+    val windowList = windowFlagged.toSeq.map("\"" + _ + "\"").mkString("[", ",", "]")
+    val diag = s""""master":"$master","cores":$coresEff,"max_heap_mb":$maxHeapMb,"gc_loop_ms":$gcLoopMs,"codegen_loop_compiles":$cgLoopCompiles,"io_loop_mb":$ioLoopMb,"iowait_frac":${fmt(iowaitFrac)},"minflt_loop":$minfltLoop,"majflt_loop":$majfltLoop,"queries_gc_ms":$qsGc,"queries_recompiles":$qsRecompile,"queries_io_mb":$qsIoMb,"loop_epoch":$loopEpoch,"pass_order":"alt-direction","queries_ts":$qsTs,"queries_samples":$qsSamples,"windowed":$windowed,"window_flagged":$windowList"""
     val line = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"queries_min":$qsMin,"sf":"$sfEsc","runs_per_query":$runs,"stat":"median","failed_queries":$nFailed,"calib_pre":${fmt(calibPre)},"calib_post":${fmt(calibPost)},"loadavg_pre":${fmt(loadPre)},"loadavg_post":${fmt(loadPost)},"calib_ratio":${fmt(calibRatio)},"noisy_frac":${fmt(noisyFrac)},"contended":$contended,$diag}"""
     println(line)
     // Capture-proof twin: the stdout line rides through sbt's [info]
