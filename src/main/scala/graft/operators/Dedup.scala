@@ -262,11 +262,21 @@ object Dedup {
     // full exploded table — the documented 12x shuffle-byte blowup
     // and the source of dedup_prefix's 6x median/min variance band.
     // A hint bypasses size estimates entirely, so the plan is the
-    // same on every run regardless of cache state. dfreq cardinality
-    // is the corpus's DISTINCT shingle count (16 B/row); for corpora
-    // where that outgrows executor memory (~1 B+ distinct shingles),
-    // pass broadcastDfreq=false to let it shuffle-join — recall is
-    // unaffected, only the plan shape.
+    // same on every run regardless of cache state. The CROSSOVER
+    // (advisor r11): dfreq cardinality is the corpus's DISTINCT
+    // shingle count at ~16 B/row payload, ~24 B/row in the broadcast
+    // hash relation — Spark hard-caps broadcast tables at 8 GiB, so
+    // the forced hint stops being viable around ~300 M distinct
+    // shingles (and earlier if executors have < ~2x that headroom;
+    // past the cap the job FAILS rather than degrading). English
+    // 3-shingle corpora saturate distinct-shingle growth slowly
+    // (Heaps' law), but at 100 TB-corpus scale the cap WILL be
+    // crossed: callers there must pass broadcastDfreq=false to
+    // shuffle-join instead — recall is unaffected, only the plan
+    // shape. A data-driven auto-gate was considered and rejected: a
+    // cardinality count is itself a full pass over the exploded
+    // table, and an estimate-driven choice is exactly the
+    // cache-state-dependent plan flip this hint exists to prevent.
     val dfreqSide = if (broadcastDfreq) broadcast(dfreq) else dfreq
     val w = Window.partitionBy(col("id")).orderBy(col("df"), col("h"))
     // cached: the prefix set — the df aggregate + per-doc ranking

@@ -581,17 +581,33 @@ object Snapshots {
     // EARLIER versions' dirs), so sweeping it is safe; dirs at or
     // below currentVersion are never touched here (their files may be
     // shared by surviving append manifests — the keep-set logic above
-    // owns those). Same 1-hour age gate as the temp sweep: a LIVE
-    // publisher's data dir is younger than that while its tasks are
-    // still creating files (each create bumps the dir mtime) — an
-    // ungated sweep would delete an in-flight commit's data.
+    // owns those). Same 1-hour age gate as the temp sweep — but on
+    // the NEWEST mtime anywhere under the dir, not the top-level dir
+    // mtime: Spark stages task output under nested `_temporary/...`
+    // subdirs whose creates bump only their immediate parent, so a
+    // data-write phase that runs longer than the gate would leave the
+    // top dir's mtime stale while tasks are still writing, and a
+    // concurrent vacuum would delete the in-flight commit's data
+    // (advisor r11, medium). The subtree scan only runs on orphan
+    // CANDIDATES (version above current), which are rare by
+    // construction, so its listing cost is not on any hot path.
+    def newestMtime(p: Path): Long = {
+      val st = f.getFileStatus(p)
+      val children =
+        if (st.isDirectory)
+          try f.listStatus(p).map(c => newestMtime(c.getPath))
+          catch { case _: java.io.FileNotFoundException => Array.empty[Long] }
+        else Array.empty[Long]
+      (st.getModificationTime +: children.toSeq).max
+    }
     val dataRoot = new Path(root, "data")
     if (f.exists(dataRoot)) f.listStatus(dataRoot).foreach { st =>
       val n = st.getPath.getName
       val ver = if (n.startsWith("v") && n.length > 1 &&
         n.drop(1).forall(_.isDigit)) Some(n.drop(1).toLong) else None
       ver.foreach { v =>
-        if (v > cur && st.getModificationTime < cutoff)
+        if (v > cur && st.getModificationTime < cutoff &&
+            newestMtime(st.getPath) < cutoff)
           f.delete(st.getPath, true)
       }
     }

@@ -1024,8 +1024,23 @@ object QueriesOps {
     sessionScratchBuilt.computeIfAbsent(s"$tag|$d|${mtimeSig(d, table)}",
       _ => { val dir = scratchDir(tag, d); build(dir); dir })
 
-  /** Cheap change signature of a source table: file count + max
-    * (name, size, mtime) over the parquet file-or-directory. */
+  /** Drop all session-scratch cache entries, forcing the next call
+    * per (tag, source) to rebuild. Harnesses that mutate source
+    * parquet IN PLACE should call this after mutating: the signature
+    * below samples file content, but a pathological rewrite
+    * (identical name/count/size/head/tail within mtime granularity)
+    * is still theoretically collidable (advisor r11). The scratch
+    * DIRECTORIES are left on disk — the next build wipes them. */
+  def clearSessionScratch(): Unit = sessionScratchBuilt.clear()
+
+  /** Cheap change signature of a source table: file count, names,
+    * sizes, mtimes, PLUS a content sample (first+last 64 bytes) of
+    * every regular file. The sample catches in-place mutations that
+    * preserve count and size within mtime granularity — the fuzz
+    * harness's exact pattern (advisor r11): parquet rewrites move
+    * row-group offsets and the footer metadata, both of which live
+    * in the sampled head/tail. Cost: two 64-byte reads per file,
+    * negligible against the scratch build it guards. */
   private def mtimeSig(d: String, table: String): String = {
     val p = java.nio.file.Paths.get(d, table + ".parquet")
     if (!java.nio.file.Files.exists(p)) "absent"
@@ -1039,6 +1054,19 @@ object QueriesOps {
           if (java.nio.file.Files.isRegularFile(f)) {
             h = 31 * h + java.nio.file.Files.size(f)
             h = 31 * h + java.nio.file.Files.getLastModifiedTime(f).toMillis
+            try {
+              val ch = java.nio.channels.FileChannel.open(f,
+                java.nio.file.StandardOpenOption.READ)
+              try {
+                val sz = ch.size()
+                val head = java.nio.ByteBuffer.allocate(64)
+                ch.read(head, 0L)
+                val tail = java.nio.ByteBuffer.allocate(64)
+                ch.read(tail, math.max(0L, sz - 64))
+                h = 31 * h + java.util.Arrays.hashCode(head.array())
+                h = 31 * h + java.util.Arrays.hashCode(tail.array())
+              } finally ch.close()
+            } catch { case _: java.io.IOException => h = 31 * h + -1 }
           }
         }
         s"$n-$h"

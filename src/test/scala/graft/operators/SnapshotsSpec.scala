@@ -327,14 +327,45 @@ class SnapshotsSpec extends SparkSpec {
     // mid-write (the same 1-hour age gate as the manifest-temp sweep)
     Snapshots.vacuum(dir, keepFrom = 0L)
     assert(Files.exists(orphan), "fresh orphan must survive the age gate")
-    // age it past the gate; the sweep reclaims it and commits resume
-    Files.setLastModifiedTime(orphan,
-      java.nio.file.attribute.FileTime.fromMillis(
-        System.currentTimeMillis() - 2 * 3600 * 1000L))
+    // age it past the gate — the WHOLE subtree, as a real crashed
+    // commit would be (the gate checks the newest mtime anywhere
+    // under the dir, not just the top); the sweep reclaims it and
+    // commits resume
+    val aged = java.nio.file.attribute.FileTime.fromMillis(
+      System.currentTimeMillis() - 2 * 3600 * 1000L)
+    Files.setLastModifiedTime(orphan.resolve("part-00000-crashed.parquet"), aged)
+    Files.setLastModifiedTime(orphan, aged)
     Snapshots.vacuum(dir, keepFrom = 0L)
     assert(!Files.exists(orphan), "aged orphan must be swept")
     assert(Snapshots.commit(df(9), dir) === 1L)
     assert(Snapshots.read(spark, dir).select("id").as[Long].collect().toSet === Set(9L))
+  }
+
+  test("vacuum never sweeps an in-flight commit whose tasks still write under _temporary") {
+    val dir = fresh()
+    Snapshots.commit(df(1, 2), dir) // v0
+    // simulate a LONG-RUNNING data-write phase: the top-level
+    // data/v000001 dir was created over an hour ago, but Spark's task
+    // output lands under nested _temporary/... subdirs whose creates
+    // bump only their immediate parent — the top dir's mtime goes
+    // stale while the commit is still alive (advisor r11). The age
+    // gate must look at the newest mtime in the SUBTREE.
+    val inflight = java.nio.file.Paths.get(dir, "data", "v000001")
+    val taskDir = inflight.resolve("_temporary").resolve("0")
+    Files.createDirectories(taskDir)
+    Files.write(taskDir.resolve("part-00000-attempt.parquet"), Array[Byte](1))
+    val aged = java.nio.file.attribute.FileTime.fromMillis(
+      System.currentTimeMillis() - 2 * 3600 * 1000L)
+    Files.setLastModifiedTime(inflight, aged) // stale TOP mtime only
+    Snapshots.vacuum(dir, keepFrom = 0L)
+    assert(Files.exists(inflight),
+      "in-flight commit with fresh task output must survive the sweep")
+    // once the whole subtree is old it IS a crashed orphan — sweep it
+    Files.walk(inflight).iterator()
+      .asInstanceOf[java.util.Iterator[java.nio.file.Path]]
+      .forEachRemaining(p => Files.setLastModifiedTime(p, aged))
+    Snapshots.vacuum(dir, keepFrom = 0L)
+    assert(!Files.exists(inflight), "fully-aged orphan must still be swept")
   }
 
   test("schema evolution: a case-only column rename is the SAME column, not a duplicate") {
