@@ -121,6 +121,128 @@ class StreamingSequenceSpec extends SparkSpec with BeforeAndAfterAll {
     }
   }
 
+  // ---- watermark-bounded variant ([[StreamingSequence.sequencesWatermarked]]) ----
+
+  /** Drive the watermarked twin chunk-by-chunk; yields ALL sink rows
+    * so far after each chunk (timestamps: t is epoch seconds — the
+    * operator casts bigint→timestamp). processAllAvailable also runs
+    * Spark's no-data micro-batches, so watermark-advance-driven
+    * timeouts fire inside the SAME step that advanced the watermark
+    * when the engine supports it, or on the next data batch when it
+    * doesn't — assertions below are written to hold either way. */
+  private def runWatermarked(chunks: Seq[Seq[SSEvent]], delay: String,
+                             horizonMs: Long)(
+      check: (Int, Seq[StreamingSequence.UserSequence]) => Unit): Unit = {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val ms = MemoryStream[SSEvent]
+    val sink = s"sseqw_${System.nanoTime()}"
+    val q = StreamingSequence.sequencesWatermarked(
+        ms.toDF(), col("u"), col("t"), col("eid"), col("c"),
+        watermarkDelay = delay, horizonMs = horizonMs)
+      .writeStream.format("memory").queryName(sink).outputMode("update")
+      .start()
+    try chunks.zipWithIndex.foreach { case (ch, i) =>
+      ms.addData(ch)
+      q.processAllAvailable()
+      check(i,
+        spark.table(sink).as[StreamingSequence.UserSequence].collect().toSeq)
+    } finally q.stop()
+  }
+
+  test("watermarked twin equals the batch q51 derivation while the horizon is open") {
+    val rnd = new Random(43)
+    val codes = "spec v".trim.toCharArray
+    // t >= 1: Spark's exec-level late filter drops ts <= watermark,
+    // and the INITIAL watermark is 0 ms — an epoch-0 event is always
+    // late by definition (found by this test's first run)
+    val events = (1 to 400).map(i => SSEvent(
+      rnd.nextInt(20).toLong, rnd.nextInt(50).toLong + 1, i.toLong,
+      codes(rnd.nextInt(codes.length)).toString))
+    // delay far beyond the ts range: nothing is ever late; horizon
+    // far beyond it: nothing is ever evicted — the twin must match
+    // the unbounded batch derivation after every prefix, any order
+    val chunks = events.grouped(45).toSeq
+    var delivered = Seq.empty[SSEvent]
+    runWatermarked(chunks, delay = "10000 seconds", horizonMs = 10000000L) {
+      (i, rows) =>
+        delivered = delivered ++ chunks(i)
+        val expected = batchScores(delivered).map { case (u, (s, m, n)) =>
+          u -> ((s, m, n)) }
+        assert(reconcile(rows) === expected, s"diverged after chunk $i")
+    }
+  }
+
+  test("event-time eviction fires only after the watermark passes latest event + horizon") {
+    // delay 0s => watermark == max event time seen so far (as of the
+    // previous batch). horizon 100s. Walk the boundary:
+    //   chunk0: A at t=10(s), t=20(p)        -> A timeout target 120s
+    //   chunk1: B at t=115 -> wm 20 during batch; after batch wm=115
+    //   chunk2: B at t=118 -> wm 115 < 120: A MUST still be live
+    //   chunk3: A at t=119(e) -> in-order (119 >= wm 118); extends to
+    //           "spe" — proves eviction never fired while in-order
+    //           data for A could still arrive; timeout moves to 219
+    //   chunk4: B at t=230 -> after batch wm=230 > 219 (eviction due)
+    //   chunk5: B at t=231 -> guarantees a batch runs with wm>219
+    //           even if no-data batches are disabled: A evicted,
+    //           closing "spe" row emitted
+    //   chunk6: A at t=240(s) -> fresh sequence "s", NOT "spes" —
+    //           state was really dropped
+    val chunks = Seq(
+      Seq(SSEvent(1, 10, 1, "s"), SSEvent(1, 20, 2, "p")),
+      Seq(SSEvent(2, 115, 3, "v")),
+      Seq(SSEvent(2, 118, 4, "v")),
+      Seq(SSEvent(1, 119, 5, "e")),
+      Seq(SSEvent(2, 230, 6, "v")),
+      Seq(SSEvent(2, 231, 7, "v")),
+      Seq(SSEvent(1, 240, 8, "s")))
+    runWatermarked(chunks, delay = "0 seconds", horizonMs = 100000L) {
+      (i, rows) =>
+        val a = rows.filter(_.user_id == 1L)
+        if (i == 2) {
+          // wm is 115..118 — far past A's latest event (20) but
+          // inside the horizon: not evicted, snapshot intact
+          assert(a.map(_.seq).toSet === Set("sp"), a.toString)
+        }
+        if (i == 3) {
+          // the in-order late-boundary event still lands: "spe",
+          // scored like the batch (matched, one s..p)
+          assert(a.exists(r => r.seq == "spe" && r.matched_spe == 1L
+            && r.n_sp == 1L), a.toString)
+        }
+        if (i == 5) {
+          // eviction fired (in chunk4's no-data batch or chunk5's
+          // data batch): exactly one CLOSING "spe" row beyond the
+          // update-mode one — final snapshot equals the batch value
+          // over A's watermark-retained events
+          assert(a.count(_.seq == "spe") === 2, a.toString)
+        }
+        if (i == 6) {
+          // post-eviction return starts a FRESH sequence
+          assert(a.exists(_.seq == "s"), a.toString)
+          assert(!a.exists(_.seq == "spes"), a.toString)
+        }
+    }
+  }
+
+  test("an event older than the watermark is dropped, exactly like a batch time bound") {
+    // delay 0s, huge horizon (no eviction interference):
+    //   chunk0: A t=10 "s"; chunk1: B t=100 pushes wm to 100;
+    //   chunk2: A t=50 "p" — 50 < wm 100: LATE, must not mutate A
+    val chunks = Seq(
+      Seq(SSEvent(1, 10, 1, "s")),
+      Seq(SSEvent(2, 100, 2, "v")),
+      Seq(SSEvent(1, 50, 3, "p")))
+    runWatermarked(chunks, delay = "0 seconds", horizonMs = 100000000L) {
+      (i, rows) =>
+        val a = rows.filter(_.user_id == 1L)
+        if (i == 2) {
+          assert(a.map(_.seq).toSet === Set("s"),
+            s"late event leaked into state: $a")
+          assert(a.size === 1, a.toString)
+        }
+    }
+  }
+
   test("non-greedy subsequence count matches the batch on overlapping patterns") {
     // ssspp: rlike finds no 'e'; s.*?p non-greedy counts ONE (first
     // match consumes sssp, leaving only 'p') — the known asymmetry
