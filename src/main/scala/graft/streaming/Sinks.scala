@@ -137,6 +137,12 @@ object Sinks {
       case "sqlite" => s"CREATE TABLE $table AS SELECT * FROM $stage WHERE 1=0"
       case "sqlserver" => s"SELECT * INTO $table FROM $stage WHERE 1=0"
       case "clickhouse" => s"CREATE TABLE $table AS $stage"
+      // duckdb ACCEPTS `WITH NO DATA` but silently ignores it and
+      // copies every staged row — the target would be pre-seeded and
+      // batch 1 would land twice (runtime-caught by DuckDbSinkSpec
+      // against org.duckdb:duckdb_jdbc:1.0.0; the syntax-level unit
+      // test cannot see this). Empty-SELECT CTAS is honored.
+      case "duckdb" => s"CREATE TABLE $table AS SELECT * FROM $stage WHERE 1=0"
       case _ => s"CREATE TABLE $table AS SELECT * FROM $stage WITH NO DATA"
     }
   }
@@ -146,7 +152,22 @@ object Sinks {
     */
   def commitStaged(url: String, table: String, ledger: String,
                    batchId: Long, connProps: Properties): Unit = {
-    val conn = java.sql.DriverManager.getConnection(url, connProps)
+    // `driver` is a SPARK option (which driver class to load), not a
+    // JDBC connection property — Spark itself strips it before
+    // connecting (JDBCOptions.asConnectionProperties). Forwarding it
+    // raw is harmless on Derby but a hard error on engines that
+    // validate their property set (DuckDB: `Unrecognized
+    // configuration property "driver"`). Honor the hint by loading
+    // the class, then drop the key.
+    Option(connProps.getProperty("driver")).foreach { cls =>
+      try Class.forName(cls)
+      catch { case _: ClassNotFoundException => () } // DriverManager may still resolve by URL
+    }
+    val cleanProps = new Properties()
+    connProps.stringPropertyNames().forEach { k =>
+      if (k != "driver") cleanProps.setProperty(k, connProps.getProperty(k))
+    }
+    val conn = java.sql.DriverManager.getConnection(url, cleanProps)
     try {
       // fold the name the way THIS database stores unquoted
       // identifiers (Derby/Oracle upper, Postgres/MySQL lower) and

@@ -96,6 +96,10 @@ class ExactlyOnceSinkSpec extends SparkSpec {
     assert(sql("jdbc:sqlserver://h;databaseName=db")
       === "SELECT * INTO t FROM t_stage_0 WHERE 1=0")
     assert(sql("jdbc:clickhouse://h:8123/db") === "CREATE TABLE t AS t_stage_0")
+    // duckdb parses WITH NO DATA but ignores it (copies the rows —
+    // runtime-verified); it must get the empty-SELECT form
+    assert(sql("jdbc:duckdb:/tmp/x.duckdb")
+      === "CREATE TABLE t AS SELECT * FROM t_stage_0 WHERE 1=0")
     // unknown dialects get the standard's spelling
     assert(sql("jdbc:h2:mem:x")
       === "CREATE TABLE t AS SELECT * FROM t_stage_0 WITH NO DATA")
