@@ -279,7 +279,14 @@ object Bench {
       .filterNot(failedQ.contains)
       .map(n => n -> samplesByQ(n).map(_._1).min).toMap
     val windowFlagged = scala.collection.mutable.LinkedHashSet.empty[String]
-    for (pass <- 1 to runs) {
+    // pass 1 is every query's FIRST execution — one-time codegen/JIT
+    // makes consecutive cold queries legitimately exceed 2x their
+    // warm min (observed: the first four alphabetical queries flagged
+    // on a quiet box), exactly why the recompile counter also charges
+    // pass 1 by design. The detector therefore reads passes 2..n
+    // only; pass-1 interference is still visible in queries_ts/
+    // queries_samples and barely moves a 5-sample median.
+    for (pass <- 2 to runs) {
       val order = if (pass % 2 == 1) names else names.reverse
       val slow: IndexedSeq[Boolean] = order.toIndexedSeq.map { n =>
         crossPassMin.get(n).exists { mn =>
