@@ -114,6 +114,55 @@ class DuckDbSinkSpec extends SparkSpec with org.scalatest.BeforeAndAfterAll {
     assert(readIds(t) === Seq(5L))
   }
 
+  test("duckdb: snapshot changelog -> exactly-once sink lands every change once across a crash") {
+    assume(jarPresent, "lib/duckdb_jdbc.jar not on the test classpath")
+    // The CdcDeliverySpec composition — processNewVersions
+    // (at-least-once per version) x jdbcExactlyOnce (version as batch
+    // id) — proven on the SECOND engine: end-to-end exactly-once CDC
+    // into a columnar warehouse, the reference's actual target family
+    // (ClickHouse over JDBC), crash window included.
+    import org.apache.spark.sql.functions._
+    import graft.operators.Snapshots
+    val dir = java.nio.file.Files.createTempDirectory("graft-duckcdc").toString
+    val cursor = java.nio.file.Files.createTempDirectory("graft-duckcdc-cur")
+      .resolve("cursor").toString
+    val (target, ledger) = ("cdc_target", "cdc_ledger")
+    val sink = Sinks.jdbcExactlyOnce(url, target, ledger, props,
+      maxConnections = 1, columnTypes = Some("status VARCHAR(16)"))
+    def df(vals: Long*) = vals.toDF("id")
+      .withColumn("payload", concat(lit("row-"), col("id")))
+    Snapshots.commit(df(1, 2), dir)    // v0
+    Snapshots.commitAppend(df(3), dir) // v1: +3
+    def deliver(): Unit =
+      Snapshots.processNewVersions(spark, dir, cursor, "id", Seq("id", "payload")) {
+        (batch, v) => sink(batch, v)
+      }
+    deliver()
+    def landed(): Seq[(Long, String, Long)] =
+      spark.read.jdbc(url, target, props)
+        .select(col("id"), col("status"), col("version"))
+        .as[(Long, String, Long)].collect().toSeq.sorted
+    assert(landed() === Seq((1L, "inserted", 0L), (2L, "inserted", 0L),
+      (3L, "inserted", 1L)))
+    // crash window: v2 staged AND committed, cursor never advances
+    Snapshots.commit(
+      df(2, 3).withColumn("payload",
+        when(col("id") === 2, lit("row-2-CHANGED")).otherwise(col("payload"))), dir)
+    intercept[RuntimeException] {
+      Snapshots.processNewVersions(spark, dir, cursor, "id", Seq("id", "payload")) {
+        (batch, v) =>
+          sink(batch, v)
+          throw new RuntimeException("driver lost before cursor advance")
+      }
+    }
+    val afterCrash = landed()
+    assert(afterCrash === Seq((1L, "deleted", 2L), (1L, "inserted", 0L),
+      (2L, "changed", 2L), (2L, "inserted", 0L), (3L, "inserted", 1L)))
+    // recovery replays v2; the ledger makes it a no-op
+    deliver()
+    assert(landed() === afterCrash, "replayed version must not duplicate")
+  }
+
   test("duckdb: pre-created target with MIXED-case stored identifiers resolves at batch 1") {
     assume(jarPresent, "lib/duckdb_jdbc.jar not on the test classpath")
     // DuckDB stores unquoted DDL identifiers AS TYPED (verified:
