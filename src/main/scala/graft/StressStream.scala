@@ -28,7 +28,7 @@ import org.apache.spark.sql.functions._
   *    rows_density = rows_base precisely (tolerance only for the
   *    dedup gate, whose key space is content-derived).
   *  - state BYTES: `stateOnCurrentVersionSizeBytes` (HDFS provider) /
-  *    `rocksdbTotalSizeBytes` (RocksDB provider) from the query
+  *    `rocksdbSstFileSize` (RocksDB provider) from the query
   *    progress, within `slack`× the law. If the provider reports no
   *    usable byte metric the byte gate is SKIPPED LOUDLY (recorded in
   *    the artifact as metric "none"), never silently passed.

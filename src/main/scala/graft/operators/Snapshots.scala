@@ -591,15 +591,21 @@ object Snapshots {
     // (advisor r11, medium). The subtree scan only runs on orphan
     // CANDIDATES (version above current), which are rare by
     // construction, so its listing cost is not on any hot path.
-    def newestMtime(p: Path): Long = {
-      val st = f.getFileStatus(p)
-      val children =
-        if (st.isDirectory)
-          try f.listStatus(p).map(c => newestMtime(c.getPath))
-          catch { case _: java.io.FileNotFoundException => Array.empty[Long] }
-        else Array.empty[Long]
-      (st.getModificationTime +: children.toSeq).max
-    }
+    // Recurses over the FileStatus objects the parent listing already
+    // returned (no per-entry re-stat — halves metadata RPCs on remote
+    // stores), and treats a vanished entry ANYWHERE in the subtree as
+    // "being actively modified right now": report fresh so this sweep
+    // skips the dir and the next vacuum sees the settled state
+    // (review-caught: the old shape re-stat'd every child, and a
+    // child vanishing mid-scan either aborted the whole sweep or —
+    // worse — made an in-flight dir look old by discarding its
+    // children's mtimes).
+    def newestMtime(st: org.apache.hadoop.fs.FileStatus): Long =
+      if (!st.isDirectory) st.getModificationTime
+      else
+        try (st.getModificationTime +:
+          f.listStatus(st.getPath).map(newestMtime).toSeq).max
+        catch { case _: java.io.FileNotFoundException => Long.MaxValue }
     val dataRoot = new Path(root, "data")
     if (f.exists(dataRoot)) f.listStatus(dataRoot).foreach { st =>
       val n = st.getPath.getName
@@ -607,7 +613,7 @@ object Snapshots {
         n.drop(1).forall(_.isDigit)) Some(n.drop(1).toLong) else None
       ver.foreach { v =>
         if (v > cur && st.getModificationTime < cutoff &&
-            newestMtime(st.getPath) < cutoff)
+            newestMtime(st) < cutoff)
           f.delete(st.getPath, true)
       }
     }

@@ -1019,10 +1019,24 @@ object QueriesOps {
     * changed source data forces a rebuild rather than serving stale
     * scratch.
     */
-  private def sessionScratch(tag: String, d: String, table: String)(
-      build: String => Unit): String =
-    sessionScratchBuilt.computeIfAbsent(s"$tag|$d|${mtimeSig(d, table)}",
-      _ => { val dir = scratchDir(tag, d); build(dir); dir })
+  private[queries] def sessionScratch(tag: String, d: String, table: String)(
+      build: String => Unit): String = {
+    val prefix = s"$tag|$d|"
+    val key = prefix + mtimeSig(d, table)
+    val hit = sessionScratchBuilt.get(key)
+    if (hit != null) hit
+    else {
+      // All signatures of a (tag, source) share ONE scratch dir, so a
+      // rebuild for a new signature must first evict any entry keyed
+      // by an OLD signature — otherwise mutate-then-restore (sig
+      // A -> B -> A with mtimes preserved) leaves a stale A-keyed
+      // entry pointing at B-built scratch (review-caught). A key can
+      // now never outlive the data its directory was built from.
+      sessionScratchBuilt.keySet.removeIf(k => k.startsWith(prefix) && k != key)
+      sessionScratchBuilt.computeIfAbsent(key,
+        _ => { val dir = scratchDir(tag, d); build(dir); dir })
+    }
+  }
 
   /** Drop all session-scratch cache entries, forcing the next call
     * per (tag, source) to rebuild. Harnesses that mutate source

@@ -184,10 +184,13 @@ object StreamingSequence {
             val (m, n) = score(prior.codes)
             Iterator.single(UserSequence(user, prior.codes, m, n))
           } else {
-            // boundary matches Spark's own exec-level late filter
-            // (drop ts <= watermark — verified in spec: an epoch-0
-            // event is dropped at the initial 0 watermark), so the
-            // two filters can never disagree on a row
+            // boundary matches Spark's own exec-level late filter:
+            // Spark 4.1.2's WatermarkSupport.watermarkExpression
+            // builds LessThanOrEqual(ts, watermarkMs * 1000) with NO
+            // -1µs offset (checked against the shipped bytecode), so
+            // both filters drop ts <= watermark and can never
+            // disagree on a row — also verified in spec: an epoch-0
+            // event is dropped at the initial 0 watermark
             val wm = state.getCurrentWatermarkMs()
             val fresh = rows.filter(_._2.getTime > wm).toArray
             if (fresh.isEmpty && state.getOption.isEmpty) {

@@ -76,4 +76,42 @@ class QueriesOpsSpec extends SparkSpec {
     // the planted boilerplate means every even doc lost its banner
     assert(got.filter(_._1 % 2 == 0).forall(_._3 >= 1))
   }
+
+  test("session scratch never serves a dir built for a different signature") {
+    // All signatures of a (tag, source) share ONE scratch dir, so the
+    // cache must evict the old signature's entry on rebuild —
+    // otherwise mutate -> rebuild -> restore (sig A -> B -> A, mtimes
+    // preserved) leaves a stale A-keyed entry serving B-built scratch
+    // (advisor r11 / review r12). nanoTime key: container pids recycle.
+    val tag = s"scratch-evict-${System.nanoTime()}"
+    val d = java.nio.file.Files
+      .createTempDirectory(s"scratchspec-${System.nanoTime()}").toString
+    val src = java.nio.file.Paths.get(d, "t.parquet")
+    java.nio.file.Files.write(src, "AAAA".getBytes("UTF-8"))
+    val mt = java.nio.file.Files.getLastModifiedTime(src)
+    var builds = 0
+    def call(): String = QueriesOps.sessionScratch(tag, d, "t") { dir =>
+      builds += 1
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get(dir, "marker"), builds.toString.getBytes)
+    }
+    val dir1 = call()
+    assert(builds === 1)
+    assert(call() === dir1 && builds === 1) // unchanged source: cache hit
+    // in-place mutation hiding from count/size/mtime — only the
+    // content sample in the signature can see it
+    java.nio.file.Files.write(src, "BBBB".getBytes("UTF-8"))
+    java.nio.file.Files.setLastModifiedTime(src, mt)
+    call()
+    assert(builds === 2)
+    // restore the original bytes and mtime: signature returns to A,
+    // but the shared dir now holds B-built scratch — must rebuild
+    java.nio.file.Files.write(src, "AAAA".getBytes("UTF-8"))
+    java.nio.file.Files.setLastModifiedTime(src, mt)
+    call()
+    assert(builds === 3)
+    val marker = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(dir1, "marker")), "UTF-8")
+    assert(marker === "3")
+  }
 }
