@@ -68,6 +68,67 @@ object Bench {
       (if (parts.length > 4) parts(4) else -1L, parts.sum)
     } catch { case _: Throwable => (-1L, -1L) }
 
+  /** Re-run this main in a child JVM whose heap sits inside the
+    * documented-healthy 8-16 GiB band (default `-Xmx8g`, override
+    * with SPARK_GRAFT_BENCH_CHILD_HEAP), forwarding stdout line by
+    * line so the invoking harness's capture sees exactly what an
+    * in-process run would print. The child inherits env + cwd, reuses
+    * the parent's java binary and classpath, and keeps every parent
+    * JVM arg EXCEPT heap sizing (and pre-touch/agents, which are
+    * per-JVM) — crucially preserving the `--add-opens` set Spark
+    * needs on JDK 17. Returns true iff the child exited 0 AND printed
+    * the bench JSON line; on false the caller runs in-process.
+    */
+  private def reexecRightSized(args: Array[String], parentHeapMb: Long): Boolean =
+    try {
+      import scala.jdk.CollectionConverters._
+      val heap = sys.env.getOrElse("SPARK_GRAFT_BENCH_CHILD_HEAP", "8g")
+      val javaBin = java.nio.file.Paths.get(
+        System.getProperty("java.home"), "bin", "java").toString
+      val inherited = java.lang.management.ManagementFactory
+        .getRuntimeMXBean.getInputArguments.asScala.filterNot { a =>
+          a.startsWith("-Xmx") || a.startsWith("-Xms") ||
+          a.startsWith("-XX:MaxHeapSize") || a.startsWith("-XX:InitialHeapSize") ||
+          a.startsWith("-XX:MinHeapSize") || a == "-XX:+AlwaysPreTouch" ||
+          a.startsWith("-agentlib") || a.startsWith("-javaagent")
+        }
+      val cmd = new java.util.ArrayList[String]()
+      cmd.add(javaBin)
+      inherited.foreach(cmd.add)
+      cmd.add(s"-Xmx$heap")
+      cmd.add("-cp"); cmd.add(System.getProperty("java.class.path"))
+      cmd.add("graft.Bench")
+      args.foreach(cmd.add)
+      System.err.println(
+        s"[bench] max heap $parentHeapMb MB exceeds the healthy band — re-executing at -Xmx$heap")
+      val pb = new ProcessBuilder(cmd)
+      pb.redirectError(ProcessBuilder.Redirect.INHERIT)
+      pb.environment().put("SPARK_GRAFT_BENCH_NO_REEXEC", "1")
+      pb.environment().put("SPARK_GRAFT_BENCH_PARENT_HEAP_MB", parentHeapMb.toString)
+      val p = pb.start()
+      p.getOutputStream.close()
+      val rd = new java.io.BufferedReader(
+        new java.io.InputStreamReader(p.getInputStream, "UTF-8"))
+      var sawJson = false
+      var line = rd.readLine()
+      while (line != null) {
+        println(line)
+        if (line.startsWith("{\"metric\":\"total\"")) sawJson = true
+        line = rd.readLine()
+      }
+      val exit = p.waitFor()
+      if (exit == 0 && sawJson) true
+      else {
+        System.err.println(
+          s"[bench] right-sized re-exec failed (exit=$exit, json=$sawJson) — running in-process at $parentHeapMb MB")
+        false
+      }
+    } catch { case e: Throwable =>
+      System.err.println(
+        s"[bench] right-sized re-exec unavailable (${e.getMessage}) — running in-process at $parentHeapMb MB")
+      false
+    }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -89,6 +150,27 @@ object Bench {
         sys.exit(2)
       }
     }
+    // Huge-heap self-heal (r12): this main runs inside whatever JVM
+    // the invoking harness built, and the r12 A/B sweep proved a
+    // ~89 GiB heap REPRODUCES the 2-16x contiguous-window bands that
+    // polluted two rounds of driver artifacts (G1 heap-expansion
+    // page-touch bursts stall allocation-heavy operators with zero
+    // per-query gc/recompile/io signal; +AlwaysPreTouch is worse, not
+    // better — 165 s loop GC). The documented-healthy range is
+    // 8-16 GiB, but the parent's -Xmx is outside this code's control,
+    // so when the heap is far above guidance re-exec this exact main
+    // in a right-sized child JVM and forward its output; the child's
+    // artifact records the parent heap as `reexec_from_heap_mb`. ANY
+    // failure (no spawnable classpath, child crash, no JSON line)
+    // falls back to running in-process — worst case is exactly the
+    // old behavior, still covered by the window detector.
+    // SPARK_GRAFT_BENCH_NO_REEXEC opts out (set by the child itself
+    // against recursion, and by bench_sweep.sh, whose entire purpose
+    // is measuring specific heap cells as-is).
+    val heapMbHere = Runtime.getRuntime.maxMemory() / (1024L * 1024L)
+    if (heapMbHere > 24L * 1024 &&
+        !sys.env.contains("SPARK_GRAFT_BENCH_NO_REEXEC") &&
+        reexecRightSized(args, heapMbHere)) return
     val spark = GraftSession.build(s"local[$cpus]", cpus)
     // Warmup: absorb JVM/JIT/codegen/classloading and parquet footer
     // reads so the first timed query isn't charged for session
@@ -394,7 +476,13 @@ object Bench {
       "\"" + n + "\":[" + samplesByQ(n).map(s => fmt(s._1)).mkString(",") + "]"
     }.mkString("{", ",", "}")
     val windowList = windowFlagged.toSeq.map("\"" + _ + "\"").mkString("[", ",", "]")
-    val diag = s""""master":"$master","cores":$coresEff,"max_heap_mb":$maxHeapMb,"gc_loop_ms":$gcLoopMs,"codegen_loop_compiles":$cgLoopCompiles,"io_loop_mb":$ioLoopMb,"iowait_frac":${fmt(iowaitFrac)},"minflt_loop":$minfltLoop,"majflt_loop":$majfltLoop,"queries_gc_ms":$qsGc,"queries_recompiles":$qsRecompile,"queries_io_mb":$qsIoMb,"loop_epoch":$loopEpoch,"pass_order":"alt-direction","queries_ts":$qsTs,"queries_samples":$qsSamples,"windowed":$windowed,"window_flagged":$windowList"""
+    // Provenance of a self-healed run: the parent JVM's heap, so the
+    // artifact explains on its own why max_heap_mb reads 8 GiB when
+    // the invoking harness's JVM was huge.
+    val reexecNote = sys.env.get("SPARK_GRAFT_BENCH_PARENT_HEAP_MB")
+      .flatMap(v => scala.util.Try(v.toLong).toOption)
+      .map(v => s""","reexec_from_heap_mb":$v""").getOrElse("")
+    val diag = s""""master":"$master","cores":$coresEff,"max_heap_mb":$maxHeapMb$reexecNote,"gc_loop_ms":$gcLoopMs,"codegen_loop_compiles":$cgLoopCompiles,"io_loop_mb":$ioLoopMb,"iowait_frac":${fmt(iowaitFrac)},"minflt_loop":$minfltLoop,"majflt_loop":$majfltLoop,"queries_gc_ms":$qsGc,"queries_recompiles":$qsRecompile,"queries_io_mb":$qsIoMb,"loop_epoch":$loopEpoch,"pass_order":"alt-direction","queries_ts":$qsTs,"queries_samples":$qsSamples,"windowed":$windowed,"window_flagged":$windowList"""
     val line = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"queries_min":$qsMin,"sf":"$sfEsc","runs_per_query":$runs,"stat":"median","failed_queries":$nFailed,"calib_pre":${fmt(calibPre)},"calib_post":${fmt(calibPost)},"loadavg_pre":${fmt(loadPre)},"loadavg_post":${fmt(loadPost)},"calib_ratio":${fmt(calibRatio)},"noisy_frac":${fmt(noisyFrac)},"contended":$contended,$diag}"""
     println(line)
     // Capture-proof twin: the stdout line rides through sbt's [info]

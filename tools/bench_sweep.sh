@@ -10,6 +10,8 @@
 # {4,32}x{8g,16g} sweep PLUS the driver's actual cell (32 cores x 89 GiB
 # heap, from BENCH_r11's max_heap_mb=91136) with AlwaysPreTouch on/off
 # to test the fresh-page-fault hypothesis (minflt_loop 5.5M in r11).
+# SPARK_GRAFT_BENCH_NO_REEXEC: Bench self-heals heaps >24 GiB by
+# re-executing at -Xmx8g — a sweep must measure each cell AS-IS.
 set -u
 cd /root/repo
 CP="target/scala-2.13/classes:/opt/spark/jars/*"
@@ -32,6 +34,7 @@ for cfg in "${configs[@]}"; do
   echo "=== cpus=$cpus heap=$heap flags=${flags:-none} -> $out ==="
   SPARK_GRAFT_SF_DIR="$SF" SPARK_GRAFT_CPUS="$cpus" \
   SPARK_GRAFT_BENCH_ONLY="$FAMILY" SPARK_GRAFT_BENCH_OUT="$out" \
+  SPARK_GRAFT_BENCH_NO_REEXEC=1 \
   java -Xmx"$heap" $xx $OPENS -Dspark.ui.enabled=false \
     -Dspark.sql.session.timeZone=UTC \
     -cp "$CP" graft.Bench 2>"/tmp/sweep_${tag}.err" \
