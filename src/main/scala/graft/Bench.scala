@@ -79,10 +79,38 @@ object Bench {
     * needs on JDK 17. Returns true iff the child exited 0 AND printed
     * the bench JSON line; on false the caller runs in-process.
     */
-  private def reexecRightSized(args: Array[String], parentHeapMb: Long): Boolean =
+  /** Parse a -Xmx-style size ("8g", "16384m", "900000k") to MiB;
+    * None on anything unparsable. */
+  private def heapSpecMb(s: String): Option[Long] = {
+    val m = "(?i)^(\\d+)([kmg]?)$".r
+    s.trim match {
+      case m(n, u) =>
+        val v = n.toLong
+        u.toLowerCase match {
+          case "g" => Some(v * 1024)
+          case "m" => Some(v)
+          case "k" => Some(v / 1024)
+          case _   => Some(v / (1024 * 1024))
+        }
+      case _ => None
+    }
+  }
+
+  private def reexecRightSized(args: Array[String], parentHeapMb: Long): Boolean = {
+    var child: Process = null
     try {
       import scala.jdk.CollectionConverters._
-      val heap = sys.env.getOrElse("SPARK_GRAFT_BENCH_CHILD_HEAP", "8g")
+      // The override exists for experiments, but a leaked value at or
+      // above the unhealthy threshold would stamp reexec provenance on
+      // a run that is NOT healed — reject it and use the default.
+      val heap = sys.env.get("SPARK_GRAFT_BENCH_CHILD_HEAP") match {
+        case Some(h) if heapSpecMb(h).exists(_ <= 24L * 1024) => h
+        case Some(h) =>
+          System.err.println(
+            s"[bench] SPARK_GRAFT_BENCH_CHILD_HEAP=$h is outside the healthy band (or unparsable) — using 8g")
+          "8g"
+        case None => "8g"
+      }
       val javaBin = java.nio.file.Paths.get(
         System.getProperty("java.home"), "bin", "java").toString
       val inherited = java.lang.management.ManagementFactory
@@ -105,10 +133,10 @@ object Bench {
       pb.redirectError(ProcessBuilder.Redirect.INHERIT)
       pb.environment().put("SPARK_GRAFT_BENCH_NO_REEXEC", "1")
       pb.environment().put("SPARK_GRAFT_BENCH_PARENT_HEAP_MB", parentHeapMb.toString)
-      val p = pb.start()
-      p.getOutputStream.close()
+      child = pb.start()
+      child.getOutputStream.close()
       val rd = new java.io.BufferedReader(
-        new java.io.InputStreamReader(p.getInputStream, "UTF-8"))
+        new java.io.InputStreamReader(child.getInputStream, "UTF-8"))
       var sawJson = false
       var line = rd.readLine()
       while (line != null) {
@@ -116,18 +144,31 @@ object Bench {
         if (line.startsWith("{\"metric\":\"total\"")) sawJson = true
         line = rd.readLine()
       }
-      val exit = p.waitFor()
-      if (exit == 0 && sawJson) true
-      else {
+      val exit = child.waitFor()
+      // The JSON line is the contract: once the child printed it, the
+      // bench completed and the artifact file was written — a nonzero
+      // exit after that (e.g. a Spark shutdown hiccup) must NOT
+      // trigger a second in-process run, which would print a second
+      // total line and overwrite the artifact with huge-heap numbers.
+      if (sawJson) {
+        if (exit != 0) System.err.println(
+          s"[bench] child exited $exit after emitting its JSON line — keeping its result")
+        true
+      } else {
         System.err.println(
-          s"[bench] right-sized re-exec failed (exit=$exit, json=$sawJson) — running in-process at $parentHeapMb MB")
+          s"[bench] right-sized re-exec failed (exit=$exit, no json) — running in-process at $parentHeapMb MB")
         false
       }
     } catch { case e: Throwable =>
+      // Don't leave an orphaned child bench running concurrently with
+      // the parent's in-process fallback — two benches contending for
+      // every core is exactly the pollution this feature prevents.
+      if (child != null) child.destroyForcibly()
       System.err.println(
         s"[bench] right-sized re-exec unavailable (${e.getMessage}) — running in-process at $parentHeapMb MB")
       false
     }
+  }
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -168,8 +209,12 @@ object Bench {
     // against recursion, and by bench_sweep.sh, whose entire purpose
     // is measuring specific heap cells as-is).
     val heapMbHere = Runtime.getRuntime.maxMemory() / (1024L * 1024L)
-    if (heapMbHere > 24L * 1024 &&
-        !sys.env.contains("SPARK_GRAFT_BENCH_NO_REEXEC") &&
+    // Opt-out only on a truthy value: "=1 opts out" is the documented
+    // contract, so SPARK_GRAFT_BENCH_NO_REEXEC=0 must keep the
+    // self-heal ON (the conventional 0/1 env-flag reading).
+    val noReexec = sys.env.get("SPARK_GRAFT_BENCH_NO_REEXEC")
+      .exists(v => v == "1" || v.equalsIgnoreCase("true"))
+    if (heapMbHere > 24L * 1024 && !noReexec &&
         reexecRightSized(args, heapMbHere)) return
     val spark = GraftSession.build(s"local[$cpus]", cpus)
     // Warmup: absorb JVM/JIT/codegen/classloading and parquet footer
