@@ -68,17 +68,6 @@ object Bench {
       (if (parts.length > 4) parts(4) else -1L, parts.sum)
     } catch { case _: Throwable => (-1L, -1L) }
 
-  /** Re-run this main in a child JVM whose heap sits inside the
-    * documented-healthy 8-16 GiB band (default `-Xmx8g`, override
-    * with SPARK_GRAFT_BENCH_CHILD_HEAP), forwarding stdout line by
-    * line so the invoking harness's capture sees exactly what an
-    * in-process run would print. The child inherits env + cwd, reuses
-    * the parent's java binary and classpath, and keeps every parent
-    * JVM arg EXCEPT heap sizing (and pre-touch/agents, which are
-    * per-JVM) — crucially preserving the `--add-opens` set Spark
-    * needs on JDK 17. Returns true iff the child exited 0 AND printed
-    * the bench JSON line; on false the caller runs in-process.
-    */
   /** Parse a -Xmx-style size ("8g", "16384m", "900000k") to MiB;
     * None on anything unparsable. */
   private def heapSpecMb(s: String): Option[Long] = {
@@ -96,18 +85,33 @@ object Bench {
     }
   }
 
+  /** Re-run this main in a child JVM whose heap sits inside the
+    * documented-healthy 8-16 GiB band (default `-Xmx8g`, override
+    * with SPARK_GRAFT_BENCH_CHILD_HEAP), forwarding stdout line by
+    * line so the invoking harness's capture sees exactly what an
+    * in-process run would print. The child inherits env + cwd, reuses
+    * the parent's java binary and classpath, and keeps every parent
+    * JVM arg EXCEPT heap sizing (and pre-touch/agents, which are
+    * per-JVM) — crucially preserving the `--add-opens` set Spark
+    * needs on JDK 17. Returns true iff the child exited 0 AND printed
+    * the bench JSON line; on false the caller runs in-process.
+    */
   private def reexecRightSized(args: Array[String], parentHeapMb: Long): Boolean = {
     var child: Process = null
     try {
       import scala.jdk.CollectionConverters._
-      // The override exists for experiments, but a leaked value at or
-      // above the unhealthy threshold would stamp reexec provenance on
-      // a run that is NOT healed — reject it and use the default.
+      // The override exists for experiments, but a leaked value
+      // outside the healthy band would stamp reexec provenance on a
+      // run that is NOT healed — reject it and use the default. The
+      // check is two-sided (review r12): a too-small heap ("2g", or
+      // the unit-less "8192" which parses as BYTES -> 0 MiB) is just
+      // as unhealed as a huge one — GC-bound or boot-failed.
       val heap = sys.env.get("SPARK_GRAFT_BENCH_CHILD_HEAP") match {
-        case Some(h) if heapSpecMb(h).exists(_ <= 24L * 1024) => h
+        case Some(h) if heapSpecMb(h).exists(mb =>
+            mb >= 4L * 1024 && mb <= 24L * 1024) => h
         case Some(h) =>
           System.err.println(
-            s"[bench] SPARK_GRAFT_BENCH_CHILD_HEAP=$h is outside the healthy band (or unparsable) — using 8g")
+            s"[bench] SPARK_GRAFT_BENCH_CHILD_HEAP=$h is outside the healthy 4-24 GiB band (or unparsable) — using 8g")
           "8g"
         case None => "8g"
       }
@@ -413,22 +417,37 @@ object Bench {
     // pass 1 by design. The detector therefore reads passes 2..n
     // only; pass-1 interference is still visible in queries_ts/
     // queries_samples and barely moves a 5-sample median.
+    // Three-state scan (review r12): a failed query (no cross-pass
+    // min) or a sub-100ms query sitting INSIDE a real window must not
+    // split the contiguous run into two short halves that each miss
+    // the >=4 threshold — they carry no timing signal at this
+    // resolution, so they are NEUTRAL: they neither count toward the
+    // 4 confirmed-slow samples nor break the run. Only a >=100ms
+    // query observed within 2x its own min is positive evidence the
+    // box was quiet at that instant, and only that ends a segment.
+    val Slow = 1; val Fast = 0; val Neutral = -1
     for (pass <- 2 to runs) {
       val order = if (pass % 2 == 1) names else names.reverse
-      val slow: IndexedSeq[Boolean] = order.toIndexedSeq.map { n =>
-        crossPassMin.get(n).exists { mn =>
-          val e = samplesByQ(n)(pass - 1)._1
-          e > 2 * mn && e - mn > 0.1
+      val state: IndexedSeq[Int] = order.toIndexedSeq.map { n =>
+        crossPassMin.get(n) match {
+          case None => Neutral // failed query: aborts in ms, no signal
+          case Some(mn) =>
+            val e = samplesByQ(n)(pass - 1)._1
+            if (e > 2 * mn && e - mn > 0.1) Slow
+            else if (mn >= 0.1) Fast // big enough to be informative
+            else Neutral // sub-100ms: jitter either way
         }
       }
       var i = 0
-      while (i < slow.length) {
-        if (slow(i)) {
+      while (i < state.length) {
+        if (state(i) == Fast) i += 1
+        else {
           var j = i
-          while (j < slow.length && slow(j)) j += 1
-          if (j - i >= 4) (i until j).foreach(k => windowFlagged += order(k))
+          while (j < state.length && state(j) != Fast) j += 1
+          if ((i until j).count(state(_) == Slow) >= 4)
+            (i until j).foreach(k => if (state(k) == Slow) windowFlagged += order(k))
           i = j
-        } else i += 1
+        }
       }
     }
     val windowed = windowFlagged.nonEmpty

@@ -103,6 +103,15 @@ object StressStream {
     val kEvents = sys.env.getOrElse("SPARK_GRAFT_STRESS_EVENTS_X", "100").toInt
     val kDocs = sys.env.getOrElse("SPARK_GRAFT_STRESS_DOCS_X", "26").toInt
     val kDensity = sys.env.getOrElse("SPARK_GRAFT_STRESS_DENSITY_X", "10").toInt
+    // Same bound StressBench.buildScaledTables enforces for this exact
+    // call: scaleDocuments varies replicas by Caesar rotation, so
+    // replicas > 26 wrap to byte-identical texts and the "x52 keys"
+    // axis would silently carry only 26x distinct documents while the
+    // artifact claims 52 (review r12).
+    require(kDocs >= 1 && kDocs <= 26,
+      s"SPARK_GRAFT_STRESS_DOCS_X must be in [1,26] (alphabet rotations), got $kDocs")
+    require(kEvents >= 1 && kDensity >= 1,
+      s"scale factors must be >= 1, got events_x=$kEvents density_x=$kDensity")
     val slack = 3.0
     val spark = GraftSession.build(s"local[$cpus]", cpus)
     GraftSession.tune(spark)
@@ -230,8 +239,21 @@ object StressStream {
     val line =
       s"""{"metric":"stress_stream","sf":"$sfEsc","events_x":$kEvents,"docs_x":$kDocs,"density_x":$kDensity,"slack":$slack,"provider":"rocksdb","twins":$body}"""
     println(line)
+    // Never let an experimental run clobber the committed authoritative
+    // artifact (same rule as Bench's filtered-sweep diversion): only a
+    // full-scale run writes the repo path; non-default scale knobs
+    // divert to /tmp unless an explicit out path is given.
+    val defaultScale = kEvents == 100 && kDocs == 26 && kDensity == 10
+    val outPath = sys.env.get("SPARK_GRAFT_STRESS_STREAM_OUT").getOrElse {
+      if (defaultScale) "/root/repo/BENCH_STRESS_STREAM.json"
+      else {
+        System.err.println(
+          "[stress-stream] non-default scale -> writing /tmp/stress_stream.json (set SPARK_GRAFT_STRESS_STREAM_OUT to override)")
+        "/tmp/stress_stream.json"
+      }
+    }
     try java.nio.file.Files.write(
-      java.nio.file.Paths.get("/root/repo/BENCH_STRESS_STREAM.json"),
+      java.nio.file.Paths.get(outPath),
       (line + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
     catch { case e: Throwable =>
       System.err.println(s"[stress-stream] file write failed: ${e.getMessage}") }

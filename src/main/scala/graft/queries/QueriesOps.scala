@@ -1073,12 +1073,28 @@ object QueriesOps {
                 java.nio.file.StandardOpenOption.READ)
               try {
                 val sz = ch.size()
-                val head = java.nio.ByteBuffer.allocate(64)
-                ch.read(head, 0L)
-                val tail = java.nio.ByteBuffer.allocate(64)
-                ch.read(tail, math.max(0L, sz - 64))
-                h = 31 * h + java.util.Arrays.hashCode(head.array())
-                h = 31 * h + java.util.Arrays.hashCode(tail.array())
+                // Loop to fill and fold the byte COUNT into the hash:
+                // a short or -1 (EOF) positional read — e.g. the file
+                // truncated between Files.size and here — would
+                // otherwise leave an all-zero buffer that hashes
+                // identically for genuinely different contents
+                // (review r12).
+                def sample(pos: Long): (Int, Array[Byte]) = {
+                  val buf = java.nio.ByteBuffer.allocate(64)
+                  var p = pos
+                  var r = 0
+                  while (buf.hasRemaining && r >= 0) {
+                    r = ch.read(buf, p)
+                    if (r > 0) p += r
+                  }
+                  (buf.position(), buf.array())
+                }
+                val (hn, head) = sample(0L)
+                val (tn, tail) = sample(math.max(0L, sz - 64))
+                h = 31 * h + hn
+                h = 31 * h + java.util.Arrays.hashCode(head)
+                h = 31 * h + tn
+                h = 31 * h + java.util.Arrays.hashCode(tail)
               } finally ch.close()
             } catch { case _: java.io.IOException => h = 31 * h + -1 }
           }
