@@ -98,6 +98,13 @@ object Bench {
     */
   private def reexecRightSized(args: Array[String], parentHeapMb: Long): Boolean = {
     var child: Process = null
+    // Outside the try so the catch can consult it: once the child has
+    // printed its JSON line the bench completed and the artifact is
+    // written — even an exception AFTER that (reader interrupt,
+    // waitFor failure) must not trigger a second in-process run that
+    // would overwrite the healed artifact with huge-heap numbers
+    // (review r12).
+    var sawJson = false
     try {
       import scala.jdk.CollectionConverters._
       // The override exists for experiments, but a leaked value
@@ -141,7 +148,6 @@ object Bench {
       child.getOutputStream.close()
       val rd = new java.io.BufferedReader(
         new java.io.InputStreamReader(child.getInputStream, "UTF-8"))
-      var sawJson = false
       var line = rd.readLine()
       while (line != null) {
         println(line)
@@ -164,13 +170,23 @@ object Bench {
         false
       }
     } catch { case e: Throwable =>
-      // Don't leave an orphaned child bench running concurrently with
-      // the parent's in-process fallback — two benches contending for
-      // every core is exactly the pollution this feature prevents.
-      if (child != null) child.destroyForcibly()
-      System.err.println(
-        s"[bench] right-sized re-exec unavailable (${e.getMessage}) — running in-process at $parentHeapMb MB")
-      false
+      if (sawJson) {
+        // The child finished its measurement before the exception —
+        // keep its result; a second in-process run would print a
+        // second total line and clobber the artifact.
+        System.err.println(
+          s"[bench] re-exec reader failed after the child emitted its JSON line (${e.getMessage}) — keeping its result")
+        true
+      } else {
+        // Don't leave an orphaned child bench running concurrently
+        // with the parent's in-process fallback — two benches
+        // contending for every core is exactly the pollution this
+        // feature prevents.
+        if (child != null) child.destroyForcibly()
+        System.err.println(
+          s"[bench] right-sized re-exec unavailable (${e.getMessage}) — running in-process at $parentHeapMb MB")
+        false
+      }
     }
   }
 
@@ -193,7 +209,7 @@ object Bench {
     * interference is still visible in queries_ts/queries_samples and
     * barely moves a 5-sample median.
     *
-    * Three-state scan (review r12): a failed query (aborts in ms, no
+    * Three-state scan (review r12): a quickly-failed query (no
     * cross-pass min) or a sub-100ms query sitting INSIDE a real
     * window must not split the contiguous run into two short halves
     * that each miss the >=4 threshold — they carry no timing signal
@@ -201,7 +217,14 @@ object Bench {
     * toward the 4 confirmed-slow samples nor break the run. Only a
     * >=100ms query observed within 2x its own min is positive
     * evidence the box was quiet at that instant, and only that ends
-    * a segment.
+    * a segment. A failed query that ran LONG before dying (e.g. an
+    * OOM in a final stage after 60 s) is a breaker, not a bridge:
+    * its interference status is unknown, and bridging two slow pairs
+    * across a minute of unknown wall-clock would claim one
+    * "contiguous window" on no evidence (second review pass, r12).
+    * Non-failed neutrals can't be long: a sub-100ms-min query whose
+    * sample blew past 2x its min + 100 ms is classified Slow, so
+    * anything mid-band is under ~200 ms by construction.
     *
     * @param names   queries in pass-1 (alphabetical) order
     * @param samples per-query elapsed seconds indexed by pass-1..runs
@@ -225,7 +248,12 @@ object Bench {
       val order = if (pass % 2 == 1) names else names.reverse
       val state: IndexedSeq[Int] = order.toIndexedSeq.map { n =>
         crossPassMin.get(n) match {
-          case None => Neutral // failed query: aborts in ms, no signal
+          case None =>
+            // failed query: a fast abort carries no signal (Neutral),
+            // but a long run before dying is too much unknown
+            // wall-clock to bridge a "contiguous" window across
+            val e = samples.get(n).flatMap(_.lift(pass - 1)).getOrElse(0.0)
+            if (e <= 2.0) Neutral else Fast
           case Some(mn) =>
             val e = samples(n)(pass - 1)
             if (e > 2 * mn && e - mn > 0.1) Slow

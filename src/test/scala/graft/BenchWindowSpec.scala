@@ -55,6 +55,18 @@ class BenchWindowSpec extends AnyFunSuite {
     assert(flagged.toSet == slow.toSet)
   }
 
+  test("a LONG-running failed query breaks the window instead of bridging it") {
+    // q_e failed after 60s (OOM in a final stage): two slow pairs a
+    // minute apart are NOT one contiguous interference window —
+    // bridging across that much unknown wall-clock would flag a
+    // clean run contended (second review pass, r12)
+    val base = samples(names, 0.5,
+      Seq("q_c", "q_d", "q_f", "q_g").map(n => (n, 3) -> 1.5).toMap)
+    val withLongFail = base.updated("q_e", IndexedSeq.fill(runs)(60.0))
+    assert(Bench.windowFlags(
+      names, withLongFail, failed = Set("q_e"), runs).isEmpty)
+  }
+
   test("a sub-100ms query inside the window does not split it (review r12)") {
     // q_e's min is 20 ms — too small to carry timing signal — and it
     // sits between four confirmed-slow >=100ms neighbors.
