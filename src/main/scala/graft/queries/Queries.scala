@@ -496,8 +496,19 @@ object Queries {
   // LLM-data-pipeline surface: similarity search
   // ---------------------------------------------------------------
 
+  /** Oracle-side mirror of [[Tables.embeddingsFinite]]: the `emb`
+    * CTE drops vectors with any non-finite component. Every
+    * similarity / clustering / quantization oracle reads `emb` so
+    * both engines exclude corrupt vectors at the same boundary —
+    * without this, DuckDB errors casting NaN to integral types and
+    * the two engines rank NaN-similarity rows by their own
+    * (different) total orders.
+    */
+  val embFiniteCte: String =
+    "emb AS (SELECT * FROM embeddings WHERE len(list_filter(embedding, x -> NOT isfinite(x))) = 0)"
+
   private def embQueries(s: SparkSession, d: String): DataFrame =
-    Tables.embeddings(s, d)
+    Tables.embeddingsFinite(s, d)
       .filter(col("vec_id") < 5)
       .select(col("vec_id").as("query_id"), col("embedding").as("query_vec"))
 
@@ -505,16 +516,17 @@ object Queries {
   def knnTop10(s: SparkSession, d: String): DataFrame = {
     GraftSession.tune(s)
     Similarity
-      .knnBruteForce(embQueries(s, d), Tables.embeddings(s, d), 10)
+      .knnBruteForce(embQueries(s, d), Tables.embeddingsFinite(s, d), 10)
       .withColumn("rank", col("rank").cast("long"))
       .withColumn("sim", round(col("sim"), 6))
       .orderBy(col("query_id"), col("rank"))
   }
 
   val knnTop10Sql =
-    """WITH q AS (
+    ("WITH " + embFiniteCte + """,
+      |q AS (
       |  SELECT vec_id AS query_id, embedding AS query_vec
-      |  FROM embeddings WHERE vec_id < 5
+      |  FROM emb WHERE vec_id < 5
       |   AND list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))) > 0),
       |scored AS (
       |  SELECT q.query_id, e.vec_id AS neighbor_id,
@@ -522,14 +534,14 @@ object Queries {
       |     p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))
       |   / (sqrt(list_sum(list_transform(q.query_vec, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
       |      * sqrt(list_sum(list_transform(e.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))) AS sim
-      |  FROM embeddings e CROSS JOIN q WHERE e.vec_id <> q.query_id
+      |  FROM emb e CROSS JOIN q WHERE e.vec_id <> q.query_id
       |   AND list_sum(list_transform(e.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))) > 0),
       |ranked AS (
       |  SELECT query_id, neighbor_id, sim,
       |   row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rank
       |  FROM scored)
       |SELECT query_id, rank, neighbor_id, round(sim, 6) AS sim
-      |FROM ranked WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin
+      |FROM ranked WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin)
 
   /** IVF ANN at the exact end of its recall dial: probing ALL cells
     * (`nProbe = nCells`) makes the candidate set the full corpus, so
@@ -545,7 +557,7 @@ object Queries {
   def q39IvfFullprobe(s: SparkSession, d: String): DataFrame = {
     GraftSession.tune(s)
     val idx = graft.operators.IvfIndex.build(
-      Tables.embeddings(s, d).select(col("vec_id"), col("embedding")),
+      Tables.embeddingsFinite(s, d).select(col("vec_id"), col("embedding")),
       nCells = 8, maxIter = 2)
     graft.operators.IvfIndex
       .search(idx, embQueries(s, d), kNeighbors = 10, nProbe = 8)
@@ -568,7 +580,7 @@ object Queries {
   def annLshTop5(s: SparkSession, d: String): DataFrame = {
     GraftSession.tune(s)
     Similarity
-      .annLsh(embQueries(s, d), Tables.embeddings(s, d),
+      .annLsh(embQueries(s, d), Tables.embeddingsFinite(s, d),
         kNeighbors = 5, nPlanes = 4, tables = 16)
       .withColumn("rank", col("rank").cast("long"))
       .withColumn("sim", round(col("sim"), 6))
@@ -582,7 +594,8 @@ object Queries {
     * t*4+p, so tbl = p // 4 and the bucket bit is p % 4.
     */
   val annLshTop5Sql =
-    """WITH signrows AS (
+    ("WITH " + embFiniteCte + """,
+      |signrows AS (
       |  SELECT p, [CASE WHEN (('0x' || substr(md5(CAST(p AS VARCHAR) || ':' || CAST(i - 1 AS VARCHAR)), 1, 2))::INT & 1) = 0
       |             THEN 1.0::DOUBLE ELSE -1.0::DOUBLE END FOR i IN range(1, 65)] AS sr
       |  FROM range(64) t(p)),
@@ -590,7 +603,7 @@ object Queries {
       |  SELECT e.vec_id, s.p,
       |   list_sum(list_transform(range(1, 65),
       |     i -> CAST(e.embedding[i] AS DOUBLE) * s.sr[i])) AS dot
-      |  FROM embeddings e CROSS JOIN signrows s
+      |  FROM emb e CROSS JOIN signrows s
       |  WHERE list_sum(list_transform(e.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))) > 0),
       |buckets AS (
       |  SELECT vec_id, p // 4 AS tbl,
@@ -607,14 +620,14 @@ object Queries {
       |   / (sqrt(list_sum(list_transform(qe.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
       |      * sqrt(list_sum(list_transform(e.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))) AS sim
       |  FROM cand c
-      |  JOIN embeddings e ON e.vec_id = c.vec_id
-      |  JOIN embeddings qe ON qe.vec_id = c.query_id),
+      |  JOIN emb e ON e.vec_id = c.vec_id
+      |  JOIN emb qe ON qe.vec_id = c.query_id),
       |ranked AS (
       |  SELECT query_id, neighbor_id, sim,
       |   row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rank
       |  FROM scored)
       |SELECT query_id, rank, neighbor_id, round(sim, 6) AS sim
-      |FROM ranked WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
+      |FROM ranked WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin)
 
   // ---------------------------------------------------------------
   // Multimodal plumbing: binary columns + typed metadata
@@ -1447,7 +1460,7 @@ object Queries {
     */
   def embCosinePairs(s: SparkSession, d: String): DataFrame = {
     GraftSession.tune(s)
-    val base = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
+    val base = Tables.embeddingsFinite(s, d).select(col("vec_id"), col("embedding"))
     val planted = base.filter(col("vec_id") < 20)
       .select((-(col("vec_id") + lit(1L))).as("vec_id"), col("embedding"))
     Similarity.cosinePairs(base.unionByName(planted), threshold = 0.95)
@@ -1456,10 +1469,11 @@ object Queries {
   }
 
   val embCosinePairsSql =
-    """WITH corpus AS (
-      |  SELECT vec_id, embedding FROM embeddings
+    ("WITH " + embFiniteCte + """,
+      |corpus AS (
+      |  SELECT vec_id, embedding FROM emb
       |  UNION ALL
-      |  SELECT -(vec_id + 1) AS vec_id, embedding FROM embeddings WHERE vec_id < 20),
+      |  SELECT -(vec_id + 1) AS vec_id, embedding FROM emb WHERE vec_id < 20),
       |pairs AS (
       |  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
       |   list_sum(list_transform(list_zip(a.embedding, b.embedding),
@@ -1468,7 +1482,7 @@ object Queries {
       |      * sqrt(list_sum(list_transform(b.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))) AS sim
       |  FROM corpus a JOIN corpus b ON a.vec_id < b.vec_id)
       |SELECT id_a, id_b, round(sim, 6) AS sim FROM pairs WHERE sim >= 0.95
-      |ORDER BY id_a, id_b""".stripMargin
+      |ORDER BY id_a, id_b""".stripMargin)
 
   /** The composed corpus-cleaning pipeline: exact dedup → near-dup
     * removal → quality gate in one plan
@@ -1835,7 +1849,7 @@ object Queries {
     * converts back to double once per (label, dim).
     */
   def embCentroids(s: SparkSession, d: String): DataFrame =
-    Tables.embeddings(s, d)
+    Tables.embeddingsFinite(s, d)
       .select(col("label"), posexplode(col("embedding")).as(Seq("dim_idx", "v")))
       .groupBy(col("label"), col("dim_idx"))
       .agg(
@@ -1849,11 +1863,12 @@ object Queries {
       .orderBy(col("label"), col("dim_idx"))
 
   val embCentroidsSql =
-    """SELECT CAST(label AS BIGINT) AS label, i - 1 AS dim_idx,
+    ("WITH " + embFiniteCte + """
+      |SELECT CAST(label AS BIGINT) AS label, i - 1 AS dim_idx,
       | CAST(sum(CAST(floor(CAST(embedding[i] AS DOUBLE) * 16777216.0) AS BIGINT)) AS DOUBLE)
       |  / (CAST(count(*) AS DOUBLE) * 16777216.0) AS centroid_q
-      | FROM embeddings CROSS JOIN range(1, 65) t(i)
-      | GROUP BY label, i ORDER BY label, dim_idx""".stripMargin
+      | FROM emb CROSS JOIN range(1, 65) t(i)
+      | GROUP BY label, i ORDER BY label, dim_idx""".stripMargin)
 
   /** Frame sampling through the real multimodal operator
     * ([[graft.multimodal.Multimodal.sampleFrames]], batched
@@ -2563,7 +2578,7 @@ object Queries {
     */
   def embSemdedup(s: SparkSession, d: String): DataFrame = {
     GraftSession.tune(s)
-    val base = Tables.embeddings(s, d)
+    val base = Tables.embeddingsFinite(s, d)
       .select(col("vec_id"), col("embedding"), col("label"))
     val planted = base.filter(col("vec_id") < 20)
       .select((-(col("vec_id") + lit(1L))).as("vec_id"), col("embedding"),
@@ -2588,10 +2603,11 @@ object Queries {
   }
 
   val embSemdedupSql: String =
-    """WITH corpus AS (
-      |  SELECT vec_id, embedding, label FROM embeddings
+    ("WITH " + embFiniteCte + """,
+      |corpus AS (
+      |  SELECT vec_id, embedding, label FROM emb
       |  UNION ALL
-      |  SELECT -(vec_id + 1) AS vec_id, embedding, label FROM embeddings WHERE vec_id < 20),
+      |  SELECT -(vec_id + 1) AS vec_id, embedding, label FROM emb WHERE vec_id < 20),
       |pairs AS (
       |  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
       |   list_sum(list_transform(list_zip(a.embedding, b.embedding),
@@ -2603,7 +2619,7 @@ object Queries {
       | CAST(CASE WHEN c.vec_id IN (SELECT id_a FROM pairs WHERE sim >= 0.95)
       |      THEN 1 ELSE 0 END AS BIGINT) AS is_dup
       |FROM corpus c
-      |ORDER BY c.vec_id""".stripMargin
+      |ORDER BY c.vec_id""".stripMargin)
 
   /** Temperature-balanced corpus mixing (α = 0.5): the multilingual
     * training-mix rebalance that upsamples low-resource languages —
@@ -2728,7 +2744,7 @@ object Queries {
     */
   def embQuantize(s: SparkSession, d: String): DataFrame = {
     GraftSession.tune(s)
-    val comps = Tables.embeddings(s, d)
+    val comps = Tables.embeddingsFinite(s, d)
       .select(col("vec_id"),
         posexplode(col("embedding")).as(Seq("dim_idx", "v")))
       .select(col("vec_id"), col("dim_idx").cast("long").as("dim_idx"),
@@ -2744,16 +2760,17 @@ object Queries {
   }
 
   val embQuantizeSql =
-    """WITH comps AS (
+    ("WITH " + embFiniteCte + """,
+      |comps AS (
       |  SELECT vec_id, i - 1 AS dim_idx, CAST(embedding[i] AS DOUBLE) AS v
-      |  FROM embeddings CROSS JOIN range(1, 65) t(i)),
+      |  FROM emb CROSS JOIN range(1, 65) t(i)),
       |stats AS (
       |  SELECT dim_idx, min(v) AS mn, max(v) AS mx FROM comps GROUP BY dim_idx)
       |SELECT c.vec_id, c.dim_idx,
       | CAST(CASE WHEN s.mx = s.mn THEN 0
       |   ELSE floor((c.v - s.mn) / (s.mx - s.mn) * 255.0) END AS BIGINT) AS code
       |FROM comps c JOIN stats s USING (dim_idx)
-      |ORDER BY vec_id, dim_idx""".stripMargin
+      |ORDER BY vec_id, dim_idx""".stripMargin)
 
   /** Token-length histogram of the corpus (fixed 25-token buckets,
     * open-ended top bucket) — the length-distribution report every
@@ -3209,7 +3226,7 @@ object Queries {
         .as("cs"))
       .select(col("label"),
         transform(col("cs"), c => c.getField("centroid_q")).as("centroid"))
-    Tables.embeddings(s, d)
+    Tables.embeddingsFinite(s, d)
       .select(col("label").cast("long").as("label"), col("embedding"))
       .join(broadcast(cents), "label")
       .select(col("label"),
@@ -3223,11 +3240,12 @@ object Queries {
   }
 
   val q31ClassCohesionSql =
-    """WITH cent AS (
+    ("WITH " + embFiniteCte + """,
+      |cent AS (
       |  SELECT CAST(label AS BIGINT) AS label, i - 1 AS dim_idx,
       |   CAST(sum(CAST(floor(CAST(embedding[i] AS DOUBLE) * 16777216.0) AS BIGINT)) AS DOUBLE)
       |    / (CAST(count(*) AS DOUBLE) * 16777216.0) AS centroid_q
-      |  FROM embeddings CROSS JOIN range(1, 65) t(i)
+      |  FROM emb CROSS JOIN range(1, 65) t(i)
       |  GROUP BY label, i),
       |cvec AS (
       |  SELECT label, list(centroid_q ORDER BY dim_idx) AS centroid
@@ -3241,10 +3259,10 @@ object Queries {
       |         i -> CAST(e.embedding[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE))))
       |       * sqrt(list_sum(list_transform(range(1, 65),
       |           i -> c.centroid[i] * c.centroid[i])))), 6) AS cos
-      |  FROM embeddings e JOIN cvec c ON c.label = CAST(e.label AS BIGINT))
+      |  FROM emb e JOIN cvec c ON c.label = CAST(e.label AS BIGINT))
       |SELECT label, count(*) AS n_vecs,
       | CAST(sum(CAST(cos AS DECIMAL(18,6))) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS mean_cos
-      |FROM scored GROUP BY label ORDER BY label""".stripMargin
+      |FROM scored GROUP BY label ORDER BY label""".stripMargin)
 
   /** Deterministic stratified train/test split: assignment is a pure
     * function of the row id (first md5 byte mod 10 → ~80/20), so the
@@ -3801,19 +3819,39 @@ object Queries {
       .select(lit(-2L).as("vec_id"),
         transform(col("embedding"), x => x * lit(3.0f)).as("embedding"),
         lit(-1).as("label"))
+    // The audit reads the RAW table on purpose (the one embedding
+    // consumer that does): corrupt vectors are EXCLUDED everywhere
+    // else via Tables.embeddingsFinite, so this is where they stay
+    // visible — counted per label as n_nonfinite, kept out of the
+    // zero/anomalous/mean stats whose arithmetic they would poison
+    // (a NaN norm casts to INT64 as an error in DuckDB and as 0 in
+    // Spark — the exact cross-engine divergence the finite boundary
+    // exists to prevent).
     base.unionByName(zero).unionByName(scaled)
       .select(col("label").cast("long").as("label"),
         round(Similarity.norm(col("embedding")), 6).as("norm"))
-      .select(col("label"), col("norm"),
-        round(col("norm") * lit(1000000.0), 0).cast("long").as("micros"))
+      .select(col("label"),
+        (isnan(col("norm")) ||
+          col("norm") === lit(Double.PositiveInfinity)).as("bad"),
+        col("norm"))
+      .select(col("label"), col("bad"),
+        when(!col("bad"), col("norm")).as("fnorm"),
+        when(!col("bad"), round(col("norm") * lit(1000000.0), 0).cast("long"))
+          .otherwise(lit(0L)).as("micros"))
       .groupBy(col("label"))
       .agg(count(lit(1)).as("n_vecs"),
-        sum(when(col("norm") < lit(0.000001), lit(1L)).otherwise(lit(0L))).as("n_zero"),
-        sum(when(abs(col("norm") - lit(1.0)) > lit(0.01), lit(1L)).otherwise(lit(0L))).as("n_anomalous"),
-        sum(col("micros")).as("sum_micros"))
-      .select(col("label"), col("n_vecs"), col("n_zero"), col("n_anomalous"),
-        round(col("sum_micros").cast("double") / col("n_vecs").cast("double") / lit(1000000.0), 6)
-          .as("mean_norm"))
+        sum(when(col("bad"), lit(1L)).otherwise(lit(0L))).as("n_nonfinite"),
+        sum(when(!col("bad") && col("fnorm") < lit(0.000001), lit(1L))
+          .otherwise(lit(0L))).as("n_zero"),
+        sum(when(!col("bad") && abs(col("fnorm") - lit(1.0)) > lit(0.01), lit(1L))
+          .otherwise(lit(0L))).as("n_anomalous"),
+        sum(col("micros")).as("sum_micros"),
+        sum(when(!col("bad"), lit(1L)).otherwise(lit(0L))).as("n_finite"))
+      .select(col("label"), col("n_vecs"), col("n_nonfinite"), col("n_zero"),
+        col("n_anomalous"),
+        when(col("n_finite") > 0,
+          round(col("sum_micros").cast("double") / col("n_finite").cast("double")
+            / lit(1000000.0), 6)).as("mean_norm"))
       .orderBy(col("label"))
   }
 
@@ -3831,12 +3869,19 @@ object Queries {
       |   round(sqrt(list_sum(list_transform(embedding,
       |     x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))), 6) AS norm
       |  FROM aug),
-      |m AS (SELECT label, norm,
-      |  CAST(round(norm * 1000000.0, 0) AS BIGINT) AS micros FROM n)
+      |m AS (SELECT label, NOT isfinite(norm) AS bad,
+      |  CASE WHEN isfinite(norm) THEN norm END AS fnorm,
+      |  CASE WHEN isfinite(norm)
+      |    THEN CAST(round(norm * 1000000.0, 0) AS BIGINT) ELSE 0 END AS micros
+      | FROM n)
       |SELECT label, count(*) AS n_vecs,
-      | CAST(sum(CASE WHEN norm < 0.000001 THEN 1 ELSE 0 END) AS BIGINT) AS n_zero,
-      | CAST(sum(CASE WHEN abs(norm - 1.0) > 0.01 THEN 1 ELSE 0 END) AS BIGINT) AS n_anomalous,
-      | round(CAST(sum(micros) AS DOUBLE) / CAST(count(*) AS DOUBLE) / 1000000.0, 6) AS mean_norm
+      | CAST(sum(CASE WHEN bad THEN 1 ELSE 0 END) AS BIGINT) AS n_nonfinite,
+      | CAST(sum(CASE WHEN NOT bad AND fnorm < 0.000001 THEN 1 ELSE 0 END) AS BIGINT) AS n_zero,
+      | CAST(sum(CASE WHEN NOT bad AND abs(fnorm - 1.0) > 0.01 THEN 1 ELSE 0 END) AS BIGINT) AS n_anomalous,
+      | CASE WHEN sum(CASE WHEN NOT bad THEN 1 ELSE 0 END) > 0 THEN
+      |   round(CAST(sum(micros) AS DOUBLE)
+      |     / CAST(sum(CASE WHEN NOT bad THEN 1 ELSE 0 END) AS DOUBLE) / 1000000.0, 6)
+      | END AS mean_norm
       |FROM m GROUP BY label ORDER BY label""".stripMargin
 
   /** Approximate quantiles next to an exact RANK check — the second

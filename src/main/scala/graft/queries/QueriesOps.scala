@@ -303,7 +303,7 @@ object QueriesOps {
     // per-component decimal work would otherwise run single-threaded
     // (measured: the whole query sat at ~2.9 s regardless of plan
     // shape because every variant bottlenecked on that one task)
-    def comps = Tables.embeddings(s, d)
+    def comps = Tables.embeddingsFinite(s, d)
       .repartition(32, col("vec_id"))
       .select(col("vec_id"), posexplode(col("embedding")).as(Seq("dim", "v")))
       .select(col("vec_id"), floor(col("dim") / 16).cast("long").as("m"),
@@ -367,12 +367,13 @@ object QueriesOps {
     * oracle and the ADC-search oracle.
     */
   private val pqCte: String =
-    """comps AS (
+    (Queries.embFiniteCte + """,
+      |comps AS (
       |  SELECT vec_id,
       |   CAST((generate_subscripts(embedding, 1) - 1) // 16 AS BIGINT) AS m,
       |   CAST(generate_subscripts(embedding, 1) - 1 AS BIGINT) AS dim,
       |   CAST(unnest(embedding) AS DOUBLE) AS v
-      |  FROM embeddings),
+      |  FROM emb),
       |seeds AS (SELECT m, vec_id AS code, dim, v AS c FROM comps WHERE vec_id < 8),
       |d1 AS (
       |  SELECT p.vec_id, p.m, s.code,
@@ -402,7 +403,7 @@ object QueriesOps {
       |  SELECT d.vec_id, d.m, min(d.code) AS code
       |  FROM d2t d JOIN (SELECT vec_id, m, min(d2) AS md FROM d2t GROUP BY 1, 2) x
       |    ON d.vec_id = x.vec_id AND d.m = x.m AND d.d2 = x.md
-      |  GROUP BY 1, 2)""".stripMargin
+      |  GROUP BY 1, 2)""".stripMargin)
 
   val embPqCodesSql: String =
     s"WITH $pqCte\nSELECT vec_id, m, code FROM codes ORDER BY 1, 2"
@@ -431,7 +432,7 @@ object QueriesOps {
     val cbDf = (for (dim <- 0 until 64; code <- 0 until 8)
       yield (dim.toLong, dim / 16L, code.toLong, cb2(dim)(code)))
       .toDF("dim", "m", "code", "c")
-    val qcomps = Tables.embeddings(s, d).filter(col("vec_id") < 5)
+    val qcomps = Tables.embeddingsFinite(s, d).filter(col("vec_id") < 5)
       .select(col("vec_id").as("query_id"),
         posexplode(col("embedding")).as(Seq("dim", "v")))
       .select(col("query_id"), col("dim").cast("long").as("dim"),
@@ -460,7 +461,7 @@ object QueriesOps {
       |  SELECT vec_id AS query_id,
       |   CAST(generate_subscripts(embedding, 1) - 1 AS BIGINT) AS dim,
       |   CAST(unnest(embedding) AS DOUBLE) AS v
-      |  FROM embeddings WHERE vec_id < 5),
+      |  FROM emb WHERE vec_id < 5),
       |lut AS (
       |  SELECT q.query_id, s.m, s.code,
       |   sum(CAST((q.v - s.c) * (q.v - s.c) AS DECIMAL(18,12))) AS d2

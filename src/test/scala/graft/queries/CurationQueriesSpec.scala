@@ -69,18 +69,42 @@ class CurationQueriesSpec extends SparkSpec {
   }
 
   test("emb_norms flags exactly the planted anomalies") {
+    // (label, n_vecs, n_nonfinite, n_zero, n_anomalous, mean_norm)
     val got = Queries.embNorms(spark, sfSmoke)
-      .as[(Long, Long, Long, Long, Double)].collect()
+      .as[(Long, Long, Long, Long, Long, Double)].collect()
       .map(r => r._1 -> r).toMap
     val planted = got(-1L)
     assert(planted._2 == 2L, s"planted label row: $planted")
-    assert(planted._3 == 1L, "exactly one zero vector")
-    assert(planted._4 == 2L, "zero and 3x-scaled are both off-unit")
-    assert(math.abs(planted._5 - 1.5) < 1e-5, s"mean of 0 and 3 is 1.5: $planted")
+    assert(planted._3 == 0L, "driver corpus has no non-finite vectors")
+    assert(planted._4 == 1L, "exactly one zero vector")
+    assert(planted._5 == 2L, "zero and 3x-scaled are both off-unit")
+    assert(math.abs(planted._6 - 1.5) < 1e-5, s"mean of 0 and 3 is 1.5: $planted")
     // the driver corpus itself is unit-normalized: no false positives
     got.filter { case (k, _) => k >= 0 }.values.foreach { r =>
-      assert(r._3 == 0L && r._4 == 0L, s"false anomaly in corpus label row: $r")
-      assert(math.abs(r._5 - 1.0) < 1e-4, s"corpus mean norm should be ~1: $r")
+      assert(r._3 == 0L && r._4 == 0L && r._5 == 0L,
+        s"false anomaly in corpus label row: $r")
+      assert(math.abs(r._6 - 1.0) < 1e-4, s"corpus mean norm should be ~1: $r")
     }
+  }
+
+  test("non-finite vectors: excluded from the similarity universe, counted by the audit") {
+    import org.apache.spark.sql.functions._
+    // a corrupt row in every position the fuzz harness plants it:
+    // NaN head, Inf tail, -Inf middle
+    val dim = 64
+    val mk = (poison: Double, at: Int) =>
+      Array.tabulate(dim)(i => if (i == at) poison else 0.1)
+    val bad = Seq(
+      (900001L, mk(Double.NaN, 0), 3L),
+      (900002L, mk(Double.PositiveInfinity, dim - 1), 3L),
+      (900003L, mk(Double.NegativeInfinity, dim / 2), 3L),
+      (900004L, Array.fill(dim)(0.1), 3L)) // finite control row
+      .toDF("vec_id", "embedding", "label")
+    val dir = java.nio.file.Files.createTempDirectory("embfinite").toString
+    bad.write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val kept = graft.tables.Tables.embeddingsFinite(spark, dir)
+      .select("vec_id").as[Long].collect().toSet
+    assert(kept == Set(900004L),
+      s"only the finite control row survives the boundary: $kept")
   }
 }

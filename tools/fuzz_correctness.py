@@ -19,11 +19,15 @@ Perturbations:
     divergence ADVICE once flagged;
   - documents: appended exact duplicate, one-token near-duplicate,
     empty text, digits-only junk, punctuation noise, Cyrillic and CJK
-    sentences (langId paths), and a 500-token doc (multi-chunk,
-    multi-pack paths — driver docs max out below 100 tokens);
-  - embeddings: appended duplicate vector (kNN tie-break), zero vector
-    and a scaled vector under a FRESH label (norm-audit paths), all at
-    ids far from the 100000+ range the planted-row queries reserve;
+    sentences (langId paths), a 500-token doc (multi-chunk,
+    multi-pack paths — driver docs max out below 100 tokens), an
+    NFD-decomposed text (both engines must land on the same NFC), and
+    a single 2000-char token (unbounded-token-length paths);
+  - embeddings: appended duplicate vector (kNN tie-break), zero vector,
+    a scaled vector, and a NaN-component vector under a FRESH label
+    (norm-audit paths; NaN must stay out of every top-k identically in
+    both engines), all at ids far from the 100000+ range the
+    planted-row queries reserve;
   - customer: appended zero- and negative-acctbal rows (inactive-key
     boundary of the auth semi-join).
 
@@ -34,6 +38,7 @@ Usage:
 import random
 import subprocess
 import sys
+import unicodedata
 from pathlib import Path
 
 import pyarrow as pa
@@ -96,6 +101,17 @@ def mutate(name: str, table: pa.Table) -> pa.Table:
             (800007, "の に は を た が で て と し も な い か る",
              "ja", "fuzz-src", 29),
             (800008, long_doc, "en", "fuzz-src", len(long_doc)),   # > 500 tokens
+            # NFD-decomposed text (e + combining acute, a + combining
+            # ring): doc_normalize must canonicalize to the SAME NFC
+            # form in both engines, and codepoint-indexed ops must not
+            # split the combining mark from its base
+            (800009,
+             unicodedata.normalize("NFD", "café jalapeño århus resumé"),
+             "en", "fuzz-src", 27),
+            # one extreme token (2000 chars, no whitespace): shingle /
+            # BPE / chunking / packing paths must not assume bounded
+            # token length
+            (800010, "start " + "x" * 2000 + " end", "en", "fuzz-src", 2010),
         ]
         return append_rows(table, rows)
     if name == "embeddings":
@@ -105,6 +121,13 @@ def mutate(name: str, table: pa.Table) -> pa.Table:
             (50001, first["embedding"], first["label"]),        # exact dup vector
             (50002, [0.0] * dim, 3),                            # zero vector, corpus label
             (50003, [x * 2.0 for x in first["embedding"]], 3),  # off-unit norm
+            # NaN component under a fresh label: every similarity /
+            # norm / quantization path must keep NaN out of top-k
+            # results identically in both engines (Spark sorts NaN
+            # LAST in DESC, DuckDB treats NaN as greater than any
+            # number — a divergence unless the queries filter or
+            # never rank the NaN row into the cut)
+            (50004, [float("nan")] + [0.1] * (dim - 1), 3),
         ]
         return append_rows(table, rows)
     if name == "orders":
