@@ -497,15 +497,18 @@ object Queries {
   // ---------------------------------------------------------------
 
   /** Oracle-side mirror of [[Tables.embeddingsFinite]]: the `emb`
-    * CTE drops vectors with any non-finite component. Every
+    * CTE drops vectors with any non-finite component or a length
+    * other than the fixture's 64 ([[Tables.EmbeddingDim]] — the dim
+    * every oracle's fixed `range(1, 65)` indexing assumes). Every
     * similarity / clustering / quantization oracle reads `emb` so
     * both engines exclude corrupt vectors at the same boundary —
-    * without this, DuckDB errors casting NaN to integral types and
-    * the two engines rank NaN-similarity rows by their own
-    * (different) total orders.
+    * without this, DuckDB errors casting NaN to integral types, the
+    * two engines rank NaN-similarity rows by their own (different)
+    * total orders, and a ragged vector makes them count different
+    * component sets.
     */
   val embFiniteCte: String =
-    "emb AS (SELECT * FROM embeddings WHERE len(list_filter(embedding, x -> NOT isfinite(x))) = 0)"
+    "emb AS (SELECT * FROM embeddings WHERE len(embedding) = 64 AND len(list_filter(embedding, x -> NOT isfinite(x))) = 0)"
 
   private def embQueries(s: SparkSession, d: String): DataFrame =
     Tables.embeddingsFinite(s, d)

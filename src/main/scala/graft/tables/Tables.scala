@@ -99,24 +99,36 @@ object Tables {
     normLong(raw, "embeddings", "vec_id")
   }
 
-  /** [[embeddings]] restricted to WELL-FORMED vectors: any row whose
-    * embedding carries a NaN or ±Infinity component is dropped. This
-    * is the similarity/clustering/quantization universe — at corpus
-    * scale, encoder failures DO produce non-finite vectors, and both
-    * engines otherwise diverge on them (Spark and DuckDB each treat
-    * NaN as greater-than-everything in their own rankings, DuckDB
-    * errors casting NaN to integral types, and Spark ML's vector
-    * conversion throws outright), so the only portable, sane
-    * semantic is exclusion at the table boundary. The norm-audit
-    * query ([[graft.queries.Queries.embNorms]]) deliberately reads
-    * the RAW table instead and counts these rows — exclusion here is
-    * how the rest of the surface stays deterministic, the audit is
-    * how corrupt rows stay visible. Scan-side codegen'd predicate;
-    * no shuffle, no extra pass.
+  /** The fixture embedding dimension ([[embeddingsFinite]]'s default
+    * gate; TESTDATA ships 64-dim vectors and every oracle indexes a
+    * fixed `range(1, 65)`). A deployment passes its own model dim.
     */
-  def embeddingsFinite(s: SparkSession, d: String): DataFrame =
-    embeddings(s, d).filter(!exists(col("embedding"),
-      x => isnan(x) || abs(x) === lit(Double.PositiveInfinity)))
+  val EmbeddingDim = 64
+
+  /** [[embeddings]] restricted to WELL-FORMED vectors: any row whose
+    * embedding carries a NaN or ±Infinity component, or whose length
+    * differs from the declared model dimension, is dropped. This is
+    * the similarity/clustering/quantization universe — at corpus
+    * scale, encoder failures DO produce non-finite and truncated
+    * vectors, and both engines otherwise diverge on them (Spark and
+    * DuckDB each treat NaN as greater-than-everything in their own
+    * rankings, DuckDB errors casting NaN to integral types, Spark
+    * ML's vector conversion throws outright on NaN and k-means on
+    * ragged dims, and a ragged vector makes Spark's posexplode and
+    * the oracle's fixed-range indexing count different component
+    * sets), so the only portable, sane semantic is exclusion at the
+    * table boundary. The norm-audit query
+    * ([[graft.queries.Queries.embNorms]]) deliberately reads the RAW
+    * table instead and counts corrupt rows — exclusion here is how
+    * the rest of the surface stays deterministic, the audit is how
+    * corrupt rows stay visible. Scan-side codegen'd predicate; no
+    * shuffle, no extra pass.
+    */
+  def embeddingsFinite(s: SparkSession, d: String,
+                       dim: Int = EmbeddingDim): DataFrame =
+    embeddings(s, d).filter(size(col("embedding")) === dim &&
+      !exists(col("embedding"),
+        x => isnan(x) || abs(x) === lit(Double.PositiveInfinity)))
 
   /** The auth dimension analog of the reference's Postgres `api_keys`
     * table (`publisher/migrations/001_create_api_keys.up.sql:2-9`):

@@ -98,6 +98,8 @@ class CurationQueriesSpec extends SparkSpec {
       (900001L, mk(Double.NaN, 0), 3L),
       (900002L, mk(Double.PositiveInfinity, dim - 1), 3L),
       (900003L, mk(Double.NegativeInfinity, dim / 2), 3L),
+      (900005L, Array.fill(dim - 1)(0.1), 3L), // ragged: truncated write
+      (900006L, Array.fill(dim + 1)(0.1), 3L), // ragged: over-long
       (900004L, Array.fill(dim)(0.1), 3L)) // finite control row
       .toDF("vec_id", "embedding", "label")
     val dir = java.nio.file.Files.createTempDirectory("embfinite").toString

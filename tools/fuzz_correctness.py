@@ -128,6 +128,11 @@ def mutate(name: str, table: pa.Table) -> pa.Table:
             # number — a divergence unless the queries filter or
             # never rank the NaN row into the cut)
             (50004, [float("nan")] + [0.1] * (dim - 1), 3),
+            # ragged vector (dim-1 components): a truncated encoder
+            # write. Spark explodes actual lengths while the oracles
+            # index a fixed range, so without a dimension gate at the
+            # boundary the two engines count different component sets
+            (50005, [0.1] * (dim - 1), 3),
         ]
         return append_rows(table, rows)
     if name == "orders":
