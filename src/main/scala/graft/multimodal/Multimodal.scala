@@ -425,9 +425,19 @@ object Multimodal {
     * real codec's init cost amortizes (the mapPartitions boundary is
     * the batch: one iterator per partition, not one call per row).
     */
+  /** Records with a NULL blob (missing media — a plain reality in
+    * any at-scale media table) are dropped at every operator
+    * boundary, same contract as `Tables.embeddingsFinite`: a single
+    * missing blob must not NPE a 100 TB pass (fuzz-caught: a NULL
+    * content column crashed all three media queries). Scan-side
+    * `IS NOT NULL` predicate — pushes to the reader, free.
+    */
+  private def withContent(media: Dataset[MediaRecord]): Dataset[MediaRecord] =
+    media.filter(col("content").isNotNull)
+
   def decodeMeta(media: Dataset[MediaRecord]): Dataset[MediaMeta] = {
     import media.sparkSession.implicits._
-    media.mapPartitions { it =>
+    withContent(media).mapPartitions { it =>
       // SPI resolution INSIDE the task (once per partition): a
       // deploy-time [[MediaDecoder]] — ServiceLoader jar or
       // programmatic register — takes each record first; the
@@ -441,7 +451,7 @@ object Multimodal {
   /** Feature extraction with the same batch shape. */
   def extractFeatures(media: Dataset[MediaRecord], dim: Int = 64): Dataset[MediaFeatures] = {
     import media.sparkSession.implicits._
-    media.mapPartitions { it =>
+    withContent(media).mapPartitions { it =>
       val spi = MediaDecoder.current
       it.map(r => spi.flatMap(_.extractFeatures(r, dim))
         .getOrElse(MediaCodec.extractFeatures(r, dim)))
@@ -451,7 +461,7 @@ object Multimodal {
   /** Frame sampling — flatMap shape (0..n frames per input row). */
   def sampleFrames(media: Dataset[MediaRecord], stride: Int = 2): Dataset[MediaFrame] = {
     import media.sparkSession.implicits._
-    media.mapPartitions { it =>
+    withContent(media).mapPartitions { it =>
       val spi = MediaDecoder.current
       it.flatMap(r => spi.flatMap(_.sampleFrames(r, stride))
         .getOrElse(MediaCodec.sampleFrames(r, stride)))
@@ -464,7 +474,7 @@ object Multimodal {
     */
   def resize(media: Dataset[MediaRecord], targetBytes: Int): Dataset[MediaRecord] = {
     import media.sparkSession.implicits._
-    media.mapPartitions { it =>
+    withContent(media).mapPartitions { it =>
       val spi = MediaDecoder.current
       it.map(r => spi.flatMap(_.resize(r, targetBytes))
         .getOrElse(MediaCodec.resize(r, targetBytes)))
@@ -479,7 +489,7 @@ object Multimodal {
     */
   def resizeImages(media: Dataset[MediaRecord], maxDim: Int): Dataset[MediaRecord] = {
     import media.sparkSession.implicits._
-    media.mapPartitions { it =>
+    withContent(media).mapPartitions { it =>
       val spi = MediaDecoder.current
       it.map(r => spi.flatMap(_.resizeImage(r, maxDim))
         .getOrElse(MediaCodec.resizeImage(r, maxDim)))

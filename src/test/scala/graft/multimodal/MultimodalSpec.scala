@@ -26,6 +26,21 @@ class MultimodalSpec extends SparkSpec {
     assert(decodeMeta(ds).collect().toSet === decodeMeta(ds).collect().toSet)
   }
 
+  test("NULL blobs are dropped at every operator boundary, never NPE") {
+    // a missing blob is a plain reality in an at-scale media table —
+    // fuzz-caught: a NULL content column crashed all three media
+    // queries before the withContent guard
+    val withNull = media((1L, "image", "real bytes")).unionByName(
+      Seq((2L, "image")).toDF("mediaId", "mediaType")
+        .selectExpr("mediaId", "mediaType",
+          "CAST(NULL AS BINARY) AS content").as[MediaRecord])
+    assert(decodeMeta(withNull).collect().map(_.mediaId).toSeq == Seq(1L))
+    assert(extractFeatures(withNull).collect().map(_.mediaId).toSeq == Seq(1L))
+    assert(sampleFrames(withNull, 2).collect().forall(_.mediaId == 1L))
+    assert(resize(withNull, 64).collect().map(_.mediaId).toSeq == Seq(1L))
+    assert(resizeImages(withNull, 8).collect().map(_.mediaId).toSeq == Seq(1L))
+  }
+
   test("extractFeatures yields fixed-dim vectors, stable across runs") {
     val ds = media((1L, "image", "abcdef" * 100), (2L, "image", "ghijkl" * 100))
     val f1 = extractFeatures(ds, dim = 16).collect().map(f => f.mediaId -> f.features.toSeq).toMap

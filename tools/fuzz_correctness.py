@@ -112,6 +112,17 @@ def mutate(name: str, table: pa.Table) -> pa.Table:
             # BPE / chunking / packing paths must not assume bounded
             # token length
             (800010, "start " + "x" * 2000 + " end", "en", "fuzz-src", 2010),
+            # astral-plane text (4-byte UTF-8, surrogate pairs in
+            # UTF-16): codepoint-indexed ops must not split an emoji,
+            # and token/char counts must agree across engines
+            (800011, "🎉🎊 party données 中文字 🚀🌕 end", "en", "fuzz-src", 30),
+            # NULL text/lang/source are NOT planted: the analytic
+            # tables sit BEHIND the ingest validation layer (the
+            # reference's F1-F6 reject paths, IngestPipelineSpec), so
+            # NULL required fields are out of contract here by
+            # design — they are rejected (and DLQ-routed) at ingest,
+            # exactly as the reference rejects them with 400/401
+            # before anything reaches the warehouse.
         ]
         return append_rows(table, rows)
     if name == "embeddings":
