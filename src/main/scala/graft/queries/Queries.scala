@@ -496,19 +496,11 @@ object Queries {
   // LLM-data-pipeline surface: similarity search
   // ---------------------------------------------------------------
 
-  /** Oracle-side mirror of [[Tables.embeddingsFinite]]: the `emb`
-    * CTE drops vectors with any non-finite component or a length
-    * other than the fixture's 64 ([[Tables.EmbeddingDim]] — the dim
-    * every oracle's fixed `range(1, 65)` indexing assumes). Every
-    * similarity / clustering / quantization oracle reads `emb` so
-    * both engines exclude corrupt vectors at the same boundary —
-    * without this, DuckDB errors casting NaN to integral types, the
-    * two engines rank NaN-similarity rows by their own (different)
-    * total orders, and a ragged vector makes them count different
-    * component sets.
+  /** See [[OracleCtes.embFinite]] — hosted there (with the full
+    * scaladoc) because a shared fragment living in this object or
+    * [[QueriesOps]] creates an object-initialization cycle.
     */
-  val embFiniteCte: String =
-    "emb AS (SELECT * FROM embeddings WHERE len(embedding) = 64 AND len(list_filter(embedding, x -> NOT isfinite(x))) = 0)"
+  val embFiniteCte: String = OracleCtes.embFinite
 
   private def embQueries(s: SparkSession, d: String): DataFrame =
     Tables.embeddingsFinite(s, d)
@@ -1607,7 +1599,9 @@ object Queries {
       |  coalesce(('0x' || nullif(substr(hex(encode(text)), 5, 2), ''))::INT, 0) AS b2,
       |  coalesce(('0x' || nullif(substr(hex(encode(text)), 7, 2), ''))::INT, 0) AS b3,
       |  coalesce(('0x' || nullif(substr(hex(encode(text)), 9, 2), ''))::INT, 0) AS b4
-      | FROM documents)
+      | -- mirror of the operator-side withContent guard: a NULL blob
+      | -- is dropped, not decoded
+      | FROM documents WHERE text IS NOT NULL)
       |SELECT media_id, media_type, byte_len,
       | CASE WHEN media_type = 'image' THEN (CASE WHEN b0 % 2 = 0 THEN 'png' ELSE 'jpeg' END)
       |      WHEN media_type = 'audio' THEN (CASE WHEN b0 % 2 = 0 THEN 'wav' ELSE 'flac' END)
@@ -1897,7 +1891,7 @@ object Queries {
     """WITH m AS (
       |  SELECT doc_id AS media_id, hex(encode(text)) AS h,
       |   octet_length(encode(text)) AS len
-      |  FROM documents),
+      |  FROM documents WHERE text IS NOT NULL),
       |idx AS (
       |  -- per-row frame spine via the list-range + unnest (exactly
       |  -- ceil(len/2048) frames, no silent cap however large a blob
@@ -3314,7 +3308,7 @@ object Queries {
     """WITH m AS (
       |  SELECT doc_id AS media_id, hex(encode(text)) AS h,
       |   octet_length(encode(text)) AS len
-      |  FROM documents)
+      |  FROM documents WHERE text IS NOT NULL)
       |SELECT media_id, CAST(256 AS BIGINT) AS resized_len,
       | md5(lower(substr(h, 1, 512)) || repeat('00', greatest(0, 256 - len))) AS digest
       |FROM m ORDER BY media_id""".stripMargin
@@ -3830,11 +3824,16 @@ object Queries {
     // (a NaN norm casts to INT64 as an error in DuckDB and as 0 in
     // Spark — the exact cross-engine divergence the finite boundary
     // exists to prevent).
+    // "bad" must test the COMPONENTS for NULL, not the computed norm:
+    // a NULL component makes Spark's norm NULL but DuckDB's list_sum
+    // skips NULLs and yields a finite partial norm — classifying on
+    // the norm value alone would diverge (review r12)
     base.unionByName(zero).unionByName(scaled)
       .select(col("label").cast("long").as("label"),
-        round(Similarity.norm(col("embedding")), 6).as("norm"))
+        round(Similarity.norm(col("embedding")), 6).as("norm"),
+        exists(col("embedding"), _.isNull).as("has_null"))
       .select(col("label"),
-        (isnan(col("norm")) ||
+        (col("has_null") || isnan(col("norm")) ||
           col("norm") === lit(Double.PositiveInfinity)).as("bad"),
         col("norm"))
       .select(col("label"), col("bad"),
@@ -3870,11 +3869,12 @@ object Queries {
       |n AS (
       |  SELECT CAST(label AS BIGINT) AS label,
       |   round(sqrt(list_sum(list_transform(embedding,
-      |     x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))), 6) AS norm
+      |     x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))), 6) AS norm,
+      |   len(list_filter(embedding, x -> x IS NULL)) > 0 AS has_null
       |  FROM aug),
-      |m AS (SELECT label, NOT isfinite(norm) AS bad,
-      |  CASE WHEN isfinite(norm) THEN norm END AS fnorm,
-      |  CASE WHEN isfinite(norm)
+      |m AS (SELECT label, (has_null OR NOT isfinite(norm)) AS bad,
+      |  CASE WHEN NOT has_null AND isfinite(norm) THEN norm END AS fnorm,
+      |  CASE WHEN NOT has_null AND isfinite(norm)
       |    THEN CAST(round(norm * 1000000.0, 0) AS BIGINT) ELSE 0 END AS micros
       | FROM n)
       |SELECT label, count(*) AS n_vecs,
@@ -4117,7 +4117,7 @@ object Queries {
     */
   def embHardNegatives(s: SparkSession, d: String): DataFrame = {
     GraftSession.tune(s)
-    val nonDeg = Tables.embeddings(s, d)
+    val nonDeg = Tables.embeddingsFinite(s, d)
       .filter(org.apache.spark.sql.graft.VectorNorm(col("embedding")) > 0)
     val q = nonDeg.filter(col("vec_id") < 5)
       .select(col("vec_id").as("query_id"), col("label").as("query_label"),
@@ -4135,9 +4135,10 @@ object Queries {
   }
 
   val embHardNegativesSql =
-    """WITH q AS (
+    ("WITH " + embFiniteCte + """,
+      |q AS (
       |  SELECT vec_id AS query_id, label AS query_label, embedding AS query_vec
-      |  FROM embeddings WHERE vec_id < 5
+      |  FROM emb WHERE vec_id < 5
       |   AND list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))) > 0),
       |scored AS (
       |  SELECT q.query_id, e.vec_id AS neighbor_id,
@@ -4145,7 +4146,7 @@ object Queries {
       |     p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))
       |   / (sqrt(list_sum(list_transform(q.query_vec, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
       |      * sqrt(list_sum(list_transform(e.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))) AS sim
-      |  FROM embeddings e CROSS JOIN q
+      |  FROM emb e CROSS JOIN q
       |  WHERE e.vec_id <> q.query_id AND e.label <> q.query_label
       |   AND list_sum(list_transform(e.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))) > 0),
       |ranked AS (
@@ -4153,7 +4154,7 @@ object Queries {
       |   row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rank
       |  FROM scored)
       |SELECT query_id, rank, neighbor_id, round(sim, 6) AS sim
-      |FROM ranked WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
+      |FROM ranked WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin)
 
   /** Funnel analysis — the ClickHouse `windowFunnel` analog (the
     * reference's analytics engine is ClickHouse; this closes one of

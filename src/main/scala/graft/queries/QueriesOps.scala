@@ -367,7 +367,7 @@ object QueriesOps {
     * oracle and the ADC-search oracle.
     */
   private val pqCte: String =
-    (Queries.embFiniteCte + """,
+    (OracleCtes.embFinite + """,
       |comps AS (
       |  SELECT vec_id,
       |   CAST((generate_subscripts(embedding, 1) - 1) // 16 AS BIGINT) AS m,

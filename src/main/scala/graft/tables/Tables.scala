@@ -126,9 +126,14 @@ object Tables {
     */
   def embeddingsFinite(s: SparkSession, d: String,
                        dim: Int = EmbeddingDim): DataFrame =
+    // the isNull arm keeps the gate two-valued: without it a NULL
+    // component makes `exists` return NULL, which WHERE treats as
+    // drop in Spark but DuckDB's list_filter would KEEP (NOT
+    // isfinite(NULL) is NULL, not true) — the oracle CTE carries the
+    // matching `x IS NULL` arm (review r12)
     embeddings(s, d).filter(size(col("embedding")) === dim &&
       !exists(col("embedding"),
-        x => isnan(x) || abs(x) === lit(Double.PositiveInfinity)))
+        x => x.isNull || isnan(x) || abs(x) === lit(Double.PositiveInfinity)))
 
   /** The auth dimension analog of the reference's Postgres `api_keys`
     * table (`publisher/migrations/001_create_api_keys.up.sql:2-9`):

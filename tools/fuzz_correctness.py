@@ -24,9 +24,10 @@ Perturbations:
     NFD-decomposed text (both engines must land on the same NFC), and
     a single 2000-char token (unbounded-token-length paths);
   - embeddings: appended duplicate vector (kNN tie-break), zero vector,
-    a scaled vector, and a NaN-component vector under a FRESH label
-    (norm-audit paths; NaN must stay out of every top-k identically in
-    both engines), all at ids far from the 100000+ range the
+    a scaled vector, and NaN-component / NULL-component / ragged
+    vectors, all under corpus label 3 (norm-audit counts them per
+    label; the finite+dim boundary excludes them from every similarity
+    query in both engines), all at ids far from the 100000+ range the
     planted-row queries reserve;
   - customer: appended zero- and negative-acctbal rows (inactive-key
     boundary of the auth semi-join).
@@ -132,13 +133,19 @@ def mutate(name: str, table: pa.Table) -> pa.Table:
             (50001, first["embedding"], first["label"]),        # exact dup vector
             (50002, [0.0] * dim, 3),                            # zero vector, corpus label
             (50003, [x * 2.0 for x in first["embedding"]], 3),  # off-unit norm
-            # NaN component under a fresh label: every similarity /
+            # NaN component under corpus label 3: every similarity /
             # norm / quantization path must keep NaN out of top-k
-            # results identically in both engines (Spark sorts NaN
-            # LAST in DESC, DuckDB treats NaN as greater than any
-            # number — a divergence unless the queries filter or
-            # never rank the NaN row into the cut)
+            # results identically in both engines (Spark and DuckDB
+            # each treat NaN as greater-than-everything in their OWN
+            # rankings — a divergence unless the finite boundary
+            # excludes the row on both sides)
             (50004, [float("nan")] + [0.1] * (dim - 1), 3),
+            # NULL component: three-valued-logic trap — Spark's
+            # exists() returns NULL (row dropped by WHERE) while
+            # DuckDB's list_filter drops a NULL lambda result (row
+            # KEPT) unless the oracle CTE carries an explicit
+            # x IS NULL arm
+            (50006, [0.1] * (dim // 2) + [None] + [0.1] * (dim - dim // 2 - 1), 3),
             # ragged vector (dim-1 components): a truncated encoder
             # write. Spark explodes actual lengths while the oracles
             # index a fixed range, so without a dimension gate at the
