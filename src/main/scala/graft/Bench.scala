@@ -86,8 +86,9 @@ object Bench {
   }
 
   /** Re-run this main in a child JVM whose heap sits inside the
-    * documented-healthy 8-16 GiB band (default `-Xmx8g`, override
-    * with SPARK_GRAFT_BENCH_CHILD_HEAP), forwarding stdout line by
+    * accepted 4-24 GiB band (default `-Xmx8g`, override with
+    * SPARK_GRAFT_BENCH_CHILD_HEAP — values outside the band are
+    * rejected and fall back to 8g), forwarding stdout line by
     * line so the invoking harness's capture sees exactly what an
     * in-process run would print. The child inherits env + cwd, reuses
     * the parent's java binary and classpath, and keeps every parent

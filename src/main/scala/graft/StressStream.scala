@@ -57,12 +57,17 @@ object StressStream {
     * in a few micro-batches (multiple commits force the state store
     * to persist, so size metrics reflect durable state, not an
     * unflushed memtable) and return the final state-operator size.
+    * `filesPerTrigger` controls batch granularity — the watermarked
+    * twins use 1 so the staggered-mtime tick files land in their own
+    * batches AFTER the main data (FileStreamSource processes new
+    * files oldest-modification-time first).
     */
-  private def measure(spark: SparkSession, dir: String, mode: String)(
+  private def measure(spark: SparkSession, dir: String, mode: String,
+                      filesPerTrigger: Int = 8)(
       build: DataFrame => org.apache.spark.sql.Dataset[_]): Meter = {
     val sch = spark.read.parquet(dir).schema
     val src = spark.readStream.schema(sch)
-      .option("maxFilesPerTrigger", "8").parquet(dir)
+      .option("maxFilesPerTrigger", filesPerTrigger.toString).parquet(dir)
     val q = build(src).writeStream.format("noop").outputMode(mode).start()
     try {
       q.processAllAvailable()
@@ -96,6 +101,52 @@ object StressStream {
   private def repeatDocs(docs: DataFrame, copies: Int): DataFrame =
     (0 until copies).map(_ => docs).reduce(_ unionByName _)
 
+  /** Funnel-twin input layout: the main data as ONE file (one
+    * micro-batch, watermark 0 while it loads — nothing is ever late
+    * regardless of row order) followed by two single-row "tick" files
+    * with strictly later modification times, each carrying a
+    * non-funnel event_type at maxTs + horizon + margin. The twin runs
+    * in advanceOnAllEvents mode, so the ticks advance the watermark
+    * through every user's fold horizon; their step maps to NULL→0
+    * (out of range), so the sentinel user's group has no valid event
+    * and never creates a state row. By the final commit every user's
+    * buffer has folded to the settled scalar — the thing the
+    * BoundedPerKey gate measures.
+    */
+  private def writeFunnelStream(df: DataFrame, path: String,
+                                horizonMs: Long): String = {
+    import java.nio.file.{Files, Paths, StandardCopyOption}
+    import java.nio.file.attribute.FileTime
+    df.coalesce(1).write.mode("overwrite").parquet(path)
+    val maxNs = df.agg(max(col("ts_ns"))).head.getLong(0)
+    val dir = Paths.get(path)
+    val t0 = System.currentTimeMillis()
+    // pin the main files' mtime strictly below the ticks'
+    Files.list(dir).forEach { p =>
+      if (!Files.isDirectory(p))
+        Files.setLastModifiedTime(p, FileTime.fromMillis(t0))
+    }
+    (1 to 2).foreach { k =>
+      val tsNs = maxNs + horizonMs * 1000000L + k.toLong * 10_000_000_000L
+      val tmp = path + s"_tick$k"
+      df.limit(1)
+        .withColumn("user_id", lit(-1L))
+        .withColumn("ts_ns", lit(tsNs))
+        .withColumn("event_type", lit("tick"))
+        .coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = Files.list(Paths.get(tmp))
+        .filter(p => p.getFileName.toString.startsWith("part-"))
+        .findFirst().orElseThrow(() =>
+          new IllegalStateException(s"no part file written under $tmp"))
+      val dest = dir.resolve(s"tick$k.parquet")
+      Files.move(part, dest, StandardCopyOption.REPLACE_EXISTING)
+      Files.setLastModifiedTime(dest, FileTime.fromMillis(t0 + k * 60_000L))
+      Files.list(Paths.get(tmp)).forEach(Files.delete(_))
+      Files.delete(Paths.get(tmp))
+    }
+    path
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val outDir = sys.env.getOrElse("SPARK_GRAFT_STRESS_DIR", "target/stress_stream")
@@ -118,6 +169,13 @@ object StressStream {
     // the at-scale provider — the whole point of the gate
     spark.conf.set("spark.sql.streaming.stateStore.providerClass",
       "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    // compact on commit + retain only the current version, so
+    // rocksdbSstFileSize reflects LIVE state: the funnel gate's final
+    // scalars would otherwise be measured together with superseded
+    // pre-fold levels kept around for old-version recovery (r13)
+    spark.conf.set(
+      "spark.sql.streaming.stateStore.rocksdb.compactOnCommit", "true")
+    spark.conf.set("spark.sql.streaming.minBatchesToRetain", "1")
 
     // --- inputs (not timed, not part of the gate) -------------------
     // eventsNorm: every events read goes through the generation-
@@ -136,6 +194,15 @@ object StressStream {
     val docBaseDir = write(docBase, "docs_base")
     val docKeysDir = write(StressBench.scaleDocuments(docBase, kDocs), "docs_keys")
     val docDenseDir = write(repeatDocs(docBase, kDensity), "docs_density")
+    // the watermarked funnel's fold horizon == its window (6 h, in ms
+    // — depthsWatermarked takes a timestamp-cast event time)
+    val funnelWindowMs = 6L * 3600 * 1000
+    val funnelDirs = (
+      writeFunnelStream(evBase, s"$outDir/events_funnel_base", funnelWindowMs),
+      writeFunnelStream(StressBench.scaleEvents(evBase, kEvents),
+        s"$outDir/events_funnel_keys", funnelWindowMs),
+      writeFunnelStream(densifyEvents(evBase, kDensity),
+        s"$outDir/events_funnel_density", funnelWindowMs))
 
     // --- the twins, as (name, outputMode, growth law, builder) -----
     val step = when(col("event_type") === "view", 1)
@@ -148,18 +215,32 @@ object StressStream {
     case class Twin(name: String, mode: String, law: Law,
                     dirs: (String, String, String), keysX: Int,
                     userKeyed: Boolean,
-                    build: DataFrame => org.apache.spark.sql.Dataset[_])
+                    build: DataFrame => org.apache.spark.sql.Dataset[_],
+                    filesPerTrigger: Int = 8)
     val evDirs = (evBaseDir, evKeysDir, evDenseDir)
     val docDirs = (docBaseDir, docKeysDir, docDenseDir)
     val twins = Seq(
       Twin("dedup_exact_gate", "append", BoundedPerKey, docDirs, kDocs,
         userKeyed = false,
         df => streaming.StreamingDedup.dedupeExact(df)),
-      Twin("funnel", "update", LinearPerUserEvents, evDirs, kEvents,
+      // r13: the watermarked variant — with the fold horizon set, the
+      // settled per-user state is a 4-byte scalar, so the funnel moves
+      // from LinearPerUserEvents (r12 measured ×8.53 bytes at ×10
+      // density, the loosest law in the suite) to BoundedPerKey. The
+      // tick files in its dedicated input dirs walk the watermark past
+      // every user's horizon before the final commit (see
+      // writeFunnelStream).
+      Twin("funnel", "update", BoundedPerKey, funnelDirs, kEvents,
         userKeyed = true,
-        df => streaming.StreamingFunnel.depths(df, col("user_id"),
-          col("ts_ns"), step, nSteps = 3,
-          window = 6L * 3600 * 1000000000L)),
+        df => streaming.StreamingFunnel.depthsWatermarked(df,
+          col("user_id"), col("ts_ns") / lit(1e9), step, nSteps = 3,
+          windowMs = funnelWindowMs, watermarkDelay = "0 seconds",
+          horizonMs = funnelWindowMs,
+          // the ticks are non-funnel rows — they must advance the
+          // watermark (the default mode's scan-side step filter is
+          // pushed below the watermark node and would drop them first)
+          advanceOnAllEvents = true),
+        filesPerTrigger = 1),
       Twin("anomaly", "append", BoundedPerKey, evDirs, kEvents,
         userKeyed = false,
         df => streaming.StreamingAnomaly.detect(df, col("event_type"),
@@ -181,9 +262,9 @@ object StressStream {
 
     val results = twins.map { t =>
       val (baseDir, keysDir, denseDir) = t.dirs
-      val base = measure(spark, baseDir, t.mode)(t.build)
-      val keys = measure(spark, keysDir, t.mode)(t.build)
-      val dense = measure(spark, denseDir, t.mode)(t.build)
+      val base = measure(spark, baseDir, t.mode, t.filesPerTrigger)(t.build)
+      val keys = measure(spark, keysDir, t.mode, t.filesPerTrigger)(t.build)
+      val dense = measure(spark, denseDir, t.mode, t.filesPerTrigger)(t.build)
       // ---- rows gates (exact, provider-independent) ----
       if (t.userKeyed) {
         require(keys.rows == t.keysX * base.rows,

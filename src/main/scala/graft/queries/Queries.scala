@@ -3827,30 +3827,44 @@ object Queries {
     // "bad" must test the COMPONENTS for NULL, not the computed norm:
     // a NULL component makes Spark's norm NULL but DuckDB's list_sum
     // skips NULLs and yields a finite partial norm — classifying on
-    // the norm value alone would diverge (review r12)
+    // the norm value alone would diverge (review r12).
+    // "bad" also carries a RAGGED arm (advice r12): embeddingsFinite
+    // drops dimension-mismatched vectors too, and without n_ragged a
+    // truncated vector whose actual-length norm happens to sit near
+    // 1.0 was excluded everywhere yet invisible here. The coalesce
+    // makes a NULL embedding count as ragged on both engines, so
+    // every row the finite boundary drops is now in n_nonfinite or
+    // n_ragged — and the finite stats (n_zero/n_anomalous/mean_norm)
+    // cover exactly the rows the rest of the surface uses.
     base.unionByName(zero).unionByName(scaled)
       .select(col("label").cast("long").as("label"),
         round(Similarity.norm(col("embedding")), 6).as("norm"),
-        exists(col("embedding"), _.isNull).as("has_null"))
-      .select(col("label"),
+        exists(col("embedding"), _.isNull).as("has_null"),
+        coalesce(size(col("embedding")) =!= lit(Tables.EmbeddingDim), lit(true))
+          .as("ragged"))
+      .select(col("label"), col("ragged"),
         (col("has_null") || isnan(col("norm")) ||
-          col("norm") === lit(Double.PositiveInfinity)).as("bad"),
+          col("norm") === lit(Double.PositiveInfinity)).as("nonfinite"),
         col("norm"))
-      .select(col("label"), col("bad"),
+      .select(col("label"), col("ragged"), col("nonfinite"),
+        (col("ragged") || coalesce(col("nonfinite"), lit(false))).as("bad"),
+        col("norm"))
+      .select(col("label"), col("ragged"), col("nonfinite"), col("bad"),
         when(!col("bad"), col("norm")).as("fnorm"),
         when(!col("bad"), round(col("norm") * lit(1000000.0), 0).cast("long"))
           .otherwise(lit(0L)).as("micros"))
       .groupBy(col("label"))
       .agg(count(lit(1)).as("n_vecs"),
-        sum(when(col("bad"), lit(1L)).otherwise(lit(0L))).as("n_nonfinite"),
+        sum(when(col("nonfinite"), lit(1L)).otherwise(lit(0L))).as("n_nonfinite"),
+        sum(when(col("ragged"), lit(1L)).otherwise(lit(0L))).as("n_ragged"),
         sum(when(!col("bad") && col("fnorm") < lit(0.000001), lit(1L))
           .otherwise(lit(0L))).as("n_zero"),
         sum(when(!col("bad") && abs(col("fnorm") - lit(1.0)) > lit(0.01), lit(1L))
           .otherwise(lit(0L))).as("n_anomalous"),
         sum(col("micros")).as("sum_micros"),
         sum(when(!col("bad"), lit(1L)).otherwise(lit(0L))).as("n_finite"))
-      .select(col("label"), col("n_vecs"), col("n_nonfinite"), col("n_zero"),
-        col("n_anomalous"),
+      .select(col("label"), col("n_vecs"), col("n_nonfinite"), col("n_ragged"),
+        col("n_zero"), col("n_anomalous"),
         when(col("n_finite") > 0,
           round(col("sum_micros").cast("double") / col("n_finite").cast("double")
             / lit(1000000.0), 6)).as("mean_norm"))
@@ -3870,15 +3884,22 @@ object Queries {
       |  SELECT CAST(label AS BIGINT) AS label,
       |   round(sqrt(list_sum(list_transform(embedding,
       |     x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))), 6) AS norm,
-      |   len(list_filter(embedding, x -> x IS NULL)) > 0 AS has_null
+      |   len(list_filter(embedding, x -> x IS NULL)) > 0 AS has_null,
+      |   COALESCE(len(embedding) <> """.stripMargin +
+    graft.tables.Tables.EmbeddingDim +
+    """, TRUE) AS ragged
       |  FROM aug),
-      |m AS (SELECT label, (has_null OR NOT isfinite(norm)) AS bad,
-      |  CASE WHEN NOT has_null AND isfinite(norm) THEN norm END AS fnorm,
-      |  CASE WHEN NOT has_null AND isfinite(norm)
+      |m AS (SELECT label, ragged,
+      |  (has_null OR NOT isfinite(norm)) AS nonfinite,
+      |  (ragged OR COALESCE(has_null OR NOT isfinite(norm), FALSE)) AS bad,
+      |  CASE WHEN NOT (ragged OR COALESCE(has_null OR NOT isfinite(norm), FALSE))
+      |    THEN norm END AS fnorm,
+      |  CASE WHEN NOT (ragged OR COALESCE(has_null OR NOT isfinite(norm), FALSE))
       |    THEN CAST(round(norm * 1000000.0, 0) AS BIGINT) ELSE 0 END AS micros
       | FROM n)
       |SELECT label, count(*) AS n_vecs,
-      | CAST(sum(CASE WHEN bad THEN 1 ELSE 0 END) AS BIGINT) AS n_nonfinite,
+      | CAST(sum(CASE WHEN nonfinite THEN 1 ELSE 0 END) AS BIGINT) AS n_nonfinite,
+      | CAST(sum(CASE WHEN ragged THEN 1 ELSE 0 END) AS BIGINT) AS n_ragged,
       | CAST(sum(CASE WHEN NOT bad AND fnorm < 0.000001 THEN 1 ELSE 0 END) AS BIGINT) AS n_zero,
       | CAST(sum(CASE WHEN NOT bad AND abs(fnorm - 1.0) > 0.01 THEN 1 ELSE 0 END) AS BIGINT) AS n_anomalous,
       | CASE WHEN sum(CASE WHEN NOT bad THEN 1 ELSE 0 END) > 0 THEN

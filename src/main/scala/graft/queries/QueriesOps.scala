@@ -1083,8 +1083,12 @@ object QueriesOps {
                 def sample(pos: Long): (Int, Array[Byte]) = {
                   val buf = java.nio.ByteBuffer.allocate(64)
                   var p = pos
-                  var r = 0
-                  while (buf.hasRemaining && r >= 0) {
+                  var r = 1
+                  // r <= 0 exits: FileChannel.read may return 0 without
+                  // EOF, which would otherwise spin forever since p only
+                  // advances on r > 0 — for this best-effort sample a
+                  // zero-byte read is treated like EOF (advice r12).
+                  while (buf.hasRemaining && r > 0) {
                     r = ch.read(buf, p)
                     if (r > 0) p += r
                   }

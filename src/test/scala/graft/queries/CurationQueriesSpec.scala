@@ -69,21 +69,22 @@ class CurationQueriesSpec extends SparkSpec {
   }
 
   test("emb_norms flags exactly the planted anomalies") {
-    // (label, n_vecs, n_nonfinite, n_zero, n_anomalous, mean_norm)
+    // (label, n_vecs, n_nonfinite, n_ragged, n_zero, n_anomalous, mean_norm)
     val got = Queries.embNorms(spark, sfSmoke)
-      .as[(Long, Long, Long, Long, Long, Double)].collect()
+      .as[(Long, Long, Long, Long, Long, Long, Double)].collect()
       .map(r => r._1 -> r).toMap
     val planted = got(-1L)
     assert(planted._2 == 2L, s"planted label row: $planted")
     assert(planted._3 == 0L, "driver corpus has no non-finite vectors")
-    assert(planted._4 == 1L, "exactly one zero vector")
-    assert(planted._5 == 2L, "zero and 3x-scaled are both off-unit")
-    assert(math.abs(planted._6 - 1.5) < 1e-5, s"mean of 0 and 3 is 1.5: $planted")
+    assert(planted._4 == 0L, "driver corpus has no ragged vectors")
+    assert(planted._5 == 1L, "exactly one zero vector")
+    assert(planted._6 == 2L, "zero and 3x-scaled are both off-unit")
+    assert(math.abs(planted._7 - 1.5) < 1e-5, s"mean of 0 and 3 is 1.5: $planted")
     // the driver corpus itself is unit-normalized: no false positives
     got.filter { case (k, _) => k >= 0 }.values.foreach { r =>
-      assert(r._3 == 0L && r._4 == 0L && r._5 == 0L,
+      assert(r._3 == 0L && r._4 == 0L && r._5 == 0L && r._6 == 0L,
         s"false anomaly in corpus label row: $r")
-      assert(math.abs(r._6 - 1.0) < 1e-4, s"corpus mean norm should be ~1: $r")
+      assert(math.abs(r._7 - 1.0) < 1e-4, s"corpus mean norm should be ~1: $r")
     }
   }
 
@@ -108,5 +109,19 @@ class CurationQueriesSpec extends SparkSpec {
       .select("vec_id").as[Long].collect().toSet
     assert(kept == Set(900004L),
       s"only the finite control row survives the boundary: $kept")
+    // ...and every excluded row is VISIBLE in the audit (advice r12:
+    // ragged vectors used to be silently excluded with no audit arm):
+    // 3 non-finite + 2 ragged excluded, 1 finite control in the stats
+    val audit = Queries.embNorms(spark, dir)
+      .as[(Long, Long, Long, Long, Long, Long, Double)].collect()
+      .map(r => r._1 -> r).toMap
+    val g = audit(3L)
+    assert(g._2 == 6L, s"all six rows counted: $g")
+    assert(g._3 == 3L, s"NaN/Inf/-Inf rows in n_nonfinite: $g")
+    assert(g._4 == 2L, s"truncated + over-long rows in n_ragged: $g")
+    assert(g._5 == 0L && g._6 == 1L,
+      s"finite stats cover only the control row (norm 0.8 is anomalous): $g")
+    assert(math.abs(g._7 - 0.8) < 1e-5,
+      s"mean_norm over the one admitted row: $g")
   }
 }

@@ -93,4 +93,126 @@ class StreamingFunnelSpec extends SparkSpec with BeforeAndAfterAll {
     assert(run(chunks).filter(_.user_id == 5L).map(_.depth).sorted ===
       Seq(1, 2, 3))
   }
+
+  // ---- watermark-bounded variant ([[StreamingFunnel.depthsWatermarked]]) ----
+
+  /** Drive the watermarked twin chunk-by-chunk (t is epoch seconds —
+    * the operator casts bigint→timestamp; windowMs/horizonMs are the
+    * millisecond twins of the batch test's second-unit window, so the
+    * chain semantics are identical under the ×1000 rescale). Yields
+    * ALL sink rows so far after each chunk. */
+  private def runWatermarked(chunks: Seq[Seq[SFEvent]], delay: String,
+                             windowMs: Long, horizonMs: Long,
+                             advanceOnAll: Boolean = false)(
+      check: (Int, Seq[StreamingFunnel.UserFunnel]) => Unit): Unit = {
+    implicit val sqlCtx = spark.sqlContext
+    val ms = MemoryStream[SFEvent]
+    val sink = s"sfunw_${System.nanoTime()}"
+    val q = StreamingFunnel.depthsWatermarked(ms.toDF(), col("u"), col("t"),
+        col("s"), nSteps, windowMs, watermarkDelay = delay,
+        horizonMs = horizonMs, advanceOnAllEvents = advanceOnAll)
+      .writeStream.format("memory").queryName(sink).outputMode("update")
+      .start()
+    try chunks.zipWithIndex.foreach { case (ch, i) =>
+      ms.addData(ch)
+      q.processAllAvailable()
+      check(i,
+        spark.table(sink).as[StreamingFunnel.UserFunnel].collect().toSeq)
+    } finally q.stop()
+  }
+
+  test("watermarked twin equals the batch aggregate after every prefix while nothing is late") {
+    val rnd = new Random(11)
+    // t >= 1: the initial watermark is 0 ms and the late filter drops
+    // ts <= watermark, so an epoch-0 event is late by definition
+    val events = Seq.fill(600)(
+      SFEvent(rnd.nextInt(20).toLong, rnd.nextInt(300).toLong + 1,
+        1 + rnd.nextInt(3)))
+    // delay far beyond the ts range: nothing late; horizon far beyond:
+    // no fold ever fires — must reduce exactly to the unbounded twin
+    val chunks = events.grouped(45).toSeq
+    var delivered = Seq.empty[SFEvent]
+    runWatermarked(chunks, delay = "100000 seconds",
+      windowMs = window * 1000, horizonMs = 1000000000L) { (i, rows) =>
+        delivered = delivered ++ chunks(i)
+        val fin = rows.groupBy(_.user_id).map { case (u, v) =>
+          u -> v.map(_.depth).max }
+        assert(fin === batchDepths(delivered), s"diverged after chunk $i")
+    }
+  }
+
+  test("fold+prune keeps the achieved depth, restarts the buffer, and still completes") {
+    // window 50 s, horizon 100 s, delay 0 s
+    val chunks = Seq(
+      Seq(SFEvent(1, 10, 1), SFEvent(1, 20, 2)), // A: depth 2, buffer 2
+      Seq(SFEvent(2, 200, 1)),                   // wm -> 200 s after batch
+      Seq(SFEvent(1, 201, 1)),  // A's old events are beyond window+horizon
+                                // reach: folded (via prune or timeout) —
+                                // depth stays 2, buffer restarts at 1
+      Seq(SFEvent(1, 202, 2), SFEvent(1, 203, 3))) // fresh chain completes
+    runWatermarked(chunks, delay = "0 seconds",
+      windowMs = 50000L, horizonMs = 100000L) { (i, rows) =>
+        val a = rows.filter(_.user_id == 1L)
+        if (i == 2) {
+          assert(a.exists(r => r.depth == 2 && r.buffered_events == 1),
+            s"fold must keep depth 2 with a restarted 1-event buffer: $a")
+          assert(!a.exists(_.buffered_events == 3),
+            s"old events survived the fold (no prune happened): $a")
+        }
+        if (i == 3) {
+          assert(a.exists(r => r.depth == 3 && r.buffered_events == 0),
+            s"fresh chain must still complete after the fold: $a")
+        }
+    }
+  }
+
+  test("advanceOnAllEvents: non-funnel rows drive eviction but never create state") {
+    // window 50 s, horizon 50 s, delay 0. User 9's events carry step 0
+    // (a non-funnel type after the NULL→0 coalesce): in this mode they
+    // must advance the watermark — firing A's fold — while user 9
+    // itself gets no output row (an invalid-only group never updates
+    // state; rows-law proven at scale in BENCH_STRESS_STREAM).
+    val chunks = Seq(
+      Seq(SFEvent(1, 10, 1), SFEvent(1, 20, 2)), // A: depth 2, timeout 70 s
+      Seq(SFEvent(9, 200, 0)),                   // wm -> 200 s after batch
+      Seq(SFEvent(9, 201, 0)))                   // a batch with wm past 70 s
+    runWatermarked(chunks, delay = "0 seconds", windowMs = 50000L,
+      horizonMs = 50000L, advanceOnAll = true) { (i, rows) =>
+        if (i == 2) {
+          val a = rows.filter(_.user_id == 1L)
+          assert(a.exists(r => r.depth == 2 && r.buffered_events == 0),
+            s"the non-funnel traffic must have fired A's fold: $a")
+          assert(!rows.exists(_.user_id == 9L),
+            s"invalid-only group emitted a row: $rows")
+        }
+    }
+  }
+
+  test("an event older than the watermark is dropped, exactly like a batch time bound") {
+    // delay 0 s, huge horizon (no fold interference):
+    //   chunk0: A s1@10 -> depth 1; chunk1: B@100 pushes wm to 100 s;
+    //   chunk2: A s2@20 — LATE (20 <= wm): would have made depth 2 if
+    //           leaked (within window 50 of s1@10); must change nothing
+    //   chunk3: A s2@101 — in-order but outside s1's window: depth 1
+    val chunks = Seq(
+      Seq(SFEvent(1, 10, 1)),
+      Seq(SFEvent(2, 100, 1)),
+      Seq(SFEvent(1, 20, 2)),
+      Seq(SFEvent(1, 101, 2)))
+    runWatermarked(chunks, delay = "0 seconds",
+      windowMs = 50000L, horizonMs = 100000000L) { (i, rows) =>
+        val a = rows.filter(_.user_id == 1L)
+        if (i == 2) {
+          assert(a.map(_.depth).toSet === Set(1),
+            s"late event leaked into the funnel state: $a")
+          assert(a.size === 1, s"late-only batch must emit nothing: $a")
+        }
+        if (i == 3) {
+          // the batch aggregate over the non-late events {s1@10, s2@101}
+          // is 1 — and so is the twin's final depth
+          assert(a.map(_.depth).max === 1, s"depth must stay 1: $a")
+          assert(!a.exists(_.depth == 2), a.toString)
+        }
+    }
+  }
 }
