@@ -17,10 +17,12 @@ import org.apache.spark.sql.functions._
   *    replayed ×10): the bounded-state twins (anomaly: Welford O(1);
   *    heavy hitters: fixed-m Misra-Gries; retention: per-user week
   *    set bounded by the calendar; dedup gates: one admit stamp per
-  *    distinct key) must NOT grow — their state is independent of
-  *    event count. The per-user-history twins (funnel until
-  *    completion, sequence) are gated at most linear in per-user
-  *    events, their declared law.
+  *    distinct key; funnel since r13: the watermarked fold settles
+  *    every user to a scalar once the horizon passes) must NOT
+  *    grow — their state is independent of event count. The one
+  *    remaining per-user-history twin (sequence, whose answer needs
+  *    the history) is gated at most linear in per-user events, its
+  *    declared law.
   *
   * Two assertions per cell, both required:
   *  - state ROWS: exact key-cardinality law (provider-independent) —

@@ -1,6 +1,6 @@
 package graft.multimodal
 
-import graft.multimodal.Multimodal.{MediaFeatures, MediaFrame, MediaMeta, MediaRecord}
+import graft.multimodal.Multimodal.{AudioStats, MediaFeatures, MediaFrame, MediaMeta, MediaRecord}
 
 /** Deploy-time media-codec SPI (judge r10 #7): a production codec
   * (an ffmpeg-CLI wrapper, a JNI libav binding, a remote decode
@@ -44,6 +44,11 @@ trait MediaDecoder extends Serializable {
 
   /** Frame sampling; None = defer to the 1 KiB-slice stub. */
   def sampleFrames(r: MediaRecord, stride: Int): Option[Iterator[MediaFrame]] = None
+
+  /** Per-channel waveform stats; None = defer to the pure-JDK PCM
+    * decode (real for WAV/AU/AIFF 8/16-bit PCM — a deploy codec adds
+    * compressed formats here). */
+  def audioStats(r: MediaRecord): Option[Seq[AudioStats]] = None
 }
 
 object MediaDecoder {

@@ -54,6 +54,20 @@ object Multimodal {
   /** An input media row: id + type + raw bytes. */
   case class MediaRecord(mediaId: Long, mediaType: String, content: Array[Byte])
 
+  /** Per-channel waveform statistics from a REAL PCM sample decode
+    * (r13 — the audio half of the former sample-decode stub). All
+    * ratios are of full scale: peak = max |s|/fullScale, rms =
+    * sqrt(mean s²)/fullScale, clipRate = fraction of samples at the
+    * representable extremes.
+    */
+  case class AudioStats(mediaId: Long, channel: Int, nFrames: Long,
+                        peak: Double, rms: Double, clipRate: Double)
+
+  /** One channel's accumulated stats, before the media id is known
+    * (the codec layer sees bytes, not records). */
+  case class AudioChannelStats(channel: Int, nFrames: Long,
+                               peak: Double, rms: Double, clipRate: Double)
+
   /** The codec boundary. IMAGES decode for real through the JDK's
     * `javax.imageio` (PNG/JPEG/GIF/BMP ship with every JVM — no
     * external library): [[decodeMeta]] reads width/height/format/bands
@@ -147,6 +161,87 @@ object Multimodal {
         if (frames < 0 || fmt.getSampleRate <= 0 || fmt.getChannels <= 0) None
         else Some((aff.getType.getExtension.toLowerCase(java.util.Locale.ROOT),
           fmt.getChannels, fmt.getSampleRate, frames))
+      } catch { case _: Exception => None }
+
+    /** REAL PCM sample decode via the JDK's own `javax.sound.sampled`
+      * frame reader (r13 — closes the audio half of the sample-decode
+      * stub; video pixels remain the only stub). Reads every frame of
+      * an 8- or 16-bit PCM stream (WAV/AU/AIFF — whatever the
+      * installed readers parse, both endiannesses, signed and the WAV
+      * 8-bit unsigned convention) and folds per-channel waveform
+      * stats in one pass: peak (max |s| / full scale), RMS
+      * (sqrt of mean square / full scale), clip rate (samples at the
+      * representable extremes). The mean-square accumulation is EXACT:
+      * sample squares are integers ≤ 2³⁰ and any realistic blob keeps
+      * the running sum far below 2⁵³, so the result is deterministic
+      * across JVMs and platforms — which is what lets the oracle state
+      * micros-rounded ground truth as literals.
+      *
+      * None for non-PCM encodings, exotic bit depths, unrecognized
+      * containers, or zero-frame streams — the operator drops such
+      * records rather than fabricating stats (a corrupt blob must not
+      * poison a 100 TB aggregate; the header pass still counts it).
+      */
+    private[multimodal] def audioSamples(b: Array[Byte]): Option[Seq[AudioChannelStats]] =
+      try {
+        val ais = javax.sound.sampled.AudioSystem
+          .getAudioInputStream(new java.io.ByteArrayInputStream(b))
+        try {
+          import javax.sound.sampled.AudioFormat
+          val fmt = ais.getFormat
+          val bits = fmt.getSampleSizeInBits
+          val ch = fmt.getChannels
+          val signed = fmt.getEncoding == AudioFormat.Encoding.PCM_SIGNED
+          val unsigned = fmt.getEncoding == AudioFormat.Encoding.PCM_UNSIGNED
+          val frameSize = fmt.getFrameSize
+          if ((!signed && !unsigned) || (bits != 8 && bits != 16) ||
+              ch <= 0 || frameSize != ch * bits / 8) None
+          else {
+            val be = fmt.isBigEndian
+            val data = ais.readAllBytes()
+            val nFrames = data.length / frameSize
+            if (nFrames == 0) None
+            else {
+              val bps = bits / 8
+              val fullScale = if (bits == 16) 32768.0 else 128.0
+              val sumSq = new Array[Double](ch)
+              val peak = new Array[Int](ch)
+              val clip = new Array[Long](ch)
+              var f = 0
+              while (f < nFrames) {
+                var c = 0
+                while (c < ch) {
+                  val off = (f * ch + c) * bps
+                  val s =
+                    if (bits == 16) {
+                      val v =
+                        if (be) ((data(off) << 8) | (data(off + 1) & 0xff))
+                        else ((data(off + 1) << 8) | (data(off) & 0xff))
+                      if (v == 32767 || v == -32768) clip(c) += 1
+                      v
+                    } else {
+                      val v =
+                        if (unsigned) (data(off) & 0xff) - 128
+                        else data(off).toInt
+                      if (v == 127 || v == -128) clip(c) += 1
+                      v
+                    }
+                  val a = if (s < 0) -s else s
+                  if (a > peak(c)) peak(c) = a
+                  sumSq(c) += s.toDouble * s.toDouble
+                  c += 1
+                }
+                f += 1
+              }
+              Some((0 until ch).map(c => AudioChannelStats(
+                channel = c,
+                nFrames = nFrames.toLong,
+                peak = peak(c) / fullScale,
+                rms = math.sqrt(sumSq(c) / nFrames) / fullScale,
+                clipRate = clip(c).toDouble / nFrames)))
+            }
+          }
+        } finally ais.close()
       } catch { case _: Exception => None }
 
     // ---- real video-CONTAINER metadata (pure-JDK byte parse) ----
@@ -446,6 +541,35 @@ object Multimodal {
       it.map(r => spi.flatMap(_.decodeMeta(r))
         .getOrElse(MediaCodec.decodeMeta(r)))
     }
+  }
+
+  /** REAL per-channel waveform stats over every decodable PCM audio
+    * blob ([[MediaCodec.audioSamples]]), batched per partition like
+    * every decode pass. flatMap shape: one row per (record, channel);
+    * text-sniffed stand-ins and undecodable blobs produce NO rows —
+    * the same degrade-per-record contract as image resize, stated by
+    * the oracle as "fixtures only". A deploy-time [[MediaDecoder]]
+    * (e.g. an ffmpeg wrapper adding MP3/FLAC) takes each record
+    * first via its `audioStats` hook.
+    *
+    * Scale shape: narrow transform appended to the scan — blobs never
+    * shuffle; only the 6-field stats rows travel downstream.
+    */
+  def audioStats(media: Dataset[MediaRecord]): Dataset[AudioStats] = {
+    import media.sparkSession.implicits._
+    withContent(media)
+      .filter(col("mediaType") === "audio")
+      .mapPartitions { it =>
+        val spi = MediaDecoder.current
+        it.flatMap { r =>
+          spi.flatMap(_.audioStats(r)).orElse {
+            if (MediaCodec.printableText(r.content)) None
+            else MediaCodec.audioSamples(r.content).map(_.map(cs =>
+              AudioStats(r.mediaId, cs.channel, cs.nFrames,
+                cs.peak, cs.rms, cs.clipRate)))
+          }.getOrElse(Seq.empty)
+        }
+      }
   }
 
   /** Feature extraction with the same batch shape. */

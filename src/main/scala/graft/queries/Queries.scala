@@ -1633,6 +1633,66 @@ object Queries {
       |) t(media_id, media_type, byte_len, format, width, height, duration_ms, channels)
       |ORDER BY media_id""".stripMargin
 
+  /** REAL PCM sample decode (r13 — closes the audio half of the
+    * media sample-decode stub; video pixels remain the only stub):
+    * per-channel waveform stats (peak, RMS, clip rate, frame count)
+    * over every decodable audio blob, via the JDK's own
+    * `javax.sound.sampled` frame reader
+    * ([[graft.multimodal.Multimodal.MediaCodec.audioSamples]] —
+    * 8/16-bit PCM WAV/AU/AIFF, both endiannesses, through the
+    * [[graft.multimodal.MediaDecoder]] SPI so a deploy codec can add
+    * compressed formats).
+    *
+    * Inputs: the doc-derived audio rows (text bytes standing in for
+    * blobs — ALL undecodable, so they prove the degrade-per-record
+    * drop) plus six byte-exact planted PCM fixtures
+    * ([[graft.multimodal.AudioFixtures.sampleRecords]]): the three
+    * sawtooth header fixtures (whose integer sums of squares stay
+    * exact in doubles — deterministic micros ground truth) and three
+    * designed waveforms (8-bit unsigned full-scale → clip 1.0; stereo
+    * silence+square → per-channel separation; big-endian AU square →
+    * endianness guard). The oracle states each channel's stats as
+    * literals; Spark earns them by decoding every frame.
+    *
+    * Stats travel as micros BIGINTs (round(x·1e6), the emb_centroids
+    * fixed-point convention) so the hash compare is exact on both
+    * engines.
+    */
+  def mediaAudioStats(s: SparkSession, d: String): DataFrame = {
+    GraftSession.tune(s)
+    import s.implicits._
+    val media = graft.multimodal.Multimodal.fromDocuments(s, d)
+      .unionByName(s.createDataset(graft.multimodal.AudioFixtures.sampleRecords))
+    graft.multimodal.Multimodal.audioStats(media).toDF()
+      .select(
+        col("mediaId").as("media_id"),
+        col("channel").cast("long").as("channel"),
+        col("nFrames").as("n_frames"),
+        round(col("peak") * lit(1000000.0), 0).cast("long").as("peak_micros"),
+        round(col("rms") * lit(1000000.0), 0).cast("long").as("rms_micros"),
+        round(col("clipRate") * lit(1000000.0), 0).cast("long").as("clip_micros"))
+      .orderBy(col("media_id"), col("channel"))
+  }
+
+  /** Ground truth per (fixture, channel) — the doc-derived audio rows
+    * are text stand-ins no PCM reader accepts and must produce NO
+    * rows, so the whole result is the planted fixtures' literals
+    * (values = AudioFixtures.sampleExpected; an undropped text row or
+    * any decode drift hash-mismatches).
+    */
+  val mediaAudioStatsSql =
+    """SELECT * FROM (VALUES
+      |  (CAST(900011 AS BIGINT), CAST(0 AS BIGINT), CAST(4000  AS BIGINT), CAST(995850 AS BIGINT), CAST(575971 AS BIGINT), CAST(0       AS BIGINT)),
+      |  (CAST(900012 AS BIGINT), CAST(0 AS BIGINT), CAST(22050 AS BIGINT), CAST(995850 AS BIGINT), CAST(576266 AS BIGINT), CAST(0       AS BIGINT)),
+      |  (CAST(900012 AS BIGINT), CAST(1 AS BIGINT), CAST(22050 AS BIGINT), CAST(988464 AS BIGINT), CAST(576148 AS BIGINT), CAST(0       AS BIGINT)),
+      |  (CAST(900013 AS BIGINT), CAST(0 AS BIGINT), CAST(16000 AS BIGINT), CAST(995880 AS BIGINT), CAST(576229 AS BIGINT), CAST(0       AS BIGINT)),
+      |  (CAST(900014 AS BIGINT), CAST(0 AS BIGINT), CAST(4000  AS BIGINT), CAST(992188 AS BIGINT), CAST(992188 AS BIGINT), CAST(1000000 AS BIGINT)),
+      |  (CAST(900015 AS BIGINT), CAST(0 AS BIGINT), CAST(4000  AS BIGINT), CAST(0      AS BIGINT), CAST(0      AS BIGINT), CAST(0       AS BIGINT)),
+      |  (CAST(900015 AS BIGINT), CAST(1 AS BIGINT), CAST(4000  AS BIGINT), CAST(500000 AS BIGINT), CAST(500000 AS BIGINT), CAST(0       AS BIGINT)),
+      |  (CAST(900016 AS BIGINT), CAST(0 AS BIGINT), CAST(4000  AS BIGINT), CAST(500000 AS BIGINT), CAST(500000 AS BIGINT), CAST(0       AS BIGINT))
+      |) t(media_id, channel, n_frames, peak_micros, rms_micros, clip_micros)
+      |ORDER BY media_id, channel""".stripMargin
+
   /** Connected-components near-dup clustering: every document
     * labeled with the smallest doc id in its near-dup component
     * ([[Dedup.nearDupClusters]] — iterative min-label propagation,
@@ -4488,6 +4548,7 @@ object Queries {
     "media_decode" -> (mediaDecode _),
     "media_resize" -> (mediaResize _),
     "media_image_resize" -> (mediaImageResize _),
+    "media_audio_stats" -> (mediaAudioStats _),
     "doc_chunks" -> (docChunks _),
     "dedup_canonical" -> (dedupCanonical _),
     "emb_norms" -> (embNorms _),
@@ -4597,6 +4658,7 @@ object Queries {
     "media_decode" -> mediaDecodeSql,
     "media_resize" -> mediaResizeSql,
     "media_image_resize" -> mediaImageResizeSql,
+    "media_audio_stats" -> mediaAudioStatsSql,
     "doc_chunks" -> docChunksSql,
     "dedup_canonical" -> dedupCanonicalSql,
     "emb_norms" -> embNormsSql,

@@ -26,6 +26,19 @@ class BenchWindowSpec extends AnyFunSuite {
     assert(Bench.windowFlags(names, samples(names, 0.5), Set.empty, runs).isEmpty)
   }
 
+  test("window severity: none without a window; graded on MEDIAN damage with one (r13)") {
+    // no window: severity is none regardless of ratios
+    assert(Bench.windowSeverity(windowed = false, maxMedianRatio = 99.0) === "none")
+    // window seen but medians held (the r12 driver shape: samples
+    // flagged, max median/min 1.59) -> mild, does NOT flip contended
+    assert(Bench.windowSeverity(windowed = true, maxMedianRatio = 1.59) === "mild")
+    assert(Bench.windowSeverity(windowed = true, maxMedianRatio = 2.0) === "mild")
+    // a flagged median beyond 2x its own min (the r11 poisoning
+    // shape) -> contended
+    assert(Bench.windowSeverity(windowed = true, maxMedianRatio = 2.01) === "contended")
+    assert(Bench.windowSeverity(windowed = true, maxMedianRatio = 16.0) === "contended")
+  }
+
   test("4+ contiguous slow samples in one pass flag exactly those queries") {
     // pass 3 runs alphabetical; queries c..f run 3x their 0.5s min
     val slow = Seq("q_c", "q_d", "q_e", "q_f")

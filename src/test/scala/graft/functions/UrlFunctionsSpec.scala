@@ -163,6 +163,44 @@ class UrlFunctionsSpec extends SparkSpec {
     assert(dom("deep.sub.example.co.uk") === "example.co.uk")
   }
 
+  test("PSL snapshot: the full publicsuffix.org file (2023-02-09) resolves long-tail rules") {
+    // A dated, committed snapshot of the real list (Debian package
+    // `publicsuffix` 20230209.2326, MPL 2.0 — public data), wired
+    // through the same graft.psl.path hook a deployment uses, so the
+    // FULL-FILE code path (14k lines, 107 wildcards, 8 exceptions) is
+    // exercised — not just the grammar on synthetic five-line files.
+    import org.apache.spark.sql.graft.{PublicSuffixList, UrlFunctions}
+    val res = getClass.getResource("/public_suffix_list-20230209.dat")
+    assert(res != null, "committed PSL snapshot missing from test resources")
+    val path = java.nio.file.Paths.get(res.toURI).toString
+    System.setProperty("graft.psl.path", path)
+    PublicSuffixList.reset()
+    try {
+      // every case below is OUTSIDE the embedded subset — wrong
+      // without the file, right with it:
+      // wildcard *.kawasaki.jp: bar.kawasaki.jp is itself a public
+      // suffix, so the registrable name is one label above it
+      assert(dom("a.foo.bar.kawasaki.jp") === "foo.bar.kawasaki.jp")
+      assert(dom("foo.bar.kawasaki.jp") === "foo.bar.kawasaki.jp")
+      // exception !city.kawasaki.jp: city.kawasaki.jp is registrable
+      assert(dom("x.city.kawasaki.jp") === "city.kawasaki.jp")
+      // long-tail ccSLD the embedded set lacks
+      assert(dom("a.example.com.bn") === "example.com.bn")
+      // deep US locality chain: pvt.k12.ma.us is a 4-label suffix
+      assert(dom("school.pvt.k12.ma.us") === "school.pvt.k12.ma.us")
+      // the embedded subset's own cases still hold under the file
+      assert(dom("deep.sub.example.co.uk") === "example.co.uk")
+      // contrast: the embedded fallback gets the wildcard case WRONG
+      // (kawasaki.jp is not in its 16-suffix set) — the documented
+      // trade the file exists to fix
+      assert(PublicSuffixList.embedded.suffixLabels(
+        Array("bar", "kawasaki", "jp")) === 1)
+    } finally {
+      System.clearProperty("graft.psl.path")
+      PublicSuffixList.reset()
+    }
+  }
+
   test("SQL registration: canonical_url/url_host/registered_domain callable from spark.sql") {
     graft.GraftSession.tune(spark)
     val r = spark.sql(

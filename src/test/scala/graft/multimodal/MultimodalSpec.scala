@@ -39,6 +39,11 @@ class MultimodalSpec extends SparkSpec {
     assert(sampleFrames(withNull, 2).collect().forall(_.mediaId == 1L))
     assert(resize(withNull, 64).collect().map(_.mediaId).toSeq == Seq(1L))
     assert(resizeImages(withNull, 8).collect().map(_.mediaId).toSeq == Seq(1L))
+    // the sixth operator (r13): a NULL audio blob drops, never NPEs
+    val nullAudio = Seq((3L, "audio")).toDF("mediaId", "mediaType")
+      .selectExpr("mediaId", "mediaType", "CAST(NULL AS BINARY) AS content")
+      .as[MediaRecord]
+    assert(audioStats(nullAudio).collect().isEmpty)
   }
 
   test("extractFeatures yields fixed-dim vectors, stable across runs") {
@@ -226,6 +231,61 @@ class MultimodalSpec extends SparkSpec {
     val types = ds.groupByKey(_.mediaType).count().collect().toMap
     assert(types.keySet === Set("image", "audio", "video"))
     assert(ds.count() === 500)
+  }
+
+  test("real codec: PCM sample decode reproduces every fixture's closed-form stats") {
+    // micros(x) = round(x·1e6) HALF_UP — the query's fixed-point view
+    def micros(x: Double): Long =
+      new java.math.BigDecimal(x * 1000000.0)
+        .setScale(0, java.math.RoundingMode.HALF_UP).longValueExact()
+    val got = AudioFixtures.sampleRecords.flatMap { r =>
+      MediaCodec.audioSamples(r.content).toSeq.flatten.map(cs =>
+        (r.mediaId, cs.channel, cs.nFrames,
+          micros(cs.peak), micros(cs.rms), micros(cs.clipRate)))
+    }
+    assert(got.map(t => (t._1, t._2.toLong, t._3, t._4, t._5, t._6)) ===
+      AudioFixtures.sampleExpected,
+      "decoded waveform stats must equal the planted ground truth")
+  }
+
+  test("real codec: non-PCM / malformed / empty audio yields no sample stats") {
+    // binary garbage
+    assert(MediaCodec.audioSamples(Array[Byte](1, 2, 3, 0, -1)).isEmpty)
+    // printable prose (the operator sniffs first, but the codec itself
+    // must also reject it — AudioSystem throws on non-audio)
+    assert(MediaCodec.audioSamples("not audio at all".getBytes("UTF-8")).isEmpty)
+    // a valid WAV header with ZERO frames: no samples to speak of
+    assert(MediaCodec.audioSamples(AudioFixtures.wav(1, 8000, 0)).isEmpty)
+    // an image container is not audio
+    assert(MediaCodec.audioSamples(ImageFixtures.png37x23).isEmpty)
+  }
+
+  test("audioStats operator: fixtures decode distributed, text stand-ins drop, SPI overrides") {
+    val textAudio = media((5L, "audio", "prose standing in for a blob"))
+    val ds = textAudio.unionByName(AudioFixtures.sampleRecords.toDS())
+    val rows = audioStats(ds).collect()
+    // text row dropped (degrade-per-record), every fixture channel present
+    assert(!rows.exists(_.mediaId == 5L), "undecodable row must produce no stats")
+    assert(rows.map(r => (r.mediaId, r.channel)).sorted ===
+      AudioFixtures.sampleExpected.map(t => (t._1, t._2)).sorted)
+    // non-audio records never enter the decode
+    val img = media((6L, "image", "x")).unionByName(
+      Seq(MediaRecord(900001L, "image", ImageFixtures.png37x23)).toDS())
+    assert(audioStats(img).collect().isEmpty)
+    // SPI first: a plugged codec claims one record, default handles the rest
+    object FakeAudio extends MediaDecoder {
+      override def audioStats(r: MediaRecord): Option[Seq[AudioStats]] =
+        if (r.mediaId == 900011L)
+          Some(Seq(AudioStats(r.mediaId, 9, 1L, 0.25, 0.25, 0.0)))
+        else None
+    }
+    MediaDecoder.register(FakeAudio)
+    try {
+      val over = audioStats(ds).collect()
+      assert(over.filter(_.mediaId == 900011L).map(_.channel).toSeq === Seq(9),
+        "the SPI's answer must replace the built-in decode for claimed records")
+      assert(over.exists(_.mediaId == 900016L), "undeclined records keep the built-in path")
+    } finally MediaDecoder.clear()
   }
 
   test("MediaDecoder SPI: a plugged decoder takes the records it claims; the default handles the rest") {
