@@ -604,8 +604,11 @@ object Bench {
           case _ => None
         }
       }.foldLeft(0.0)(math.max)
+    // pass 1 excluded from the intensity numerator, matching
+    // windowFlags' scan: cold codegen/JIT inflation there is not
+    // window signal and would overstate a mild band (review r13)
     val windowedMaxRatio = flaggedRatios(n =>
-      samplesByQ(n).map(_._1).filter(_ > 0) match {
+      samplesByQ(n).map(_._1).drop(1).filter(_ > 0) match {
         case ss if ss.nonEmpty => ss.max
         case _ => -1.0
       })

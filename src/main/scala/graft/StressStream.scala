@@ -117,17 +117,23 @@ object StressStream {
     */
   private def writeFunnelStream(df: DataFrame, path: String,
                                 horizonMs: Long): String = {
-    import java.nio.file.{Files, Paths, StandardCopyOption}
+    import java.nio.file.{Files, Path, Paths, StandardCopyOption}
     import java.nio.file.attribute.FileTime
+    // Files.list streams hold an open directory handle until closed
+    // (review r13) — scope every listing
+    def withListing[A](dir: Path)(f: java.util.stream.Stream[Path] => A): A = {
+      val s = Files.list(dir)
+      try f(s) finally s.close()
+    }
     df.coalesce(1).write.mode("overwrite").parquet(path)
     val maxNs = df.agg(max(col("ts_ns"))).head.getLong(0)
     val dir = Paths.get(path)
     val t0 = System.currentTimeMillis()
     // pin the main files' mtime strictly below the ticks'
-    Files.list(dir).forEach { p =>
+    withListing(dir)(_.forEach { p =>
       if (!Files.isDirectory(p))
         Files.setLastModifiedTime(p, FileTime.fromMillis(t0))
-    }
+    })
     (1 to 2).foreach { k =>
       val tsNs = maxNs + horizonMs * 1000000L + k.toLong * 10_000_000_000L
       val tmp = path + s"_tick$k"
@@ -136,14 +142,14 @@ object StressStream {
         .withColumn("ts_ns", lit(tsNs))
         .withColumn("event_type", lit("tick"))
         .coalesce(1).write.mode("overwrite").parquet(tmp)
-      val part = Files.list(Paths.get(tmp))
-        .filter(p => p.getFileName.toString.startsWith("part-"))
-        .findFirst().orElseThrow(() =>
-          new IllegalStateException(s"no part file written under $tmp"))
+      val part = withListing(Paths.get(tmp))(
+        _.filter(p => p.getFileName.toString.startsWith("part-"))
+          .findFirst().orElseThrow(() =>
+            new IllegalStateException(s"no part file written under $tmp")))
       val dest = dir.resolve(s"tick$k.parquet")
       Files.move(part, dest, StandardCopyOption.REPLACE_EXISTING)
       Files.setLastModifiedTime(dest, FileTime.fromMillis(t0 + k * 60_000L))
-      Files.list(Paths.get(tmp)).forEach(Files.delete(_))
+      withListing(Paths.get(tmp))(_.forEach(Files.delete(_)))
       Files.delete(Paths.get(tmp))
     }
     path

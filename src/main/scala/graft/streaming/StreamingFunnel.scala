@@ -206,7 +206,36 @@ object StreamingFunnel {
             val wm = state.getCurrentWatermarkMs()
             val fresh = rows.filter(r => r._2.getTime > wm &&
               r._3 >= 1 && r._3 <= nSteps).toArray
-            if (fresh.isEmpty) Iterator.empty
+            if (fresh.isEmpty) {
+              // Invoked with only invalid rows (advanceOnAllEvents
+              // mode — late rows never reach the group: the exec
+              // operator filters them pre-shuffle). Spark writes the
+              // state back with NO_TIMESTAMP on ANY invocation that
+              // does not re-set a timeout (4.1.2 bytecode:
+              // onIteratorCompletion puts
+              // getTimeoutTimestampMs.orElse(NO_TIMESTAMP) whenever it
+              // differs from the stored value), so doing nothing here
+              // would silently cancel the pending fold and the buffer
+              // would never settle (review r13). Re-arm — or fold NOW
+              // if the horizon already passed, because a key with
+              // data gets the data invocation INSTEAD of the
+              // timed-out one this trigger.
+              state.getOption match {
+                case Some(prior) if prior.best < nSteps && prior.events.nonEmpty =>
+                  val st = FunnelState.fromBytes(prior.events)
+                  val timeoutTs = st.ts.max + horizonMs
+                  if (timeoutTs > wm) {
+                    state.setTimeoutTimestamp(timeoutTs)
+                    Iterator.empty
+                  } else {
+                    val depth = math.max(prior.best,
+                      FunnelState.search(st, nSteps, windowMs))
+                    state.update(FunnelWmStateRow(depth, Array.empty))
+                    Iterator.single(UserFunnel(user, depth, 0))
+                  }
+                case _ => Iterator.empty
+              }
+            }
             else {
               val prior = state.getOption
                 .getOrElse(FunnelWmStateRow(0, Array.empty))

@@ -210,18 +210,32 @@ object StreamingSequence {
               val arr = set.toArray
               val next = SeqStateRow(arr.map(_._1), arr.map(_._2),
                 new String(arr.map(_._3)))
-              state.update(next)
               // setTimeoutTimestamp throws if the target is at or
               // below the current watermark; that can only happen
               // when ALL this batch's rows for the user were late
-              // while the state is already inside its eviction window
-              // — leave the previously-set timeout to fire (timeouts
-              // run after data in the same trigger).
+              // while the state is already past its eviction horizon.
+              // On 4.1.2 this arm is unreachable (the exec operator
+              // filters late rows before the group is invoked), but a
+              // Spark without exec-level late filtering WOULD take it
+              // — and "leave the previous timeout to fire" (the old
+              // comment) is wrong there: Spark writes the state back
+              // with NO_TIMESTAMP on any invocation that doesn't
+              // re-set one, silently cancelling the eviction (r13,
+              // verified in the shipped onIteratorCompletion). Since
+              // the horizon has provably passed, evict NOW exactly as
+              // the timed-out branch would.
               val timeoutTs = next.ts.max + horizonMs
-              if (timeoutTs > wm) state.setTimeoutTimestamp(timeoutTs)
-              val (m, n) = score(next.codes)
-              if (fresh.isEmpty) Iterator.empty
-              else Iterator.single(UserSequence(user, next.codes, m, n))
+              if (timeoutTs > wm) {
+                state.update(next)
+                state.setTimeoutTimestamp(timeoutTs)
+                val (m, n) = score(next.codes)
+                if (fresh.isEmpty) Iterator.empty
+                else Iterator.single(UserSequence(user, next.codes, m, n))
+              } else {
+                state.remove()
+                val (m, n) = score(next.codes)
+                Iterator.single(UserSequence(user, next.codes, m, n))
+              }
             }
           }
       }

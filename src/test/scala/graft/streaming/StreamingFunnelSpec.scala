@@ -188,6 +188,28 @@ class StreamingFunnelSpec extends SparkSpec with BeforeAndAfterAll {
     }
   }
 
+  test("an invalid-only batch must not cancel the pending fold (review r13)") {
+    // Spark writes keyed state back with NO_TIMESTAMP on any function
+    // invocation that does not re-set a timeout — before the r13 fix,
+    // a batch carrying only non-funnel rows for a buffered user
+    // silently cancelled their fold horizon, so the buffer never
+    // settled to the scalar. Window 50 s, horizon 50 s, delay 0.
+    val chunks = Seq(
+      Seq(SFEvent(1, 10, 1), SFEvent(1, 20, 2)), // A buffers 2; timeout 70 s
+      Seq(SFEvent(1, 30, 0)),  // invalid step FOR A: the bug trigger —
+                               // the invocation must re-arm A's timeout
+      Seq(SFEvent(2, 200, 1)), // wm -> 200 s after batch (past 70 s)
+      Seq(SFEvent(2, 201, 0))) // a batch in which A's timeout can fire
+    runWatermarked(chunks, delay = "0 seconds", windowMs = 50000L,
+      horizonMs = 50000L, advanceOnAll = true) { (i, rows) =>
+        val a = rows.filter(_.user_id == 1L)
+        if (i == 1) assert(a.size === 1,
+          s"an invalid-only batch must emit nothing for A: $a")
+        if (i == 3) assert(a.exists(r => r.depth == 2 && r.buffered_events == 0),
+          s"A's fold never fired — the invalid-only batch cancelled the timeout: $a")
+    }
+  }
+
   test("an event older than the watermark is dropped, exactly like a batch time bound") {
     // delay 0 s, huge horizon (no fold interference):
     //   chunk0: A s1@10 -> depth 1; chunk1: B@100 pushes wm to 100 s;
