@@ -220,6 +220,7 @@ object StressStream {
     sealed trait Law
     case object BoundedPerKey extends Law      // density must NOT grow
     case object LinearPerUserEvents extends Law // density ≤ K_density
+    case object EvictsToSentinel extends Law   // final rows == 1 on every axis
     case class Twin(name: String, mode: String, law: Law,
                     dirs: (String, String, String), keysX: Int,
                     userKeyed: Boolean,
@@ -266,7 +267,23 @@ object StressStream {
         userKeyed = true,
         df => streaming.StreamingSequence.sequences(df, col("user_id"),
           col("ts_ns"), col("event_id"),
-          substring(col("event_type"), 1, 1))))
+          substring(col("event_type"), 1, 1))),
+      // r13: the WATERMARKED sequence variant under the same tick-file
+      // watermark walk — its settled state is ZERO per real user
+      // (history evicted wholesale at the horizon, unlike the funnel's
+      // retained scalar), so after the ticks the store must hold
+      // exactly ONE row on every axis: the harness sentinel user -1,
+      // whose own tick events ('t' codes) arm a horizon the walk never
+      // passes. This gates "eviction completes at scale" — the claim
+      // the history-retaining twin above deliberately does not make
+      // (it measures the per-user-events upper-bound law instead).
+      Twin("sequence_watermarked", "update", EvictsToSentinel, funnelDirs,
+        keysX = 1, userKeyed = false,
+        df => streaming.StreamingSequence.sequencesWatermarked(df,
+          col("user_id"), col("ts_ns") / lit(1e9), col("event_id"),
+          substring(col("event_type"), 1, 1),
+          watermarkDelay = "0 seconds", horizonMs = funnelWindowMs),
+        filesPerTrigger = 1))
 
     val results = twins.map { t =>
       val (baseDir, keysDir, denseDir) = t.dirs
@@ -274,7 +291,16 @@ object StressStream {
       val keys = measure(spark, keysDir, t.mode, t.filesPerTrigger)(t.build)
       val dense = measure(spark, denseDir, t.mode, t.filesPerTrigger)(t.build)
       // ---- rows gates (exact, provider-independent) ----
-      if (t.userKeyed) {
+      if (t.law == EvictsToSentinel) {
+        // eviction must COMPLETE: every real user's state removed at
+        // the horizon, only the tick sentinel's row remains — on the
+        // base, x-keys, and x-density inputs alike
+        Seq("base" -> base, "keys" -> keys, "density" -> dense).foreach {
+          case (variant, m) => require(m.rows == 1,
+            s"${t.name}: $variant retained ${m.rows} state rows after the " +
+              "horizon walk (expected 1: the tick sentinel) — eviction is incomplete")
+        }
+      } else if (t.userKeyed) {
         require(keys.rows == t.keysX * base.rows,
           s"${t.name}: state rows ${keys.rows} != keysX ${t.keysX} x base ${base.rows}")
         require(dense.rows == base.rows,
@@ -301,6 +327,7 @@ object StressStream {
             s"for ${t.keysX}x keys (limit ${slack * t.keysX}x)")
         val densityLimit = t.law match {
           case BoundedPerKey => slack
+          case EvictsToSentinel => slack // one sentinel row everywhere
           case LinearPerUserEvents => slack * kDensity
         }
         require(bDense.toDouble <= densityLimit * bBase,
@@ -312,6 +339,7 @@ object StressStream {
       val law = t.law match {
         case BoundedPerKey => "bounded_per_key"
         case LinearPerUserEvents => "linear_per_user_events"
+        case EvictsToSentinel => "evicts_to_sentinel"
       }
       t.name -> String.format(java.util.Locale.ROOT,
         """{"law":"%s","metric":"%s","bytes_gated":%s,"base_rows":%d,"keys_rows":%d,"density_rows":%d,"base_bytes":%d,"keys_bytes":%d,"density_bytes":%d,"keys_bytes_x":%.2f,"density_bytes_x":%.2f}""",
