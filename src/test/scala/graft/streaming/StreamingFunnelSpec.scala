@@ -188,6 +188,43 @@ class StreamingFunnelSpec extends SparkSpec with BeforeAndAfterAll {
     }
   }
 
+  test("lossless under random chunking WITH late drops and mid-stream folds") {
+    // The strongest form of the fold/prune claim: with a short window
+    // and horizon, folds, prunes, and settles all happen MID-STREAM,
+    // late rows are really dropped, and invalid steps (advanceOnAll
+    // mode) advance the watermark — yet every user's final depth must
+    // equal the batch aggregate over exactly the kept events. The
+    // engine's late rule is simulated chunk by chunk: with delay 0 the
+    // watermark before chunk k is the max event time of chunks < k,
+    // and a row is kept iff its time is strictly above it.
+    val rnd = new Random(19)
+    val events = Seq.fill(300)(SFEvent(
+      rnd.nextInt(10).toLong, rnd.nextInt(500).toLong + 1,
+      rnd.nextInt(5))) // steps 0..4: only 1..3 are funnel steps
+    val chunks = events.grouped(30).toSeq
+    var wm = 0L // engine watermark in ms; t is epoch seconds
+    val kept = scala.collection.mutable.Buffer[SFEvent]()
+    chunks.foreach { ch =>
+      ch.foreach(e => if (e.t * 1000 > wm) kept += e)
+      wm = math.max(wm, ch.map(_.t).max * 1000)
+    }
+    // non-vacuous: the scenario must actually drop rows as late
+    assert(kept.nonEmpty && kept.size < events.size,
+      s"fixture produced no late rows (kept ${kept.size}/${events.size})")
+    // batch ground truth over the kept VALID events (users with no
+    // valid kept event emit nothing in streaming and must be absent)
+    val expected = batchDepths(kept.toSeq.filter(e => e.s >= 1 && e.s <= 3))
+    val all = scala.collection.mutable.Buffer[StreamingFunnel.UserFunnel]()
+    runWatermarked(chunks, delay = "0 seconds",
+      windowMs = 50000L, horizonMs = 60000L, advanceOnAll = true) {
+      (i, rows) => if (i == chunks.length - 1) all ++= rows
+    }
+    val fin = all.groupBy(_.user_id).map { case (u, v) =>
+      u -> v.map(_.depth).max }
+    assert(fin === expected,
+      "folded/pruned/settled state diverged from the batch aggregate over kept events")
+  }
+
   test("an invalid-only batch must not cancel the pending fold (review r13)") {
     // Spark writes keyed state back with NO_TIMESTAMP on any function
     // invocation that does not re-set a timeout — before the r13 fix,
