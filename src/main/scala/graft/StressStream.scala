@@ -203,13 +203,16 @@ object StressStream {
     val docKeysDir = write(StressBench.scaleDocuments(docBase, kDocs), "docs_keys")
     val docDenseDir = write(repeatDocs(docBase, kDensity), "docs_density")
     // the watermarked funnel's fold horizon == its window (6 h, in ms
-    // — depthsWatermarked takes a timestamp-cast event time)
+    // — depthsWatermarked takes a timestamp-cast event time). The
+    // scaled inputs read back the parquet just written above instead
+    // of re-running the 100-branch replica union a second time.
     val funnelWindowMs = 6L * 3600 * 1000
     val funnelDirs = (
-      writeFunnelStream(evBase, s"$outDir/events_funnel_base", funnelWindowMs),
-      writeFunnelStream(StressBench.scaleEvents(evBase, kEvents),
+      writeFunnelStream(spark.read.parquet(evBaseDir),
+        s"$outDir/events_funnel_base", funnelWindowMs),
+      writeFunnelStream(spark.read.parquet(evKeysDir),
         s"$outDir/events_funnel_keys", funnelWindowMs),
-      writeFunnelStream(densifyEvents(evBase, kDensity),
+      writeFunnelStream(spark.read.parquet(evDenseDir),
         s"$outDir/events_funnel_density", funnelWindowMs))
 
     // --- the twins, as (name, outputMode, growth law, builder) -----

@@ -177,6 +177,14 @@ object StreamingFunnel {
       else
         watermarked.filter(col("u").isNotNull && col("ets").isNotNull &&
           col("s") >= 1 && col("s") <= nSteps)
+    // fold the buffer image into the scalar: max of the achieved
+    // depth and the buffer's own best chain (empty image = a
+    // completed/settled user — nothing to search)
+    def foldDepth(prior: FunnelWmStateRow): Int =
+      if (prior.events.isEmpty) prior.best
+      else math.max(prior.best,
+        FunnelState.search(FunnelState.fromBytes(prior.events),
+          nSteps, windowMs))
     filtered.as[(Long, java.sql.Timestamp, Int)]
       .groupByKey(_._1)
       .flatMapGroupsWithState[FunnelWmStateRow, UserFunnel](
@@ -187,14 +195,10 @@ object StreamingFunnel {
             // window: the buffer's chains are final — fold and settle
             // to the scalar (state KEPT: depth is whole-prefix, like
             // the batch aggregate over the full table; keyed erasure
-            // is the removal path). The isEmpty arm: a timeout set
+            // is the removal path). The empty-image arm: a timeout set
             // before the user completed/settled can fire on an
             // already-empty buffer image.
-            val prior = state.get
-            val depth = if (prior.events.isEmpty) prior.best
-              else math.max(prior.best,
-                FunnelState.search(FunnelState.fromBytes(prior.events),
-                  nSteps, windowMs))
+            val depth = foldDepth(state.get)
             state.update(FunnelWmStateRow(depth, Array.empty))
             Iterator.single(UserFunnel(user, depth, 0))
           } else {
@@ -222,14 +226,13 @@ object StreamingFunnel {
               // timed-out one this trigger.
               state.getOption match {
                 case Some(prior) if prior.best < nSteps && prior.events.nonEmpty =>
-                  val st = FunnelState.fromBytes(prior.events)
-                  val timeoutTs = st.ts.max + horizonMs
+                  val timeoutTs =
+                    FunnelState.fromBytes(prior.events).ts.max + horizonMs
                   if (timeoutTs > wm) {
                     state.setTimeoutTimestamp(timeoutTs)
                     Iterator.empty
                   } else {
-                    val depth = math.max(prior.best,
-                      FunnelState.search(st, nSteps, windowMs))
+                    val depth = foldDepth(prior)
                     state.update(FunnelWmStateRow(depth, Array.empty))
                     Iterator.single(UserFunnel(user, depth, 0))
                   }
