@@ -51,6 +51,14 @@ object Multimodal {
   /** One sampled video frame (as an opaque blob + index). */
   case class MediaFrame(mediaId: Long, frameIdx: Int, frame: Array[Byte])
 
+  /** Pixel stats for one decoded video frame (r13 — real for MJPEG
+    * AVIs): container frame index, decoded dims, and the frame's mean
+    * luminance bucketed to 64 units (round(mean/64) — wide enough
+    * that JPEG loss can't move a designed fixture across buckets).
+    */
+  case class VideoFrameStat(mediaId: Long, frameIdx: Int,
+                            width: Int, height: Int, lumaBucket: Int)
+
   /** An input media row: id + type + raw bytes. */
   case class MediaRecord(mediaId: Long, mediaType: String, content: Array[Byte])
 
@@ -498,11 +506,89 @@ object Multimodal {
     def resize(r: MediaRecord, targetBytes: Int): MediaRecord =
       r.copy(content = java.util.Arrays.copyOf(r.content, targetBytes))
 
-    /** STUB: sample every `stride`-th 1 KiB slice as a "frame". */
+    /** Every MJPEG frame payload from a RIFF-AVI whose video stream
+      * declares the MJPG handler (r13 — the first REAL video PIXEL
+      * path: in the MJPEG convention each '00dc'/'00db' chunk under
+      * LIST movi is a complete JPEG image, and JPEG decode ships with
+      * every JVM). None for non-AVI bytes, non-MJPG handlers, a
+      * malformed chunk walk, or any frame that doesn't start with the
+      * JPEG SOI marker — the caller falls back to the byte-slice
+      * stub, which remains the declared limit for INTER-FRAME codecs
+      * (H.264 etc.: no JDK codec exists).
+      */
+    private[multimodal] def aviMjpegFrames(b: Array[Byte]): Option[Vector[Array[Byte]]] = {
+      if (!(fourcc(b, 0) == "RIFF" && fourcc(b, 8) == "AVI ")) return None
+      var isMjpg = false
+      var frames = Vector.empty[Array[Byte]]
+      var o = 12
+      while (o + 8 <= b.length) {
+        val id = fourcc(b, o)
+        val sz = le32(b, o + 4)
+        if (sz < 0 || o + 8 + sz > b.length) return None
+        if (id == "LIST") {
+          val typ = fourcc(b, o + 8)
+          val end = (o + 8 + sz).toInt
+          if (typ == "hdrl") {
+            // nested strl → strh: fccType 'vids' with handler 'MJPG'
+            var p = o + 12
+            while (p + 8 <= end) {
+              val cid = fourcc(b, p)
+              val csz = le32(b, p + 4)
+              if (csz < 0 || p + 8 + csz > end) return None
+              if (cid == "LIST" && fourcc(b, p + 8) == "strl") {
+                var q = p + 12
+                val e2 = (p + 8 + csz).toInt
+                while (q + 8 <= e2) {
+                  val c2 = fourcc(b, q)
+                  val s2 = le32(b, q + 4)
+                  if (s2 < 0 || q + 8 + s2 > e2) return None
+                  if (c2 == "strh" && s2 >= 8 &&
+                      fourcc(b, q + 8) == "vids" &&
+                      fourcc(b, q + 12) == "MJPG") isMjpg = true
+                  q += (8 + s2 + (s2 & 1)).toInt
+                }
+              }
+              p += (8 + csz + (csz & 1)).toInt
+            }
+          } else if (typ == "movi") {
+            var p = o + 12
+            while (p + 8 <= end) {
+              val cid = fourcc(b, p)
+              val csz = le32(b, p + 4)
+              if (csz < 0 || p + 8 + csz > end) return None
+              if ((cid.endsWith("dc") || cid.endsWith("db")) && csz >= 2) {
+                val f = java.util.Arrays.copyOfRange(b, p + 8, (p + 8 + csz).toInt)
+                if ((f(0) & 0xff) != 0xff || (f(1) & 0xff) != 0xd8) return None
+                frames :+= f
+              }
+              p += (8 + csz + (csz & 1)).toInt
+            }
+          }
+        }
+        o += (8 + sz + (sz & 1)).toInt
+      }
+      if (isMjpg && frames.nonEmpty) Some(frames) else None
+    }
+
+    /** Frame sampling. REAL for MJPEG AVIs ([[aviMjpegFrames]]): every
+      * `stride`-th CONTAINER frame as its complete JPEG payload, with
+      * `frameIdx` the container frame index (the meaningful one).
+      * STUB otherwise: every `stride`-th 1 KiB byte slice, with
+      * `frameIdx` the sampled ordinal (slices carry no container
+      * semantics to index by).
+      */
     def sampleFrames(r: MediaRecord, stride: Int): Iterator[MediaFrame] = {
       // stride 0 would loop forever on offset 0; negatives crash in
       // copyOfRange (review-caught) — fail fast
       require(stride > 0, s"frame stride must be positive, got $stride")
+      if (r.mediaType == "video" && !printableText(r.content)) {
+        aviMjpegFrames(r.content) match {
+          case Some(frames) =>
+            return Iterator.range(0, frames.length, stride)
+              .map(i => MediaFrame(r.mediaId, i, frames(i)))
+          case None => () // not MJPEG — stub below
+        }
+      }
       val frameSize = 1024
       Iterator.from(0)
         .map(_ * stride * frameSize)
@@ -513,6 +599,35 @@ object Multimodal {
             java.util.Arrays.copyOfRange(r.content,
               off, math.min(off + frameSize, r.content.length)))
         }
+    }
+
+    /** Decode ONE sampled frame's pixels (real: the MJPEG path emits
+      * JPEG payloads ImageIO reads) into (width, height, luma bucket
+      * = round(mean of band 0 / 64)). None for frames that aren't a
+      * decodable image — the byte-slice stub's output, text, corrupt
+      * payloads — so corrupt frames degrade per-record.
+      */
+    private[multimodal] def frameStats(frame: Array[Byte]): Option[(Int, Int, Int)] = {
+      if (frame.length < 2 || printableText(frame)) return None
+      val img =
+        try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(frame))
+        catch { case _: Exception => null }
+      if (img == null || img.getWidth <= 0 || img.getHeight <= 0) None
+      else {
+        val raster = img.getRaster
+        var sum = 0L
+        var y = 0
+        while (y < img.getHeight) {
+          var x = 0
+          while (x < img.getWidth) {
+            sum += raster.getSample(x, y, 0)
+            x += 1
+          }
+          y += 1
+        }
+        val mean = sum.toDouble / (img.getWidth.toLong * img.getHeight)
+        Some((img.getWidth, img.getHeight, math.round(mean / 64.0).toInt))
+      }
     }
   }
 
@@ -590,6 +705,31 @@ object Multimodal {
       it.flatMap(r => spi.flatMap(_.sampleFrames(r, stride))
         .getOrElse(MediaCodec.sampleFrames(r, stride)))
     }
+  }
+
+  /** REAL per-frame pixel stats over every decodable video blob
+    * (r13): sample frames through the SPI-aware [[sampleFrames]]
+    * pipeline — REAL complete-JPEG frames for MJPEG AVIs, whatever a
+    * deploy codec's `sampleFrames` hook emits otherwise — then decode
+    * each frame's pixels ([[MediaCodec.frameStats]]). Frames that
+    * aren't decodable images (the byte-slice stub's output for
+    * non-MJPEG containers, text stand-ins, corrupt payloads) produce
+    * NO rows — the same degrade-per-record contract as audioStats.
+    *
+    * Scale shape: two narrow stages appended to the scan (frame
+    * extraction, per-frame decode); blobs and frames never shuffle —
+    * only the 5-field stats rows travel downstream.
+    */
+  def videoFrameStats(media: Dataset[MediaRecord], stride: Int = 2): Dataset[VideoFrameStat] = {
+    import media.sparkSession.implicits._
+    sampleFrames(media.filter(col("mediaType") === "video"), stride)
+      .mapPartitions { it =>
+        it.flatMap { fr =>
+          MediaCodec.frameStats(fr.frame).map { case (w, h, luma) =>
+            VideoFrameStat(fr.mediaId, fr.frameIdx, w, h, luma)
+          }
+        }
+      }
   }
 
   /** Resize every blob to a fixed byte budget — same batched

@@ -164,4 +164,107 @@ object VideoFixtures {
     expected.map { case (id, bytes, _, _, _, _, _, _) =>
       Multimodal.MediaRecord(id, "video", bytes)
     }
+
+  // ---- MJPEG-in-AVI fixtures (r13: the real VIDEO PIXEL path, ----
+  // ---- [[Multimodal.MediaCodec.aviMjpegFrames]])               ----
+
+  private def leChunk(id: String, payload: Array[Byte]): Array[Byte] = {
+    val pad = payload.length & 1 // RIFF chunks pad to even
+    val bb = ByteBuffer.allocate(8 + payload.length + pad)
+      .order(ByteOrder.LITTLE_ENDIAN)
+    bb.put(id.getBytes("US-ASCII")).putInt(payload.length).put(payload)
+    bb.array()
+  }
+
+  private def leList(typ: String, payload: Array[Byte]): Array[Byte] = {
+    val bb = ByteBuffer.allocate(12 + payload.length)
+      .order(ByteOrder.LITTLE_ENDIAN)
+    bb.put("LIST".getBytes("US-ASCII")).putInt(4 + payload.length)
+      .put(typ.getBytes("US-ASCII")).put(payload)
+    bb.array()
+  }
+
+  /** One solid-gray JPEG frame via the JDK's own encoder. The gray
+    * VALUES are chosen mid-bucket (see [[mjpegExpected]]) so JPEG's
+    * DC-quantization error (±a few units on a solid frame) can never
+    * move a decoded mean across a 64-wide luma bucket — the oracle
+    * literals are safe under any compliant encoder/decoder pair.
+    */
+  private def jpegGray(w: Int, h: Int, gray: Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+    val g2 = img.createGraphics()
+    try {
+      g2.setColor(new java.awt.Color(gray, gray, gray))
+      g2.fillRect(0, 0, w, h)
+    } finally g2.dispose()
+    val bos = new ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "jpg", bos)
+    bos.toByteArray
+  }
+
+  /** A spec-complete MJPEG AVI: RIFF("AVI ") + LIST(hdrl){avih,
+    * LIST(strl){strh('vids'/'MJPG'), strf(BITMAPINFOHEADER)}} +
+    * LIST(movi){'00dc' JPEG per frame} — every frame a complete
+    * JPEG image, per the MJPEG convention (25 fps).
+    */
+  private[multimodal] def mjpegAvi(w: Int, h: Int, grays: Seq[Int]): Array[Byte] = {
+    val n = grays.length
+    val avih = ByteBuffer.allocate(56).order(ByteOrder.LITTLE_ENDIAN)
+      .putInt(40000) // µs/frame: 25 fps
+      .putInt(w * h * 3 * 25)
+      .putInt(0).putInt(0)
+      .putInt(n) // totalFrames
+      .putInt(0)
+      .putInt(1) // streams
+      .putInt(0)
+      .putInt(w).putInt(h)
+      .put(new Array[Byte](16))
+      .array()
+    val strh = ByteBuffer.allocate(56).order(ByteOrder.LITTLE_ENDIAN)
+      .put("vids".getBytes("US-ASCII"))
+      .put("MJPG".getBytes("US-ASCII"))
+      .putInt(0).putShort(0).putShort(0) // flags, priority, language
+      .putInt(0) // initial frames
+      .putInt(1).putInt(25) // scale, rate -> 25 fps
+      .putInt(0) // start
+      .putInt(n) // length in frames
+      .putInt(0).putInt(-1).putInt(0) // suggested buffer, quality, sample size
+      .putShort(0).putShort(0).putShort(w.toShort).putShort(h.toShort) // rcFrame
+      .array()
+    val strf = ByteBuffer.allocate(40).order(ByteOrder.LITTLE_ENDIAN)
+      .putInt(40) // biSize
+      .putInt(w).putInt(h)
+      .putShort(1).putShort(24) // planes, bit count
+      .put("MJPG".getBytes("US-ASCII")) // biCompression
+      .putInt(w * h * 3)
+      .putInt(0).putInt(0).putInt(0).putInt(0)
+      .array()
+    val hdrl = leList("hdrl", concat(
+      leChunk("avih", avih),
+      leList("strl", concat(leChunk("strh", strh), leChunk("strf", strf)))))
+    val movi = leList("movi",
+      concat(grays.map(g => leChunk("00dc", jpegGray(w, h, g))): _*))
+    val body = concat(hdrl, movi)
+    val out = ByteBuffer.allocate(12 + body.length)
+      .order(ByteOrder.LITTLE_ENDIAN)
+    out.put("RIFF".getBytes("US-ASCII")).putInt(4 + body.length)
+      .put("AVI ".getBytes("US-ASCII")).put(body)
+    out.array()
+  }
+
+  /** (mediaId, blob, width, height, per-frame gray values). Grays sit
+    * mid-bucket under round(mean/64): 16→0, 80→1, 144→2, 208→3 — each
+    * ≥14 units from a bucket edge, far beyond solid-frame JPEG error.
+    */
+  val mjpegExpected: Seq[(Long, Array[Byte], Int, Int, Seq[Int])] = Seq(
+    (900024L, mjpegAvi(48, 32, Seq(16, 80, 144, 208, 16, 80)),
+      48, 32, Seq(16, 80, 144, 208, 16, 80)),
+    (900025L, mjpegAvi(64, 48, Seq(208, 144, 80, 16)),
+      64, 48, Seq(208, 144, 80, 16)))
+
+  def mjpegRecords: Seq[Multimodal.MediaRecord] =
+    mjpegExpected.map { case (id, bytes, _, _, _) =>
+      Multimodal.MediaRecord(id, "video", bytes)
+    }
 }

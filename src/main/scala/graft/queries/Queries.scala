@@ -1693,6 +1693,48 @@ object Queries {
       |) t(media_id, channel, n_frames, peak_micros, rms_micros, clip_micros)
       |ORDER BY media_id, channel""".stripMargin
 
+  /** REAL video PIXEL decode (r13 — MJPEG-in-AVI, the one video
+    * format whose frames the pure JDK can decode: each '00dc' movi
+    * chunk is a complete JPEG): sample every 2nd container frame
+    * through the SPI-aware pipeline
+    * ([[graft.multimodal.Multimodal.videoFrameStats]]) and decode its
+    * pixels — dims (lossless) and mean-luminance bucket
+    * (round(mean/64); the planted solid-gray frames sit mid-bucket so
+    * JPEG loss can never move them). The doc-derived video rows are
+    * text stand-ins whose stub byte-slices decode as nothing — they
+    * prove the degrade-per-record drop, so the result is exactly the
+    * two MJPEG fixtures' sampled frames
+    * ([[graft.multimodal.VideoFixtures.mjpegExpected]]: 900024 48×32
+    * grays 16/80/144/208/16/80 → frames 0,2,4; 900025 64×48 grays
+    * 208/144/80/16 → frames 0,2), stated by the oracle as literals.
+    * Inter-frame codecs (H.264 …) remain the deploy-SPI's job — the
+    * JDK ships no codec for them.
+    */
+  def mediaVideoFrames(s: SparkSession, d: String): DataFrame = {
+    GraftSession.tune(s)
+    import s.implicits._
+    val media = graft.multimodal.Multimodal.fromDocuments(s, d)
+      .unionByName(s.createDataset(graft.multimodal.VideoFixtures.mjpegRecords))
+    graft.multimodal.Multimodal.videoFrameStats(media, stride = 2).toDF()
+      .select(
+        col("mediaId").as("media_id"),
+        col("frameIdx").cast("long").as("frame_idx"),
+        col("width").cast("long").as("width"),
+        col("height").cast("long").as("height"),
+        col("lumaBucket").cast("long").as("luma_bucket"))
+      .orderBy(col("media_id"), col("frame_idx"))
+  }
+
+  val mediaVideoFramesSql =
+    """SELECT * FROM (VALUES
+      |  (CAST(900024 AS BIGINT), CAST(0 AS BIGINT), CAST(48 AS BIGINT), CAST(32 AS BIGINT), CAST(0 AS BIGINT)),
+      |  (CAST(900024 AS BIGINT), CAST(2 AS BIGINT), CAST(48 AS BIGINT), CAST(32 AS BIGINT), CAST(2 AS BIGINT)),
+      |  (CAST(900024 AS BIGINT), CAST(4 AS BIGINT), CAST(48 AS BIGINT), CAST(32 AS BIGINT), CAST(0 AS BIGINT)),
+      |  (CAST(900025 AS BIGINT), CAST(0 AS BIGINT), CAST(64 AS BIGINT), CAST(48 AS BIGINT), CAST(3 AS BIGINT)),
+      |  (CAST(900025 AS BIGINT), CAST(2 AS BIGINT), CAST(64 AS BIGINT), CAST(48 AS BIGINT), CAST(1 AS BIGINT))
+      |) t(media_id, frame_idx, width, height, luma_bucket)
+      |ORDER BY media_id, frame_idx""".stripMargin
+
   /** Connected-components near-dup clustering: every document
     * labeled with the smallest doc id in its near-dup component
     * ([[Dedup.nearDupClusters]] — iterative min-label propagation,
@@ -4549,6 +4591,7 @@ object Queries {
     "media_resize" -> (mediaResize _),
     "media_image_resize" -> (mediaImageResize _),
     "media_audio_stats" -> (mediaAudioStats _),
+    "media_video_frames" -> (mediaVideoFrames _),
     "doc_chunks" -> (docChunks _),
     "dedup_canonical" -> (dedupCanonical _),
     "emb_norms" -> (embNorms _),
@@ -4659,6 +4702,7 @@ object Queries {
     "media_resize" -> mediaResizeSql,
     "media_image_resize" -> mediaImageResizeSql,
     "media_audio_stats" -> mediaAudioStatsSql,
+    "media_video_frames" -> mediaVideoFramesSql,
     "doc_chunks" -> docChunksSql,
     "dedup_canonical" -> dedupCanonicalSql,
     "emb_norms" -> embNormsSql,

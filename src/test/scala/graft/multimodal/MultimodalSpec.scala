@@ -288,6 +288,54 @@ class MultimodalSpec extends SparkSpec {
     } finally MediaDecoder.clear()
   }
 
+  test("real codec: MJPEG AVI frames extract as complete JPEGs and decode to designed pixels") {
+    for ((id, bytes, w, h, grays) <- VideoFixtures.mjpegExpected) {
+      val frames = MediaCodec.aviMjpegFrames(bytes)
+      assert(frames.isDefined, s"fixture $id must parse as MJPEG")
+      assert(frames.get.length === grays.length, s"fixture $id frame count")
+      frames.get.zip(grays).zipWithIndex.foreach { case ((f, gray), i) =>
+        // every frame is a complete JPEG (SOI..) that really decodes
+        val stats = MediaCodec.frameStats(f)
+        assert(stats.isDefined, s"fixture $id frame $i must decode")
+        val (fw, fh, luma) = stats.get
+        assert((fw, fh) === ((w, h)), s"fixture $id frame $i dims")
+        assert(luma === math.round(gray / 64.0).toInt,
+          s"fixture $id frame $i luma bucket (gray $gray)")
+      }
+    }
+  }
+
+  test("real codec: non-MJPEG and malformed AVIs take the slice stub, never the frame path") {
+    // the metadata-only AVI fixture has no strh/MJPG and no frames
+    assert(MediaCodec.aviMjpegFrames(VideoFixtures.expected(1)._2).isEmpty)
+    // an MP4 is not RIFF
+    assert(MediaCodec.aviMjpegFrames(VideoFixtures.expected.head._2).isEmpty)
+    // truncated mid-movi: the walk aborts instead of emitting junk
+    val whole = VideoFixtures.mjpegExpected.head._2
+    assert(MediaCodec.aviMjpegFrames(
+      java.util.Arrays.copyOf(whole, whole.length - 10)).isEmpty)
+    // the slice stub still serves undecodable video blobs
+    val stub = MediaCodec.sampleFrames(
+      MediaRecord(30L, "video", Array.fill(3000)(7.toByte)), 2).toSeq
+    assert(stub.nonEmpty && stub.forall(_.frame.length <= 1024))
+  }
+
+  test("videoFrameStats operator: real frames decode distributed, stubs drop, stride samples") {
+    val textVideo = media((7L, "video", "prose standing in for a blob"))
+    val ds = textVideo.unionByName(VideoFixtures.mjpegRecords.toDS())
+    val rows = videoFrameStats(ds, stride = 2).collect()
+    assert(!rows.exists(_.mediaId == 7L), "stub slices must decode to no stats rows")
+    val expected = VideoFixtures.mjpegExpected.flatMap { case (id, _, w, h, grays) =>
+      grays.indices.by(2).map(i =>
+        (id, i, w, h, math.round(grays(i) / 64.0).toInt))
+    }.toSet
+    assert(rows.map(r =>
+      (r.mediaId, r.frameIdx, r.width, r.height, r.lumaBucket)).toSet === expected)
+    // stride 1 yields every container frame
+    assert(videoFrameStats(VideoFixtures.mjpegRecords.toDS(), stride = 1)
+      .collect().length === VideoFixtures.mjpegExpected.map(_._5.length).sum)
+  }
+
   test("MediaDecoder SPI: a plugged decoder takes the records it claims; the default handles the rest") {
     // fake deploy-time codec: handles EVEN media ids only, with
     // unmistakable outputs — odd ids must still take the built-in
