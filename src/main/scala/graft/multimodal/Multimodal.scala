@@ -358,35 +358,47 @@ object Multimodal {
       Some(("mp4", w, h, duration * 1000L / timescale, tracks))
     }
 
-    private def aviHeader(b: Array[Byte]): Option[(String, Int, Int, Long, Int)] = {
-      var o = 12
-      while (o + 8 <= b.length) {
+    /** The ONE RIFF sub-chunk walk (shared by [[aviHeader]] and
+      * [[aviMjpegFrameSpans]], at every nesting level): invokes
+      * `f(chunkId, payloadStart, payloadSize)` per chunk in
+      * [start, end), stepping by the even-padded declared size.
+      * `f` returns false to stop early (found what it wanted);
+      * returns false when a declared size runs past `end` — the
+      * malformed-abort every caller must treat as "not this format".
+      */
+    private def riffWalk(b: Array[Byte], start: Int, end: Int)(
+        f: (String, Int, Int) => Boolean): Boolean = {
+      var o = start
+      while (o + 8 <= end) {
         val id = fourcc(b, o)
         val sz = le32(b, o + 4)
-        if (sz < 0 || o + 8 + sz > b.length) return None
-        if (id == "LIST" && fourcc(b, o + 8) == "hdrl") {
-          var p = o + 12
-          val end = (o + 8 + sz).toInt
-          while (p + 8 <= end) {
-            val cid = fourcc(b, p)
-            val csz = le32(b, p + 4)
-            if (csz < 0 || p + 8 + csz > end) return None
+        if (sz < 0 || o + 8 + sz > end) return false
+        if (!f(id, o + 8, sz.toInt)) return false
+        o += (8 + sz + (sz & 1)).toInt // RIFF chunks pad to even
+      }
+      true
+    }
+
+    private def aviHeader(b: Array[Byte]): Option[(String, Int, Int, Long, Int)] = {
+      var res: Option[(String, Int, Int, Long, Int)] = None
+      riffWalk(b, 12, b.length) { (id, ps, sz) =>
+        if (id == "LIST" && sz >= 4 && fourcc(b, ps) == "hdrl") {
+          riffWalk(b, ps + 4, ps + sz) { (cid, d, csz) =>
             if (cid == "avih" && csz >= 40) {
-              val d = p + 8
               val usPerFrame = le32(b, d)
               val totalFrames = le32(b, d + 16)
               val streams = le32(b, d + 24)
               val w = le32(b, d + 32).toInt
               val h = le32(b, d + 36).toInt
-              return Some(("avi", w, h, totalFrames * usPerFrame / 1000L, streams.toInt))
-            }
-            p += (8 + csz + (csz & 1)).toInt // RIFF chunks pad to even
+              res = Some(("avi", w, h, totalFrames * usPerFrame / 1000L,
+                streams.toInt))
+              false // found
+            } else true
           }
-          return None
-        }
-        o += (8 + sz + (sz & 1)).toInt
+          false // first hdrl decides (res set, or absent/malformed avih)
+        } else true
       }
-      None
+      res
     }
 
     /** Image/audio/video metadata via the REAL header parses
@@ -506,69 +518,78 @@ object Multimodal {
     def resize(r: MediaRecord, targetBytes: Int): MediaRecord =
       r.copy(content = java.util.Arrays.copyOf(r.content, targetBytes))
 
-    /** Every MJPEG frame payload from a RIFF-AVI whose video stream
-      * declares the MJPG handler (r13 — the first REAL video PIXEL
-      * path: in the MJPEG convention each '00dc'/'00db' chunk under
-      * LIST movi is a complete JPEG image, and JPEG decode ships with
-      * every JVM). None for non-AVI bytes, non-MJPG handlers, a
-      * malformed chunk walk, or any frame that doesn't start with the
+    /** Frame payload SPANS (offset, length) from a RIFF-AVI whose
+      * FIRST MJPG video stream declares the MJPG handler (r13 — the
+      * first REAL video PIXEL path: in the MJPEG convention each
+      * 'NNdc'/'NNdb' chunk under LIST movi is a complete JPEG image,
+      * and JPEG decode ships with every JVM). Spans, not copies: the
+      * caller samples every stride-th frame, so copying every payload
+      * up front would waste ~ (1 − 1/stride) of the blob's video
+      * bytes in dead allocations (review r13).
+      *
+      * Spec-faithful details (review r13): frames may ride inside
+      * nested LIST 'rec ' groups (the standard interleaved authoring
+      * layout) — the walk recurses into them; and chunk ids carry the
+      * STREAM index ('01dc' = stream 1), so only the MJPG stream's
+      * own frames are collected — a muxed second stream can neither
+      * interleave foreign frames nor shift container indices.
+      *
+      * None for non-AVI bytes, no MJPG video stream, a malformed
+      * chunk walk, or any claimed frame that doesn't start with the
       * JPEG SOI marker — the caller falls back to the byte-slice
       * stub, which remains the declared limit for INTER-FRAME codecs
       * (H.264 etc.: no JDK codec exists).
       */
-    private[multimodal] def aviMjpegFrames(b: Array[Byte]): Option[Vector[Array[Byte]]] = {
+    private[multimodal] def aviMjpegFrameSpans(b: Array[Byte]): Option[Vector[(Int, Int)]] = {
       if (!(fourcc(b, 0) == "RIFF" && fourcc(b, 8) == "AVI ")) return None
-      var isMjpg = false
-      var frames = Vector.empty[Array[Byte]]
-      var o = 12
-      while (o + 8 <= b.length) {
-        val id = fourcc(b, o)
-        val sz = le32(b, o + 4)
-        if (sz < 0 || o + 8 + sz > b.length) return None
-        if (id == "LIST") {
-          val typ = fourcc(b, o + 8)
-          val end = (o + 8 + sz).toInt
-          if (typ == "hdrl") {
-            // nested strl → strh: fccType 'vids' with handler 'MJPG'
-            var p = o + 12
-            while (p + 8 <= end) {
-              val cid = fourcc(b, p)
-              val csz = le32(b, p + 4)
-              if (csz < 0 || p + 8 + csz > end) return None
-              if (cid == "LIST" && fourcc(b, p + 8) == "strl") {
-                var q = p + 12
-                val e2 = (p + 8 + csz).toInt
-                while (q + 8 <= e2) {
-                  val c2 = fourcc(b, q)
-                  val s2 = le32(b, q + 4)
-                  if (s2 < 0 || q + 8 + s2 > e2) return None
-                  if (c2 == "strh" && s2 >= 8 &&
-                      fourcc(b, q + 8) == "vids" &&
-                      fourcc(b, q + 12) == "MJPG") isMjpg = true
-                  q += (8 + s2 + (s2 & 1)).toInt
-                }
-              }
-              p += (8 + csz + (csz & 1)).toInt
-            }
-          } else if (typ == "movi") {
-            var p = o + 12
-            while (p + 8 <= end) {
-              val cid = fourcc(b, p)
-              val csz = le32(b, p + 4)
-              if (csz < 0 || p + 8 + csz > end) return None
-              if ((cid.endsWith("dc") || cid.endsWith("db")) && csz >= 2) {
-                val f = java.util.Arrays.copyOfRange(b, p + 8, (p + 8 + csz).toInt)
-                if ((f(0) & 0xff) != 0xff || (f(1) & 0xff) != 0xd8) return None
-                frames :+= f
-              }
-              p += (8 + csz + (csz & 1)).toInt
-            }
+      var mjpgStream = -1
+      var nStreams = 0
+      var frames = Vector.empty[(Int, Int)]
+      var badFrame = false
+      def moviBody(start: Int, end: Int): Boolean =
+        riffWalk(b, start, end) { (id, ps, sz) =>
+          if (id == "LIST" && sz >= 4 && fourcc(b, ps) == "rec ")
+            moviBody(ps + 4, ps + sz) // interleaved rec-group layout
+          else {
+            val dcId = "%02d".format(mjpgStream)
+            if (mjpgStream >= 0 && sz >= 2 &&
+                (id == dcId + "dc" || id == dcId + "db")) {
+              if ((b(ps) & 0xff) != 0xff || (b(ps + 1) & 0xff) != 0xd8) {
+                badFrame = true; false
+              } else { frames :+= ((ps, sz)); true }
+            } else true
           }
         }
-        o += (8 + sz + (sz & 1)).toInt
+      val ok = riffWalk(b, 12, b.length) { (id, ps, sz) =>
+        if (id == "LIST" && sz >= 4) fourcc(b, ps) match {
+          case "hdrl" =>
+            riffWalk(b, ps + 4, ps + sz) { (cid, cps, csz) =>
+              if (cid == "LIST" && csz >= 4 && fourcc(b, cps) == "strl") {
+                val idx = nStreams
+                nStreams += 1
+                riffWalk(b, cps + 4, cps + csz) { (c2, p2, s2) =>
+                  if (c2 == "strh" && s2 >= 8 && fourcc(b, p2) == "vids" &&
+                      fourcc(b, p2 + 4) == "MJPG" && mjpgStream < 0)
+                    mjpgStream = idx
+                  true
+                }
+              } else true
+            }
+          case "movi" => moviBody(ps + 4, ps + sz)
+          case _ => true
+        } else true
       }
-      if (isMjpg && frames.nonEmpty) Some(frames) else None
+      if (ok && !badFrame && mjpgStream >= 0 && frames.nonEmpty) Some(frames)
+      else None
     }
+
+    /** [[aviMjpegFrameSpans]] with the payloads materialized — the
+      * all-frames view (tests; callers that really need every frame).
+      */
+    private[multimodal] def aviMjpegFrames(b: Array[Byte]): Option[Vector[Array[Byte]]] =
+      aviMjpegFrameSpans(b).map(_.map { case (off, len) =>
+        java.util.Arrays.copyOfRange(b, off, off + len)
+      })
 
     /** Frame sampling. REAL for MJPEG AVIs ([[aviMjpegFrames]]): every
       * `stride`-th CONTAINER frame as its complete JPEG payload, with
@@ -582,10 +603,15 @@ object Multimodal {
       // copyOfRange (review-caught) — fail fast
       require(stride > 0, s"frame stride must be positive, got $stride")
       if (r.mediaType == "video" && !printableText(r.content)) {
-        aviMjpegFrames(r.content) match {
-          case Some(frames) =>
-            return Iterator.range(0, frames.length, stride)
-              .map(i => MediaFrame(r.mediaId, i, frames(i)))
+        aviMjpegFrameSpans(r.content) match {
+          case Some(spans) =>
+            // copy ONLY the sampled frames (spans → bytes here, so a
+            // stride of k skips k-1 of every k allocations)
+            return Iterator.range(0, spans.length, stride).map { i =>
+              val (off, len) = spans(i)
+              MediaFrame(r.mediaId, i,
+                java.util.Arrays.copyOfRange(r.content, off, off + len))
+            }
           case None => () // not MJPEG — stub below
         }
       }
@@ -603,9 +629,22 @@ object Multimodal {
 
     /** Decode ONE sampled frame's pixels (real: the MJPEG path emits
       * JPEG payloads ImageIO reads) into (width, height, luma bucket
-      * = round(mean of band 0 / 64)). None for frames that aren't a
-      * decodable image — the byte-slice stub's output, text, corrupt
-      * payloads — so corrupt frames degrade per-record.
+      * = round(mean luma / 64)). The luma read branches on the
+      * decoded image's band count — each arm avoiding the OTHER
+      * arm's trap (both review-caught, r13):
+      *
+      *  - 1 band (grayscale): raster band 0 IS the stored gray —
+      *    read it directly. (`getRGB` here would gamma-convert the
+      *    gray colorspace to sRGB: a stored 16 reads back ~72,
+      *    poisoning the designed fixtures' closed-form truth.)
+      *  - multi-band (color): Rec.601 over `getRGB`'s sRGB channels
+      *    with integer weights (299·R + 587·G + 114·B)/1000. (Raster
+      *    band 0 here is the RED channel, not luminance: a solid
+      *    pure-red frame would read bucket 4 instead of its true ~1.)
+      *
+      * None for frames that aren't a decodable image — the byte-slice
+      * stub's output, text, corrupt payloads — so corrupt frames
+      * degrade per-record.
       */
     private[multimodal] def frameStats(frame: Array[Byte]): Option[(Int, Int, Int)] = {
       if (frame.length < 2 || printableText(frame)) return None
@@ -614,18 +653,25 @@ object Multimodal {
         catch { case _: Exception => null }
       if (img == null || img.getWidth <= 0 || img.getHeight <= 0) None
       else {
+        val gray = img.getRaster.getNumBands == 1
         val raster = img.getRaster
         var sum = 0L
         var y = 0
         while (y < img.getHeight) {
           var x = 0
           while (x < img.getWidth) {
-            sum += raster.getSample(x, y, 0)
+            if (gray) sum += 1000L * raster.getSample(x, y, 0)
+            else {
+              val rgb = img.getRGB(x, y)
+              sum += 299L * ((rgb >> 16) & 0xff) +
+                587L * ((rgb >> 8) & 0xff) + 114L * (rgb & 0xff)
+            }
             x += 1
           }
           y += 1
         }
-        val mean = sum.toDouble / (img.getWidth.toLong * img.getHeight)
+        val mean = sum.toDouble /
+          (1000.0 * img.getWidth.toLong * img.getHeight)
         Some((img.getWidth, img.getHeight, math.round(mean / 64.0).toInt))
       }
     }

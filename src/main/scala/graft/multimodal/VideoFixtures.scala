@@ -203,20 +203,42 @@ object VideoFixtures {
     bos.toByteArray
   }
 
+  /** One solid-COLOR JPEG frame (TYPE_3BYTE_BGR — what a real color
+    * MJPEG camera produces): the luma-vs-band-0 spec case. */
+  private[multimodal] def jpegColor(w: Int, h: Int, c: java.awt.Color): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_3BYTE_BGR)
+    val g2 = img.createGraphics()
+    try { g2.setColor(c); g2.fillRect(0, 0, w, h) } finally g2.dispose()
+    val bos = new ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "jpg", bos)
+    bos.toByteArray
+  }
+
   /** A spec-complete MJPEG AVI: RIFF("AVI ") + LIST(hdrl){avih,
     * LIST(strl){strh('vids'/'MJPG'), strf(BITMAPINFOHEADER)}} +
-    * LIST(movi){'00dc' JPEG per frame} — every frame a complete
+    * LIST(movi){'NNdc' JPEG per frame} — every frame a complete
     * JPEG image, per the MJPEG convention (25 fps).
+    *
+    * Two layout dials for the parser's spec-faithfulness tests
+    * (review r13): `wrapInRec` puts every frame chunk inside a nested
+    * LIST 'rec ' group (the standard interleaved authoring layout),
+    * and `leadingAudioStream` inserts a non-video strl BEFORE the
+    * video one, so the video stream is index 1 and its frame chunks
+    * are '01dc' — a parser that hardcodes stream 0 finds nothing.
     */
-  private[multimodal] def mjpegAvi(w: Int, h: Int, grays: Seq[Int]): Array[Byte] = {
+  private[multimodal] def mjpegAvi(w: Int, h: Int, grays: Seq[Int],
+                                   wrapInRec: Boolean = false,
+                                   leadingAudioStream: Boolean = false): Array[Byte] = {
     val n = grays.length
+    val vidStream = if (leadingAudioStream) 1 else 0
     val avih = ByteBuffer.allocate(56).order(ByteOrder.LITTLE_ENDIAN)
       .putInt(40000) // µs/frame: 25 fps
       .putInt(w * h * 3 * 25)
       .putInt(0).putInt(0)
       .putInt(n) // totalFrames
       .putInt(0)
-      .putInt(1) // streams
+      .putInt(if (leadingAudioStream) 2 else 1) // streams
       .putInt(0)
       .putInt(w).putInt(h)
       .put(new Array[Byte](16))
@@ -240,11 +262,25 @@ object VideoFixtures {
       .putInt(w * h * 3)
       .putInt(0).putInt(0).putInt(0).putInt(0)
       .array()
+    val videoStrl = leList("strl",
+      concat(leChunk("strh", strh), leChunk("strf", strf)))
+    val audioStrl = {
+      // minimal non-video stream header: fccType 'auds', NONE handler
+      val ash = ByteBuffer.allocate(56).order(ByteOrder.LITTLE_ENDIAN)
+        .put("auds".getBytes("US-ASCII"))
+        .put("NONE".getBytes("US-ASCII"))
+        .put(new Array[Byte](48))
+        .array()
+      leList("strl", leChunk("strh", ash))
+    }
     val hdrl = leList("hdrl", concat(
-      leChunk("avih", avih),
-      leList("strl", concat(leChunk("strh", strh), leChunk("strf", strf)))))
+      (leChunk("avih", avih) +:
+        (if (leadingAudioStream) Seq(audioStrl, videoStrl)
+         else Seq(videoStrl))): _*))
+    val dcId = "%02d".format(vidStream) + "dc"
+    val frameChunks = concat(grays.map(g => leChunk(dcId, jpegGray(w, h, g))): _*)
     val movi = leList("movi",
-      concat(grays.map(g => leChunk("00dc", jpegGray(w, h, g))): _*))
+      if (wrapInRec) leList("rec ", frameChunks) else frameChunks)
     val body = concat(hdrl, movi)
     val out = ByteBuffer.allocate(12 + body.length)
       .order(ByteOrder.LITTLE_ENDIAN)

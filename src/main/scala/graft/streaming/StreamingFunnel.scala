@@ -226,13 +226,13 @@ object StreamingFunnel {
               // timed-out one this trigger.
               state.getOption match {
                 case Some(prior) if prior.best < nSteps && prior.events.nonEmpty =>
-                  val timeoutTs =
-                    FunnelState.fromBytes(prior.events).ts.max + horizonMs
-                  if (timeoutTs > wm) {
-                    state.setTimeoutTimestamp(timeoutTs)
+                  val st = FunnelState.fromBytes(prior.events)
+                  if (st.ts.max + horizonMs > wm) {
+                    state.setTimeoutTimestamp(st.ts.max + horizonMs)
                     Iterator.empty
                   } else {
-                    val depth = foldDepth(prior)
+                    val depth = math.max(prior.best,
+                      FunnelState.search(st, nSteps, windowMs))
                     state.update(FunnelWmStateRow(depth, Array.empty))
                     Iterator.single(UserFunnel(user, depth, 0))
                   }

@@ -305,6 +305,29 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  test("real codec: rec-interleaved layout, stream indices, and color luma (review r13)") {
+    // frames wrapped in LIST 'rec ' groups (the standard interleaved
+    // authoring layout) must still be found
+    val grays = Seq(16, 80, 144)
+    val wrapped = VideoFixtures.mjpegAvi(32, 24, grays, wrapInRec = true)
+    assert(MediaCodec.aviMjpegFrames(wrapped).map(_.length) === Some(3))
+    // a leading non-video stream shifts the video stream to index 1:
+    // its frames are '01dc' chunks and must be the ones collected
+    val muxed = VideoFixtures.mjpegAvi(32, 24, grays, leadingAudioStream = true)
+    val fs = MediaCodec.aviMjpegFrames(muxed)
+    assert(fs.map(_.length) === Some(3), "stream-1 frames must be found")
+    assert(MediaCodec.frameStats(fs.get.head).map(_._3) === Some(0)) // gray 16
+    // luma is Rec.601, not raster band 0: a solid pure-red frame has
+    // red-channel mean 255 (band-0 bucket 4) but true luma ~76 →
+    // bucket 1; pure blue → ~29 → bucket 0
+    val red = MediaCodec.frameStats(
+      VideoFixtures.jpegColor(32, 24, java.awt.Color.RED))
+    assert(red.map(_._3) === Some(1), s"pure red must bucket by luma: $red")
+    val blue = MediaCodec.frameStats(
+      VideoFixtures.jpegColor(32, 24, java.awt.Color.BLUE))
+    assert(blue.map(_._3) === Some(0), s"pure blue must bucket by luma: $blue")
+  }
+
   test("real codec: non-MJPEG and malformed AVIs take the slice stub, never the frame path") {
     // the metadata-only AVI fixture has no strh/MJPG and no frames
     assert(MediaCodec.aviMjpegFrames(VideoFixtures.expected(1)._2).isEmpty)
