@@ -54,22 +54,28 @@ object AudioFixtures {
     bb.array()
   }
 
-  /** Sun AU: ".snd" magic + 24-byte big-endian header, encoding 3 =
-    * 16-bit linear PCM (big-endian payload); payload defaults to the
+  /** Sun AU: ".snd" magic + 24-byte big-endian header. Encoding 3 =
+    * 16-bit linear PCM (big-endian payload, the default) or 2 =
+    * 8-bit SIGNED linear PCM (AU's 8-bit convention — the opposite
+    * sign convention from WAV's 8-bit unsigned, which is why the
+    * decoder has a distinct branch for it); payload defaults to the
     * deterministic sawtooth.
     */
   private[multimodal] def au(channels: Int, sampleRate: Int, frames: Int,
-                             payload: Option[Array[Byte]] = None): Array[Byte] = {
-    val dataSize = frames * channels * 2
+                             payload: Option[Array[Byte]] = None,
+                             encoding: Int = 3): Array[Byte] = {
+    require(encoding == 2 || encoding == 3, s"unsupported AU encoding $encoding")
+    val bps = if (encoding == 2) 1 else 2
+    val dataSize = frames * channels * bps
     val data = payload.getOrElse(sawtooth(dataSize))
     require(data.length == dataSize,
-      s"payload ${data.length} != frames*channels*2 $dataSize")
+      s"payload ${data.length} != frames*channels*bps $dataSize")
     val bos = new ByteArrayOutputStream(24 + dataSize)
     val bb = ByteBuffer.allocate(24).order(ByteOrder.BIG_ENDIAN)
     bb.putInt(0x2e736e64) // ".snd"
       .putInt(24) // data offset
       .putInt(dataSize)
-      .putInt(3) // 16-bit linear PCM
+      .putInt(encoding)
       .putInt(sampleRate)
       .putInt(channels)
     bos.write(bb.array())

@@ -248,6 +248,24 @@ class MultimodalSpec extends SparkSpec {
       "decoded waveform stats must equal the planted ground truth")
   }
 
+  test("real codec: AU 8-bit SIGNED PCM decodes through the signed-byte branch") {
+    // AU encoding 2 is 8-bit SIGNED (WAV's 8-bit is unsigned) — the
+    // one decode arm the oracle fixtures don't reach. Constant -128:
+    // full-scale negative, peak = rms = clip = 1 exactly.
+    val full = AudioFixtures.au(1, 8000, 100,
+      payload = Some(Array.fill(100)(0x80.toByte)), encoding = 2)
+    val st = MediaCodec.audioSamples(full)
+    assert(st.isDefined, "JDK AU reader must accept 8-bit signed PCM")
+    val s = st.get.head
+    assert(s.nFrames === 100L && s.peak === 1.0 && s.rms === 1.0 &&
+      s.clipRate === 1.0, s.toString)
+    // +64 constant: peak = rms = 0.5, clip 0 — sign handled, not |x|
+    val half = AudioFixtures.au(1, 8000, 100,
+      payload = Some(Array.fill(100)(64.toByte)), encoding = 2)
+    val h = MediaCodec.audioSamples(half).get.head
+    assert(h.peak === 0.5 && h.rms === 0.5 && h.clipRate === 0.0, h.toString)
+  }
+
   test("real codec: non-PCM / malformed / empty audio yields no sample stats") {
     // binary garbage
     assert(MediaCodec.audioSamples(Array[Byte](1, 2, 3, 0, -1)).isEmpty)
