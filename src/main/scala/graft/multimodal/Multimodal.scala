@@ -542,45 +542,59 @@ object Multimodal {
       */
     private[multimodal] def aviMjpegFrameSpans(b: Array[Byte]): Option[Vector[(Int, Int)]] = {
       if (!(fourcc(b, 0) == "RIFF" && fourcc(b, 8) == "AVI ")) return None
+      // PASS 1 — which stream (if any) is MJPG video. A separate pass
+      // so movi placement doesn't matter: lenient demuxers (and the
+      // previous single-pass version of this parser) accept
+      // movi-before-hdrl, and a one-pass scan would silently collect
+      // nothing there (review r13).
       var mjpgStream = -1
       var nStreams = 0
-      var frames = Vector.empty[(Int, Int)]
-      var badFrame = false
-      def moviBody(start: Int, end: Int): Boolean =
-        riffWalk(b, start, end) { (id, ps, sz) =>
-          if (id == "LIST" && sz >= 4 && fourcc(b, ps) == "rec ")
-            moviBody(ps + 4, ps + sz) // interleaved rec-group layout
-          else {
-            val dcId = "%02d".format(mjpgStream)
-            if (mjpgStream >= 0 && sz >= 2 &&
-                (id == dcId + "dc" || id == dcId + "db")) {
-              if ((b(ps) & 0xff) != 0xff || (b(ps + 1) & 0xff) != 0xd8) {
-                badFrame = true; false
-              } else { frames :+= ((ps, sz)); true }
+      riffWalk(b, 12, b.length) { (id, ps, sz) =>
+        if (id == "LIST" && sz >= 4 && fourcc(b, ps) == "hdrl") {
+          riffWalk(b, ps + 4, ps + sz) { (cid, cps, csz) =>
+            if (cid == "LIST" && csz >= 4 && fourcc(b, cps) == "strl") {
+              val idx = nStreams
+              nStreams += 1
+              riffWalk(b, cps + 4, cps + csz) { (c2, p2, s2) =>
+                if (c2 == "strh" && s2 >= 8 && fourcc(b, p2) == "vids" &&
+                    fourcc(b, p2 + 4) == "MJPG" && mjpgStream < 0)
+                  mjpgStream = idx
+                true
+              }
             } else true
           }
-        }
-      val ok = riffWalk(b, 12, b.length) { (id, ps, sz) =>
-        if (id == "LIST" && sz >= 4) fourcc(b, ps) match {
-          case "hdrl" =>
-            riffWalk(b, ps + 4, ps + sz) { (cid, cps, csz) =>
-              if (cid == "LIST" && csz >= 4 && fourcc(b, cps) == "strl") {
-                val idx = nStreams
-                nStreams += 1
-                riffWalk(b, cps + 4, cps + csz) { (c2, p2, s2) =>
-                  if (c2 == "strh" && s2 >= 8 && fourcc(b, p2) == "vids" &&
-                      fourcc(b, p2 + 4) == "MJPG" && mjpgStream < 0)
-                    mjpgStream = idx
-                  true
-                }
-              } else true
-            }
-          case "movi" => moviBody(ps + 4, ps + sz)
-          case _ => true
+          false // first hdrl decides
         } else true
       }
-      if (ok && !badFrame && mjpgStream >= 0 && frames.nonEmpty) Some(frames)
-      else None
+      if (mjpgStream < 0) return None
+      // PASS 2 — collect that stream's frames. Chunk ids are constant
+      // across the walk: format them ONCE, not per chunk (review r13).
+      val dcId = "%02d".format(mjpgStream) + "dc"
+      val dbId = "%02d".format(mjpgStream) + "db"
+      var frames = Vector.empty[(Int, Int)]
+      var badFrame = false
+      // rec groups don't nest per the AVI spec: depth 1 is the
+      // interleaved layout, anything deeper is malformed. The bound
+      // is also the stack-safety guard: without it a crafted blob of
+      // nested 'rec ' headers (~12 bytes/level) drives unbounded
+      // recursion into StackOverflowError — an Error no corrupt-input
+      // boundary catch sees (review r13).
+      def moviBody(start: Int, end: Int, depth: Int): Boolean =
+        riffWalk(b, start, end) { (id, ps, sz) =>
+          if (id == "LIST" && sz >= 4 && fourcc(b, ps) == "rec ")
+            depth < 1 && moviBody(ps + 4, ps + sz, depth + 1)
+          else if (sz >= 2 && (id == dcId || id == dbId)) {
+            if ((b(ps) & 0xff) != 0xff || (b(ps + 1) & 0xff) != 0xd8) {
+              badFrame = true; false
+            } else { frames :+= ((ps, sz)); true }
+          } else true
+        }
+      val ok = riffWalk(b, 12, b.length) { (id, ps, sz) =>
+        if (id == "LIST" && sz >= 4 && fourcc(b, ps) == "movi")
+          moviBody(ps + 4, ps + sz, 0)
+        else true
+      }
+      if (ok && !badFrame && frames.nonEmpty) Some(frames) else None
     }
 
     /** [[aviMjpegFrameSpans]] with the payloads materialized — the
@@ -653,26 +667,42 @@ object Multimodal {
         catch { case _: Exception => null }
       if (img == null || img.getWidth <= 0 || img.getHeight <= 0) None
       else {
-        val gray = img.getRaster.getNumBands == 1
-        val raster = img.getRaster
+        val w = img.getWidth
+        val h = img.getHeight
+        // the raw-band fast path is gated on TYPE_BYTE_GRAY exactly —
+        // NOT on band count: an indexed GIF/PNG also has a 1-band
+        // raster whose band 0 is the PALETTE INDEX, and 16-bit gray
+        // samples run to 65535, both of which would bucket garbage
+        // (review r13); everything non-byte-gray goes through the
+        // sRGB conversion below
         var sum = 0L
-        var y = 0
-        while (y < img.getHeight) {
-          var x = 0
-          while (x < img.getWidth) {
-            if (gray) sum += 1000L * raster.getSample(x, y, 0)
-            else {
-              val rgb = img.getRGB(x, y)
+        if (img.getType == java.awt.image.BufferedImage.TYPE_BYTE_GRAY) {
+          val raster = img.getRaster
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) { sum += 1000L * raster.getSample(x, y, 0); x += 1 }
+            y += 1
+          }
+        } else {
+          // bulk row reads: per-pixel getRGB pays the ColorModel
+          // dispatch per call — ~10x on the per-frame hot path
+          val row = new Array[Int](w)
+          var y = 0
+          while (y < h) {
+            img.getRGB(0, y, w, 1, row, 0, w)
+            var x = 0
+            while (x < w) {
+              val rgb = row(x)
               sum += 299L * ((rgb >> 16) & 0xff) +
                 587L * ((rgb >> 8) & 0xff) + 114L * (rgb & 0xff)
+              x += 1
             }
-            x += 1
+            y += 1
           }
-          y += 1
         }
-        val mean = sum.toDouble /
-          (1000.0 * img.getWidth.toLong * img.getHeight)
-        Some((img.getWidth, img.getHeight, math.round(mean / 64.0).toInt))
+        val mean = sum.toDouble / (1000.0 * w.toLong * h)
+        Some((w, h, math.round(mean / 64.0).toInt))
       }
     }
   }

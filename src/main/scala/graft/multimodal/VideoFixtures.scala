@@ -184,30 +184,17 @@ object VideoFixtures {
     bb.array()
   }
 
-  /** One solid-gray JPEG frame via the JDK's own encoder. The gray
-    * VALUES are chosen mid-bucket (see [[mjpegExpected]]) so JPEG's
+  /** One solid-color JPEG frame via the JDK's own encoder — the one
+    * encode path both frame kinds share (a future change, e.g. an
+    * explicit JPEG quality, lands once). The gray fixtures' VALUES
+    * are chosen mid-bucket (see [[mjpegExpected]]) so JPEG's
     * DC-quantization error (±a few units on a solid frame) can never
     * move a decoded mean across a 64-wide luma bucket — the oracle
     * literals are safe under any compliant encoder/decoder pair.
     */
-  private def jpegGray(w: Int, h: Int, gray: Int): Array[Byte] = {
-    val img = new java.awt.image.BufferedImage(
-      w, h, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
-    val g2 = img.createGraphics()
-    try {
-      g2.setColor(new java.awt.Color(gray, gray, gray))
-      g2.fillRect(0, 0, w, h)
-    } finally g2.dispose()
-    val bos = new ByteArrayOutputStream()
-    javax.imageio.ImageIO.write(img, "jpg", bos)
-    bos.toByteArray
-  }
-
-  /** One solid-COLOR JPEG frame (TYPE_3BYTE_BGR — what a real color
-    * MJPEG camera produces): the luma-vs-band-0 spec case. */
-  private[multimodal] def jpegColor(w: Int, h: Int, c: java.awt.Color): Array[Byte] = {
-    val img = new java.awt.image.BufferedImage(
-      w, h, java.awt.image.BufferedImage.TYPE_3BYTE_BGR)
+  private def solidJpeg(w: Int, h: Int, imageType: Int,
+                        c: java.awt.Color): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(w, h, imageType)
     val g2 = img.createGraphics()
     try { g2.setColor(c); g2.fillRect(0, 0, w, h) } finally g2.dispose()
     val bos = new ByteArrayOutputStream()
@@ -215,21 +202,36 @@ object VideoFixtures {
     bos.toByteArray
   }
 
+  private def jpegGray(w: Int, h: Int, gray: Int): Array[Byte] =
+    solidJpeg(w, h, java.awt.image.BufferedImage.TYPE_BYTE_GRAY,
+      new java.awt.Color(gray, gray, gray))
+
+  /** One solid-COLOR JPEG frame (TYPE_3BYTE_BGR — what a real color
+    * MJPEG camera produces): the luma-vs-band-0 spec case. */
+  private[multimodal] def jpegColor(w: Int, h: Int, c: java.awt.Color): Array[Byte] =
+    solidJpeg(w, h, java.awt.image.BufferedImage.TYPE_3BYTE_BGR, c)
+
   /** A spec-complete MJPEG AVI: RIFF("AVI ") + LIST(hdrl){avih,
     * LIST(strl){strh('vids'/'MJPG'), strf(BITMAPINFOHEADER)}} +
     * LIST(movi){'NNdc' JPEG per frame} — every frame a complete
     * JPEG image, per the MJPEG convention (25 fps).
     *
-    * Two layout dials for the parser's spec-faithfulness tests
-    * (review r13): `wrapInRec` puts every frame chunk inside a nested
-    * LIST 'rec ' group (the standard interleaved authoring layout),
-    * and `leadingAudioStream` inserts a non-video strl BEFORE the
-    * video one, so the video stream is index 1 and its frame chunks
-    * are '01dc' — a parser that hardcodes stream 0 finds nothing.
+    * Three layout dials for the parser's spec-faithfulness tests
+    * (review r13): `recDepth` nests every frame chunk inside that
+    * many LIST 'rec ' groups (1 = the standard interleaved authoring
+    * layout; ≥2 is out of spec — the parser must treat it as
+    * malformed WITHOUT recursing to the nominal depth, the
+    * stack-bomb guard); `leadingAudioStream` inserts a non-video
+    * strl BEFORE the video one, so the video stream is index 1 and
+    * its frame chunks are '01dc' — a parser that hardcodes stream 0
+    * finds nothing; `moviFirst` emits movi BEFORE hdrl (out of spec
+    * order, accepted by lenient demuxers — the parser's stream
+    * discovery must not depend on list order).
     */
   private[multimodal] def mjpegAvi(w: Int, h: Int, grays: Seq[Int],
-                                   wrapInRec: Boolean = false,
-                                   leadingAudioStream: Boolean = false): Array[Byte] = {
+                                   recDepth: Int = 0,
+                                   leadingAudioStream: Boolean = false,
+                                   moviFirst: Boolean = false): Array[Byte] = {
     val n = grays.length
     val vidStream = if (leadingAudioStream) 1 else 0
     val avih = ByteBuffer.allocate(56).order(ByteOrder.LITTLE_ENDIAN)
@@ -279,9 +281,10 @@ object VideoFixtures {
          else Seq(videoStrl))): _*))
     val dcId = "%02d".format(vidStream) + "dc"
     val frameChunks = concat(grays.map(g => leChunk(dcId, jpegGray(w, h, g))): _*)
-    val movi = leList("movi",
-      if (wrapInRec) leList("rec ", frameChunks) else frameChunks)
-    val body = concat(hdrl, movi)
+    val wrapped = (1 to recDepth).foldLeft(frameChunks)(
+      (acc, _) => leList("rec ", acc))
+    val movi = leList("movi", wrapped)
+    val body = if (moviFirst) concat(movi, hdrl) else concat(hdrl, movi)
     val out = ByteBuffer.allocate(12 + body.length)
       .order(ByteOrder.LITTLE_ENDIAN)
     out.put("RIFF".getBytes("US-ASCII")).putInt(4 + body.length)

@@ -177,14 +177,15 @@ object StreamingFunnel {
       else
         watermarked.filter(col("u").isNotNull && col("ets").isNotNull &&
           col("s") >= 1 && col("s") <= nSteps)
-    // fold the buffer image into the scalar: max of the achieved
-    // depth and the buffer's own best chain (empty image = a
-    // completed/settled user — nothing to search)
+    // THE fold law, in one place: max of the achieved depth and the
+    // buffer's own best chain. foldWith is for callers that already
+    // hold the parsed state (the fold never forces a second
+    // fromBytes); foldDepth parses the stored image.
+    def foldWith(best: Int, st: FunnelState): Int =
+      math.max(best, FunnelState.search(st, nSteps, windowMs))
     def foldDepth(prior: FunnelWmStateRow): Int =
-      if (prior.events.isEmpty) prior.best
-      else math.max(prior.best,
-        FunnelState.search(FunnelState.fromBytes(prior.events),
-          nSteps, windowMs))
+      if (prior.events.isEmpty) prior.best // completed/settled: nothing to search
+      else foldWith(prior.best, FunnelState.fromBytes(prior.events))
     filtered.as[(Long, java.sql.Timestamp, Int)]
       .groupByKey(_._1)
       .flatMapGroupsWithState[FunnelWmStateRow, UserFunnel](
@@ -231,8 +232,7 @@ object StreamingFunnel {
                     state.setTimeoutTimestamp(st.ts.max + horizonMs)
                     Iterator.empty
                   } else {
-                    val depth = math.max(prior.best,
-                      FunnelState.search(st, nSteps, windowMs))
+                    val depth = foldWith(prior.best, st)
                     state.update(FunnelWmStateRow(depth, Array.empty))
                     Iterator.single(UserFunnel(user, depth, 0))
                   }
@@ -249,8 +249,7 @@ object StreamingFunnel {
                 val st = if (prior.events.isEmpty) new FunnelState
                   else FunnelState.fromBytes(prior.events)
                 fresh.foreach(r => st.add(r._2.getTime, r._3))
-                val depth = math.max(prior.best,
-                  FunnelState.search(st, nSteps, windowMs))
+                val depth = foldWith(prior.best, st)
                 if (depth == nSteps) {
                   state.update(FunnelWmStateRow(nSteps, Array.empty))
                   Iterator.single(UserFunnel(user, nSteps, 0))

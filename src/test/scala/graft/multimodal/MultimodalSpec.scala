@@ -327,8 +327,20 @@ class MultimodalSpec extends SparkSpec {
     // frames wrapped in LIST 'rec ' groups (the standard interleaved
     // authoring layout) must still be found
     val grays = Seq(16, 80, 144)
-    val wrapped = VideoFixtures.mjpegAvi(32, 24, grays, wrapInRec = true)
+    val wrapped = VideoFixtures.mjpegAvi(32, 24, grays, recDepth = 1)
     assert(MediaCodec.aviMjpegFrames(wrapped).map(_.length) === Some(3))
+    // rec groups don't nest per spec: depth 2 is malformed — and the
+    // parser must bail at the BOUND, not recurse to the nominal depth
+    // (a crafted deep nest would otherwise StackOverflowError, an
+    // Error no corrupt-input boundary catches)
+    assert(MediaCodec.aviMjpegFrames(
+      VideoFixtures.mjpegAvi(32, 24, grays, recDepth = 2)).isEmpty)
+    assert(MediaCodec.aviMjpegFrames(
+      VideoFixtures.mjpegAvi(32, 24, Seq(16), recDepth = 4000)).isEmpty)
+    // movi before hdrl (lenient-demuxer order): stream discovery is a
+    // separate pass, so the frames are still found
+    val swapped = VideoFixtures.mjpegAvi(32, 24, grays, moviFirst = true)
+    assert(MediaCodec.aviMjpegFrames(swapped).map(_.length) === Some(3))
     // a leading non-video stream shifts the video stream to index 1:
     // its frames are '01dc' chunks and must be the ones collected
     val muxed = VideoFixtures.mjpegAvi(32, 24, grays, leadingAudioStream = true)
