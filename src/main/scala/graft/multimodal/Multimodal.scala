@@ -208,7 +208,17 @@ object Multimodal {
             val be = fmt.isBigEndian
             val data = ais.readAllBytes()
             val nFrames = data.length / frameSize
-            if (nFrames == 0) None
+            // a truncated payload means the blob is corrupt — drop
+            // the record rather than silently computing stats over
+            // the prefix (advisor r13). AudioInputStream.read rounds
+            // down to whole frames itself, so a trailing partial
+            // frame surfaces as FEWER decoded frames than the header
+            // declares (getFrameLength; NOT_SPECIFIED = unknown —
+            // nothing to check against), with the modulo guard kept
+            // as defense for readers that hand back raw bytes.
+            val declared = ais.getFrameLength
+            if (nFrames == 0 || data.length % frameSize != 0 ||
+                (declared >= 0 && nFrames.toLong != declared)) None
             else {
               val bps = bits / 8
               val fullScale = if (bits == 16) 32768.0 else 128.0
@@ -567,6 +577,12 @@ object Multimodal {
         } else true
       }
       if (mjpgStream < 0) return None
+      // AVI chunk ids encode the stream index in exactly two digits
+      // ("##dc"), so the format caps at stream 99; a higher index
+      // would render 5 chars and never match a 4-char chunk id
+      // (advisor r13) — bail explicitly instead of silently falling
+      // back to the byte-slice stub
+      if (mjpgStream > 99) return None
       // PASS 2 — collect that stream's frames. Chunk ids are constant
       // across the walk: format them ONCE, not per chunk (review r13).
       val dcId = "%02d".format(mjpgStream) + "dc"

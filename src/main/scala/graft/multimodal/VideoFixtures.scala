@@ -221,26 +221,30 @@ object VideoFixtures {
     * many LIST 'rec ' groups (1 = the standard interleaved authoring
     * layout; ≥2 is out of spec — the parser must treat it as
     * malformed WITHOUT recursing to the nominal depth, the
-    * stack-bomb guard); `leadingAudioStream` inserts a non-video
-    * strl BEFORE the video one, so the video stream is index 1 and
-    * its frame chunks are '01dc' — a parser that hardcodes stream 0
-    * finds nothing; `moviFirst` emits movi BEFORE hdrl (out of spec
+    * stack-bomb guard); `leadingAudioStreams` inserts that many
+    * non-video strl entries BEFORE the video one, so the video
+    * stream is index N and its frame chunks are 'NNdc' — a parser
+    * that hardcodes stream 0 finds nothing, and N ≥ 100 overflows
+    * the two-digit AVI chunk-id convention entirely (the frame
+    * chunks then carry a truncated junk id, because a real muxer
+    * CANNOT express stream 100 — the parser must bail to the stub,
+    * advisor r13); `moviFirst` emits movi BEFORE hdrl (out of spec
     * order, accepted by lenient demuxers — the parser's stream
     * discovery must not depend on list order).
     */
   private[multimodal] def mjpegAvi(w: Int, h: Int, grays: Seq[Int],
                                    recDepth: Int = 0,
-                                   leadingAudioStream: Boolean = false,
+                                   leadingAudioStreams: Int = 0,
                                    moviFirst: Boolean = false): Array[Byte] = {
     val n = grays.length
-    val vidStream = if (leadingAudioStream) 1 else 0
+    val vidStream = leadingAudioStreams
     val avih = ByteBuffer.allocate(56).order(ByteOrder.LITTLE_ENDIAN)
       .putInt(40000) // µs/frame: 25 fps
       .putInt(w * h * 3 * 25)
       .putInt(0).putInt(0)
       .putInt(n) // totalFrames
       .putInt(0)
-      .putInt(if (leadingAudioStream) 2 else 1) // streams
+      .putInt(leadingAudioStreams + 1) // streams
       .putInt(0)
       .putInt(w).putInt(h)
       .put(new Array[Byte](16))
@@ -277,9 +281,11 @@ object VideoFixtures {
     }
     val hdrl = leList("hdrl", concat(
       (leChunk("avih", avih) +:
-        (if (leadingAudioStream) Seq(audioStrl, videoStrl)
-         else Seq(videoStrl))): _*))
-    val dcId = "%02d".format(vidStream) + "dc"
+        (Seq.fill(leadingAudioStreams)(audioStrl) :+ videoStrl)): _*))
+    // RIFF chunk ids are exactly 4 bytes: stream ≥ 100 cannot be
+    // expressed — truncate to keep the fixture structurally valid
+    // RIFF (the id is then junk no demuxer matches, by construction)
+    val dcId = ("%02d".format(vidStream) + "dc").take(4)
     val frameChunks = concat(grays.map(g => leChunk(dcId, jpegGray(w, h, g))): _*)
     val wrapped = (1 to recDepth).foldLeft(frameChunks)(
       (acc, _) => leList("rec ", acc))

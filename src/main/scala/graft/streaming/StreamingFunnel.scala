@@ -243,8 +243,15 @@ object StreamingFunnel {
               val prior = state.getOption
                 .getOrElse(FunnelWmStateRow(0, Array.empty))
               if (prior.best == nSteps) {
-                // converted: nothing can change, nothing is stored
-                Iterator.single(UserFunnel(user, nSteps, 0))
+                // converted: nothing can change, nothing is stored —
+                // and nothing is RE-emitted: the nSteps row went out
+                // the trigger the user converted, and re-emitting on
+                // every later batch the user appears in would make
+                // Update-mode consumers that count conversion rows
+                // over-count (advisor r13). (State is already the
+                // settled scalar with no pending timeout, so Spark's
+                // NO_TIMESTAMP write-back changes nothing here.)
+                Iterator.empty
               } else {
                 val st = if (prior.events.isEmpty) new FunnelState
                   else FunnelState.fromBytes(prior.events)

@@ -247,6 +247,22 @@ class StreamingFunnelSpec extends SparkSpec with BeforeAndAfterAll {
     }
   }
 
+  test("a converted user's row is emitted exactly once (no re-emission on later batches)") {
+    // Update-mode consumers that COUNT conversion rows must see one
+    // row per conversion (advisor r13): after user 1 completes in
+    // chunk 0, further valid events for them must emit nothing.
+    val chunks = Seq(
+      Seq(SFEvent(1, 10, 1), SFEvent(1, 11, 2), SFEvent(1, 12, 3)),
+      Seq(SFEvent(1, 20, 1)),
+      Seq(SFEvent(1, 21, 2), SFEvent(2, 30, 1)))
+    runWatermarked(chunks, delay = "100000 seconds",
+      windowMs = 50000L, horizonMs = 1000000000L) { (i, rows) =>
+        val a = rows.filter(_.user_id == 1L)
+        assert(a.size === 1 && a.head.depth === nSteps,
+          s"chunk $i: expected exactly the single conversion row, got $a")
+    }
+  }
+
   test("an event older than the watermark is dropped, exactly like a batch time bound") {
     // delay 0 s, huge horizon (no fold interference):
     //   chunk0: A s1@10 -> depth 1; chunk1: B@100 pushes wm to 100 s;
