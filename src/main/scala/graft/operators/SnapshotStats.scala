@@ -1,0 +1,511 @@
+package graft.operators
+
+import java.nio.charset.StandardCharsets
+import java.util.Base64
+
+import scala.collection.mutable
+import scala.util.control.NonFatal
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.Path
+import org.apache.parquet.hadoop.ParquetFileReader
+import org.apache.parquet.hadoop.util.HadoopInputFile
+import org.apache.parquet.schema.LogicalTypeAnnotation
+import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.types._
+
+/** Per-file column statistics for [[Snapshots]] manifests — the
+  * Delta/Iceberg data-skipping half of the transaction log.
+  *
+  * WHERE THE STATS COME FROM: the parquet FOOTERS of the files the
+  * commit just wrote. Every parquet file already carries per-row-group
+  * min/max/null-count statistics; [[collect]] reads ONLY that metadata
+  * (a footer is a few KB at the file tail — never the data pages) and
+  * folds row groups to file level. At 100 TB this is the difference
+  * between "stats cost a second scan of the commit" and "stats cost
+  * one metadata read per file, distributed over the executors".
+  *
+  * WHERE THEY GO: the manifest's `#stats` lines ([[Snapshots]] format
+  * v3) — so a reader prunes files from the MANIFEST ALONE, before any
+  * parquet footer (let alone data) is opened. That is the property
+  * that matters on object storage: a selective read of a 100k-file
+  * table does one manifest GET, not 100k footer GETs.
+  *
+  * SOUNDNESS RULES (pruning must never drop a matching file):
+  *  - a column/file with no usable stats is UNPRUNABLE (kept);
+  *  - string min/max participate only when pure ASCII: parquet orders
+  *    binary stats by unsigned bytes while the pruner compares
+  *    java.lang.String — the orders provably agree when the stats side
+  *    is ASCII (at the first differing position an ASCII char compares
+  *    identically under both), and may disagree beyond it;
+  *  - NaN in a float/double stat invalidates that file's min/max
+  *    (historic writers put NaN in stats; its ordering is undefined);
+  *  - timestamps fold to microseconds with floor on BOTH bounds —
+  *    floor(min) ≤ floor(v) ≤ floor(max) keeps the interval sound;
+  *  - INT96 timestamps carry no ordered stats — skipped;
+  *  - unsupported predicate shapes answer "may match" (kept).
+  */
+object SnapshotStats {
+
+  /** One column's file-level stats. `nulls` = -1 when unknown.
+    * min/max are CANONICAL STRINGS in the column's Spark type domain
+    * (integral/date = decimal integer, timestamp = micros, float /
+    * double / decimal = plain decimal string, string = raw value,
+    * boolean = true/false); None when no sound bound exists. */
+  final case class ColStats(nulls: Long, min: Option[String], max: Option[String])
+
+  /** One data file's stats: exact row count + per-column entries
+    * keyed by PHYSICAL column name (what the parquet footer says —
+    * [[Snapshots]] maps logical names through its column mapping). */
+  final case class FileStats(rows: Long, cols: Map[String, ColStats])
+
+  /** Stats are recorded for at most this many leading schema columns
+    * — a manifest line must stay O(columns), not O(schema-blowup);
+    * columns past the cap simply never prune (sound). */
+  val MaxStatsColumns = 32
+
+  /** The schema's stats-eligible (physicalName, sparkType) pairs. */
+  def statsColumns(schema: StructType, toPhysical: String => String): Seq[(String, DataType)] =
+    schema.fields.iterator
+      .filter(f => supported(f.dataType))
+      .take(MaxStatsColumns)
+      .map(f => (toPhysical(f.name), f.dataType))
+      .toSeq
+
+  private def supported(dt: DataType): Boolean = dt match {
+    case ByteType | ShortType | IntegerType | LongType => true
+    case FloatType | DoubleType => true
+    case _: DecimalType => true
+    case StringType | BooleanType | DateType => true
+    case TimestampType | TimestampNTZType => true
+    case _ => false
+  }
+
+  // ---- collection (footer reads, distributed) ---------------------
+
+  /** Read every file's footer stats as one small Spark job (executors
+    * read footers in parallel; only the tiny stats records return to
+    * the driver — the same boundedness class as the file list itself,
+    * which the manifest already holds driver-side). Files whose
+    * footer read fails yield no entry (unprunable, never fatal). */
+  def collect(spark: SparkSession, root: Path, relFiles: Seq[String],
+              cols: Seq[(String, DataType)]): Map[String, FileStats] = {
+    if (cols.isEmpty || relFiles.isEmpty) return Map.empty
+    try {
+      val sc = spark.sparkContext
+      val bconf = org.apache.spark.sql.graft.HadoopConfBroadcast.create(sc)
+      val rootStr = root.toString
+      val slices = math.max(1, math.min(relFiles.size, sc.defaultParallelism))
+      sc.parallelize(relFiles, slices)
+        .map { rel =>
+          val conf = org.apache.spark.sql.graft.HadoopConfBroadcast.value(bconf)
+          val st =
+            try Some(readFileStats(conf, new Path(new Path(rootStr), rel), cols))
+            catch { case NonFatal(_) => None }
+          rel -> st
+        }
+        .collect()
+        .collect { case (rel, Some(fs)) => rel -> fs }
+        .toMap
+    } catch { case NonFatal(_) => Map.empty } // stats are best-effort
+  }
+
+  /** Fold one file's row-group footer stats to file level. */
+  private[operators] def readFileStats(conf: Configuration, file: Path,
+                                       cols: Seq[(String, DataType)]): FileStats = {
+    val reader = ParquetFileReader.open(HadoopInputFile.fromPath(file, conf))
+    try {
+      val blocks = reader.getFooter.getBlocks
+      var rows = 0L
+      // per column: (nulls or -1, min, max, boundsValid)
+      val acc = mutable.LinkedHashMap[String, (Long, Option[String], Option[String], Boolean)]()
+      cols.foreach { case (n, _) => acc(n) = (0L, None, None, true) }
+      val it = blocks.iterator()
+      while (it.hasNext) {
+        val b = it.next()
+        rows += b.getRowCount
+        val chunks = b.getColumns
+        cols.foreach { case (name, dt) =>
+          var (nulls, mn, mx, ok) = acc(name)
+          var found: org.apache.parquet.hadoop.metadata.ColumnChunkMetaData = null
+          val cit = chunks.iterator()
+          while (cit.hasNext && found == null) {
+            val c = cit.next()
+            if (c.getPath.size() == 1 && c.getPath.toDotString == name) found = c
+          }
+          if (found == null) {
+            // column absent from this file's physical schema: those
+            // rows read as NULL — a KNOWN all-null contribution
+            if (nulls >= 0) nulls += b.getRowCount
+          } else {
+            val st = found.getStatistics
+            if (st == null) { nulls = -1L; ok = false }
+            else {
+              if (nulls >= 0 && st.isNumNullsSet) nulls += st.getNumNulls
+              else nulls = -1L
+              if (st.hasNonNullValue) {
+                decodeBounds(st, found.getPrimitiveType, dt) match {
+                  case Some((lo, hi)) =>
+                    if (ok) {
+                      mn = Some(mn.fold(lo)(m => if (cmp(dt, lo, m) < 0) lo else m))
+                      mx = Some(mx.fold(hi)(m => if (cmp(dt, hi, m) > 0) hi else m))
+                    }
+                  case None => ok = false // undecodable bounds poison the file's range
+                }
+              } else if (!(st.isNumNullsSet && st.getNumNulls == b.getRowCount)) {
+                // no bounds recorded, yet not provably all-null: the
+                // block may hold values outside [mn, mx] — invalidate
+                ok = false
+              }
+            }
+          }
+          acc(name) = (nulls, mn, mx, ok)
+        }
+      }
+      FileStats(rows, acc.iterator.map { case (n, (nulls, mn, mx, ok)) =>
+        n -> (if (ok) ColStats(nulls, mn, mx) else ColStats(nulls, None, None))
+      }.toMap)
+    } finally reader.close()
+  }
+
+  /** Decode one row group's (min, max) into the canonical string
+    * domain of the Spark type; None when unsound to use. */
+  private def decodeBounds(st: org.apache.parquet.column.statistics.Statistics[_],
+                           prim: org.apache.parquet.schema.PrimitiveType,
+                           dt: DataType): Option[(String, String)] = {
+    def long2(f: Long => Long): Option[(String, String)] =
+      prim.getPrimitiveTypeName match {
+        case PrimitiveTypeName.INT32 =>
+          val a = st.genericGetMin.asInstanceOf[java.lang.Integer].longValue()
+          val b = st.genericGetMax.asInstanceOf[java.lang.Integer].longValue()
+          Some((f(a).toString, f(b).toString))
+        case PrimitiveTypeName.INT64 =>
+          val a = st.genericGetMin.asInstanceOf[java.lang.Long].longValue()
+          val b = st.genericGetMax.asInstanceOf[java.lang.Long].longValue()
+          Some((f(a).toString, f(b).toString))
+        case _ => None
+      }
+    dt match {
+      case ByteType | ShortType | IntegerType | LongType | DateType => long2(identity)
+      case TimestampType | TimestampNTZType =>
+        prim.getLogicalTypeAnnotation match {
+          case t: LogicalTypeAnnotation.TimestampLogicalTypeAnnotation =>
+            t.getUnit match {
+              case LogicalTypeAnnotation.TimeUnit.MICROS => long2(identity)
+              case LogicalTypeAnnotation.TimeUnit.MILLIS => long2(_ * 1000L)
+              // floor on both bounds keeps [min, max] covering: micros
+              // values are floor(nanos/1000) pointwise
+              case LogicalTypeAnnotation.TimeUnit.NANOS =>
+                long2(n => java.lang.Math.floorDiv(n, 1000L))
+              case _ => None
+            }
+          case _ => None // INT96 and friends: no ordered stats
+        }
+      case FloatType | DoubleType =>
+        val (a, b) = prim.getPrimitiveTypeName match {
+          case PrimitiveTypeName.FLOAT =>
+            (st.genericGetMin.asInstanceOf[java.lang.Float].doubleValue(),
+              st.genericGetMax.asInstanceOf[java.lang.Float].doubleValue())
+          case PrimitiveTypeName.DOUBLE =>
+            (st.genericGetMin.asInstanceOf[java.lang.Double].doubleValue(),
+              st.genericGetMax.asInstanceOf[java.lang.Double].doubleValue())
+          case _ => return None
+        }
+        if (a.isNaN || b.isNaN || a.isInfinite || b.isInfinite) None
+        else Some((BigDecimal(a).bigDecimal.toPlainString,
+          BigDecimal(b).bigDecimal.toPlainString))
+      case d: DecimalType =>
+        prim.getLogicalTypeAnnotation match {
+          case ann: LogicalTypeAnnotation.DecimalLogicalTypeAnnotation
+              if ann.getScale == d.scale =>
+            def dec(unscaled: BigInt): String =
+              BigDecimal(unscaled, d.scale).bigDecimal.toPlainString
+            prim.getPrimitiveTypeName match {
+              case PrimitiveTypeName.INT32 =>
+                Some((dec(BigInt(st.genericGetMin.asInstanceOf[java.lang.Integer].longValue())),
+                  dec(BigInt(st.genericGetMax.asInstanceOf[java.lang.Integer].longValue()))))
+              case PrimitiveTypeName.INT64 =>
+                Some((dec(BigInt(st.genericGetMin.asInstanceOf[java.lang.Long].longValue())),
+                  dec(BigInt(st.genericGetMax.asInstanceOf[java.lang.Long].longValue()))))
+              case PrimitiveTypeName.BINARY | PrimitiveTypeName.FIXED_LEN_BYTE_ARRAY =>
+                val lo = st.genericGetMin.asInstanceOf[org.apache.parquet.io.api.Binary].getBytes
+                val hi = st.genericGetMax.asInstanceOf[org.apache.parquet.io.api.Binary].getBytes
+                if (lo.isEmpty || hi.isEmpty) None
+                else Some((dec(BigInt(new java.math.BigInteger(lo))),
+                  dec(BigInt(new java.math.BigInteger(hi)))))
+              case _ => None
+            }
+          case _ => None
+        }
+      case StringType =>
+        prim.getPrimitiveTypeName match {
+          case PrimitiveTypeName.BINARY =>
+            val lo = st.genericGetMin.asInstanceOf[org.apache.parquet.io.api.Binary].getBytes
+            val hi = st.genericGetMax.asInstanceOf[org.apache.parquet.io.api.Binary].getBytes
+            // ASCII gate: unsigned-byte order == String order only then
+            if (lo.forall(b => b >= 0) && hi.forall(b => b >= 0))
+              Some((new String(lo, StandardCharsets.UTF_8),
+                new String(hi, StandardCharsets.UTF_8)))
+            else None
+          case _ => None
+        }
+      case BooleanType =>
+        prim.getPrimitiveTypeName match {
+          case PrimitiveTypeName.BOOLEAN =>
+            Some((st.genericGetMin.toString, st.genericGetMax.toString))
+          case _ => None
+        }
+      case _ => None
+    }
+  }
+
+  /** Canonical-domain comparison (see [[ColStats]] doc). */
+  private def cmp(dt: DataType, a: String, b: String): Int = dt match {
+    case StringType => a.compareTo(b)
+    case BooleanType => java.lang.Boolean.valueOf(a).compareTo(java.lang.Boolean.valueOf(b))
+    case _ => BigDecimal(a).compare(BigDecimal(b))
+  }
+
+  // ---- manifest line encode/decode --------------------------------
+
+  private def b64(s: String): String =
+    Base64.getEncoder.encodeToString(s.getBytes(StandardCharsets.UTF_8))
+  private def unb64(s: String): String =
+    new String(Base64.getDecoder.decode(s), StandardCharsets.UTF_8)
+  private def optB64(o: Option[String]): String = o.fold("-")(b64)
+  private def unOptB64(s: String): Option[String] =
+    if (s == "-") None else Some(unb64(s))
+
+  /** `#stats <fileIdx> <rows> <b64(col):nulls:minB64:maxB64|...>` */
+  private[operators] def encodeLine(idx: Int, fs: FileStats): String = {
+    val entries =
+      if (fs.cols.isEmpty) "-"
+      else fs.cols.toSeq.sortBy(_._1).map { case (n, c) =>
+        s"${b64(n)}:${c.nulls}:${optB64(c.min)}:${optB64(c.max)}"
+      }.mkString("|")
+    s"#stats $idx ${fs.rows} $entries"
+  }
+
+  private[operators] def decodeLine(line: String): Option[(Int, FileStats)] =
+    try {
+      val parts = line.split(" ", 4)
+      if (parts.length != 4 || parts(0) != "#stats") None
+      else {
+        val idx = parts(1).toInt
+        val rows = parts(2).toLong
+        val cols =
+          if (parts(3) == "-") Map.empty[String, ColStats]
+          else parts(3).split("\\|").iterator.map { e =>
+            val f = e.split(":", 4)
+            unb64(f(0)) -> ColStats(f(1).toLong, unOptB64(f(2)), unOptB64(f(3)))
+          }.toMap
+        Some((idx, FileStats(rows, cols)))
+      }
+    } catch { case NonFatal(_) => None } // malformed stats: unprunable, never fatal
+
+  // ---- predicate pruning ------------------------------------------
+
+  /** Spark 4's Column API builds `UnresolvedFunction` nodes named
+    * after the operator ("=", "and", "isnull", …) instead of concrete
+    * predicate expressions — rewrite the recognizable ones so the
+    * matcher below sees one shape regardless of how the predicate was
+    * authored (Column ops, `expr("...")`, or raw Catalyst nodes). */
+  private def norm(e: Expression): Expression = {
+    val rewritten = e match {
+      case u: org.apache.spark.sql.catalyst.analysis.UnresolvedFunction
+          if u.nameParts.size == 1 && !u.isDistinct && u.filter.isEmpty =>
+        val as = u.arguments
+        u.nameParts.head.toLowerCase(java.util.Locale.ROOT) match {
+          case "=" | "==" if as.size == 2 => EqualTo(as(0), as(1))
+          case "!=" if as.size == 2 => Not(EqualTo(as(0), as(1)))
+          case "<=>" if as.size == 2 => EqualNullSafe(as(0), as(1))
+          case "<" if as.size == 2 => LessThan(as(0), as(1))
+          case "<=" if as.size == 2 => LessThanOrEqual(as(0), as(1))
+          case ">" if as.size == 2 => GreaterThan(as(0), as(1))
+          case ">=" if as.size == 2 => GreaterThanOrEqual(as(0), as(1))
+          case "and" if as.size == 2 => And(as(0), as(1))
+          case "or" if as.size == 2 => Or(as(0), as(1))
+          case "not" | "!" if as.size == 1 => Not(as.head)
+          case "isnull" if as.size == 1 => IsNull(as.head)
+          case "isnotnull" if as.size == 1 => IsNotNull(as.head)
+          case "in" if as.size >= 1 => In(as.head, as.tail)
+          case "startswith" if as.size == 2 => StartsWith(as(0), as(1))
+          case _ => u
+        }
+      case other => other
+    }
+    rewritten.mapChildren(norm)
+  }
+
+  /** May any row of a file with these stats satisfy `e`? Sound
+    * over-approximation: every unsupported shape answers true.
+    *
+    * @param statsFor resolves a LOGICAL column name to its stats (the
+    *   caller maps through the manifest's column mapping; a column
+    *   the file provably lacks should answer all-null stats)
+    * @param typeOf   the column's Spark type in the read schema
+    */
+  def mayMatch(e0: Expression, rows: Long,
+               statsFor: String => Option[ColStats],
+               typeOf: String => Option[DataType]): Boolean = {
+    if (rows == 0) return false
+    val e = norm(e0)
+
+    def attr(x: Expression): Option[String] = x match {
+      case a: UnresolvedAttribute if a.nameParts.size == 1 => Some(a.nameParts.head)
+      case a: AttributeReference => Some(a.name)
+      case _ => None
+    }
+    def lookup(name: String): Option[(ColStats, DataType)] =
+      for { c <- statsFor(name); t <- typeOf(name) } yield (c, t)
+    def allNull(c: ColStats): Boolean = c.nulls >= 0 && c.nulls == rows
+    def mayHaveNull(c: ColStats): Boolean = c.nulls != 0
+    def mayHaveNonNull(c: ColStats): Boolean = c.nulls < 0 || c.nulls < rows
+
+    /** Canonicalize a literal into the column's domain; None =
+      * incomparable (keep). The literal carries Catalyst-internal
+      * values (UTF8String, Decimal, micros/days as Long/Int). */
+    def canon(v: Any, litDt: DataType, colDt: DataType): Option[String] = {
+      if (v == null) return None
+      (colDt, litDt) match {
+        case (StringType, StringType) => Some(v.toString)
+        case (BooleanType, BooleanType) => Some(v.toString)
+        case (DateType, DateType) => Some(v.asInstanceOf[Int].toString)
+        case (TimestampType, TimestampType) |
+             (TimestampNTZType, TimestampNTZType) =>
+          Some(v.asInstanceOf[Long].toString)
+        case (ct, lt) if isNumeric(ct) && isNumeric(lt) =>
+          v match {
+            case b: Byte => Some(BigDecimal(b.toLong).toString)
+            case s: Short => Some(BigDecimal(s.toLong).toString)
+            case i: Int => Some(BigDecimal(i.toLong).toString)
+            case l: Long => Some(BigDecimal(l).toString)
+            case f: Float =>
+              if (f.isNaN || f.isInfinite) None
+              else Some(BigDecimal(f.toDouble).bigDecimal.toPlainString)
+            case d: Double =>
+              if (d.isNaN || d.isInfinite) None
+              else Some(BigDecimal(d).bigDecimal.toPlainString)
+            case d: org.apache.spark.sql.types.Decimal =>
+              Some(d.toJavaBigDecimal.toPlainString)
+            case _ => None
+          }
+        case _ => None
+      }
+    }
+
+    /** keep-decision for `colDt op v` with op encoded as a range test:
+      * does [min, max] admit a value satisfying the comparison? */
+    def cmpKeep(name: String, v: Any, litDt: DataType)
+               (test: (Int, Int) => Boolean): Boolean =
+      lookup(name) match {
+        case Some((c, colDt)) =>
+          if (allNull(c)) false // comparisons never match NULL
+          else canon(v, litDt, colDt) match {
+            case Some(lit) =>
+              (c.min, c.max) match {
+                case (Some(mn), Some(mx)) => test(cmp(colDt, mn, lit), cmp(colDt, mx, lit))
+                case _ => true
+              }
+            case None => true
+          }
+        case None => true
+      }
+
+    e match {
+      case And(l, r) => mayMatch(l, rows, statsFor, typeOf) && mayMatch(r, rows, statsFor, typeOf)
+      case Or(l, r) => mayMatch(l, rows, statsFor, typeOf) || mayMatch(r, rows, statsFor, typeOf)
+
+      case EqualTo(a, Literal(v, dt)) if attr(a).isDefined =>
+        if (v == null) false // `= NULL` is NULL: never matches
+        else cmpKeep(attr(a).get, v, dt)((cMin, cMax) => cMin <= 0 && cMax >= 0)
+      case EqualTo(Literal(v, dt), a) if attr(a).isDefined =>
+        mayMatch(EqualTo(a, Literal(v, dt)), rows, statsFor, typeOf)
+
+      case EqualNullSafe(a, Literal(v, dt)) if attr(a).isDefined =>
+        if (v == null) mayMatch(IsNull(a), rows, statsFor, typeOf)
+        else cmpKeep(attr(a).get, v, dt)((cMin, cMax) => cMin <= 0 && cMax >= 0)
+      case EqualNullSafe(Literal(v, dt), a) if attr(a).isDefined =>
+        mayMatch(EqualNullSafe(a, Literal(v, dt)), rows, statsFor, typeOf)
+
+      case LessThan(a, Literal(v, dt)) if attr(a).isDefined =>
+        cmpKeep(attr(a).get, v, dt)((cMin, _) => cMin < 0)
+      case LessThan(Literal(v, dt), a) if attr(a).isDefined => // v < a  <=>  a > v
+        cmpKeep(attr(a).get, v, dt)((_, cMax) => cMax > 0)
+      case LessThanOrEqual(a, Literal(v, dt)) if attr(a).isDefined =>
+        cmpKeep(attr(a).get, v, dt)((cMin, _) => cMin <= 0)
+      case LessThanOrEqual(Literal(v, dt), a) if attr(a).isDefined =>
+        cmpKeep(attr(a).get, v, dt)((_, cMax) => cMax >= 0)
+      case GreaterThan(a, Literal(v, dt)) if attr(a).isDefined =>
+        cmpKeep(attr(a).get, v, dt)((_, cMax) => cMax > 0)
+      case GreaterThan(Literal(v, dt), a) if attr(a).isDefined =>
+        cmpKeep(attr(a).get, v, dt)((cMin, _) => cMin < 0)
+      case GreaterThanOrEqual(a, Literal(v, dt)) if attr(a).isDefined =>
+        cmpKeep(attr(a).get, v, dt)((_, cMax) => cMax >= 0)
+      case GreaterThanOrEqual(Literal(v, dt), a) if attr(a).isDefined =>
+        cmpKeep(attr(a).get, v, dt)((cMin, _) => cMin <= 0)
+
+      case IsNull(a) if attr(a).isDefined =>
+        lookup(attr(a).get) match {
+          case Some((c, _)) => mayHaveNull(c)
+          case None => true
+        }
+      case IsNotNull(a) if attr(a).isDefined =>
+        lookup(attr(a).get) match {
+          case Some((c, _)) => mayHaveNonNull(c)
+          case None => true
+        }
+
+      case In(a, list) if attr(a).isDefined && list.forall(_.isInstanceOf[Literal]) =>
+        // x IN (...) matches only non-null x against non-null elems
+        list.exists {
+          case Literal(null, _) => false
+          case Literal(v, dt) =>
+            cmpKeep(attr(a).get, v, dt)((cMin, cMax) => cMin <= 0 && cMax >= 0)
+          case _ => true
+        }
+
+      case Not(EqualTo(a, Literal(v, dt))) if attr(a).isDefined && v != null =>
+        lookup(attr(a).get) match {
+          case Some((c, colDt)) =>
+            if (allNull(c)) false
+            else canon(v, dt, colDt) match {
+              // prunable only when every non-null value IS v
+              case Some(lit) => !((c.min, c.max) match {
+                case (Some(mn), Some(mx)) =>
+                  cmp(colDt, mn, lit) == 0 && cmp(colDt, mx, lit) == 0
+                case _ => false
+              })
+              case None => true
+            }
+          case None => true
+        }
+
+      case StartsWith(a, Literal(v, StringType)) if attr(a).isDefined && v != null =>
+        lookup(attr(a).get) match {
+          case Some((c, StringType)) =>
+            if (allNull(c)) false
+            else (c.min, c.max) match {
+              // strings with prefix p live in [p, p·∞): overlap iff
+              // p <= max and (min <= p or min itself has the prefix)
+              case (Some(mn), Some(mx)) =>
+                val p = v.toString
+                p.compareTo(mx) <= 0 && (mn.compareTo(p) <= 0 || mn.startsWith(p))
+              case _ => true
+            }
+          case _ => true
+        }
+
+      case _ => true // unsupported shape: never prune on it
+    }
+  }
+
+  private def isNumeric(dt: DataType): Boolean = dt match {
+    case ByteType | ShortType | IntegerType | LongType |
+         FloatType | DoubleType | _: DecimalType => true
+    case _ => false
+  }
+}

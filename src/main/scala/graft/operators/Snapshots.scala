@@ -43,11 +43,14 @@ import org.apache.spark.sql.types.{DataType, StringType, StructField, StructType
   * write is the real mutex there, which is why every commit writes
   * its data directory BEFORE publishing).
   *
-  * Manifest format v2 (v1 — a bare file list — remains readable):
+  * Manifest format v3 (v2 and v1 — a bare file list — remain
+  * readable; v2 readers would even read a v3 manifest, since every
+  * v3 addition is a '#'-prefixed line they already skip):
   * {{{
-  *   #graft-manifest v=2 schema=<base64(StructType.json)>
+  *   #graft-manifest v=3 schema=<base64(StructType.json)> cols=<base64(mapping)>
   *   data/v000000/part-....parquet
   *   ...
+  *   #stats <fileIdx> <rowCount> <perColumnStats>     (optional, per file)
   *   #end <fileCount>
   * }}}
   * The recorded schema makes SCHEMA EVOLUTION well-defined:
@@ -57,17 +60,49 @@ import org.apache.spark.sql.types.{DataType, StringType, StructField, StructType
   * by-name resolution). [[readAligned]] presents ANY old version in
   * the table's latest schema the same way.
   *
+  * COLUMN MAPPING (`cols=`): every column carries a stable numeric id
+  * and a PHYSICAL name — the name actually written into the parquet
+  * files, fixed at the column's first commit (the Delta column-mapping
+  * mechanism). [[renameColumn]] changes only the LOGICAL name; data
+  * files are untouched and old files' values keep flowing into the
+  * renamed column because reads resolve by physical name, while
+  * version-crossing reads ([[readAligned]]) match columns by ID — so
+  * a later column that merely reuses a dropped column's name can
+  * never capture the old column's data.
+  *
+  * FILE STATS (`#stats`): per-file row count + per-column
+  * min/max/null-count, folded from the parquet FOOTERS of the files
+  * the commit wrote (metadata-only — no second data scan; see
+  * [[SnapshotStats]]). [[read]]/[[readAligned]] take an optional
+  * predicate and open ONLY the files whose stats ranges intersect it
+  * — manifest-level data skipping, decided before a single parquet
+  * footer is fetched.
+  *
   * Files are listed relative to the table root so the table
   * relocates. Data files land under `data/` with a version prefix —
   * nothing is ever rewritten in place; [[commitAppend]] reuses the
   * previous version's files by reference, which is what makes
-  * [[diffVersions]]' file-level pruning exact.
+  * [[diffVersions]]' file-level pruning exact. [[compact]] rewrites a
+  * fragmented version's CONTENT into few large (optionally
+  * range-clustered) files as a new version, leaving every prior
+  * version byte-identical for time travel.
   */
 object Snapshots {
 
-  /** A version's resolved manifest: relative file list plus the
-    * recorded schema (absent on legacy v1 manifests). */
-  final case class Manifest(files: Seq[String], schema: Option[StructType])
+  /** One column's stable identity: id (never reused), current LOGICAL
+    * name (what readers see, what [[renameColumn]] changes) and the
+    * PHYSICAL name recorded in the parquet files (fixed forever at
+    * first commit). */
+  final case class ColumnId(id: Int, logical: String, physical: String)
+
+  /** A version's resolved manifest: relative file list, the recorded
+    * schema (absent on legacy v1 manifests), the column mapping
+    * (empty = identity: physical == logical, pre-v3 manifests), and
+    * per-file stats keyed by relative path (missing = unprunable). */
+  final case class Manifest(files: Seq[String], schema: Option[StructType],
+                            colMap: Seq[ColumnId] = Seq.empty,
+                            stats: Map[String, SnapshotStats.FileStats] = Map.empty,
+                            maxColId: Int = 0)
 
   private def hconf(): Configuration =
     SparkSession.getActiveSession
@@ -126,16 +161,47 @@ object Snapshots {
     } finally in.close()
   }
 
+  /** `cols=` header payload: `id:b64(logical):b64(physical)|...` */
+  private def encodeColMap(m: Seq[ColumnId]): String =
+    Base64.getEncoder.encodeToString(
+      m.map(c => s"${c.id}:${b64s(c.logical)}:${b64s(c.physical)}")
+        .mkString("|").getBytes(StandardCharsets.UTF_8))
+
+  private def decodeColMap(s: String): Seq[ColumnId] = {
+    val raw = new String(Base64.getDecoder.decode(s), StandardCharsets.UTF_8)
+    if (raw.isEmpty) Seq.empty
+    else raw.split("\\|").toSeq.map { e =>
+      val p = e.split(":", 3)
+      ColumnId(p(0).toInt, unb64s(p(1)), unb64s(p(2)))
+    }
+  }
+
+  private def b64s(s: String): String =
+    Base64.getEncoder.encodeToString(s.getBytes(StandardCharsets.UTF_8))
+  private def unb64s(s: String): String =
+    new String(Base64.getDecoder.decode(s), StandardCharsets.UTF_8)
+
   private[operators] def readManifest(f: FileSystem, root: Path, v: Long): Manifest = {
     val m = manifestPath(root, v)
     require(f.exists(m), s"version $v does not exist in $root")
     val lines = new String(readBytes(f, m), StandardCharsets.UTF_8).split("\n", -1)
     if (lines.nonEmpty && lines.head.startsWith("#graft-manifest")) {
-      val schema = lines.head.split("\\s+")
+      val headerParts = lines.head.split("\\s+")
+      val schema = headerParts
         .collectFirst { case s if s.startsWith("schema=") =>
           DataType.fromJson(new String(
             Base64.getDecoder.decode(s.stripPrefix("schema=")),
             StandardCharsets.UTF_8)).asInstanceOf[StructType] }
+      val colMap = headerParts
+        .collectFirst { case s if s.startsWith("cols=") =>
+          decodeColMap(s.stripPrefix("cols=")) }
+        .getOrElse(Seq.empty)
+      // id high-water mark: ids of DROPPED columns stay retired
+      // forever, so a later name-sake column can never collide
+      val maxColId = headerParts
+        .collectFirst { case s if s.startsWith("maxcol=") =>
+          s.stripPrefix("maxcol=").toInt }
+        .getOrElse(colMap.foldLeft(0)((m, c) => math.max(m, c.id)))
       val files = lines.tail.filter(l => l.nonEmpty && !l.startsWith("#")).toSeq
       // trailer validation: a crash mid-write leaves a manifest with
       // no (or wrong) #end line — fail the READ loudly rather than
@@ -144,7 +210,12 @@ object Snapshots {
       require(end.contains(s"#end ${files.length}"),
         s"torn manifest for version $v in $root (missing or mismatched #end trailer) — " +
           "the publishing commit crashed mid-write; re-commit or remove the manifest")
-      Manifest(files, schema)
+      val stats = lines.iterator
+        .filter(_.startsWith("#stats "))
+        .flatMap(SnapshotStats.decodeLine)
+        .collect { case (i, fs) if i >= 0 && i < files.length => files(i) -> fs }
+        .toMap
+      Manifest(files, schema, colMap, stats, maxColId)
     } else if (lines.exists(l => l.nonEmpty && l.startsWith("#"))) {
       // a '#' line without the full v2 header can only be a manifest
       // torn INSIDE its header (v1 manifests never contain '#') —
@@ -160,11 +231,20 @@ object Snapshots {
   }
 
   private def publish(f: FileSystem, root: Path, v: Long,
-                      files: Seq[String], schema: StructType): Unit = {
+                      files: Seq[String], schema: StructType,
+                      colMap: Seq[ColumnId] = Seq.empty,
+                      stats: Map[String, SnapshotStats.FileStats] = Map.empty,
+                      maxColId: Int = 0): Unit = {
     val m = manifestPath(root, v)
-    val header = "#graft-manifest v=2 schema=" +
-      Base64.getEncoder.encodeToString(schema.json.getBytes(StandardCharsets.UTF_8))
-    val body = (header +: files :+ s"#end ${files.length}").mkString("\n")
+    val hwm = colMap.foldLeft(maxColId)((x, c) => math.max(x, c.id))
+    val header = "#graft-manifest v=3 schema=" +
+      Base64.getEncoder.encodeToString(schema.json.getBytes(StandardCharsets.UTF_8)) +
+      (if (colMap.isEmpty) "" else " cols=" + encodeColMap(colMap)) +
+      (if (hwm == 0) "" else s" maxcol=$hwm")
+    val statsLines = files.iterator.zipWithIndex
+      .flatMap { case (rel, i) => stats.get(rel).map(SnapshotStats.encodeLine(i, _)) }
+      .toSeq
+    val body = ((header +: files) ++ statsLines :+ s"#end ${files.length}").mkString("\n")
     // write-temp-then-rename: readers NEVER observe a partially
     // written manifest under the final name (review-caught: writing
     // through create(final) exposed an in-flight commit to concurrent
@@ -245,6 +325,64 @@ object Snapshots {
     cur + 1
   }
 
+  // --- column mapping ----------------------------------------------
+
+  /** A manifest's mapping with the legacy fallback applied: pre-v3
+    * manifests (no `cols=`) are identity-mapped from their schema. */
+  private def colMapOf(man: Manifest): Seq[ColumnId] =
+    if (man.colMap.nonEmpty) man.colMap
+    else man.schema.map(identityMap).getOrElse(Seq.empty)
+
+  private def identityMap(schema: StructType): Seq[ColumnId] =
+    schema.fields.zipWithIndex.map { case (fd, i) => ColumnId(i + 1, fd.name, fd.name) }.toSeq
+
+  private def physicalOf(map: Seq[ColumnId], logical: String): String =
+    map.find(c => sameCol(c.logical, logical)).map(_.physical).getOrElse(logical)
+
+  /** Continue a lineage's mapping onto the next version's schema:
+    * columns matching a previous LOGICAL name (case-insensitively)
+    * keep their id + physical name; new columns get fresh ids with
+    * physical = logical — refusing a physical-name collision with a
+    * surviving column (the rename-shadow rule: after a→b, a new
+    * column may not be named 'a' while b's files still spell it 'a';
+    * allowing it would fuse two distinct columns in one manifest's
+    * files). Columns absent from `next` drop out of the mapping
+    * (their ids are never reused — `nextId` counts ALL history). */
+  private def continueMap(prev: Seq[ColumnId], next: StructType,
+                          idFloor: Int): Seq[ColumnId] = {
+    var nextId = math.max(idFloor, prev.foldLeft(0)((m, c) => math.max(m, c.id))) + 1
+    val all = next.fields.toSeq.map { fd =>
+      prev.find(c => sameCol(c.logical, fd.name)) match {
+        case Some(c) => c.copy(logical = fd.name) // adopt the schema's casing
+        case None =>
+          val cid = ColumnId(nextId, fd.name, fd.name)
+          nextId += 1
+          cid
+      }
+    }
+    val physSeen = scala.collection.mutable.Set[String]()
+    all.foreach { c =>
+      require(physSeen.add(c.physical.toLowerCase(java.util.Locale.ROOT)),
+        s"column '${c.logical}' would reuse physical name '${c.physical}', which a " +
+          "previously renamed column's files still carry — pick a different name " +
+          "(physical names are fixed at a column's first commit)")
+    }
+    all
+  }
+
+  /** Rename `df`'s columns to their PHYSICAL names before writing —
+    * every data file of a table spells columns physically, uniformly. */
+  private def toPhysical(df: DataFrame, map: Seq[ColumnId]): DataFrame = {
+    val renames = df.columns.flatMap { c =>
+      val p = physicalOf(map, c)
+      if (p == c) None else Some((c, p))
+    }
+    renames.foldLeft(df) { case (d, (from, to)) => d.withColumnRenamed(from, to) }
+  }
+
+  private def quoted(name: String): org.apache.spark.sql.Column =
+    col("`" + name.replace("`", "``") + "`")
+
   private def writeData(df: DataFrame, f: FileSystem, root: Path, v: Long): Seq[String] = {
     val dataDir = new Path(new Path(root, "data"), f"v$v%06d")
     df.write.mode("errorifexists").parquet(dataDir.toString)
@@ -253,16 +391,36 @@ object Snapshots {
     files
   }
 
+  /** Write `df` physically and fold its freshly written parquet
+    * footers into per-file stats (metadata-only; see [[SnapshotStats]]). */
+  private def writeWithStats(df: DataFrame, map: Seq[ColumnId], f: FileSystem,
+                             root: Path, v: Long)
+      : (Seq[String], Map[String, SnapshotStats.FileStats]) = {
+    val files = writeData(toPhysical(df, map), f, root, v)
+    val cols = SnapshotStats.statsColumns(df.schema, physicalOf(map, _))
+    (files, SnapshotStats.collect(df.sparkSession, root, files, cols))
+  }
+
   /** Commit `df` as the next version (full snapshot: the new version
     * consists of exactly this data). `expectedVersion` (if given)
     * enables optimistic concurrency: the commit refuses when the
-    * table moved under it. */
+    * table moved under it. Column identity carries across commits by
+    * (case-insensitive) name match — a column present in the previous
+    * version keeps its id and physical name, so renames survive full
+    * rewrites. */
   def commit(df: DataFrame, dir: String, expectedVersion: Option[Long] = None): Long = {
     val f = fsFor(dir)
     val root = rootOf(f, dir)
     val v = nextVersion(dir, expectedVersion)
-    val files = writeData(df, f, root, v)
-    publish(f, root, v, files, df.schema)
+    val (prevMap, idFloor) =
+      if (v == 0) (Seq.empty[ColumnId], 0)
+      else {
+        val prev = readManifest(f, root, v - 1)
+        (colMapOf(prev), prev.maxColId)
+      }
+    val map = continueMap(prevMap, df.schema, idFloor)
+    val (files, stats) = writeWithStats(df, map, f, root, v)
+    publish(f, root, v, files, df.schema, map, stats, idFloor)
     v
   }
 
@@ -271,7 +429,7 @@ object Snapshots {
     * the freshly written ones — the incremental-ingest shape (no data
     * is ever rewritten, [[diffVersions]] prunes the shared files, and
     * added columns NULL-backfill on read). On an empty table this
-    * equals [[commit]]. */
+    * equals [[commit]]. Previous files keep their recorded stats. */
   def commitAppend(df: DataFrame, dir: String, expectedVersion: Option[Long] = None): Long = {
     val f = fsFor(dir)
     val root = rootOf(f, dir)
@@ -279,56 +437,257 @@ object Snapshots {
     val prev =
       if (v == 0) Manifest(Seq.empty, None)
       else readManifest(f, root, v - 1)
-    val schema = prev.schema match {
-      case Some(p) => mergeSchemas(p, df.schema)
-      case None if prev.files.isEmpty => df.schema
+    val prevSchema = prev.schema match {
+      case s @ Some(_) => s
+      case None if prev.files.isEmpty => None
       case None =>
         // legacy v1 base: infer its schema once so the merged schema
         // still covers the old files
-        mergeSchemas(read(df.sparkSession, dir, v - 1).schema, df.schema)
+        Some(read(df.sparkSession, dir, v - 1).schema)
     }
-    val files = writeData(df, f, root, v)
-    publish(f, root, v, prev.files ++ files, schema)
+    val schema = prevSchema.fold(df.schema)(mergeSchemas(_, df.schema))
+    val prevMap = prevSchema.fold(Seq.empty[ColumnId]) { ps =>
+      if (prev.colMap.nonEmpty) prev.colMap else identityMap(ps)
+    }
+    val map = continueMap(prevMap, schema, prev.maxColId)
+    val (files, stats) = writeWithStats(df, map, f, root, v)
+    publish(f, root, v, prev.files ++ files, schema, map, prev.stats ++ stats,
+      prev.maxColId)
+    v
+  }
+
+  /** OPTIMIZE for snapshot tables: rewrite the CURRENT version's
+    * content into few large files committed as a NEW version, leaving
+    * every prior version byte-identical for time travel (the
+    * [[Compaction]] analog, but under the transaction log instead of
+    * in place). With `clusterBy` the rewrite range-partitions and
+    * sorts on those columns — which simultaneously tightens the new
+    * files' min/max stats, so predicate-pruned reads skip harder
+    * after compaction (the OPTIMIZE ... ZORDER intent, 1-D form).
+    *
+    * Concurrency: the read-rewrite-publish race is guarded twice —
+    * pass `expectedVersion` for an explicit optimistic check, and the
+    * publish itself refuses if any commit claimed the next version
+    * meanwhile (the same two create-if-absent points every commit
+    * relies on). Vacuuming versions below the compaction point then
+    * reclaims the fragmented files.
+    *
+    * @param targetFileBytes desired output file size; the file count
+    *   derives from the CURRENT total byte size, so compacting a
+    *   mostly-small-files version yields few files while an
+    *   already-compact table is a near-no-op rewrite
+    */
+  def compact(spark: SparkSession, dir: String,
+              clusterBy: Seq[String] = Seq.empty,
+              targetFileBytes: Long = 128L << 20,
+              expectedVersion: Option[Long] = None): Long = {
+    require(targetFileBytes > 0, "targetFileBytes must be > 0")
+    val f = fsFor(dir)
+    val root = rootOf(f, dir)
+    val v = nextVersion(dir, expectedVersion)
+    require(v > 0, s"nothing to compact: no committed version in $dir")
+    val prev = readManifest(f, root, v - 1)
+    val schema = prev.schema.getOrElse(readManifested(spark, root, prev, None).schema)
+    clusterBy.foreach { c =>
+      require(schema.exists(fd => sameCol(fd.name, c)),
+        s"clusterBy column '$c' not in table schema")
+    }
+    val totalBytes = prev.files.iterator
+      .map(rel => f.getFileStatus(new Path(root, rel)).getLen).sum
+    val nOut = math.max(1, math.ceil(totalBytes.toDouble / targetFileBytes).toInt)
+    val current = readManifested(spark, root, prev, None)
+    val arranged =
+      if (clusterBy.nonEmpty)
+        current.repartitionByRange(nOut, clusterBy.map(quoted): _*)
+          .sortWithinPartitions(clusterBy.map(quoted): _*)
+      else current.coalesce(nOut) // shrink without a shuffle
+    val map = if (prev.colMap.nonEmpty) prev.colMap else identityMap(schema)
+    val (files, stats) = writeWithStats(arranged, map, f, root, v)
+    publish(f, root, v, files, schema, map, stats, prev.maxColId)
+    v
+  }
+
+  /** Rename a column — a metadata-only commit: the new version lists
+    * the SAME files (and keeps their stats); only the logical name in
+    * the schema and mapping changes. Old files' data keeps flowing
+    * into the renamed column because reads resolve the column by its
+    * PHYSICAL name, and [[readAligned]] matches versions by column ID
+    * — so the rename is visible across time travel without rewriting
+    * a byte of data. */
+  def renameColumn(dir: String, from: String, to: String,
+                   expectedVersion: Option[Long] = None): Long = {
+    val f = fsFor(dir)
+    val root = rootOf(f, dir)
+    val v = nextVersion(dir, expectedVersion)
+    require(v > 0, s"cannot rename a column of an empty table $dir")
+    val prev = readManifest(f, root, v - 1)
+    val schema = prev.schema.getOrElse(throw new IllegalArgumentException(
+      s"version ${v - 1} is a legacy v1 manifest with no recorded schema — " +
+        "commit once to upgrade before renaming"))
+    val idx = schema.fields.indexWhere(fd => sameCol(fd.name, from))
+    require(idx >= 0, s"no column '$from' in $dir (have: ${schema.fieldNames.mkString(", ")})")
+    require(!schema.fields.zipWithIndex.exists { case (fd, i) =>
+      i != idx && sameCol(fd.name, to) },
+      s"cannot rename '$from' to '$to': a column '$to' already exists")
+    val newSchema = StructType(schema.fields.updated(idx, schema.fields(idx).copy(name = to)))
+    val map = colMapOf(prev).map(c =>
+      if (sameCol(c.logical, from)) c.copy(logical = to) else c)
+    publish(f, root, v, prev.files, newSchema, map, prev.stats, prev.maxColId)
     v
   }
 
   /** Read a specific version (default: latest) in its RECORDED
     * schema: a mixed-generation file list (appends after a column
     * add) reads with the missing columns as NULL. Legacy v1
-    * manifests fall back to parquet schema inference. */
-  def read(spark: SparkSession, dir: String, version: Long = -1L): DataFrame = {
+    * manifests fall back to parquet schema inference.
+    *
+    * `predicate` (over LOGICAL column names) turns on manifest-level
+    * data skipping: only files whose recorded stats ranges may
+    * satisfy it are opened, and the predicate is then applied as a
+    * normal filter — so the result ALWAYS equals
+    * `read(...).filter(predicate)`, just with fewer files scanned
+    * (asserted via `inputFiles` in SnapshotsSpec). */
+  def read(spark: SparkSession, dir: String, version: Long = -1L,
+           predicate: Option[org.apache.spark.sql.Column] = None): DataFrame = {
     val f = fsFor(dir)
     val root = rootOf(f, dir)
     val v = if (version >= 0) version else currentVersion(dir)
     require(v >= 0, s"no committed version in $dir")
     val man = readManifest(f, root, v)
-    readAs(spark, root, man.files, man.schema)
+    readManifested(spark, root, man, predicate)
+  }
+
+  /** Read a manifest's files in its logical schema, with optional
+    * stats pruning + residual filter. */
+  private def readManifested(spark: SparkSession, root: Path, man: Manifest,
+                             predicate: Option[org.apache.spark.sql.Column]): DataFrame = {
+    val files = predicate match {
+      case Some(p) => pruneFiles(man, p)
+      case None => man.files
+    }
+    val base = man.schema match {
+      case Some(logical) if man.colMap.nonEmpty =>
+        val map = man.colMap
+        val physical = StructType(logical.fields.map(fd =>
+          fd.copy(name = physicalOf(map, fd.name))))
+        readAs(spark, root, files, Some(physical))
+          .select(logical.fields.toSeq.map(fd =>
+            quoted(physicalOf(map, fd.name)).as(fd.name)): _*)
+      case sc => readAs(spark, root, files, sc)
+    }
+    predicate.fold(base)(base.filter)
+  }
+
+  /** The manifest files that may hold a row matching `pred` — sound:
+    * files without stats (or with stats the predicate shape cannot
+    * use) are always kept. */
+  private def pruneFiles(man: Manifest, pred: org.apache.spark.sql.Column): Seq[String] = {
+    val schema = man.schema.getOrElse(return man.files)
+    if (man.stats.isEmpty) return man.files
+    val map = colMapOf(man)
+    val expr = org.apache.spark.sql.graft.ColumnBridge.expression(pred)
+    val typeOf = (l: String) => schema.find(fd => sameCol(fd.name, l)).map(_.dataType)
+    man.files.filter { rel =>
+      man.stats.get(rel) match {
+        case Some(fs) =>
+          SnapshotStats.mayMatch(expr, fs.rows,
+            l => fs.cols.get(physicalOf(map, l)), typeOf)
+        case None => true
+      }
+    }
   }
 
   /** Read version `version` PRESENTED in the table's latest schema:
     * columns added after the version read as NULL, columns since
     * dropped are omitted — the contract an incremental consumer
     * pinning "the current schema" wants for any point in time.
-    * Retype conflicts between the two schemas fail loudly. */
-  def readAligned(spark: SparkSession, dir: String, version: Long): DataFrame = {
+    * Retype conflicts between the two schemas fail loudly.
+    *
+    * Columns are matched across versions by their stable COLUMN ID
+    * (see [[renameColumn]]): a renamed column keeps serving the old
+    * files' data under its new name, while a later column that merely
+    * reuses a retired name reads the old files as NULL — and a retype
+    * hiding behind a rename still refuses, because the id pairs the
+    * old and new incarnations regardless of what they were called.
+    * `predicate` prunes files exactly as in [[read]]. */
+  def readAligned(spark: SparkSession, dir: String, version: Long,
+                  predicate: Option[org.apache.spark.sql.Column] = None): DataFrame = {
     val f = fsFor(dir)
     val root = rootOf(f, dir)
     val cur = currentVersion(dir)
     require(cur >= 0, s"no committed version in $dir")
     val latest = readManifest(f, root, cur)
     val target = latest.schema.getOrElse(read(spark, dir, cur).schema)
+    val targetNullable = StructType(target.fields.map(_.copy(nullable = true)))
     val own = readManifest(f, root, version)
-    own.schema.foreach(_.foreach { fld =>
-      // same case-insensitive name matching as mergeSchemas — a
-      // case-only rename is the SAME column for the retype check
-      target.find(t => sameCol(t.name, fld.name)).foreach { t =>
-        require(t.dataType == fld.dataType,
-          s"readAligned: version $version column '${fld.name}' has type " +
-            s"${fld.dataType.simpleString}, latest schema says ${t.dataType.simpleString}")
+    if (own.schema.isEmpty) {
+      // legacy v1 version: no recorded schema, no stats — exactly the
+      // pre-v3 behavior (by-name parquet resolution into the target)
+      val base = readAs(spark, root, own.files, Some(targetNullable))
+      return predicate.fold(base)(base.filter)
+    }
+    val ownSchema = own.schema.get
+    val ownMap = colMapOf(own)
+    // the old version's PHYSICAL name for a target column. Paired by
+    // stable column ID when both manifests record ids; by
+    // (case-insensitive) name otherwise — legacy manifests' synthetic
+    // ordinal ids are not comparable across versions.
+    def ownPhysical(tf: StructField): Option[String] =
+      if (latest.colMap.nonEmpty && own.colMap.nonEmpty)
+        latest.colMap.find(c => sameCol(c.logical, tf.name))
+          .flatMap(t => own.colMap.find(_.id == t.id).map(_.physical))
+      else
+        ownSchema.find(fd => sameCol(fd.name, tf.name))
+          .map(fd => physicalOf(ownMap, fd.name))
+    // retype check through the pairing: a retype hiding behind a
+    // rename still refuses, because the pairing follows the column,
+    // not its name
+    target.foreach { tf =>
+      ownPhysical(tf).foreach { p =>
+        ownMap.find(_.physical == p)
+          .flatMap(c => ownSchema.find(fd => sameCol(fd.name, c.logical)))
+          .foreach { fd =>
+            require(fd.dataType == tf.dataType,
+              s"readAligned: version $version column '${fd.name}' has type " +
+                s"${fd.dataType.simpleString}, latest schema says " +
+                s"'${tf.name}' ${tf.dataType.simpleString}")
+          }
       }
-    })
-    readAs(spark, root, own.files,
-      Some(StructType(target.fields.map(_.copy(nullable = true)))))
+    }
+    val files = predicate match {
+      case Some(p) =>
+        // map the predicate through TARGET logical -> own physical;
+        // a column the old version lacks answers all-null stats
+        val expr = org.apache.spark.sql.graft.ColumnBridge.expression(p)
+        val typeOf = (l: String) => target.find(fd => sameCol(fd.name, l)).map(_.dataType)
+        own.files.filter { rel =>
+          own.stats.get(rel) match {
+            case Some(fs) =>
+              SnapshotStats.mayMatch(expr, fs.rows,
+                l => target.find(fd => sameCol(fd.name, l)).flatMap { tf =>
+                  ownPhysical(tf) match {
+                    case Some(ph) => fs.cols.get(ph)
+                    case None => // column absent from this version: all NULL
+                      Some(SnapshotStats.ColStats(fs.rows, None, None))
+                  }
+                }, typeOf)
+            case None => true
+          }
+        }
+      case None => own.files
+    }
+    // read the old files in THEIR OWN physical schema, then project
+    // into the target: paired columns flow through, the rest NULL
+    val ownPhysicalSchema = StructType(ownSchema.fields.map(fd =>
+      fd.copy(name = physicalOf(ownMap, fd.name), nullable = true)))
+    val base = readAs(spark, root, files, Some(ownPhysicalSchema))
+    val projected = base.select(target.fields.toSeq.map { tf =>
+      ownPhysical(tf) match {
+        case Some(p) => quoted(p).as(tf.name)
+        case None => lit(null).cast(tf.dataType).as(tf.name)
+      }
+    }: _*)
+    predicate.fold(projected)(projected.filter)
   }
 
   private def readAs(spark: SparkSession, root: Path, files: Seq[String],
@@ -380,21 +739,24 @@ object Snapshots {
     def keyType: DataType =
       mn.schema.orElse(mo.schema).map(_.apply(key).dataType)
         .getOrElse(read(spark, dir, vNew).schema(key).dataType)
+    // subset reads stay logical-name-correct under column mapping
+    def readSubset(man: Manifest, files: Seq[String]): DataFrame =
+      readManifested(spark, root, man.copy(files = files), None)
     if (onlyO.isEmpty && onlyN.isEmpty) {
       spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
         StructType(Seq(StructField(key, keyType),
           StructField("status", StringType, nullable = false))))
     } else if (onlyO.isEmpty) {
       // pure append lineage: every non-shared new row is an insert
-      readAs(spark, root, onlyN, mn.schema)
+      readSubset(mn, onlyN)
         .select(col(key), lit("inserted").as("status"))
     } else if (onlyN.isEmpty) {
-      readAs(spark, root, onlyO, mo.schema)
+      readSubset(mo, onlyO)
         .select(col(key), lit("deleted").as("status"))
     } else {
       TableDiff.diff(
-        readAs(spark, root, onlyO, mo.schema),
-        readAs(spark, root, onlyN, mn.schema),
+        readSubset(mo, onlyO),
+        readSubset(mn, onlyN),
         key, cols, numBuckets)
     }
   }

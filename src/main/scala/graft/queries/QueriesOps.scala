@@ -1154,6 +1154,44 @@ object QueriesOps {
       |ORDER BY doc_id""".stripMargin
 
   // ---------------------------------------------------------------
+  // snapshot_pruned_read: manifest-stats data skipping (r14)
+  // ---------------------------------------------------------------
+
+  /** A selective read through a versioned snapshot whose lineage
+    * exercises all three round-14 log features at once —
+    * [[graft.operators.Snapshots.commit]] with footer-derived file
+    * stats, a [[graft.operators.Snapshots.renameColumn]] (metadata
+    * only: `n_chars` becomes `chars`, old files keep serving their
+    * data), and a clustered [[graft.operators.Snapshots.compact]]
+    * (OPTIMIZE) whose small `targetFileBytes` splits the table into
+    * many range-disjoint files. The registered query reads the
+    * compacted version with a doc_id range PREDICATE: the manifest
+    * stats prune non-intersecting files before anything is opened
+    * (file-count law asserted in SnapshotsSpec; equality here proves
+    * the pruned read loses and invents nothing). Oracle: the same
+    * filter on the raw table with the rename applied as an alias.
+    */
+  def snapshotPrunedRead(s: SparkSession, d: String): DataFrame = {
+    GraftSession.tune(s)
+    val dir = sessionScratch("snapprune", d, "documents") { dir =>
+      val base = docs(s, d).select(col("doc_id"), col("source"), col("n_chars"))
+        .repartitionByRange(8, col("doc_id")).sortWithinPartitions(col("doc_id"))
+      graft.operators.Snapshots.commit(base, dir) // v0: clustered + stats
+      graft.operators.Snapshots.renameColumn(dir, "n_chars", "chars") // v1
+      graft.operators.Snapshots.compact(s, dir, clusterBy = Seq("doc_id"),
+        targetFileBytes = 256L << 10) // v2: OPTIMIZE into range-disjoint files
+    }
+    graft.operators.Snapshots.read(s, dir,
+        predicate = Some(col("doc_id") >= 10L && col("doc_id") < 200L))
+      .orderBy(col("doc_id"))
+  }
+
+  val snapshotPrunedReadSql: String =
+    """SELECT doc_id, source, n_chars AS chars FROM documents
+      |WHERE doc_id >= 10 AND doc_id < 200
+      |ORDER BY doc_id""".stripMargin
+
+  // ---------------------------------------------------------------
   // delete_by_key: partition-scoped keyed erasure (GDPR shape)
   // ---------------------------------------------------------------
 
@@ -1318,6 +1356,7 @@ object QueriesOps {
     "q57_scalar_subquery" -> (q57ScalarSubquery _),
     "q58_lateral_topk" -> (q58LateralTopk _),
     "snapshot_diff" -> (snapshotDiff _),
+    "snapshot_pruned_read" -> (snapshotPrunedRead _),
     "delete_by_key" -> (deleteByKeyQuery _),
     "doc_pii" -> (docPii _),
     "doc_pii_redact" -> (docPiiRedact _))
@@ -1341,6 +1380,7 @@ object QueriesOps {
     "q57_scalar_subquery" -> q57ScalarSubquerySql,
     "q58_lateral_topk" -> q58LateralTopkSql,
     "snapshot_diff" -> snapshotDiffSql,
+    "snapshot_pruned_read" -> snapshotPrunedReadSql,
     "delete_by_key" -> deleteByKeySql,
     "doc_pii" -> docPiiSql,
     "doc_pii_redact" -> docPiiRedactSql)
