@@ -72,6 +72,10 @@ object StressBenchFull {
       // return plans reading the SCRATCH paths — plan-based detection
       // sees neither documents.parquet nor events.parquet
       "snapshot_diff" -> docReplicas,
+      // r14: same scratch-lineage shape as snapshot_diff (commit →
+      // rename → clustered compact over the scaled documents, read
+      // through the pruned manifest)
+      "snapshot_pruned_read" -> docReplicas,
       "delete_by_key" -> evReplicas)
 
     // Pair-join family: shuffle bytes asserted alongside wall time. A

@@ -247,8 +247,10 @@ object SnapshotStats {
             val hi = st.genericGetMax.asInstanceOf[org.apache.parquet.io.api.Binary].getBytes
             // ASCII gate: unsigned-byte order == String order only then
             if (lo.forall(b => b >= 0) && hi.forall(b => b >= 0))
-              Some((new String(lo, StandardCharsets.UTF_8),
-                new String(hi, StandardCharsets.UTF_8)))
+              for {
+                l <- truncateLower(new String(lo, StandardCharsets.UTF_8))
+                h <- truncateUpper(new String(hi, StandardCharsets.UTF_8))
+              } yield (l, h)
             else None
           case _ => None
         }
@@ -260,6 +262,31 @@ object SnapshotStats {
         }
       case _ => None
     }
+  }
+
+  /** String stats longer than this are truncated in the manifest — a
+    * committed megabyte-text column must not inline two megabytes of
+    * min/max per file into the log (the Iceberg truncate(16) idea,
+    * wider). */
+  private val MaxStringStat = 64
+
+  /** Sound LOWER-bound truncation: a prefix of the min is ≤ the min,
+    * hence still a valid lower bound for every value. */
+  private def truncateLower(s: String): Option[String] =
+    Some(if (s.length <= MaxStringStat) s else s.substring(0, MaxStringStat))
+
+  /** Sound UPPER-bound truncation: take the prefix and increment its
+    * last character (ASCII-gated upstream, so +1 stays a char) —
+    * strictly greater than every string carrying that prefix. Walks
+    * back over 0x7F chars; an all-0x7F prefix yields no sound bound
+    * (None → the file keeps an open upper end for pruning). */
+  private def truncateUpper(s: String): Option[String] = {
+    if (s.length <= MaxStringStat) return Some(s)
+    val p = s.substring(0, MaxStringStat).toCharArray
+    var i = p.length - 1
+    while (i >= 0 && p(i) >= 0x7f.toChar) i -= 1
+    if (i < 0) None
+    else Some(new String(p, 0, i) + (p(i) + 1).toChar)
   }
 
   /** Canonical-domain comparison (see [[ColStats]] doc). */

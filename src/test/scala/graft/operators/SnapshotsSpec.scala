@@ -439,6 +439,39 @@ class SnapshotsSpec extends SparkSpec {
     }
   }
 
+  test("stats: long string values truncate SOUNDLY in the manifest (no megabyte min/max lines)") {
+    val dir = fresh()
+    // 4 files of 1000-char strings with disjoint leading letters
+    val d = (1L to 400L).toDF("id")
+      .withColumn("payload",
+        concat(chr(lit(97) + floor((col("id") - 1) / 100)), lpad(col("id"), 999, "x")))
+      .repartitionByRange(4, col("id")).sortWithinPartitions(col("id"))
+    Snapshots.commit(d, dir)
+    // the manifest must not inline kilobyte stats
+    val m = java.nio.file.Paths.get(dir).resolve("_v000000.manifest")
+    val statsLines = new String(Files.readAllBytes(m)).split("\n")
+      .filter(_.startsWith("#stats"))
+    assert(statsLines.nonEmpty)
+    assert(statsLines.forall(_.length < 600),
+      s"stats line blew up: ${statsLines.map(_.length).max} chars")
+    // truncated bounds stay SOUND: prefix predicates still return
+    // exactly read-then-filter
+    val full = Snapshots.read(spark, dir)
+    for (p <- Seq(col("payload").startsWith("b"), col("payload") < "c",
+                  col("payload") >= "d", col("payload") === ("a" + "x" * 999))) {
+      val pruned = Snapshots.read(spark, dir, predicate = Some(p))
+        .select("id").as[Long].collect().sorted.toSeq
+      assert(pruned === full.filter(p).select("id").as[Long].collect().sorted.toSeq,
+        s"predicate $p diverged under truncated stats")
+    }
+    // ...and the disjoint leading letters still prune (range-sampled
+    // boundaries may straddle a letter across two files — the claim is
+    // that truncation kept the stats USABLE, not the exact count)
+    val one = Snapshots.read(spark, dir, predicate = Some(col("payload").startsWith("c")))
+    assert(one.inputFiles.length < full.inputFiles.length,
+      s"truncated stats must still prune: ${one.inputFiles.length}/${full.inputFiles.length}")
+  }
+
   test("stats: an all-null file prunes IS NOT NULL and comparison reads; IS NULL keeps it") {
     val dir = fresh()
     val withNulls = Seq[(java.lang.Long, String)]((null, "n1"), (null, "n2"))
