@@ -102,7 +102,8 @@ object Snapshots {
   final case class Manifest(files: Seq[String], schema: Option[StructType],
                             colMap: Seq[ColumnId] = Seq.empty,
                             stats: Map[String, SnapshotStats.FileStats] = Map.empty,
-                            maxColId: Int = 0)
+                            maxColId: Int = 0,
+                            txn: Option[(String, Long)] = None)
 
   private def hconf(): Configuration =
     SparkSession.getActiveSession
@@ -202,6 +203,11 @@ object Snapshots {
         .collectFirst { case s if s.startsWith("maxcol=") =>
           s.stripPrefix("maxcol=").toInt }
         .getOrElse(colMap.foldLeft(0)((m, c) => math.max(m, c.id)))
+      // streaming-writer idempotence record: txn=<b64 appId>:<batchId>
+      val txn = headerParts
+        .collectFirst { case s if s.startsWith("txn=") =>
+          val p = s.stripPrefix("txn=").split(":", 2)
+          (unb64s(p(0)), p(1).toLong) }
       val files = lines.tail.filter(l => l.nonEmpty && !l.startsWith("#")).toSeq
       // trailer validation: a crash mid-write leaves a manifest with
       // no (or wrong) #end line — fail the READ loudly rather than
@@ -215,7 +221,7 @@ object Snapshots {
         .flatMap(SnapshotStats.decodeLine)
         .collect { case (i, fs) if i >= 0 && i < files.length => files(i) -> fs }
         .toMap
-      Manifest(files, schema, colMap, stats, maxColId)
+      Manifest(files, schema, colMap, stats, maxColId, txn)
     } else if (lines.exists(l => l.nonEmpty && l.startsWith("#"))) {
       // a '#' line without the full v2 header can only be a manifest
       // torn INSIDE its header (v1 manifests never contain '#') —
@@ -234,13 +240,15 @@ object Snapshots {
                       files: Seq[String], schema: StructType,
                       colMap: Seq[ColumnId] = Seq.empty,
                       stats: Map[String, SnapshotStats.FileStats] = Map.empty,
-                      maxColId: Int = 0): Unit = {
+                      maxColId: Int = 0,
+                      txn: Option[(String, Long)] = None): Unit = {
     val m = manifestPath(root, v)
     val hwm = colMap.foldLeft(maxColId)((x, c) => math.max(x, c.id))
     val header = "#graft-manifest v=3 schema=" +
       Base64.getEncoder.encodeToString(schema.json.getBytes(StandardCharsets.UTF_8)) +
       (if (colMap.isEmpty) "" else " cols=" + encodeColMap(colMap)) +
-      (if (hwm == 0) "" else s" maxcol=$hwm")
+      (if (hwm == 0) "" else s" maxcol=$hwm") +
+      txn.fold("") { case (a, b) => s" txn=${b64s(a)}:$b" }
     val statsLines = files.iterator.zipWithIndex
       .flatMap { case (rel, i) => stats.get(rel).map(SnapshotStats.encodeLine(i, _)) }
       .toSeq
@@ -430,7 +438,12 @@ object Snapshots {
     * is ever rewritten, [[diffVersions]] prunes the shared files, and
     * added columns NULL-backfill on read). On an empty table this
     * equals [[commit]]. Previous files keep their recorded stats. */
-  def commitAppend(df: DataFrame, dir: String, expectedVersion: Option[Long] = None): Long = {
+  def commitAppend(df: DataFrame, dir: String, expectedVersion: Option[Long] = None): Long =
+    appendInternal(df, dir, expectedVersion, txn = None)
+
+  private def appendInternal(df: DataFrame, dir: String,
+                             expectedVersion: Option[Long],
+                             txn: Option[(String, Long)]): Long = {
     val f = fsFor(dir)
     val root = rootOf(f, dir)
     val v = nextVersion(dir, expectedVersion)
@@ -452,9 +465,66 @@ object Snapshots {
     val map = continueMap(prevMap, schema, prev.maxColId)
     val (files, stats) = writeWithStats(df, map, f, root, v)
     publish(f, root, v, prev.files ++ files, schema, map, prev.stats ++ stats,
-      prev.maxColId)
+      prev.maxColId, txn)
     v
   }
+
+  /** The latest batch id a given stream writer (`appId`) committed —
+    * walks manifests newest-first until it finds one carrying that
+    * writer's txn record. A live stream's last commit is at or near
+    * the head, so the walk is O(interleaved non-stream commits). */
+  def lastStreamBatch(dir: String, appId: String): Option[Long] = {
+    val f = fsFor(dir)
+    val root = rootOf(f, dir)
+    var v = currentVersion(dir)
+    val floor = math.max(0L, earliestVersion(dir))
+    while (v >= floor) {
+      readManifest(f, root, v).txn match {
+        case Some((a, b)) if a == appId => return Some(b)
+        case _ => v -= 1
+      }
+    }
+    None
+  }
+
+  /** Exactly-once STREAMING append into a versioned snapshot table —
+    * the Delta transactional-sink mechanism, with the manifest itself
+    * as the idempotence ledger. Use as the `foreachBatch` body:
+    * {{{
+    *   query.writeStream.foreachBatch(Snapshots.streamAppend(dir)).start()
+    * }}}
+    * Spark's checkpoint gives at-least-once per micro-batch; each
+    * committed manifest records `(appId, batchId)`, and a replayed
+    * batch (id ≤ the writer's last recorded id — foreachBatch ids are
+    * monotone) is recognized and SKIPPED, so every batch's rows land
+    * in exactly one version. Returns None for a skipped replay.
+    *
+    * Single-stream-writer contract (per appId): if the next version's
+    * data directory exists WITHOUT a manifest, it can only be this
+    * writer's own crashed attempt (batch commits fail fast on the
+    * same condition) — it is swept and the attempt retried, so a
+    * crash between data write and publish never wedges the stream
+    * the way it intentionally wedges ambiguous batch commits.
+    * Concurrent BATCH commits remain safe (publish refuses a taken
+    * version); they just must not race the data-dir sweep, which is
+    * what the per-appId single-writer contract pins down.
+    */
+  def streamAppendBatch(df: DataFrame, batchId: Long, dir: String,
+                        appId: String = "stream"): Option[Long] = {
+    if (lastStreamBatch(dir, appId).exists(_ >= batchId)) return None
+    val f = fsFor(dir)
+    val root = rootOf(f, dir)
+    val v = currentVersion(dir) + 1
+    val dataDir = new Path(new Path(root, "data"), f"v$v%06d")
+    if (f.exists(dataDir) && !f.exists(manifestPath(root, v)))
+      f.delete(dataDir, true) // our own crashed attempt (see contract)
+    Some(appendInternal(df, dir, expectedVersion = None,
+      txn = Some((appId, batchId))))
+  }
+
+  /** [[streamAppendBatch]] curried for `DataStreamWriter.foreachBatch`. */
+  def streamAppend(dir: String, appId: String = "stream"): (DataFrame, Long) => Unit =
+    (df, batchId) => { streamAppendBatch(df, batchId, dir, appId); () }
 
   /** OPTIMIZE for snapshot tables: rewrite the CURRENT version's
     * content into few large files committed as a NEW version, leaving
@@ -705,6 +775,60 @@ object Snapshots {
         case None => spark.read.parquet(paths: _*)
       }
     }
+  }
+
+  /** Exact row count answered from the MANIFEST ALONE — zero data or
+    * footer I/O, the `SELECT COUNT(*)` shortcut a transaction log
+    * owes its users (Delta answers counts the same way). None when
+    * any file lacks a recorded row count (pre-v3 manifests): the
+    * caller falls back to a scan. At 100 TB this is the difference
+    * between one manifest GET and a full-table count job. */
+  def countFromManifest(dir: String, version: Long = -1L): Option[Long] = {
+    val f = fsFor(dir)
+    val root = rootOf(f, dir)
+    val v = if (version >= 0) version else currentVersion(dir)
+    require(v >= 0, s"no committed version in $dir")
+    val man = readManifest(f, root, v)
+    if (man.files.nonEmpty && man.files.forall(man.stats.contains))
+      Some(man.files.iterator.map(man.stats(_).rows).sum)
+    else if (man.files.isEmpty) Some(0L)
+    else None
+  }
+
+  /** The data-skipping layer's observability surface: one row per
+    * (file, column) with the recorded stats, plus a `(file, NULL)`
+    * row carrying the file's row count — what an operator inspects to
+    * see WHY a predicate did or didn't prune, and which files lack
+    * stats (candidates for [[compact]], whose rewrite records them).
+    * Values are the canonical stat strings (see
+    * [[SnapshotStats.ColStats]]); logical column names are reported,
+    * mapped back through the version's column mapping. */
+  def statsReport(spark: SparkSession, dir: String, version: Long = -1L): DataFrame = {
+    import spark.implicits._
+    val f = fsFor(dir)
+    val root = rootOf(f, dir)
+    val v = if (version >= 0) version else currentVersion(dir)
+    require(v >= 0, s"no committed version in $dir")
+    val man = readManifest(f, root, v)
+    val map = colMapOf(man)
+    def logicalOf(physical: String): String =
+      map.find(_.physical == physical).map(_.logical).getOrElse(physical)
+    val rows = man.files.flatMap { rel =>
+      man.stats.get(rel) match {
+        case Some(fs) =>
+          (rel, fs.rows, null: String, null: java.lang.Long,
+            null: String, null: String) +:
+            fs.cols.toSeq.sortBy(_._1).map { case (c, s) =>
+              (rel, fs.rows, logicalOf(c),
+                (if (s.nulls < 0) null else java.lang.Long.valueOf(s.nulls)): java.lang.Long,
+                s.min.orNull, s.max.orNull)
+            }
+        case None =>
+          Seq((rel, -1L, null: String, null: java.lang.Long,
+            null: String, null: String))
+      }
+    }
+    rows.toDF("file", "rows", "column", "nulls", "min", "max")
   }
 
   /** Snapshot CHANGELOG — the CDC read path: rows that differ between

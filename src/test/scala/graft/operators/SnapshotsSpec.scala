@@ -602,6 +602,86 @@ class SnapshotsSpec extends SparkSpec {
     assert(e.getMessage.contains("concurrent commit"))
   }
 
+  test("countFromManifest answers from metadata alone; statsReport surfaces the skipping layer") {
+    val dir = fresh()
+    rangedTable(dir, n = 777, slices = 3)
+    assert(Snapshots.countFromManifest(dir) === Some(777L))
+    // appends accumulate: prev stats carry forward, new files add
+    Snapshots.commitAppend(df(9001L, 9002L), dir)
+    assert(Snapshots.countFromManifest(dir) === Some(779L))
+    assert(Snapshots.countFromManifest(dir, 0L) === Some(777L),
+      "time-travel counts answer from the old manifest")
+    // the report lists every file with a per-column row and the
+    // file-level rows row; id min/max are the disjoint ranges
+    val rep = Snapshots.statsReport(spark, dir, 0L)
+    assert(rep.columns.toSeq === Seq("file", "rows", "column", "nulls", "min", "max"))
+    val idRows = rep.filter(col("column") === "id").collect()
+    assert(idRows.length === Snapshots.read(spark, dir, 0L).inputFiles.length)
+    assert(idRows.forall(r => r.getString(4).toLong <= r.getString(5).toLong))
+    assert(rep.filter(col("column").isNull).count() === idRows.length.toLong,
+      "one file-level rows row per file")
+    // a legacy manifest (no stats) answers None, never a wrong number
+    val legacyDir = fresh()
+    Snapshots.commit(df(1, 2), legacyDir)
+    val m = java.nio.file.Paths.get(legacyDir).resolve("_v000000.manifest")
+    val noStats = new String(Files.readAllBytes(m)).split("\n")
+      .filterNot(_.startsWith("#stats"))
+    Files.write(m, noStats.mkString("\n").getBytes)
+    Files.deleteIfExists(
+      java.nio.file.Paths.get(legacyDir).resolve("._v000000.manifest.crc"))
+    assert(Snapshots.countFromManifest(legacyDir) === None)
+  }
+
+  test("streamAppend: exactly-once streaming ingest — replayed batches are manifest-ledger no-ops") {
+    val dir = fresh()
+    // live stream path: three micro-batches through foreachBatch
+    implicit val sqlCtx = spark.sqlContext
+    val ms = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[Long]
+    val q = ms.toDF().withColumnRenamed("value", "id")
+      .writeStream.foreachBatch(Snapshots.streamAppend(dir)).start()
+    try {
+      ms.addData(1L, 2L); q.processAllAvailable()
+      ms.addData(3L); q.processAllAvailable()
+      ms.addData(4L, 5L); q.processAllAvailable()
+    } finally q.stop()
+    val after = Snapshots.read(spark, dir).select("id").as[Long].collect().sorted
+    assert(after.toSeq === Seq(1L, 2L, 3L, 4L, 5L))
+    val cur = Snapshots.currentVersion(dir)
+    assert(Snapshots.lastStreamBatch(dir, "stream") === Some(2L))
+    // the at-least-once crash window: foreachBatch REPLAYS the last
+    // batch after a restart — the ledger must recognize and skip it
+    assert(Snapshots.streamAppendBatch(
+      Seq(4L, 5L).toDF("id"), batchId = 2L, dir) === None)
+    assert(Snapshots.currentVersion(dir) === cur, "replay must not commit")
+    assert(Snapshots.read(spark, dir).count() === 5L, "no duplicate rows")
+    // ...while the NEXT batch commits normally
+    assert(Snapshots.streamAppendBatch(
+      Seq(6L).toDF("id"), batchId = 3L, dir) === Some(cur + 1))
+    assert(Snapshots.read(spark, dir).count() === 6L)
+    // interleaved BATCH commits don't confuse the per-appId ledger
+    Snapshots.commitAppend(Seq(100L).toDF("id"), dir)
+    assert(Snapshots.lastStreamBatch(dir, "stream") === Some(3L),
+      "the walk must find the stream's txn behind a non-stream commit")
+    assert(Snapshots.streamAppendBatch(
+      Seq(6L).toDF("id"), batchId = 3L, dir) === None, "still a no-op")
+  }
+
+  test("streamAppend: a crash between data write and publish does not wedge the stream") {
+    val dir = fresh()
+    assert(Snapshots.streamAppendBatch(df(1, 2), 0L, dir) === Some(0L))
+    // simulate the crash: the NEXT version's data directory exists,
+    // no manifest — a batch commit would fail fast on errorifexists
+    val orphan = java.nio.file.Paths.get(dir, "data", "v000001")
+    Files.createDirectories(orphan)
+    Files.write(orphan.resolve("part-crashed.parquet"), Array[Byte](1, 2, 3))
+    intercept[Exception](Snapshots.commitAppend(df(9), dir)) // batch path wedges (documented)
+    // the stream writer owns unpublished next-version dirs (single-
+    // writer contract): it sweeps its own crashed attempt and retries
+    assert(Snapshots.streamAppendBatch(df(3, 4), 1L, dir) === Some(1L))
+    assert(Snapshots.read(spark, dir).select("id").as[Long].collect().sorted.toSeq
+      === Seq(1L, 2L, 3L, 4L))
+  }
+
   test("changelog below the retention floor gives the vacuumed diagnostic, not a raw missing-version error") {
     val dir = fresh()
     Snapshots.commit(df(1), dir) // v0
