@@ -76,6 +76,7 @@ object StressBenchFull {
       // rename → clustered compact over the scaled documents, read
       // through the pruned manifest)
       "snapshot_pruned_read" -> docReplicas,
+      "snapshot_cow_dml" -> docReplicas,
       "delete_by_key" -> evReplicas)
 
     // Pair-join family: shuffle bytes asserted alongside wall time. A

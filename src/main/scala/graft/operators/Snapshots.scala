@@ -777,6 +777,93 @@ object Snapshots {
     }
   }
 
+  /** Copy-on-write DELETE — the stats layer's write-path payoff:
+    * remove every row where `pred` IS TRUE, rewriting ONLY the files
+    * whose recorded stats say they may hold one; every other file is
+    * carried into the new version BY REFERENCE, byte-identical (the
+    * Delta DELETE mechanism). At 100 TB a selective delete touches
+    * the few files its predicate ranges intersect, not the table.
+    *
+    * SQL semantics: rows where `pred` evaluates NULL are KEPT (DELETE
+    * removes only pred-IS-TRUE rows). A delete that provably touches
+    * no file commits NOTHING and returns the current version — the
+    * no-op costs one manifest read. Prior versions stay readable
+    * (time travel); [[vacuum]] reclaims the superseded rewritten
+    * files once their last referencing manifest is dropped.
+    */
+  def deleteWhere(spark: SparkSession, dir: String,
+                  pred: org.apache.spark.sql.Column,
+                  expectedVersion: Option[Long] = None): Long =
+    rewriteWhere(spark, dir, pred, expectedVersion)(survivors =>
+      survivors.filter(!org.apache.spark.sql.functions.coalesce(
+        pred, lit(false))))
+
+  /** Copy-on-write UPDATE: apply `set` (logical column name →
+    * replacement expression, evaluated against the current row) to
+    * every row where `pred` IS TRUE, rewriting only the files whose
+    * stats may hold one — same mechanics and NULL semantics as
+    * [[deleteWhere]] (a NULL predicate row is untouched). Assignments
+    * may not retype a column (refused loudly, the schema-evolution
+    * contract). */
+  def updateWhere(spark: SparkSession, dir: String,
+                  pred: org.apache.spark.sql.Column,
+                  set: Map[String, org.apache.spark.sql.Column],
+                  expectedVersion: Option[Long] = None): Long = {
+    require(set.nonEmpty, "updateWhere needs at least one assignment")
+    rewriteWhere(spark, dir, pred, expectedVersion) { touched =>
+      val hit = org.apache.spark.sql.functions.coalesce(pred, lit(false))
+      val out = touched.schema.fields.toSeq.map { fd =>
+        set.find { case (n, _) => sameCol(n, fd.name) } match {
+          case Some((_, expr)) =>
+            // no cast here: a wrong-typed assignment must hit the
+            // schema check in rewriteWhere, not be silently coerced
+            org.apache.spark.sql.functions
+              .when(hit, expr).otherwise(quoted(fd.name)).as(fd.name)
+          case None => quoted(fd.name)
+        }
+      }
+      val projected = touched.select(out: _*)
+      set.keys.foreach { n =>
+        require(touched.schema.exists(fd => sameCol(fd.name, n)),
+          s"updateWhere: no column '$n'")
+      }
+      projected
+    }
+  }
+
+  /** Shared COW core: split the current version's files by the stats
+    * pruner into (touched, untouched), rewrite the touched slice
+    * through `transform`, publish untouched-by-reference + rewritten.
+    */
+  private def rewriteWhere(spark: SparkSession, dir: String,
+                           pred: org.apache.spark.sql.Column,
+                           expectedVersion: Option[Long])(
+      transform: DataFrame => DataFrame): Long = {
+    val f = fsFor(dir)
+    val root = rootOf(f, dir)
+    val v = nextVersion(dir, expectedVersion)
+    require(v > 0, s"no committed version in $dir")
+    val prev = readManifest(f, root, v - 1)
+    val touched = pruneFiles(prev, pred)
+    if (touched.isEmpty) return v - 1 // provably nothing to do
+    val untouchedFiles = {
+      val t = touched.toSet
+      prev.files.filterNot(t)
+    }
+    val schema = prev.schema.getOrElse(
+      readManifested(spark, root, prev, None).schema)
+    val map = if (prev.colMap.nonEmpty) prev.colMap else identityMap(schema)
+    val slice = readManifested(spark, root, prev.copy(files = touched), None)
+    val rewritten = transform(slice)
+    require(rewritten.schema.fields.map(fd => (fd.name.toLowerCase, fd.dataType)).toSeq
+      == schema.fields.map(fd => (fd.name.toLowerCase, fd.dataType)).toSeq,
+      "copy-on-write rewrite must preserve the table schema")
+    val (files, stats) = writeWithStats(rewritten, map, f, root, v)
+    publish(f, root, v, untouchedFiles ++ files, schema, map,
+      (prev.stats -- touched) ++ stats, prev.maxColId)
+    v
+  }
+
   /** Exact row count answered from the MANIFEST ALONE — zero data or
     * footer I/O, the `SELECT COUNT(*)` shortcut a transaction log
     * owes its users (Delta answers counts the same way). None when

@@ -1192,6 +1192,43 @@ object QueriesOps {
       |ORDER BY doc_id""".stripMargin
 
   // ---------------------------------------------------------------
+  // snapshot_cow_dml: copy-on-write DELETE + UPDATE on the log (r14)
+  // ---------------------------------------------------------------
+
+  /** Copy-on-write DML through the snapshot log: a range DELETE
+    * ([[graft.operators.Snapshots.deleteWhere]]) followed by a range
+    * UPDATE ([[graft.operators.Snapshots.updateWhere]]) on a
+    * doc_id-clustered table — each rewrites ONLY the files whose
+    * manifest stats may hold a matching row (COW narrowness asserted
+    * in SnapshotsSpec; equality here proves the rewrite loses and
+    * invents nothing, including the SQL NULL semantics: a NULL
+    * doc_id makes both predicates NULL, so the row is neither
+    * deleted nor updated). Oracle: the same DML as a SELECT. */
+  def snapshotCowDml(s: SparkSession, d: String): DataFrame = {
+    GraftSession.tune(s)
+    val dir = sessionScratch("snapcow", d, "documents") { dir =>
+      val base = docs(s, d).select(col("doc_id"), col("source"), col("n_chars"))
+        .repartitionByRange(8, col("doc_id")).sortWithinPartitions(col("doc_id"))
+      graft.operators.Snapshots.commit(base, dir) // v0 clustered + stats
+      graft.operators.Snapshots.deleteWhere(s, dir,
+        col("doc_id") >= 50L && col("doc_id") < 150L) // v1: COW delete
+      graft.operators.Snapshots.updateWhere(s, dir,
+        col("doc_id") >= 200L && col("doc_id") < 220L,
+        Map("n_chars" -> (col("n_chars") + lit(1000L)))) // v2: COW update
+    }
+    graft.operators.Snapshots.read(s, dir)
+      .orderBy(col("doc_id").asc_nulls_last) // DuckDB's ASC default
+  }
+
+  val snapshotCowDmlSql: String =
+    """SELECT doc_id, source,
+      |  CASE WHEN doc_id >= 200 AND doc_id < 220 THEN n_chars + 1000
+      |       ELSE n_chars END AS n_chars
+      |FROM documents
+      |WHERE doc_id IS NULL OR NOT (doc_id >= 50 AND doc_id < 150)
+      |ORDER BY doc_id""".stripMargin
+
+  // ---------------------------------------------------------------
   // delete_by_key: partition-scoped keyed erasure (GDPR shape)
   // ---------------------------------------------------------------
 
@@ -1357,6 +1394,7 @@ object QueriesOps {
     "q58_lateral_topk" -> (q58LateralTopk _),
     "snapshot_diff" -> (snapshotDiff _),
     "snapshot_pruned_read" -> (snapshotPrunedRead _),
+    "snapshot_cow_dml" -> (snapshotCowDml _),
     "delete_by_key" -> (deleteByKeyQuery _),
     "doc_pii" -> (docPii _),
     "doc_pii_redact" -> (docPiiRedact _))
@@ -1381,6 +1419,7 @@ object QueriesOps {
     "q58_lateral_topk" -> q58LateralTopkSql,
     "snapshot_diff" -> snapshotDiffSql,
     "snapshot_pruned_read" -> snapshotPrunedReadSql,
+    "snapshot_cow_dml" -> snapshotCowDmlSql,
     "delete_by_key" -> deleteByKeySql,
     "doc_pii" -> docPiiSql,
     "doc_pii_redact" -> docPiiRedactSql)

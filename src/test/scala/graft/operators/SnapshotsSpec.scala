@@ -602,6 +602,75 @@ class SnapshotsSpec extends SparkSpec {
     assert(e.getMessage.contains("concurrent commit"))
   }
 
+  test("deleteWhere is copy-on-write: only stats-matching files rewrite, the rest carry by reference") {
+    val dir = fresh()
+    rangedTable(dir, n = 1000, slices = 5)
+    val before = manifestFiles(dir, 0L)
+    def stamped(files: Seq[String]): Map[String, Long] =
+      files.map { rel =>
+        rel -> Files.getLastModifiedTime(
+          java.nio.file.Paths.get(dir).resolve(rel)).toMillis
+      }.toMap
+    val stamps = stamped(before)
+    // delete a narrow id range: exactly one range file may hold it
+    val v1 = Snapshots.deleteWhere(spark, dir, col("id") >= 10L && col("id") < 20L)
+    assert(v1 === 1L)
+    val after = manifestFiles(dir, 1L)
+    val carried = after.toSet.intersect(before.toSet)
+    assert(carried.size === before.size - 1,
+      s"exactly one file may hold ids 10..19; carried ${carried.size}/${before.size}")
+    assert(stamped(carried.toSeq) === stamps.filter(kv => carried(kv._1)),
+      "carried files must be byte-untouched")
+    val ids = Snapshots.read(spark, dir).select("id").as[Long].collect().sorted
+    assert(ids.toSeq === ((1L to 9L) ++ (20L to 1000L)))
+    // v0 time travel intact
+    assert(Snapshots.read(spark, dir, 0L).count() === 1000L)
+    // rewritten files carry fresh stats: manifest count stays exact
+    assert(Snapshots.countFromManifest(dir) === Some(990L))
+    // a provably-no-op delete commits NOTHING
+    assert(Snapshots.deleteWhere(spark, dir, col("id") > 5000L) === 1L)
+    assert(Snapshots.currentVersion(dir) === 1L)
+  }
+
+  test("deleteWhere keeps NULL-predicate rows (SQL DELETE semantics)") {
+    val dir = fresh()
+    val withNulls = Seq[(java.lang.Long, String)](
+      (1L, "a"), (null, "keep-me"), (2L, "b")).toDF("id", "payload").coalesce(1)
+    Snapshots.commit(withNulls, dir)
+    Snapshots.deleteWhere(spark, dir, col("id") === 1L)
+    val left = Snapshots.read(spark, dir).select("payload").as[String].collect().toSet
+    assert(left === Set("keep-me", "b"),
+      "id=1 deleted; the NULL-id row (pred NULL) must survive")
+  }
+
+  test("updateWhere rewrites matching rows in place; wrong-typed assignments refuse") {
+    val dir = fresh()
+    rangedTable(dir, n = 400, slices = 4)
+    val before = manifestFiles(dir, 0L)
+    val v1 = Snapshots.updateWhere(spark, dir,
+      col("id") >= 100L && col("id") < 110L,
+      Map("payload" -> concat(lit("updated-"), col("id"))))
+    assert(v1 === 1L)
+    // ids 100..109 sit near a sampled range-partition boundary, so
+    // they may straddle TWO files — the claim is copy-on-write
+    // narrowness, not an exact count
+    val carried = manifestFiles(dir, 1L).toSet.intersect(before.toSet)
+    assert(carried.size >= before.size - 2 && carried.size < before.size,
+      s"COW update must touch at most two files: carried ${carried.size}/${before.size}")
+    val rows = Snapshots.read(spark, dir)
+      .select("id", "payload").as[(Long, String)].collect().toMap
+    assert((100L to 109L).forall(i => rows(i) == s"updated-$i"))
+    assert(rows(99L) === "row-99" && rows(110L) === "row-110")
+    assert(rows.size === 400)
+    // assignments must not retype
+    val e = intercept[IllegalArgumentException](Snapshots.updateWhere(
+      spark, dir, col("id") === 1L, Map("id" -> lit(1.5))))
+    assert(e.getMessage.contains("schema"), e.getMessage)
+    // unknown column refused
+    intercept[IllegalArgumentException](Snapshots.updateWhere(
+      spark, dir, col("id") === 1L, Map("nope" -> lit(1))))
+  }
+
   test("countFromManifest answers from metadata alone; statsReport surfaces the skipping layer") {
     val dir = fresh()
     rangedTable(dir, n = 777, slices = 3)
