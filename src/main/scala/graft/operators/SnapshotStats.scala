@@ -298,10 +298,10 @@ object SnapshotStats {
 
   // ---- manifest line encode/decode --------------------------------
 
-  private def b64(s: String): String =
-    Base64.getEncoder.encodeToString(s.getBytes(StandardCharsets.UTF_8))
-  private def unb64(s: String): String =
-    new String(Base64.getDecoder.decode(s), StandardCharsets.UTF_8)
+  // base64 helpers shared with the manifest writer — one encoding
+  // for the whole format (review r14 dedup)
+  private def b64(s: String): String = Snapshots.b64s(s)
+  private def unb64(s: String): String = Snapshots.unb64s(s)
   private def optB64(o: Option[String]): String = o.fold("-")(b64)
   private def unOptB64(s: String): Option[String] =
     if (s == "-") None else Some(unb64(s))

@@ -177,9 +177,9 @@ object Snapshots {
     }
   }
 
-  private def b64s(s: String): String =
+  private[operators] def b64s(s: String): String =
     Base64.getEncoder.encodeToString(s.getBytes(StandardCharsets.UTF_8))
-  private def unb64s(s: String): String =
+  private[operators] def unb64s(s: String): String =
     new String(Base64.getDecoder.decode(s), StandardCharsets.UTF_8)
 
   private[operators] def readManifest(f: FileSystem, root: Path, v: Long): Manifest = {
@@ -379,14 +379,18 @@ object Snapshots {
   }
 
   /** Rename `df`'s columns to their PHYSICAL names before writing —
-    * every data file of a table spells columns physically, uniformly. */
-  private def toPhysical(df: DataFrame, map: Seq[ColumnId]): DataFrame = {
-    val renames = df.columns.flatMap { c =>
-      val p = physicalOf(map, c)
-      if (p == c) None else Some((c, p))
-    }
-    renames.foldLeft(df) { case (d, (from, to)) => d.withColumnRenamed(from, to) }
-  }
+    * every data file of a table spells columns physically, uniformly.
+    * ONE select with aliases, deliberately not a fold of
+    * `withColumnRenamed`: rename chains/swaps (x→tmp, y→x, tmp→y) put
+    * one column's logical name on another's physical name, and a
+    * sequential fold would rename a just-renamed column a second time
+    * (Spark renames EVERY matching column), wedging all table writes
+    * (review r14). A simultaneous select renames each source column
+    * exactly once. */
+  private def toPhysical(df: DataFrame, map: Seq[ColumnId]): DataFrame =
+    if (df.columns.forall(c => physicalOf(map, c) == c)) df
+    else df.select(df.columns.toSeq.map(c =>
+      quoted(c).as(physicalOf(map, c))): _*)
 
   private def quoted(name: String): org.apache.spark.sql.Column =
     col("`" + name.replace("`", "``") + "`")
@@ -471,21 +475,39 @@ object Snapshots {
 
   /** The latest batch id a given stream writer (`appId`) committed —
     * walks manifests newest-first until it finds one carrying that
-    * writer's txn record. A live stream's last commit is at or near
-    * the head, so the walk is O(interleaved non-stream commits). */
+    * writer's txn record — then takes the MAX of that and the
+    * writer's durable sidecar ledger (`_txn_<appId>`), which survives
+    * [[vacuum]]: without the sidecar, vacuuming past the writer's
+    * last txn-carrying manifest would silently downgrade exactly-once
+    * to at-least-once on the next crash replay (review r14). A live
+    * stream's last commit is at or near the head, so the walk is
+    * O(interleaved non-stream commits). */
   def lastStreamBatch(dir: String, appId: String): Option[Long] = {
     val f = fsFor(dir)
     val root = rootOf(f, dir)
+    var walked: Option[Long] = None
     var v = currentVersion(dir)
     val floor = math.max(0L, earliestVersion(dir))
-    while (v >= floor) {
+    while (v >= floor && walked.isEmpty) {
       readManifest(f, root, v).txn match {
-        case Some((a, b)) if a == appId => return Some(b)
+        case Some((a, b)) if a == appId => walked = Some(b)
         case _ => v -= 1
       }
     }
-    None
+    val side = {
+      val p = txnSidecar(root, appId)
+      if (f.exists(p))
+        scala.util.Try(
+          new String(readBytes(f, p), StandardCharsets.UTF_8).trim.toLong).toOption
+      else None
+    }
+    (walked.toSeq ++ side.toSeq).reduceOption(_ max _)
   }
+
+  /** URL-safe filename for a writer's durable ledger sidecar. */
+  private def txnSidecar(root: Path, appId: String): Path =
+    new Path(root, "_txn_" + Base64.getUrlEncoder.withoutPadding()
+      .encodeToString(appId.getBytes(StandardCharsets.UTF_8)))
 
   /** Exactly-once STREAMING append into a versioned snapshot table —
     * the Delta transactional-sink mechanism, with the manifest itself
@@ -497,17 +519,26 @@ object Snapshots {
     * committed manifest records `(appId, batchId)`, and a replayed
     * batch (id ≤ the writer's last recorded id — foreachBatch ids are
     * monotone) is recognized and SKIPPED, so every batch's rows land
-    * in exactly one version. Returns None for a skipped replay.
+    * in exactly one version. Returns None for a skipped replay. The
+    * ledger is durable against [[vacuum]]: each commit also updates a
+    * `_txn_<appId>` sidecar (written AFTER the manifest publishes, so
+    * a crash between the two replays into the manifest walk, which
+    * still holds the fresh version), and replay checks take the max
+    * of the sidecar and the manifest walk.
     *
-    * Single-stream-writer contract (per appId): if the next version's
-    * data directory exists WITHOUT a manifest, it can only be this
-    * writer's own crashed attempt (batch commits fail fast on the
-    * same condition) — it is swept and the attempt retried, so a
-    * crash between data write and publish never wedges the stream
-    * the way it intentionally wedges ambiguous batch commits.
+    * Single-stream-writer contract — ONE live stream writer per
+    * TABLE, not per appId (appIds distinguish historical writers,
+    * e.g. across a pipeline rename, never concurrent ones): if the
+    * next version's data directory exists WITHOUT a manifest, it can
+    * only be this writer's own crashed attempt (batch commits fail
+    * fast on the same condition) — it is swept and the attempt
+    * retried, so a crash between data write and publish never wedges
+    * the stream the way it intentionally wedges ambiguous batch
+    * commits. Two CONCURRENT stream writers could sweep each other's
+    * in-flight data dirs (review r14) — unsupported, exactly like two
+    * concurrent Delta writers without a coordinating commit service.
     * Concurrent BATCH commits remain safe (publish refuses a taken
-    * version); they just must not race the data-dir sweep, which is
-    * what the per-appId single-writer contract pins down.
+    * version); they just must not race the data-dir sweep.
     */
   def streamAppendBatch(df: DataFrame, batchId: Long, dir: String,
                         appId: String = "stream"): Option[Long] = {
@@ -518,8 +549,20 @@ object Snapshots {
     val dataDir = new Path(new Path(root, "data"), f"v$v%06d")
     if (f.exists(dataDir) && !f.exists(manifestPath(root, v)))
       f.delete(dataDir, true) // our own crashed attempt (see contract)
-    Some(appendInternal(df, dir, expectedVersion = None,
-      txn = Some((appId, batchId))))
+    val committed = appendInternal(df, dir, expectedVersion = None,
+      txn = Some((appId, batchId)))
+    // durable ledger update AFTER the publish (temp-then-rename, the
+    // cursor-file pattern): a crash here is safe — the walk sees the
+    // just-published manifest
+    val side = txnSidecar(root, appId)
+    val tmp = new Path(root, side.getName + s".tmp.${System.nanoTime()}")
+    val out = f.create(tmp, true)
+    try out.write(batchId.toString.getBytes(StandardCharsets.UTF_8))
+    finally out.close()
+    org.apache.hadoop.fs.FileContext.getFileContext(root.toUri, f.getConf)
+      .rename(tmp, side, org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+    f.delete(new Path(root, "." + tmp.getName + ".crc"), false)
+    Some(committed)
   }
 
   /** [[streamAppendBatch]] curried for `DataStreamWriter.foreachBatch`. */
@@ -701,14 +744,22 @@ object Snapshots {
     // the old version's PHYSICAL name for a target column. Paired by
     // stable column ID when both manifests record ids; by
     // (case-insensitive) name otherwise — legacy manifests' synthetic
-    // ordinal ids are not comparable across versions.
+    // ordinal ids are not comparable across versions. The name arm
+    // tries the target's CURRENT name first, then its PHYSICAL name:
+    // physical names are fixed at first commit, so a column renamed
+    // AFTER a pre-mapping (v2-era) version was written still finds
+    // that version's data under the original spelling instead of
+    // silently reading NULL (review r14).
     def ownPhysical(tf: StructField): Option[String] =
       if (latest.colMap.nonEmpty && own.colMap.nonEmpty)
         latest.colMap.find(c => sameCol(c.logical, tf.name))
           .flatMap(t => own.colMap.find(_.id == t.id).map(_.physical))
-      else
+      else {
+        val targetPhysical = physicalOf(colMapOf(latest), tf.name)
         ownSchema.find(fd => sameCol(fd.name, tf.name))
+          .orElse(ownSchema.find(fd => sameCol(fd.name, targetPhysical)))
           .map(fd => physicalOf(ownMap, fd.name))
+      }
     // retype check through the pairing: a retype hiding behind a
     // rename still refuses, because the pairing follows the column,
     // not its name

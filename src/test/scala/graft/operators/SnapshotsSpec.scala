@@ -671,6 +671,71 @@ class SnapshotsSpec extends SparkSpec {
       spark, dir, col("id") === 1L, Map("nope" -> lit(1))))
   }
 
+  test("rename SWAP (x->tmp, y->x, tmp->y) keeps every write path working (review r14)") {
+    val dir = fresh()
+    Snapshots.commit(Seq((1L, "payload-one")).toDF("id", "payload"), dir)
+    Snapshots.renameColumn(dir, "id", "tmp")
+    Snapshots.renameColumn(dir, "payload", "id")
+    Snapshots.renameColumn(dir, "tmp", "payload")
+    // logical payload is now the ORIGINAL id column (physical 'id'),
+    // logical id the original payload — reads resolve through physicals
+    val swapped = Snapshots.read(spark, dir)
+    assert(swapped.columns.toSeq === Seq("payload", "id"))
+    assert(swapped.select("payload").as[Long].head() === 1L)
+    assert(swapped.select("id").as[String].head() === "payload-one")
+    // the wedge case: a write AFTER the swap (sequential renames would
+    // rename a just-renamed column twice and die on duplicates)
+    Snapshots.commitAppend(Seq((2L, "payload-two")).toDF("payload", "id"), dir)
+    val after = Snapshots.read(spark, dir)
+      .select("payload", "id").as[(Long, String)].collect().toSet
+    assert(after === Set((1L, "payload-one"), (2L, "payload-two")))
+    // COW update through the swapped mapping too
+    Snapshots.updateWhere(spark, dir, col("payload") === 2L,
+      Map("id" -> lit("rewritten")))
+    assert(Snapshots.read(spark, dir).filter(col("payload") === 2L)
+      .select("id").as[String].head() === "rewritten")
+  }
+
+  test("streamAppend ledger survives vacuum: replay after retention still skips (review r14)") {
+    val dir = fresh()
+    assert(Snapshots.streamAppendBatch(df(1, 2), 0L, dir) === Some(0L))
+    assert(Snapshots.streamAppendBatch(df(3), 1L, dir) === Some(1L))
+    // batch commits push the txn-carrying manifests below retention
+    Snapshots.commit(Snapshots.read(spark, dir), dir) // v2 full rewrite
+    Snapshots.commit(Snapshots.read(spark, dir), dir) // v3
+    Snapshots.vacuum(dir, keepFrom = 2L)
+    assert(Snapshots.earliestVersion(dir) === 2L)
+    // no surviving manifest carries the txn — the sidecar must answer
+    assert(Snapshots.lastStreamBatch(dir, "stream") === Some(1L))
+    assert(Snapshots.streamAppendBatch(df(3), 1L, dir) === None,
+      "a replayed batch must stay a no-op after vacuum")
+    assert(Snapshots.read(spark, dir).count() === 3L)
+  }
+
+  test("readAligned finds a renamed column's data in pre-mapping (v2-era) versions (review r14)") {
+    val dir = fresh()
+    Snapshots.commit(df(1, 2), dir) // v0 (v3 manifest)
+    // surgically strip the v3 mapping headers: v0 becomes a v2-era
+    // manifest (schema recorded, no cols=/maxcol=) — the upgrade shape
+    val m = java.nio.file.Paths.get(dir).resolve("_v000000.manifest")
+    val stripped = new String(Files.readAllBytes(m)).split("\n").map { l =>
+      if (l.startsWith("#graft-manifest"))
+        l.split("\\s+").filterNot(p =>
+          p.startsWith("cols=") || p.startsWith("maxcol=")).mkString(" ")
+      else l
+    }.mkString("\n")
+    Files.write(m, stripped.getBytes)
+    Files.deleteIfExists(java.nio.file.Paths.get(dir).resolve("._v000000.manifest.crc"))
+    // upgrade commit + rename AFTER the v2-era version was written
+    Snapshots.commitAppend(df(3), dir) // v1: v3 manifest
+    Snapshots.renameColumn(dir, "payload", "body") // v2
+    val aligned = Snapshots.readAligned(spark, dir, 0)
+    assert(aligned.columns.toSeq === Seq("id", "body"))
+    assert(aligned.select("body").as[String].collect().toSet
+      === Set("row-1", "row-2"),
+      "the v2-era files hold the data under the OLD name — it must flow, not read NULL")
+  }
+
   test("countFromManifest answers from metadata alone; statsReport surfaces the skipping layer") {
     val dir = fresh()
     rangedTable(dir, n = 777, slices = 3)
