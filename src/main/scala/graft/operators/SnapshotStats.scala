@@ -1,7 +1,6 @@
 package graft.operators
 
 import java.nio.charset.StandardCharsets
-import java.util.Base64
 
 import scala.collection.mutable
 import scala.util.control.NonFatal

@@ -103,7 +103,8 @@ object Snapshots {
                             colMap: Seq[ColumnId] = Seq.empty,
                             stats: Map[String, SnapshotStats.FileStats] = Map.empty,
                             maxColId: Int = 0,
-                            txn: Option[(String, Long)] = None)
+                            txn: Option[(String, Long)] = None,
+                            retired: Seq[String] = Seq.empty)
 
   private def hconf(): Configuration =
     SparkSession.getActiveSession
@@ -208,6 +209,12 @@ object Snapshots {
         .collectFirst { case s if s.startsWith("txn=") =>
           val p = s.stripPrefix("txn=").split(":", 2)
           (unb64s(p(0)), p(1).toLong) }
+      // physicals ever used by now-dropped columns (never reassigned)
+      val retired = headerParts
+        .collectFirst { case s if s.startsWith("retired=") =>
+          unb64s(s.stripPrefix("retired=")).split("\\|").toSeq
+            .filter(_.nonEmpty).map(unb64s) }
+        .getOrElse(Seq.empty)
       val files = lines.tail.filter(l => l.nonEmpty && !l.startsWith("#")).toSeq
       // trailer validation: a crash mid-write leaves a manifest with
       // no (or wrong) #end line — fail the READ loudly rather than
@@ -221,7 +228,7 @@ object Snapshots {
         .flatMap(SnapshotStats.decodeLine)
         .collect { case (i, fs) if i >= 0 && i < files.length => files(i) -> fs }
         .toMap
-      Manifest(files, schema, colMap, stats, maxColId, txn)
+      Manifest(files, schema, colMap, stats, maxColId, txn, retired)
     } else if (lines.exists(l => l.nonEmpty && l.startsWith("#"))) {
       // a '#' line without the full v2 header can only be a manifest
       // torn INSIDE its header (v1 manifests never contain '#') —
@@ -241,14 +248,16 @@ object Snapshots {
                       colMap: Seq[ColumnId] = Seq.empty,
                       stats: Map[String, SnapshotStats.FileStats] = Map.empty,
                       maxColId: Int = 0,
-                      txn: Option[(String, Long)] = None): Unit = {
+                      txn: Option[(String, Long)] = None,
+                      retired: Seq[String] = Seq.empty): Unit = {
     val m = manifestPath(root, v)
     val hwm = colMap.foldLeft(maxColId)((x, c) => math.max(x, c.id))
     val header = "#graft-manifest v=3 schema=" +
       Base64.getEncoder.encodeToString(schema.json.getBytes(StandardCharsets.UTF_8)) +
       (if (colMap.isEmpty) "" else " cols=" + encodeColMap(colMap)) +
       (if (hwm == 0) "" else s" maxcol=$hwm") +
-      txn.fold("") { case (a, b) => s" txn=${b64s(a)}:$b" }
+      txn.fold("") { case (a, b) => s" txn=${b64s(a)}:$b" } +
+      (if (retired.isEmpty) "" else " retired=" + b64s(retired.map(b64s).mkString("|")))
     val statsLines = files.iterator.zipWithIndex
       .flatMap { case (rel, i) => stats.get(rel).map(SnapshotStats.encodeLine(i, _)) }
       .toSeq
@@ -350,32 +359,52 @@ object Snapshots {
   /** Continue a lineage's mapping onto the next version's schema:
     * columns matching a previous LOGICAL name (case-insensitively)
     * keep their id + physical name; new columns get fresh ids with
-    * physical = logical — refusing a physical-name collision with a
-    * surviving column (the rename-shadow rule: after a→b, a new
-    * column may not be named 'a' while b's files still spell it 'a';
-    * allowing it would fuse two distinct columns in one manifest's
-    * files). Columns absent from `next` drop out of the mapping
-    * (their ids are never reused — `nextId` counts ALL history). */
+    * physical = logical — UNLESS that physical name is already taken
+    * by a surviving column (the rename-shadow case: after a→b, a new
+    * column named 'a' while b's files still spell it 'a') or was ever
+    * used by a now-dropped column (`retired`). Either way the new
+    * column receives a SYNTHETIC physical name `col<id>_<name>` (the
+    * Delta column-mapping move): physical names are then unique over
+    * the table's ENTIRE post-v3 life, which is exactly what lets
+    * version-crossing reads treat a physical name as a column
+    * identity — a name-reusing column can never capture a retired
+    * column's data, and dropping + re-adding a name keeps working
+    * instead of refusing. Columns absent from `next` drop out of the
+    * mapping (their ids are never reused — `nextId` counts ALL
+    * history — and their physicals enter `retired`). */
   private def continueMap(prev: Seq[ColumnId], next: StructType,
-                          idFloor: Int): Seq[ColumnId] = {
+                          idFloor: Int, retired: Set[String]): Seq[ColumnId] = {
     var nextId = math.max(idFloor, prev.foldLeft(0)((m, c) => math.max(m, c.id))) + 1
-    val all = next.fields.toSeq.map { fd =>
+    def lc(s: String) = s.toLowerCase(java.util.Locale.ROOT)
+    val taken = scala.collection.mutable.Set[String]()
+    retired.foreach(r => taken += lc(r))
+    // surviving columns claim their physicals first
+    next.fields.foreach { fd =>
+      prev.find(c => sameCol(c.logical, fd.name)).foreach(c => taken += lc(c.physical))
+    }
+    next.fields.toSeq.map { fd =>
       prev.find(c => sameCol(c.logical, fd.name)) match {
         case Some(c) => c.copy(logical = fd.name) // adopt the schema's casing
         case None =>
-          val cid = ColumnId(nextId, fd.name, fd.name)
+          val id = nextId
           nextId += 1
-          cid
+          var phys = fd.name
+          if (taken.contains(lc(phys))) phys = s"col${id}_${fd.name}"
+          require(taken.add(lc(phys)),
+            s"synthetic physical name '$phys' collides — rename the column")
+          ColumnId(id, fd.name, phys)
       }
     }
-    val physSeen = scala.collection.mutable.Set[String]()
-    all.foreach { c =>
-      require(physSeen.add(c.physical.toLowerCase(java.util.Locale.ROOT)),
-        s"column '${c.logical}' would reuse physical name '${c.physical}', which a " +
-          "previously renamed column's files still carry — pick a different name " +
-          "(physical names are fixed at a column's first commit)")
-    }
-    all
+  }
+
+  /** Physical names a lineage has EVER used minus the survivors —
+    * recorded so they are never reassigned (see [[continueMap]]). */
+  private def retireDropped(prevRetired: Seq[String], prevMap: Seq[ColumnId],
+                            kept: Seq[ColumnId]): Seq[String] = {
+    val live = kept.map(_.physical.toLowerCase(java.util.Locale.ROOT)).toSet
+    (prevRetired ++ prevMap.map(_.physical))
+      .filterNot(p => live.contains(p.toLowerCase(java.util.Locale.ROOT)))
+      .distinct
   }
 
   /** Rename `df`'s columns to their PHYSICAL names before writing —
@@ -424,15 +453,17 @@ object Snapshots {
     val f = fsFor(dir)
     val root = rootOf(f, dir)
     val v = nextVersion(dir, expectedVersion)
-    val (prevMap, idFloor) =
-      if (v == 0) (Seq.empty[ColumnId], 0)
+    val (prevMap, idFloor, prevRetired) =
+      if (v == 0) (Seq.empty[ColumnId], 0, Seq.empty[String])
       else {
         val prev = readManifest(f, root, v - 1)
-        (colMapOf(prev), prev.maxColId)
+        (colMapOf(prev), prev.maxColId, prev.retired)
       }
-    val map = continueMap(prevMap, df.schema, idFloor)
+    val map = continueMap(prevMap, df.schema, idFloor, prevRetired.toSet)
+    val retired = retireDropped(prevRetired, prevMap, map)
     val (files, stats) = writeWithStats(df, map, f, root, v)
-    publish(f, root, v, files, df.schema, map, stats, idFloor)
+    publish(f, root, v, files, df.schema, map, stats, idFloor, txn = None,
+      retired = retired)
     v
   }
 
@@ -466,10 +497,11 @@ object Snapshots {
     val prevMap = prevSchema.fold(Seq.empty[ColumnId]) { ps =>
       if (prev.colMap.nonEmpty) prev.colMap else identityMap(ps)
     }
-    val map = continueMap(prevMap, schema, prev.maxColId)
+    val map = continueMap(prevMap, schema, prev.maxColId, prev.retired.toSet)
+    val retired = retireDropped(prev.retired, prevMap, map)
     val (files, stats) = writeWithStats(df, map, f, root, v)
     publish(f, root, v, prev.files ++ files, schema, map, prev.stats ++ stats,
-      prev.maxColId, txn)
+      prev.maxColId, txn, retired)
     v
   }
 
@@ -494,20 +526,37 @@ object Snapshots {
         case _ => v -= 1
       }
     }
-    val side = {
-      val p = txnSidecar(root, appId)
-      if (f.exists(p))
-        scala.util.Try(
-          new String(readBytes(f, p), StandardCharsets.UTF_8).trim.toLong).toOption
-      else None
-    }
-    (walked.toSeq ++ side.toSeq).reduceOption(_ max _)
+    if (walked.isDefined) walked // the newest surviving txn manifest is
+    else readTxnSidecar(f, root, appId) // always >= the sidecar (review r14)
   }
 
   /** URL-safe filename for a writer's durable ledger sidecar. */
   private def txnSidecar(root: Path, appId: String): Path =
     new Path(root, "_txn_" + Base64.getUrlEncoder.withoutPadding()
       .encodeToString(appId.getBytes(StandardCharsets.UTF_8)))
+
+  private def readTxnSidecar(f: FileSystem, root: Path, appId: String): Option[Long] = {
+    val p = txnSidecar(root, appId)
+    if (f.exists(p))
+      scala.util.Try(
+        new String(readBytes(f, p), StandardCharsets.UTF_8).trim.toLong).toOption
+    else None
+  }
+
+  /** Durable ledger update (temp-then-rename, the cursor-file
+    * pattern) — shared by the streaming sink and vacuum's
+    * fold-before-drop. */
+  private def writeTxnSidecar(f: FileSystem, root: Path, appId: String,
+                              batchId: Long): Unit = {
+    val side = txnSidecar(root, appId)
+    val tmp = new Path(root, side.getName + s".tmp.${System.nanoTime()}")
+    val out = f.create(tmp, true)
+    try out.write(batchId.toString.getBytes(StandardCharsets.UTF_8))
+    finally out.close()
+    org.apache.hadoop.fs.FileContext.getFileContext(root.toUri, f.getConf)
+      .rename(tmp, side, org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+    f.delete(new Path(root, "." + tmp.getName + ".crc"), false)
+  }
 
   /** Exactly-once STREAMING append into a versioned snapshot table —
     * the Delta transactional-sink mechanism, with the manifest itself
@@ -551,17 +600,10 @@ object Snapshots {
       f.delete(dataDir, true) // our own crashed attempt (see contract)
     val committed = appendInternal(df, dir, expectedVersion = None,
       txn = Some((appId, batchId)))
-    // durable ledger update AFTER the publish (temp-then-rename, the
-    // cursor-file pattern): a crash here is safe — the walk sees the
-    // just-published manifest
-    val side = txnSidecar(root, appId)
-    val tmp = new Path(root, side.getName + s".tmp.${System.nanoTime()}")
-    val out = f.create(tmp, true)
-    try out.write(batchId.toString.getBytes(StandardCharsets.UTF_8))
-    finally out.close()
-    org.apache.hadoop.fs.FileContext.getFileContext(root.toUri, f.getConf)
-      .rename(tmp, side, org.apache.hadoop.fs.Options.Rename.OVERWRITE)
-    f.delete(new Path(root, "." + tmp.getName + ".crc"), false)
+    // durable ledger update AFTER the publish: a crash here is safe —
+    // the walk sees the just-published manifest, and vacuum folds a
+    // doomed manifest's txn into the sidecar before dropping it
+    writeTxnSidecar(f, root, appId, batchId)
     Some(committed)
   }
 
@@ -616,7 +658,8 @@ object Snapshots {
       else current.coalesce(nOut) // shrink without a shuffle
     val map = if (prev.colMap.nonEmpty) prev.colMap else identityMap(schema)
     val (files, stats) = writeWithStats(arranged, map, f, root, v)
-    publish(f, root, v, files, schema, map, stats, prev.maxColId)
+    publish(f, root, v, files, schema, map, stats, prev.maxColId,
+      txn = None, retired = prev.retired)
     v
   }
 
@@ -645,7 +688,8 @@ object Snapshots {
     val newSchema = StructType(schema.fields.updated(idx, schema.fields(idx).copy(name = to)))
     val map = colMapOf(prev).map(c =>
       if (sameCol(c.logical, from)) c.copy(logical = to) else c)
-    publish(f, root, v, prev.files, newSchema, map, prev.stats, prev.maxColId)
+    publish(f, root, v, prev.files, newSchema, map, prev.stats, prev.maxColId,
+      txn = None, retired = prev.retired)
     v
   }
 
@@ -911,7 +955,8 @@ object Snapshots {
       "copy-on-write rewrite must preserve the table schema")
     val (files, stats) = writeWithStats(rewritten, map, f, root, v)
     publish(f, root, v, untouchedFiles ++ files, schema, map,
-      (prev.stats -- touched) ++ stats, prev.maxColId)
+      (prev.stats -- touched) ++ stats, prev.maxColId,
+      txn = None, retired = prev.retired)
     v
   }
 
@@ -1172,6 +1217,27 @@ object Snapshots {
       if (f.exists(manifestPath(root, v))) readManifest(f, root, v).files
       else Seq.empty
     }.toSet
+    // Before dropping a txn-carrying manifest, fold its batch id into
+    // the writer's durable sidecar — a crash between a stream commit's
+    // publish and ITS OWN sidecar update would otherwise combine with
+    // this vacuum to erase the only record of that batch, silently
+    // downgrading the streaming sink's exactly-once to at-least-once
+    // on the next replay (review r14). Max-fold per appId, sidecars
+    // written BEFORE any manifest is deleted (a crash in between
+    // leaves the manifest — safe).
+    val doomedTxns = scala.collection.mutable.Map[String, Long]()
+    (0L until keepFrom).foreach { v =>
+      if (f.exists(manifestPath(root, v)))
+        readManifest(f, root, v).txn.foreach { case (a, b) =>
+          doomedTxns.update(a, math.max(b, doomedTxns.getOrElse(a, Long.MinValue)))
+        }
+    }
+    doomedTxns.foreach { case (appId, b) =>
+      // compare against the SIDECAR, not lastStreamBatch: the walk
+      // still sees the very manifest this vacuum is about to delete
+      if (!readTxnSidecar(f, root, appId).exists(_ >= b))
+        writeTxnSidecar(f, root, appId, b)
+    }
     (0L until keepFrom).foreach { v =>
       val m = manifestPath(root, v)
       if (f.exists(m)) {
@@ -1181,18 +1247,21 @@ object Snapshots {
         f.delete(m, false)
       }
     }
-    // crashed publishes orphan `*.manifest.inprogress.*` temps (and
-    // local crc sidecars) that nothing else reclaims (review-caught).
-    // AGE-GATED: a live publisher's temp exists for milliseconds, so
-    // only temps older than an hour are swept — deleting a live one
-    // would fail its rename AND leave its errorifexists data dir
-    // squatting on the version number (review-caught: an
-    // unconditional sweep could wedge a racing commit, not merely
-    // retry it).
+    // crashed publishes orphan `*.manifest.inprogress.*` temps — and
+    // crashed sidecar updates orphan `_txn_*.tmp.*` temps — (plus
+    // local crc sidecars) that nothing else reclaims (review-caught,
+    // extended r14). AGE-GATED: a live publisher's temp exists for
+    // milliseconds, so only temps older than an hour are swept —
+    // deleting a live one would fail its rename AND leave its
+    // errorifexists data dir squatting on the version number
+    // (review-caught: an unconditional sweep could wedge a racing
+    // commit, not merely retry it).
     val cutoff = System.currentTimeMillis() - 3600L * 1000
     f.listStatus(root).foreach { st =>
       val n = st.getPath.getName
-      if (n.contains(".manifest.inprogress.") && st.getModificationTime < cutoff)
+      val isTemp = n.contains(".manifest.inprogress.") ||
+        (n.contains("_txn_") && n.contains(".tmp."))
+      if (isTemp && st.getModificationTime < cutoff)
         f.delete(st.getPath, false)
     }
     // A commit that crashed BETWEEN writeData and publish leaves

@@ -520,18 +520,56 @@ class SnapshotsSpec extends SparkSpec {
     assert(e.getMessage.contains("type conflict"))
   }
 
-  test("rename guards: unknown/duplicate names refuse; a retired physical name cannot be reused") {
+  test("rename guards: unknown/duplicate names refuse; a shadowed name gets a SYNTHETIC physical") {
     val dir = fresh()
     Snapshots.commit(df(1), dir)
     intercept[IllegalArgumentException](Snapshots.renameColumn(dir, "nope", "x"))
     intercept[IllegalArgumentException](Snapshots.renameColumn(dir, "payload", "ID"))
     Snapshots.renameColumn(dir, "payload", "body")
     // a NEW column named like the renamed column's files still spell
-    // it would fuse two columns in one manifest — refused loudly
+    // it must not fuse with them — it receives a synthetic physical
+    // name (the Delta column-mapping move), so the append WORKS and
+    // the two columns stay distinct
     val shadow = Seq(2L).toDF("id")
       .withColumn("body", lit("row-2")).withColumn("payload", lit("impostor"))
-    val e = intercept[IllegalArgumentException](Snapshots.commitAppend(shadow, dir))
-    assert(e.getMessage.contains("physical"), e.getMessage)
+    Snapshots.commitAppend(shadow, dir)
+    val out = Snapshots.read(spark, dir)
+      .select("id", "body", "payload").as[(Long, String, Option[String])]
+      .collect().map { case (k, v, p) => k -> ((v, p)) }.toMap
+    assert(out(1L) === (("row-1", None)),
+      "the OLD file must read its data as body and NULL for the new column")
+    assert(out(2L) === (("row-2", Some("impostor"))))
+    // dropping a column and RE-ADDING its name also works (synthetic
+    // physical — never refused, never captures the retired data)
+    Snapshots.commit(Seq(7L).toDF("id"), dir) // drops body+payload
+    Snapshots.commitAppend(
+      Seq(8L).toDF("id").withColumn("body", lit("new-gen")), dir)
+    val gen2 = Snapshots.read(spark, dir)
+      .select("id", "body").as[(Long, Option[String])].collect().toMap
+    assert(gen2 === Map(7L -> None, 8L -> Some("new-gen")))
+  }
+
+  test("vacuum folds a doomed txn manifest into the sidecar (crash-window exactly-once, review r14)") {
+    val dir = fresh()
+    assert(Snapshots.streamAppendBatch(df(1, 2), 5L, dir) === Some(0L))
+    // simulate the crash between publish and sidecar write: remove the
+    // sidecar the commit just wrote — only manifest v0 records batch 5
+    val side = Files.list(java.nio.file.Paths.get(dir)).toArray
+      .map(_.asInstanceOf[java.nio.file.Path])
+      .find(_.getFileName.toString.startsWith("_txn_")).get
+    Files.delete(side)
+    Files.deleteIfExists(side.getParent.resolve("." + side.getFileName + ".crc"))
+    // batch commits advance the table; vacuum drops the txn manifest
+    Snapshots.commit(Snapshots.read(spark, dir), dir) // v1
+    Snapshots.commit(Snapshots.read(spark, dir), dir) // v2
+    Snapshots.vacuum(dir, keepFrom = 1L)
+    assert(Snapshots.earliestVersion(dir) === 1L)
+    // the fold must have re-created the sidecar from the doomed manifest
+    assert(Snapshots.lastStreamBatch(dir, "stream") === Some(5L),
+      "vacuum must fold a doomed manifest's txn into the sidecar")
+    assert(Snapshots.streamAppendBatch(df(1, 2), 5L, dir) === None,
+      "the crash-window replay must stay a no-op after vacuum")
+    assert(Snapshots.read(spark, dir).count() === 2L)
   }
 
   test("rename + stats: a predicate on the NEW name prunes files written under the old one") {
