@@ -960,6 +960,36 @@ object Snapshots {
     v
   }
 
+  /** The table's commit history as a DataFrame — the `DESCRIBE
+    * HISTORY` ops surface, answered from manifests alone: one row per
+    * retained version with its file count, exact row count when every
+    * file carries stats (NULL otherwise — never a wrong number),
+    * total referenced bytes, column count, and the stream writer's
+    * txn record if the version was a streaming append. Newest first. */
+  def history(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val f = fsFor(dir)
+    val root = rootOf(f, dir)
+    val vs = versionNumbers(f, rootOf(f, dir)).sorted.reverse
+    val rows = vs.map { v =>
+      val man = readManifest(f, root, v)
+      val rowCount: java.lang.Long =
+        if (man.files.isEmpty) java.lang.Long.valueOf(0L)
+        else if (man.files.forall(man.stats.contains))
+          java.lang.Long.valueOf(man.files.iterator.map(man.stats(_).rows).sum)
+        else null
+      val bytes = man.files.iterator.map { rel =>
+        try f.getFileStatus(new Path(root, rel)).getLen
+        catch { case _: java.io.IOException => 0L }
+      }.sum
+      (v, man.files.size, rowCount, bytes,
+        man.schema.map(_.fields.length).getOrElse(-1),
+        man.txn.map(_._1).orNull, man.txn.map(t => java.lang.Long.valueOf(t._2)).orNull)
+    }
+    rows.toDF("version", "files", "rows", "bytes", "columns",
+      "stream_app_id", "stream_batch_id")
+  }
+
   /** Exact row count answered from the MANIFEST ALONE — zero data or
     * footer I/O, the `SELECT COUNT(*)` shortcut a transaction log
     * owes its users (Delta answers counts the same way). None when

@@ -854,6 +854,27 @@ class SnapshotsSpec extends SparkSpec {
       === Seq(1L, 2L, 3L, 4L))
   }
 
+  test("history: one metadata-only row per retained version, newest first") {
+    val dir = fresh()
+    Snapshots.commit(df(1, 2).coalesce(1), dir) // v0
+    Snapshots.commitAppend(df(3).coalesce(1), dir) // v1
+    Snapshots.streamAppendBatch(df(4).coalesce(1), 0L, dir, appId = "ing") // v2
+    val h = Snapshots.history(spark, dir).collect()
+    assert(h.map(_.getLong(0)).toSeq === Seq(2L, 1L, 0L), "newest first")
+    val byV = h.map(r => r.getLong(0) -> r).toMap
+    assert(byV(0L).getInt(1) === 1 && byV(1L).getInt(1) === 2 && byV(2L).getInt(1) === 3,
+      "append lineages accumulate files")
+    assert(byV(2L).getLong(2) === 4L, "row counts from stats")
+    assert(byV(2L).getString(5) === "ing" && byV(2L).getLong(6) === 0L,
+      "stream commits carry their txn record")
+    assert(byV(0L).isNullAt(5), "batch commits have no txn")
+    assert(h.forall(_.getLong(3) > 0L), "referenced bytes")
+    // vacuum shrinks the history to the retained versions
+    Snapshots.vacuum(dir, keepFrom = 1L)
+    assert(Snapshots.history(spark, dir).collect().map(_.getLong(0)).toSeq
+      === Seq(2L, 1L))
+  }
+
   test("changelog below the retention floor gives the vacuumed diagnostic, not a raw missing-version error") {
     val dir = fresh()
     Snapshots.commit(df(1), dir) // v0
