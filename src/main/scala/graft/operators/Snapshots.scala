@@ -378,11 +378,13 @@ object Snapshots {
     def lc(s: String) = s.toLowerCase(java.util.Locale.ROOT)
     val taken = scala.collection.mutable.Set[String]()
     retired.foreach(r => taken += lc(r))
-    // surviving columns claim their physicals first
-    next.fields.foreach { fd =>
-      prev.find(c => sameCol(c.logical, fd.name)).foreach(c => taken += lc(c.physical))
-    }
-    next.fields.toSeq.map { fd =>
+    // EVERY previous physical is off-limits for new columns — not just
+    // the survivors': a column dropped and name-re-added in the SAME
+    // commit is not yet in `retired`, and handing its physical to the
+    // new column would fuse the two lineages in still-retained files
+    // (review r14)
+    prev.foreach(c => taken += lc(c.physical))
+    val out = next.fields.toSeq.map { fd =>
       prev.find(c => sameCol(c.logical, fd.name)) match {
         case Some(c) => c.copy(logical = fd.name) // adopt the schema's casing
         case None =>
@@ -395,6 +397,17 @@ object Snapshots {
           ColumnId(id, fd.name, phys)
       }
     }
+    // a schema with case-duplicate names would publish a table whose
+    // case-insensitive resolution is ambiguous forever — refuse NOW,
+    // loudly, instead of committing an unreadable version (review r14:
+    // the synthetic-name rewrite dropped the old whole-map guard)
+    val logSeen = scala.collection.mutable.Set[String]()
+    out.foreach { c =>
+      require(logSeen.add(lc(c.logical)),
+        s"duplicate column name '${c.logical}' (case-insensitive) — " +
+          "column resolution is case-insensitive throughout the log")
+    }
+    out
   }
 
   /** Physical names a lineage has EVER used minus the survivors —
@@ -970,7 +983,16 @@ object Snapshots {
     import spark.implicits._
     val f = fsFor(dir)
     val root = rootOf(f, dir)
-    val vs = versionNumbers(f, rootOf(f, dir)).sorted.reverse
+    val vs = versionNumbers(f, root).sorted.reverse
+    // append lineages share almost all files across versions — stat
+    // each referenced file ONCE, not once per version (review r14:
+    // the naive loop was O(versions x files) metadata RPCs). A failed
+    // stat poisons the version's byte total to NULL, matching the
+    // rows column's never-a-wrong-number contract.
+    val sizeOf = scala.collection.mutable.Map[String, Option[Long]]()
+    def size(rel: String): Option[Long] = sizeOf.getOrElseUpdate(rel,
+      try Some(f.getFileStatus(new Path(root, rel)).getLen)
+      catch { case _: java.io.IOException => None })
     val rows = vs.map { v =>
       val man = readManifest(f, root, v)
       val rowCount: java.lang.Long =
@@ -978,10 +1000,11 @@ object Snapshots {
         else if (man.files.forall(man.stats.contains))
           java.lang.Long.valueOf(man.files.iterator.map(man.stats(_).rows).sum)
         else null
-      val bytes = man.files.iterator.map { rel =>
-        try f.getFileStatus(new Path(root, rel)).getLen
-        catch { case _: java.io.IOException => 0L }
-      }.sum
+      val sizes = man.files.map(size)
+      val bytes: java.lang.Long =
+        if (sizes.forall(_.isDefined))
+          java.lang.Long.valueOf(sizes.iterator.flatten.sum)
+        else null
       (v, man.files.size, rowCount, bytes,
         man.schema.map(_.fields.length).getOrElse(-1),
         man.txn.map(_._1).orNull, man.txn.map(t => java.lang.Long.valueOf(t._2)).orNull)
@@ -1255,12 +1278,23 @@ object Snapshots {
     // on the next replay (review r14). Max-fold per appId, sidecars
     // written BEFORE any manifest is deleted (a crash in between
     // leaves the manifest — safe).
+    // ONE read per doomed manifest (review r14: the txn fold and the
+    // delete loop each re-fetched and re-parsed every manifest):
+    // collect (files, txn) first, write sidecars, THEN delete — the
+    // sidecars-before-any-delete ordering is what makes a crash in
+    // between safe (manifests still present).
+    val doomed: Seq[(Long, Seq[String], Option[(String, Long)])] =
+      (0L until keepFrom).flatMap { v =>
+        if (f.exists(manifestPath(root, v))) {
+          val man = readManifest(f, root, v)
+          Some((v, man.files, man.txn))
+        } else None
+      }
     val doomedTxns = scala.collection.mutable.Map[String, Long]()
-    (0L until keepFrom).foreach { v =>
-      if (f.exists(manifestPath(root, v)))
-        readManifest(f, root, v).txn.foreach { case (a, b) =>
-          doomedTxns.update(a, math.max(b, doomedTxns.getOrElse(a, Long.MinValue)))
-        }
+    doomed.foreach { case (_, _, txn) =>
+      txn.foreach { case (a, b) =>
+        doomedTxns.update(a, math.max(b, doomedTxns.getOrElse(a, Long.MinValue)))
+      }
     }
     doomedTxns.foreach { case (appId, b) =>
       // compare against the SIDECAR, not lastStreamBatch: the walk
@@ -1268,14 +1302,10 @@ object Snapshots {
       if (!readTxnSidecar(f, root, appId).exists(_ >= b))
         writeTxnSidecar(f, root, appId, b)
     }
-    (0L until keepFrom).foreach { v =>
-      val m = manifestPath(root, v)
-      if (f.exists(m)) {
-        readManifest(f, root, v).files
-          .filterNot(keep.contains)
-          .foreach(rel => f.delete(new Path(root, rel), false))
-        f.delete(m, false)
-      }
+    doomed.foreach { case (v, files, _) =>
+      files.filterNot(keep.contains)
+        .foreach(rel => f.delete(new Path(root, rel), false))
+      f.delete(manifestPath(root, v), false)
     }
     // crashed publishes orphan `*.manifest.inprogress.*` temps — and
     // crashed sidecar updates orphan `_txn_*.tmp.*` temps — (plus

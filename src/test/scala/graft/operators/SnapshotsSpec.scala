@@ -854,6 +854,31 @@ class SnapshotsSpec extends SparkSpec {
       === Seq(1L, 2L, 3L, 4L))
   }
 
+  test("case-duplicate column names refuse at commit time, never publish an ambiguous table") {
+    val dir = fresh()
+    val e = intercept[IllegalArgumentException](
+      Snapshots.commit(Seq((1L, 2L)).toDF("a", "A"), dir))
+    assert(e.getMessage.contains("duplicate column name"), e.getMessage)
+    assert(Snapshots.currentVersion(dir) === -1L, "nothing may publish")
+  }
+
+  test("same-commit drop + name-re-add cannot steal the dropped column's physical (review r14)") {
+    val dir = fresh()
+    Snapshots.commit(df(1), dir) // (id, payload)
+    Snapshots.renameColumn(dir, "payload", "body") // body's physical = 'payload'
+    // ONE commit that drops body and re-adds a column named 'payload':
+    // the new column must get a synthetic physical, never 'payload'
+    Snapshots.commit(
+      Seq(2L).toDF("id").withColumn("payload", lit(777L)), dir)
+    // v0/v1 aligned to the latest schema: old body data must NOT fuse
+    // into the unrelated new 'payload' column
+    val aligned = Snapshots.readAligned(spark, dir, 0)
+    assert(aligned.columns.toSeq === Seq("id", "payload"))
+    assert(aligned.filter(col("payload").isNotNull).count() === 0L,
+      "the dropped body lineage must not leak into the new payload column")
+    assert(Snapshots.read(spark, dir).select("payload").as[Long].head() === 777L)
+  }
+
   test("history: one metadata-only row per retained version, newest first") {
     val dir = fresh()
     Snapshots.commit(df(1, 2).coalesce(1), dir) // v0
