@@ -437,20 +437,43 @@ object Snapshots {
   private def quoted(name: String): org.apache.spark.sql.Column =
     col("`" + name.replace("`", "``") + "`")
 
+  private def dataDirPath(root: Path, v: Long): Path =
+    new Path(new Path(root, "data"), f"v$v%06d")
+
   private def writeData(df: DataFrame, f: FileSystem, root: Path, v: Long): Seq[String] = {
-    val dataDir = new Path(new Path(root, "data"), f"v$v%06d")
+    val dataDir = dataDirPath(root, v)
     df.write.mode("errorifexists").parquet(dataDir.toString)
     val files = listParquet(f, root, dataDir)
     require(files.nonEmpty || df.isEmpty, s"no data files written under $dataDir")
     files
   }
 
+  /** Newest modification time anywhere under `st`'s subtree — "is
+    * anything still being written here?" Recurses over the FileStatus
+    * objects listings already return (no per-entry re-stat), and a
+    * vanished entry reports MaxValue = "actively modified right now"
+    * so age-gated sweeps skip the dir and retry later (see [[vacuum]],
+    * where this logic originated; [[streamAppendBatch]]'s fallback
+    * sweep shares it). */
+  private def newestMtime(f: FileSystem, st: org.apache.hadoop.fs.FileStatus): Long =
+    if (!st.isDirectory) st.getModificationTime
+    else
+      try (st.getModificationTime +:
+        f.listStatus(st.getPath).map(newestMtime(f, _)).toSeq).max
+      catch { case _: java.io.FileNotFoundException => Long.MaxValue }
+
   /** Write `df` physically and fold its freshly written parquet
-    * footers into per-file stats (metadata-only; see [[SnapshotStats]]). */
+    * footers into per-file stats (metadata-only; see [[SnapshotStats]]).
+    * `afterWrite` runs between the data write and the (potentially
+    * long) distributed footer-stats job — [[streamAppendBatch]] hangs
+    * its ownership sentinel there so the unprotected crash window is
+    * as small as possible. */
   private def writeWithStats(df: DataFrame, map: Seq[ColumnId], f: FileSystem,
-                             root: Path, v: Long)
+                             root: Path, v: Long,
+                             afterWrite: Long => Unit = _ => ())
       : (Seq[String], Map[String, SnapshotStats.FileStats]) = {
     val files = writeData(toPhysical(df, map), f, root, v)
+    afterWrite(v)
     val cols = SnapshotStats.statsColumns(df.schema, physicalOf(map, _))
     (files, SnapshotStats.collect(df.sparkSession, root, files, cols))
   }
@@ -491,7 +514,8 @@ object Snapshots {
 
   private def appendInternal(df: DataFrame, dir: String,
                              expectedVersion: Option[Long],
-                             txn: Option[(String, Long)]): Long = {
+                             txn: Option[(String, Long)],
+                             afterWrite: Long => Unit = _ => ()): Long = {
     val f = fsFor(dir)
     val root = rootOf(f, dir)
     val v = nextVersion(dir, expectedVersion)
@@ -512,7 +536,7 @@ object Snapshots {
     }
     val map = continueMap(prevMap, schema, prev.maxColId, prev.retired.toSet)
     val retired = retireDropped(prev.retired, prevMap, map)
-    val (files, stats) = writeWithStats(df, map, f, root, v)
+    val (files, stats) = writeWithStats(df, map, f, root, v, afterWrite)
     publish(f, root, v, prev.files ++ files, schema, map, prev.stats ++ stats,
       prev.maxColId, txn, retired)
     v
@@ -590,17 +614,33 @@ object Snapshots {
     *
     * Single-stream-writer contract — ONE live stream writer per
     * TABLE, not per appId (appIds distinguish historical writers,
-    * e.g. across a pipeline rename, never concurrent ones): if the
-    * next version's data directory exists WITHOUT a manifest, it can
-    * only be this writer's own crashed attempt (batch commits fail
-    * fast on the same condition) — it is swept and the attempt
-    * retried, so a crash between data write and publish never wedges
-    * the stream the way it intentionally wedges ambiguous batch
-    * commits. Two CONCURRENT stream writers could sweep each other's
-    * in-flight data dirs (review r14) — unsupported, exactly like two
+    * e.g. across a pipeline rename, never concurrent ones). Two
+    * CONCURRENT stream writers remain unsupported, exactly like two
     * concurrent Delta writers without a coordinating commit service.
-    * Concurrent BATCH commits remain safe (publish refuses a taken
-    * version); they just must not race the data-dir sweep.
+    *
+    * Crashed-attempt recovery vs concurrent batch commits (advisor
+    * r14, medium): a manifest-less `data/vNNNNNN` dir at the next
+    * version is EITHER this writer's own crashed attempt OR a
+    * concurrent batch commit sitting between its data write and its
+    * publish — sweeping the latter would silently lose the batch's
+    * data if its publish then won the version race. The sweep is
+    * therefore OWNERSHIP-GUARDED: every stream attempt drops a
+    * sentinel file (`data/vNNNNNN.stream`) immediately AFTER its data
+    * write succeeds — and `errorifexists` means only ONE writer ever
+    * creates a given data dir, so sentinel-present PROVES the dir is
+    * the stream's own and is swept immediately. A manifest-less dir
+    * WITHOUT the sentinel is presumed to be a live batch commit: the
+    * attempt fails loudly (Spark retries the micro-batch; once the
+    * batch publishes, the retry lands on the next version) unless the
+    * dir's entire subtree is over an hour quiet — the same age gate
+    * [[vacuum]] applies to orphans — in which case it is a crashed
+    * BATCH commit's orphan and is reclaimed. The one residual window:
+    * a stream attempt that crashes after starting its data write but
+    * before the sentinel lands recovers via the age gate (up to 1 h
+    * of loud retries) instead of immediately — slow recovery, never
+    * data loss. Stale sentinels of PUBLISHED versions (crash between
+    * publish and sentinel cleanup) are inert litter; vacuum sweeps
+    * them.
     */
   def streamAppendBatch(df: DataFrame, batchId: Long, dir: String,
                         appId: String = "stream"): Option[Long] = {
@@ -608,17 +648,45 @@ object Snapshots {
     val f = fsFor(dir)
     val root = rootOf(f, dir)
     val v = currentVersion(dir) + 1
-    val dataDir = new Path(new Path(root, "data"), f"v$v%06d")
-    if (f.exists(dataDir) && !f.exists(manifestPath(root, v)))
-      f.delete(dataDir, true) // our own crashed attempt (see contract)
+    val dataDir = dataDirPath(root, v)
+    if (f.exists(dataDir) && !f.exists(manifestPath(root, v))) {
+      val sentinel = streamSentinel(root, v)
+      if (f.exists(sentinel)) {
+        // provably OUR crashed attempt (see contract): sweep + retry
+        f.delete(dataDir, true)
+        f.delete(sentinel, false)
+      } else if (newestMtime(f, f.getFileStatus(dataDir)) <
+          System.currentTimeMillis() - 3600L * 1000) {
+        f.delete(dataDir, true) // a crashed BATCH commit's aged orphan
+      } else {
+        throw new IllegalStateException(
+          s"version $v data dir exists without a manifest and without a " +
+            "stream sentinel — a concurrent batch commit is likely mid-publish; " +
+            "retrying after it publishes (or after the 1h orphan age gate)")
+      }
+    }
     val committed = appendInternal(df, dir, expectedVersion = None,
-      txn = Some((appId, batchId)))
+      txn = Some((appId, batchId)),
+      afterWrite = ver => {
+        val out = f.create(streamSentinel(root, ver), true)
+        try out.write(appId.getBytes(StandardCharsets.UTF_8)) finally out.close()
+      })
     // durable ledger update AFTER the publish: a crash here is safe —
     // the walk sees the just-published manifest, and vacuum folds a
     // doomed manifest's txn into the sidecar before dropping it
     writeTxnSidecar(f, root, appId, batchId)
+    // the published version's sentinel has served its purpose (the
+    // checksummed delete drops any local .crc sidecar with it)
+    f.delete(streamSentinel(root, committed), false)
     Some(committed)
   }
+
+  /** Stream-attempt ownership marker for [[streamAppendBatch]]'s
+    * crashed-attempt sweep — a sibling FILE of the data dir, so
+    * [[vacuum]]'s `v<digits>` orphan parse never confuses it for a
+    * data dir. */
+  private def streamSentinel(root: Path, v: Long): Path =
+    new Path(new Path(root, "data"), f"v$v%06d.stream")
 
   /** [[streamAppendBatch]] curried for `DataStreamWriter.foreachBatch`. */
   def streamAppend(dir: String, appId: String = "stream"): (DataFrame, Long) => Unit =
@@ -963,8 +1031,13 @@ object Snapshots {
     val map = if (prev.colMap.nonEmpty) prev.colMap else identityMap(schema)
     val slice = readManifested(spark, root, prev.copy(files = touched), None)
     val rewritten = transform(slice)
-    require(rewritten.schema.fields.map(fd => (fd.name.toLowerCase, fd.dataType)).toSeq
-      == schema.fields.map(fd => (fd.name.toLowerCase, fd.dataType)).toSeq,
+    // Locale.ROOT, matching sameCol semantics everywhere else in the
+    // file — default-locale toLowerCase would spuriously fail (or
+    // mis-pass) the COW schema check on e.g. a Turkish-locale JVM for
+    // columns containing 'I' (advisor r14)
+    def lcRoot(s: String) = s.toLowerCase(java.util.Locale.ROOT)
+    require(rewritten.schema.fields.map(fd => (lcRoot(fd.name), fd.dataType)).toSeq
+      == schema.fields.map(fd => (lcRoot(fd.name), fd.dataType)).toSeq,
       "copy-on-write rewrite must preserve the table schema")
     val (files, stats) = writeWithStats(rewritten, map, f, root, v)
     publish(f, root, v, untouchedFiles ++ files, schema, map,
@@ -1283,11 +1356,29 @@ object Snapshots {
     // collect (files, txn) first, write sidecars, THEN delete — the
     // sidecars-before-any-delete ordering is what makes a crash in
     // between safe (manifests still present).
+    // A TORN doomed manifest (crashed publish that still got renamed,
+    // or bit rot) must not block vacuum forever (advisor r14): its
+    // file list is unknown, so we delete NOTHING of its files — only
+    // the manifest itself goes, never a guess at its contents. Files
+    // referenced ONLY by the torn manifest leak until manual cleanup;
+    // files it shared with parseable doomed manifests are reclaimed
+    // through those. Its txn record (if any) is also unknown — safe,
+    // because a txn manifest torn before its sidecar update replays
+    // the batch (at-least-once on THAT batch only, the documented
+    // crash-window contract).
     val doomed: Seq[(Long, Seq[String], Option[(String, Long)])] =
       (0L until keepFrom).flatMap { v =>
         if (f.exists(manifestPath(root, v))) {
-          val man = readManifest(f, root, v)
-          Some((v, man.files, man.txn))
+          try {
+            val man = readManifest(f, root, v)
+            Some((v, man.files, man.txn))
+          } catch {
+            // IllegalArgumentException = torn trailer/header;
+            // IOException covers checksum/read corruption — either
+            // way the list is unknowable and the version is doomed
+            case _: IllegalArgumentException | _: java.io.IOException =>
+              Some((v, Seq.empty[String], None)) // torn: drop manifest only
+          }
         } else None
       }
     val doomedTxns = scala.collection.mutable.Map[String, Long]()
@@ -1344,30 +1435,27 @@ object Snapshots {
     // (advisor r11, medium). The subtree scan only runs on orphan
     // CANDIDATES (version above current), which are rare by
     // construction, so its listing cost is not on any hot path.
-    // Recurses over the FileStatus objects the parent listing already
-    // returned (no per-entry re-stat — halves metadata RPCs on remote
-    // stores), and treats a vanished entry ANYWHERE in the subtree as
-    // "being actively modified right now": report fresh so this sweep
-    // skips the dir and the next vacuum sees the settled state
-    // (review-caught: the old shape re-stat'd every child, and a
-    // child vanishing mid-scan either aborted the whole sweep or —
-    // worse — made an in-flight dir look old by discarding its
-    // children's mtimes).
-    def newestMtime(st: org.apache.hadoop.fs.FileStatus): Long =
-      if (!st.isDirectory) st.getModificationTime
-      else
-        try (st.getModificationTime +:
-          f.listStatus(st.getPath).map(newestMtime).toSeq).max
-        catch { case _: java.io.FileNotFoundException => Long.MaxValue }
+    // (subtree-mtime rationale lives on [[newestMtime]], factored out
+    // so streamAppendBatch's fallback sweep shares it.)
     val dataRoot = new Path(root, "data")
     if (f.exists(dataRoot)) f.listStatus(dataRoot).foreach { st =>
       val n = st.getPath.getName
-      val ver = if (n.startsWith("v") && n.length > 1 &&
-        n.drop(1).forall(_.isDigit)) Some(n.drop(1).toLong) else None
-      ver.foreach { v =>
-        if (v > cur && st.getModificationTime < cutoff &&
-            newestMtime(st) < cutoff)
-          f.delete(st.getPath, true)
+      if (st.isFile && n.endsWith(".stream")) {
+        // stale stream-ownership sentinel (see [[streamSentinel]]):
+        // inert once its version published or its attempt aged out
+        val base = n.stripSuffix(".stream")
+        val published = base.startsWith("v") && base.drop(1).forall(_.isDigit) &&
+          f.exists(manifestPath(root, base.drop(1).toLong))
+        if (published || st.getModificationTime < cutoff)
+          f.delete(st.getPath, false)
+      } else {
+        val ver = if (n.startsWith("v") && n.length > 1 &&
+          n.drop(1).forall(_.isDigit)) Some(n.drop(1).toLong) else None
+        ver.foreach { v =>
+          if (v > cur && st.getModificationTime < cutoff &&
+              newestMtime(f, st) < cutoff)
+            f.delete(st.getPath, true)
+        }
       }
     }
   }

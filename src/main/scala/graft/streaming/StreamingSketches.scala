@@ -110,16 +110,24 @@ object StreamingSketches {
 
   /** @param df       streaming DataFrame
     * @param groupCol grouping column (cast to string)
-    * @param keyCol   counted key column (cast to long; NULLs dropped —
-    *                 COUNT DISTINCT semantics never count NULL)
+    * @param keyCol   counted key column — ANY type: the key is hashed
+    *                 into the long domain with `xxhash64` before it
+    *                 reaches the sketch (advisor r14: the previous
+    *                 `cast("long")` silently NULLed non-numeric keys,
+    *                 so a string-keyed caller got distinct-count 0).
+    *                 NULL keys are dropped BEFORE hashing — COUNT
+    *                 DISTINCT semantics never count NULL, and
+    *                 xxhash64(NULL) would otherwise smuggle the seed
+    *                 value in as a phantom key
     * @param p        register exponent: 2^p bytes state per group,
     *                 rsd ≈ 1.04/√(2^p) (p = 12 → 4 KiB, ≈1.6%)
     */
   def approxDistinct(df: DataFrame, groupCol: Column, keyCol: Column,
                      p: Int = 12): Dataset[GroupDistinct] = {
     import df.sparkSession.implicits._
-    df.select(groupCol.cast("string").as("group"), keyCol.cast("long").as("key"))
-      .filter(col("group").isNotNull && col("key").isNotNull)
+    df.select(groupCol.cast("string").as("group"), keyCol.as("k0"))
+      .filter(col("group").isNotNull && col("k0").isNotNull)
+      .select(col("group"), xxhash64(col("k0")).as("key"))
       .as[(String, Long)]
       .groupByKey(_._1)
       .mapGroupsWithState[HllStateRow, GroupDistinct](

@@ -841,17 +841,69 @@ class SnapshotsSpec extends SparkSpec {
   test("streamAppend: a crash between data write and publish does not wedge the stream") {
     val dir = fresh()
     assert(Snapshots.streamAppendBatch(df(1, 2), 0L, dir) === Some(0L))
-    // simulate the crash: the NEXT version's data directory exists,
-    // no manifest — a batch commit would fail fast on errorifexists
+    // simulate the stream's own crashed attempt: the NEXT version's
+    // data directory exists with the stream's OWNERSHIP SENTINEL
+    // (written right after the data write), no manifest — a batch
+    // commit would fail fast on errorifexists
     val orphan = java.nio.file.Paths.get(dir, "data", "v000001")
     Files.createDirectories(orphan)
     Files.write(orphan.resolve("part-crashed.parquet"), Array[Byte](1, 2, 3))
+    Files.write(java.nio.file.Paths.get(dir, "data", "v000001.stream"),
+      "stream".getBytes)
     intercept[Exception](Snapshots.commitAppend(df(9), dir)) // batch path wedges (documented)
-    // the stream writer owns unpublished next-version dirs (single-
-    // writer contract): it sweeps its own crashed attempt and retries
+    // the sentinel PROVES the dir is the stream's own crashed attempt:
+    // swept immediately and the attempt retried
     assert(Snapshots.streamAppendBatch(df(3, 4), 1L, dir) === Some(1L))
     assert(Snapshots.read(spark, dir).select("id").as[Long].collect().sorted.toSeq
       === Seq(1L, 2L, 3L, 4L))
+    // the published version's sentinel was cleaned up
+    assert(!Files.exists(java.nio.file.Paths.get(dir, "data", "v000001.stream")))
+  }
+
+  test("streamAppend never sweeps a concurrent BATCH commit's in-flight data dir (advisor r14)") {
+    val dir = fresh()
+    assert(Snapshots.streamAppendBatch(df(1, 2), 0L, dir) === Some(0L))
+    // simulate a batch commit sitting between writeData and publish:
+    // data/v000001 exists, NO manifest, NO stream sentinel, fresh mtime
+    val inflight = java.nio.file.Paths.get(dir, "data", "v000001")
+    Files.createDirectories(inflight)
+    Files.write(inflight.resolve("part-batch.parquet"), Array[Byte](7, 7))
+    val e = intercept[IllegalStateException](
+      Snapshots.streamAppendBatch(df(3), 1L, dir))
+    assert(e.getMessage.contains("concurrent batch commit"), e.getMessage)
+    assert(Files.exists(inflight.resolve("part-batch.parquet")),
+      "the batch commit's in-flight data must NOT be deleted")
+    // once the dir is over the age gate it is a crashed batch orphan:
+    // the stream reclaims the version and proceeds
+    val aged = java.nio.file.attribute.FileTime.fromMillis(
+      System.currentTimeMillis() - 2 * 3600 * 1000L)
+    Files.setLastModifiedTime(inflight.resolve("part-batch.parquet"), aged)
+    Files.setLastModifiedTime(inflight, aged)
+    assert(Snapshots.streamAppendBatch(df(3), 1L, dir) === Some(1L))
+    assert(Snapshots.read(spark, dir).select("id").as[Long].collect().sorted.toSeq
+      === Seq(1L, 2L, 3L))
+  }
+
+  test("vacuum tolerates a TORN doomed manifest: drops it, guesses no files, proceeds (advisor r14)") {
+    val dir = fresh()
+    Snapshots.commit(df(1), dir) // v0
+    Snapshots.commit(df(2), dir) // v1
+    Snapshots.commit(df(3), dir) // v2
+    // tear v0's manifest (truncate below its #end trailer)
+    val m0 = java.nio.file.Paths.get(dir, "_v000000.manifest")
+    val torn = new String(Files.readAllBytes(m0)).split("\n").dropRight(1).mkString("\n")
+    Files.write(m0, torn.getBytes)
+    // drop the local checksum sidecar so the tear surfaces as the
+    // trailer check, not a ChecksumException (both paths are handled)
+    Files.deleteIfExists(java.nio.file.Paths.get(dir, "._v000000.manifest.crc"))
+    intercept[IllegalArgumentException](Snapshots.read(spark, dir, 0)) // torn = unreadable
+    // vacuum below keepFrom=2 must not be blocked by the torn v0:
+    // v0's manifest goes (its files leak — never guessed), v1's files
+    // are reclaimed normally, survivors stay intact
+    Snapshots.vacuum(dir, keepFrom = 2L)
+    assert(!Files.exists(m0), "torn doomed manifest itself must be dropped")
+    assert(!Files.exists(java.nio.file.Paths.get(dir, "_v000001.manifest")))
+    assert(Snapshots.read(spark, dir).select("id").as[Long].collect().toSeq === Seq(3L))
   }
 
   test("case-duplicate column names refuse at commit time, never publish an ambiguous table") {

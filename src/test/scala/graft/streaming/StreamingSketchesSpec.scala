@@ -107,10 +107,14 @@ class StreamingSketchesSpec extends SparkSpec with BeforeAndAfterAll {
     val rnd = new Random(5)
     val events = Seq.fill(30000)(
       (s"g${rnd.nextInt(3)}", rnd.nextLong(5000)))
-    // ground truth: a batch fold per group
+    // ground truth: a batch fold per group — through the SAME
+    // xxhash64 pre-hash the operator applies (seed 42, Spark's
+    // default), so the register images must agree exactly
+    def prehash(v: Long): Long =
+      org.apache.spark.sql.catalyst.expressions.XXH64.hashLong(v, 42L)
     val batch = events.groupBy(_._1).map { case (g, rows) =>
       val sk = new HllSketch(12)
-      rows.foreach(r => sk.add(r._2))
+      rows.foreach(r => sk.add(prehash(r._2)))
       g -> (rows.size.toLong, sk.estimate)
     }
     val exact = events.groupBy(_._1).map { case (g, rows) =>
@@ -126,6 +130,25 @@ class StreamingSketchesSpec extends SparkSpec with BeforeAndAfterAll {
         assert(err <= 0.05, f"group $g error $err%.4f > 5%%")
       }
     }
+  }
+
+  test("streaming HLL counts STRING keys (advisor r14: cast-to-long silently dropped them)") {
+    implicit val sqlCtx = spark.sqlContext
+    val ms = MemoryStream[(String, String)]
+    val sink = s"shll_str_${System.nanoTime()}"
+    val q = approxDistinct(ms.toDF(), col("_1"), col("_2"))
+      .writeStream.format("memory").queryName(sink).outputMode("update").start()
+    try {
+      // 1000 rows over 137 distinct non-numeric keys, plus a NULL key
+      // that must NOT be counted (xxhash64 of NULL would return the
+      // seed — the operator filters NULL before hashing)
+      ms.addData((1 to 1000).map(i => ("g", s"user-${i % 137}")) :+ (("g", null: String)))
+      q.processAllAvailable()
+    } finally q.stop()
+    val r = spark.table(sink).as[GroupDistinct].collect().maxBy(_.total_n)
+    assert(r.total_n === 1000L, "NULL key must be excluded from the prefix count")
+    val err = math.abs(r.approx_distinct - 137L).toDouble / 137
+    assert(err <= 0.1, s"string-keyed distinct ${r.approx_distinct}, want ~137")
   }
 
   private def runQuantiles(chunks: Seq[Seq[(String, Double)]], probs: Seq[Double],
