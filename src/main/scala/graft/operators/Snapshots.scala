@@ -97,14 +97,17 @@ object Snapshots {
 
   /** A version's resolved manifest: relative file list, the recorded
     * schema (absent on legacy v1 manifests), the column mapping
-    * (empty = identity: physical == logical, pre-v3 manifests), and
-    * per-file stats keyed by relative path (missing = unprunable). */
+    * (empty = identity: physical == logical, pre-v3 manifests),
+    * per-file stats keyed by relative path (missing = unprunable),
+    * and per-file byte sizes (missing = pre-r15 manifest; metadata
+    * consumers fall back to one FS stat for those files only). */
   final case class Manifest(files: Seq[String], schema: Option[StructType],
                             colMap: Seq[ColumnId] = Seq.empty,
                             stats: Map[String, SnapshotStats.FileStats] = Map.empty,
                             maxColId: Int = 0,
                             txn: Option[(String, Long)] = None,
-                            retired: Seq[String] = Seq.empty)
+                            retired: Seq[String] = Seq.empty,
+                            sizes: Map[String, Long] = Map.empty)
 
   private def hconf(): Configuration =
     SparkSession.getActiveSession
@@ -216,6 +219,19 @@ object Snapshots {
             .filter(_.nonEmpty).map(unb64s) }
         .getOrElse(Seq.empty)
       val files = lines.tail.filter(l => l.nonEmpty && !l.startsWith("#")).toSeq
+      // per-file byte sizes: `#size <fileIdx> <bytes>` (r15) — free at
+      // commit time (the data-dir listing already returns lengths) and
+      // the reason compact/history/statsReport never stat files
+      val sizes = lines.iterator
+        .filter(_.startsWith("#size "))
+        .flatMap { l =>
+          val p = l.split(" ")
+          if (p.length == 3 && p(1).forall(_.isDigit))
+            scala.util.Try((p(1).toInt, p(2).toLong)).toOption
+          else None
+        }
+        .collect { case (i, len) if i >= 0 && i < files.length => files(i) -> len }
+        .toMap
       // trailer validation: a crash mid-write leaves a manifest with
       // no (or wrong) #end line — fail the READ loudly rather than
       // serve a silently truncated file list
@@ -228,7 +244,7 @@ object Snapshots {
         .flatMap(SnapshotStats.decodeLine)
         .collect { case (i, fs) if i >= 0 && i < files.length => files(i) -> fs }
         .toMap
-      Manifest(files, schema, colMap, stats, maxColId, txn, retired)
+      Manifest(files, schema, colMap, stats, maxColId, txn, retired, sizes)
     } else if (lines.exists(l => l.nonEmpty && l.startsWith("#"))) {
       // a '#' line without the full v2 header can only be a manifest
       // torn INSIDE its header (v1 manifests never contain '#') —
@@ -249,7 +265,8 @@ object Snapshots {
                       stats: Map[String, SnapshotStats.FileStats] = Map.empty,
                       maxColId: Int = 0,
                       txn: Option[(String, Long)] = None,
-                      retired: Seq[String] = Seq.empty): Unit = {
+                      retired: Seq[String] = Seq.empty,
+                      sizes: Map[String, Long] = Map.empty): Unit = {
     val m = manifestPath(root, v)
     val hwm = colMap.foldLeft(maxColId)((x, c) => math.max(x, c.id))
     val header = "#graft-manifest v=3 schema=" +
@@ -261,7 +278,11 @@ object Snapshots {
     val statsLines = files.iterator.zipWithIndex
       .flatMap { case (rel, i) => stats.get(rel).map(SnapshotStats.encodeLine(i, _)) }
       .toSeq
-    val body = ((header +: files) ++ statsLines :+ s"#end ${files.length}").mkString("\n")
+    val sizeLines = files.iterator.zipWithIndex
+      .flatMap { case (rel, i) => sizes.get(rel).map(len => s"#size $i $len") }
+      .toSeq
+    val body = ((header +: files) ++ statsLines ++ sizeLines :+
+      s"#end ${files.length}").mkString("\n")
     // write-temp-then-rename: readers NEVER observe a partially
     // written manifest under the final name (review-caught: writing
     // through create(final) exposed an in-flight commit to concurrent
@@ -290,17 +311,21 @@ object Snapshots {
     f.delete(new Path(root, "." + tmp.getName + ".crc"), false)
   }
 
-  private def listParquet(f: FileSystem, root: Path, dataDir: Path): Seq[String] = {
+  /** (relative path, byte length) for every parquet file under
+    * `dataDir` — the listing's FileStatus already carries the length,
+    * so recording per-file sizes in the manifest costs ZERO extra
+    * metadata RPCs at commit time. */
+  private def listParquet(f: FileSystem, root: Path, dataDir: Path): Seq[(String, Long)] = {
     if (!f.exists(dataDir)) return Seq.empty
     val it = f.listFiles(dataDir, true)
-    val out = Seq.newBuilder[String]
+    val out = Seq.newBuilder[(String, Long)]
     val rootUri = root.toUri
     while (it.hasNext) {
       val st = it.next()
       if (st.isFile && st.getPath.getName.endsWith(".parquet"))
-        out += rootUri.relativize(st.getPath.toUri).getPath
+        out += ((rootUri.relativize(st.getPath.toUri).getPath, st.getLen))
     }
-    out.result().sorted
+    out.result().sortBy(_._1)
   }
 
   /** Column-name equality for schema evolution: CASE-INSENSITIVE,
@@ -440,7 +465,8 @@ object Snapshots {
   private def dataDirPath(root: Path, v: Long): Path =
     new Path(new Path(root, "data"), f"v$v%06d")
 
-  private def writeData(df: DataFrame, f: FileSystem, root: Path, v: Long): Seq[String] = {
+  private def writeData(df: DataFrame, f: FileSystem, root: Path,
+                        v: Long): Seq[(String, Long)] = {
     val dataDir = dataDirPath(root, v)
     df.write.mode("errorifexists").parquet(dataDir.toString)
     val files = listParquet(f, root, dataDir)
@@ -471,11 +497,12 @@ object Snapshots {
   private def writeWithStats(df: DataFrame, map: Seq[ColumnId], f: FileSystem,
                              root: Path, v: Long,
                              afterWrite: Long => Unit = _ => ())
-      : (Seq[String], Map[String, SnapshotStats.FileStats]) = {
-    val files = writeData(toPhysical(df, map), f, root, v)
+      : (Seq[String], Map[String, SnapshotStats.FileStats], Map[String, Long]) = {
+    val listed = writeData(toPhysical(df, map), f, root, v)
     afterWrite(v)
+    val files = listed.map(_._1)
     val cols = SnapshotStats.statsColumns(df.schema, physicalOf(map, _))
-    (files, SnapshotStats.collect(df.sparkSession, root, files, cols))
+    (files, SnapshotStats.collect(df.sparkSession, root, files, cols), listed.toMap)
   }
 
   /** Commit `df` as the next version (full snapshot: the new version
@@ -497,9 +524,9 @@ object Snapshots {
       }
     val map = continueMap(prevMap, df.schema, idFloor, prevRetired.toSet)
     val retired = retireDropped(prevRetired, prevMap, map)
-    val (files, stats) = writeWithStats(df, map, f, root, v)
+    val (files, stats, sizes) = writeWithStats(df, map, f, root, v)
     publish(f, root, v, files, df.schema, map, stats, idFloor, txn = None,
-      retired = retired)
+      retired = retired, sizes = sizes)
     v
   }
 
@@ -536,9 +563,9 @@ object Snapshots {
     }
     val map = continueMap(prevMap, schema, prev.maxColId, prev.retired.toSet)
     val retired = retireDropped(prev.retired, prevMap, map)
-    val (files, stats) = writeWithStats(df, map, f, root, v, afterWrite)
+    val (files, stats, sizes) = writeWithStats(df, map, f, root, v, afterWrite)
     publish(f, root, v, prev.files ++ files, schema, map, prev.stats ++ stats,
-      prev.maxColId, txn, retired)
+      prev.maxColId, txn, retired, prev.sizes ++ sizes)
     v
   }
 
@@ -728,8 +755,11 @@ object Snapshots {
       require(schema.exists(fd => sameCol(fd.name, c)),
         s"clusterBy column '$c' not in table schema")
     }
+    // manifest-recorded sizes — zero per-file FS RPCs (r15); only a
+    // pre-r15 manifest's files fall back to one stat each
     val totalBytes = prev.files.iterator
-      .map(rel => f.getFileStatus(new Path(root, rel)).getLen).sum
+      .map(rel => prev.sizes.getOrElse(rel,
+        f.getFileStatus(new Path(root, rel)).getLen)).sum
     val nOut = math.max(1, math.ceil(totalBytes.toDouble / targetFileBytes).toInt)
     val current = readManifested(spark, root, prev, None)
     val arranged =
@@ -738,9 +768,9 @@ object Snapshots {
           .sortWithinPartitions(clusterBy.map(quoted): _*)
       else current.coalesce(nOut) // shrink without a shuffle
     val map = if (prev.colMap.nonEmpty) prev.colMap else identityMap(schema)
-    val (files, stats) = writeWithStats(arranged, map, f, root, v)
+    val (files, stats, sizes) = writeWithStats(arranged, map, f, root, v)
     publish(f, root, v, files, schema, map, stats, prev.maxColId,
-      txn = None, retired = prev.retired)
+      txn = None, retired = prev.retired, sizes = sizes)
     v
   }
 
@@ -770,7 +800,7 @@ object Snapshots {
     val map = colMapOf(prev).map(c =>
       if (sameCol(c.logical, from)) c.copy(logical = to) else c)
     publish(f, root, v, prev.files, newSchema, map, prev.stats, prev.maxColId,
-      txn = None, retired = prev.retired)
+      txn = None, retired = prev.retired, sizes = prev.sizes)
     v
   }
 
@@ -1039,10 +1069,10 @@ object Snapshots {
     require(rewritten.schema.fields.map(fd => (lcRoot(fd.name), fd.dataType)).toSeq
       == schema.fields.map(fd => (lcRoot(fd.name), fd.dataType)).toSeq,
       "copy-on-write rewrite must preserve the table schema")
-    val (files, stats) = writeWithStats(rewritten, map, f, root, v)
+    val (files, stats, sizes) = writeWithStats(rewritten, map, f, root, v)
     publish(f, root, v, untouchedFiles ++ files, schema, map,
       (prev.stats -- touched) ++ stats, prev.maxColId,
-      txn = None, retired = prev.retired)
+      txn = None, retired = prev.retired, sizes = (prev.sizes -- touched) ++ sizes)
     v
   }
 
@@ -1057,17 +1087,21 @@ object Snapshots {
     val f = fsFor(dir)
     val root = rootOf(f, dir)
     val vs = versionNumbers(f, root).sorted.reverse
-    // append lineages share almost all files across versions — stat
-    // each referenced file ONCE, not once per version (review r14:
-    // the naive loop was O(versions x files) metadata RPCs). A failed
-    // stat poisons the version's byte total to NULL, matching the
-    // rows column's never-a-wrong-number contract.
+    // byte sizes come from the MANIFEST (r15): zero FS metadata RPCs
+    // on the normal path. Only files of pre-r15 manifests fall back
+    // to a stat — memoized across versions, since append lineages
+    // share almost all files (review r14: the naive loop was
+    // O(versions x files) RPCs). A failed stat poisons the version's
+    // byte total to NULL, matching the rows column's
+    // never-a-wrong-number contract.
     val sizeOf = scala.collection.mutable.Map[String, Option[Long]]()
-    def size(rel: String): Option[Long] = sizeOf.getOrElseUpdate(rel,
+    def statSize(rel: String): Option[Long] = sizeOf.getOrElseUpdate(rel,
       try Some(f.getFileStatus(new Path(root, rel)).getLen)
       catch { case _: java.io.IOException => None })
     val rows = vs.map { v =>
       val man = readManifest(f, root, v)
+      def size(rel: String): Option[Long] =
+        man.sizes.get(rel).orElse(statSize(rel))
       val rowCount: java.lang.Long =
         if (man.files.isEmpty) java.lang.Long.valueOf(0L)
         else if (man.files.forall(man.stats.contains))

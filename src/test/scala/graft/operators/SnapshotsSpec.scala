@@ -952,6 +952,28 @@ class SnapshotsSpec extends SparkSpec {
       === Seq(2L, 1L))
   }
 
+  test("per-file sizes live in the manifest: history answers exact bytes with ZERO file stats (r15)") {
+    val dir = fresh()
+    Snapshots.commit(df(1, 2).coalesce(1), dir) // v0
+    Snapshots.commitAppend(df(3).coalesce(1), dir) // v1
+    Snapshots.renameColumn(dir, "payload", "body") // v2: metadata-only, sizes carry
+    // FS-derived truth while the files still exist
+    val before = Snapshots.history(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getLong(3)).toMap
+    assert(before.values.forall(_ > 0L))
+    // delete every data file out from under the manifests: a metadata
+    // consumer that still answers the same exact bytes provably never
+    // touched the filesystem (the counting-FS assertion, behaviorally)
+    import scala.jdk.CollectionConverters._
+    Files.walk(java.nio.file.Paths.get(dir, "data")).iterator().asScala.toSeq
+      .filter(p => p.toString.endsWith(".parquet") || p.toString.endsWith(".crc"))
+      .foreach(Files.delete)
+    val after = Snapshots.history(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getLong(3)).toMap
+    assert(after === before,
+      "history byte totals must come from the manifest alone, never per-file stats")
+  }
+
   test("changelog below the retention floor gives the vacuumed diagnostic, not a raw missing-version error") {
     val dir = fresh()
     Snapshots.commit(df(1), dir) // v0
