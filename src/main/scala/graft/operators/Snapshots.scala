@@ -144,6 +144,20 @@ object Snapshots {
     versionNumbers(f, rootOf(f, dir)).foldLeft(-1L)(math.max)
   }
 
+  /** Does version `v`'s manifest exist right now? ([[graft.sources.SnapshotStreamSource]]
+    * distinguishes "vacuumed away" from "torn" with this.) */
+  private[graft] def versionExists(dir: String, v: Long): Boolean = {
+    val f = fsFor(dir)
+    f.exists(manifestPath(rootOf(f, dir), v))
+  }
+
+  /** Version `v`'s resolved manifest (the streaming source's accessor
+    * — same parse [[read]] uses). */
+  private[graft] def manifestAt(dir: String, v: Long): Manifest = {
+    val f = fsFor(dir)
+    readManifest(f, rootOf(f, dir), v)
+  }
+
   /** Smallest still-retained version (-1 for an empty table) — moves
     * up as [[vacuum]] drops history; [[processNewVersions]] uses it
     * to bootstrap fresh consumers and to detect vacuumed-away gaps. */
@@ -371,14 +385,14 @@ object Snapshots {
 
   /** A manifest's mapping with the legacy fallback applied: pre-v3
     * manifests (no `cols=`) are identity-mapped from their schema. */
-  private def colMapOf(man: Manifest): Seq[ColumnId] =
+  private[graft] def colMapOf(man: Manifest): Seq[ColumnId] =
     if (man.colMap.nonEmpty) man.colMap
     else man.schema.map(identityMap).getOrElse(Seq.empty)
 
   private def identityMap(schema: StructType): Seq[ColumnId] =
     schema.fields.zipWithIndex.map { case (fd, i) => ColumnId(i + 1, fd.name, fd.name) }.toSeq
 
-  private def physicalOf(map: Seq[ColumnId], logical: String): String =
+  private[graft] def physicalOf(map: Seq[ColumnId], logical: String): String =
     map.find(c => sameCol(c.logical, logical)).map(_.physical).getOrElse(logical)
 
   /** Continue a lineage's mapping onto the next version's schema:

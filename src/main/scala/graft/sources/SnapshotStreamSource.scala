@@ -1,0 +1,336 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SQLContext, SparkSession}
+import org.apache.spark.sql.execution.streaming.{Offset, Source}
+import org.apache.spark.sql.execution.streaming.runtime.SerializedOffset
+import org.apache.spark.sql.functions.{col, lit}
+import org.apache.spark.sql.sources.{DataSourceRegister, StreamSourceProvider}
+import org.apache.spark.sql.types.StructType
+
+import graft.operators.Snapshots
+
+/** STREAMING SOURCE over a [[Snapshots]] versioned table — the
+  * readChangeFeed / Delta-source analogue that closes the lakehouse
+  * loop the exactly-once `streamAppend` sink opened: stream INTO a
+  * snapshot table, transform, stream OUT of it.
+  *
+  * {{{
+  *   spark.readStream.format("graft-snapshots")
+  *     .option("startingVersion", "earliest")   // default
+  *     .load(tableDir)
+  * }}}
+  *
+  * Offsets ARE committed versions: the offset log records "all rows
+  * up to and including version N delivered", and a micro-batch
+  * delivers the rows APPENDED by versions (N, M]. The first batch
+  * bootstraps per `startingVersion`: `earliest` (default) delivers
+  * the full snapshot of the first seen version — the net effect of
+  * all vacuumed-away history, matching
+  * [[Snapshots.processNewVersions]]'s bootstrap contract; `latest`
+  * delivers only versions committed after the stream started; a
+  * numeric version delivers the change feed from exactly that
+  * version on (no snapshot).
+  *
+  * WHY A BATCH NEEDS ONLY ITS END MANIFEST (the vacuum-robustness
+  * property): every commit writes its new files under its OWN
+  * `data/v<NNNNNN>/` directory and carries previous files by
+  * reference, so "files appended in (N, M]" = files of manifest M
+  * whose directory version is > N. No start-side manifest is read,
+  * which is what makes a restart resume EXACTLY-ONCE even after a
+  * [[Snapshots.vacuum]] dropped every already-consumed version's
+  * manifest (spec-asserted). Each batch is a real parquet scan over
+  * exactly those files (predicate pushdown and column pruning apply;
+  * no rows pass through the driver).
+  *
+  * NON-APPEND commits (copy-on-write DELETE/UPDATE, compact) rewrite
+  * rows the stream already delivered. Like Delta, the source refuses
+  * them by default (loud error naming the version); opt out with
+  *  - `skipChangeCommits=true`: skip the rewritten files entirely —
+  *    pure change-feed semantics, rewritten rows never re-delivered
+  *    (deletes/updates are NOT observed);
+  *  - `ignoreChanges=true`: deliver the rewritten files — surviving
+  *    rows of rewritten files ARE re-delivered (at-least-once for
+  *    those rows, the documented Delta tradeoff).
+  * Change detection reads the (start, end] manifests pairwise when
+  * they still exist; a vacuumed-away intermediate manifest skips the
+  * check for that step — sound, because a replayed batch was already
+  * validated when it first ran, and a LIVE batch's manifests are by
+  * definition retained (vacuum keeps >= the current version).
+  *
+  * SCHEMA is captured at stream start (the streaming contract: fixed
+  * for the query's life) and columns are paired against each batch's
+  * manifest BY STABLE COLUMN ID — a `renameColumn` mid-stream keeps
+  * the data flowing into the captured name, files from before a
+  * column add read as NULL, and a retype behind a rename still
+  * refuses (the [[Snapshots.readAligned]] pairing, applied to the
+  * live stream).
+  */
+object SnapshotStreamSource {
+  val ShortName = "graft-snapshots"
+
+  /** "all rows <= version delivered" — the checkpointable cursor. */
+  case class SnapshotSourceOffset(version: Long) extends Offset {
+    override val json: String = s"""{"version":$version}"""
+  }
+
+  private val VersionRe = """\{\s*"version"\s*:\s*(-?\d+)\s*\}""".r
+
+  private[sources] def versionOf(o: Offset): Long = o match {
+    case SnapshotSourceOffset(v) => v
+    case s: SerializedOffset => parseJson(s.json)
+    case other => parseJson(other.json)
+  }
+
+  private def parseJson(j: String): Long = j match {
+    case VersionRe(v) => v.toLong
+    case _ => throw new IllegalArgumentException(
+      s"not a $ShortName offset: $j")
+  }
+
+  /** The version whose commit wrote this file — every writer in
+    * [[Snapshots]] puts a commit's new files under `data/v<NNNNNN>/`.
+    * A file outside that layout cannot be attributed to a version and
+    * fails loudly rather than being silently re-delivered forever. */
+  private[sources] def fileVersion(rel: String): Long = {
+    val parts = rel.split("/")
+    if (parts.length >= 3 && parts(0) == "data" && parts(1).length > 1 &&
+        parts(1).startsWith("v") && parts(1).drop(1).forall(_.isDigit))
+      parts(1).drop(1).toLong
+    else throw new IllegalStateException(
+      s"data file '$rel' is outside the data/v<NNNNNN>/ layout — " +
+        "cannot attribute it to a committing version for streaming")
+  }
+}
+
+class SnapshotStreamSourceProvider extends StreamSourceProvider with DataSourceRegister {
+  import SnapshotStreamSource._
+
+  override def shortName(): String = ShortName
+
+  private def tableDir(parameters: Map[String, String]): String =
+    parameters.collectFirst { case (k, v) if k.equalsIgnoreCase("path") => v }
+      .getOrElse(throw new IllegalArgumentException(
+        s"$ShortName needs the table directory: .load(<dir>)"))
+
+  private def latestSchema(dir: String): StructType = {
+    val cur = Snapshots.currentVersion(dir)
+    require(cur >= 0,
+      s"cannot infer the schema of empty snapshot table $dir — " +
+        "commit a first version or pass .schema(...)")
+    Snapshots.manifestAt(dir, cur).schema.getOrElse(
+      throw new IllegalArgumentException(
+        s"$dir version $cur is a legacy manifest with no recorded schema — " +
+          "commit once to upgrade, or pass .schema(...)"))
+  }
+
+  override def sourceSchema(sqlContext: SQLContext, schema: Option[StructType],
+                            providerName: String,
+                            parameters: Map[String, String]): (String, StructType) =
+    (ShortName, schema.getOrElse(latestSchema(tableDir(parameters))))
+
+  override def createSource(sqlContext: SQLContext, metadataPath: String,
+                            schema: Option[StructType], providerName: String,
+                            parameters: Map[String, String]): Source = {
+    val dir = tableDir(parameters)
+    val opts = parameters.map { case (k, v) =>
+      k.toLowerCase(java.util.Locale.ROOT) -> v }
+    val skipChange = opts.get("skipchangecommits").exists(_.toBoolean)
+    val ignoreChanges = opts.get("ignorechanges").exists(_.toBoolean)
+    require(!(skipChange && ignoreChanges),
+      "pass at most one of skipChangeCommits / ignoreChanges")
+    val starting = opts.getOrElse("startingversion", "earliest")
+    new SnapshotStreamSource(sqlContext.sparkSession, dir,
+      schema.getOrElse(latestSchema(dir)), starting, skipChange, ignoreChanges)
+  }
+}
+
+class SnapshotStreamSource(spark: SparkSession, dir: String,
+                           captured: StructType, startingVersion: String,
+                           skipChange: Boolean, ignoreChanges: Boolean)
+    extends Source
+    with org.apache.spark.sql.connector.read.streaming.SupportsTriggerAvailableNow {
+  import SnapshotStreamSource._
+
+  // --- Trigger.AvailableNow support (admission control) ------------
+  // Without this the engine falls back to "single batch execution"
+  // with a warning; with it, AvailableNow fixes the target version at
+  // query start and drains up to exactly that offset, the documented
+  // contract (the same mixin Delta's source carries).
+
+  private var availableNowCap: Option[Long] = None
+
+  override def prepareForTriggerAvailableNow(): Unit =
+    availableNowCap = Some(Snapshots.currentVersion(dir))
+
+  override def getDefaultReadLimit: org.apache.spark.sql.connector.read.streaming.ReadLimit =
+    org.apache.spark.sql.connector.read.streaming.ReadLimit.allAvailable()
+
+  override def latestOffset(start: org.apache.spark.sql.connector.read.streaming.Offset,
+                            limit: org.apache.spark.sql.connector.read.streaming.ReadLimit)
+      : org.apache.spark.sql.connector.read.streaming.Offset = {
+    val cur = Snapshots.currentVersion(dir)
+    val capped = availableNowCap.fold(cur)(math.min(cur, _))
+    if (capped < 0) null else SnapshotSourceOffset(capped)
+  }
+
+  override def reportLatestOffset(): org.apache.spark.sql.connector.read.streaming.Offset = {
+    val cur = Snapshots.currentVersion(dir)
+    if (cur < 0) null else SnapshotSourceOffset(cur)
+  }
+
+  /** Admission-control engines ask for the offset "before any data":
+    * there is no committed version below the first one, so answer the
+    * synthetic -1 — [[getBatch]] never receives it as a START (the
+    * engine passes None for the first batch), and a -1 END can only
+    * mean an empty table (nothing to deliver). */
+  override def initialOffset(): org.apache.spark.sql.connector.read.streaming.Offset =
+    SnapshotSourceOffset(-1L)
+
+  /** Captured column mapping: the latest manifest's (id, physical)
+    * per captured column at stream start — empty for a pre-mapping
+    * table or a user-specified schema over an empty table (falls
+    * back to by-name pairing, the readAligned legacy arm). */
+  private val capturedMap: Seq[Snapshots.ColumnId] = {
+    val cur = Snapshots.currentVersion(dir)
+    if (cur < 0) Seq.empty
+    else {
+      val m = Snapshots.colMapOf(Snapshots.manifestAt(dir, cur))
+      captured.fields.toSeq.flatMap(fd =>
+        m.find(_.logical.equalsIgnoreCase(fd.name)))
+    }
+  }
+
+  /** `latest` resolves at source creation: versions committed up to
+    * and including this one are not delivered in `latest` mode. */
+  private val creationVersion: Long = Snapshots.currentVersion(dir)
+
+  override def schema: StructType = captured
+
+  override def getOffset: Option[Offset] = {
+    val cur = Snapshots.currentVersion(dir)
+    if (cur < 0) None else Some(SnapshotSourceOffset(cur))
+  }
+
+  /** Versions in [from, to] that REMOVED files (COW DML / compact),
+    * detected pairwise on still-retained manifests — the walk starts
+    * one version EARLIER so `from` itself gets its predecessor pair.
+    * A vacuumed-away manifest skips the check for the adjacent steps
+    * (best-effort there, exactly like Delta past its log retention). */
+  private def changeVersionsIn(from: Long, to: Long): Set[Long] = {
+    val out = Set.newBuilder[Long]
+    var prev: Option[Snapshots.Manifest] = None
+    var prevV = -2L
+    (math.max(from - 1, 0L) to to).foreach { v =>
+      if (Snapshots.versionExists(dir, v)) {
+        val man = Snapshots.manifestAt(dir, v)
+        if (v >= from && prevV == v - 1) prev.foreach { p =>
+          val cur = man.files.toSet
+          if (!p.files.forall(cur.contains)) out += v
+        }
+        prev = Some(man); prevV = v
+      } else { prev = None; prevV = -2L }
+    }
+    out.result()
+  }
+
+  override def getBatch(start: Option[Offset], end: Offset): DataFrame = {
+    val endV = versionOf(end)
+    // End manifest missing = vacuumed. That shape arises as the
+    // engine's RESTART INITIALIZATION, which replays getBatch for the
+    // last already-committed batch and discards the result (a LIVE
+    // batch's end version is the current version at offset-admission
+    // time, which vacuum always retains), or as a lagging restart.
+    // Recover from the CURRENT manifest capped at fv <= endV: on an
+    // append lineage the appended files still exist (surviving
+    // manifests reference them, so vacuum kept them) and the file set
+    // is IDENTICAL to the original batch's — exact resume, no manifest
+    // history needed.
+    val man =
+      if (Snapshots.versionExists(dir, endV)) Snapshots.manifestAt(dir, endV)
+      else {
+        val cur = Snapshots.currentVersion(dir)
+        require(cur >= 0, s"snapshot table $dir has no committed versions left")
+        Snapshots.manifestAt(dir, cur)
+      }
+    val startV: Option[Long] = start.map(versionOf)
+    val files: Seq[String] = startV match {
+      case None if startingVersion.equalsIgnoreCase("earliest") =>
+        // bootstrap: the full snapshot at the first offset
+        man.files.filter(fileVersion(_) <= endV)
+      case _ =>
+        val boundary = startV.getOrElse {
+          if (startingVersion.equalsIgnoreCase("latest")) creationVersion
+          else startingVersion.toLong - 1 // change feed from exactly V on
+        }
+        val changed = changeVersionsIn(boundary + 1, endV)
+        if (changed.nonEmpty && !skipChange && !ignoreChanges)
+          throw new IllegalStateException(
+            s"version(s) ${changed.toSeq.sorted.mkString(", ")} of $dir " +
+              "rewrote existing rows (COW delete/update or compact) — a " +
+              "streaming read over an append lineage cannot deliver them " +
+              "exactly-once. Pass skipChangeCommits=true to skip rewritten " +
+              "files (deletes/updates unobserved) or ignoreChanges=true to " +
+              "re-deliver surviving rows of rewritten files")
+        man.files.filter { rel =>
+          val fv = fileVersion(rel)
+          fv > boundary && fv <= endV && !(skipChange && changed.contains(fv))
+        }
+    }
+    readAsCaptured(man, files)
+  }
+
+  /** Read `files` in their physical schema and project into the
+    * captured schema — columns paired by stable id (by name against
+    * pre-mapping manifests), missing columns NULL, retypes refused. */
+  private def readAsCaptured(man: Snapshots.Manifest, files: Seq[String]): DataFrame = {
+    val endMap = Snapshots.colMapOf(man)
+    val endSchema = man.schema
+    // captured logical field -> the batch's physical column name
+    def physicalFor(fd: org.apache.spark.sql.types.StructField): Option[String] =
+      capturedMap.find(_.logical.equalsIgnoreCase(fd.name)) match {
+        case Some(cap) if endMap.nonEmpty =>
+          endMap.find(_.id == cap.id).map(_.physical)
+        case _ =>
+          endMap.find(_.logical.equalsIgnoreCase(fd.name)).map(_.physical)
+            .orElse(Some(fd.name).filter(_ =>
+              endSchema.forall(_.exists(_.name.equalsIgnoreCase(fd.name)))))
+      }
+    val pairs = captured.fields.toSeq.map(fd => fd -> physicalFor(fd))
+    // retype check through the pairing (same contract as readAligned)
+    endSchema.foreach { es =>
+      pairs.foreach { case (fd, physOpt) =>
+        physOpt.foreach { p =>
+          endMap.find(_.physical == p)
+            .flatMap(c => es.find(_.name.equalsIgnoreCase(c.logical)))
+            .orElse(es.find(_.name.equalsIgnoreCase(fd.name)))
+            .foreach { ef =>
+              require(ef.dataType == fd.dataType,
+                s"stream schema column '${fd.name}' is ${fd.dataType.simpleString} " +
+                  s"but version data has ${ef.dataType.simpleString} — restart " +
+                  "the stream to pick up the retyped schema")
+            }
+        }
+      }
+    }
+    val physSchema = StructType(pairs.collect { case (fd, Some(p)) =>
+      fd.copy(name = p, nullable = true) })
+    val root = new org.apache.hadoop.fs.Path(dir)
+    val qualified = {
+      val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val q = fs.makeQualified(root)
+      files.map(rel => new org.apache.hadoop.fs.Path(q, rel).toString)
+    }
+    val base = org.apache.spark.sql.graft.StreamingScanBridge
+      .streamingParquetDf(spark, physSchema, qualified)
+    base.select(pairs.map {
+      case (fd, Some(p)) => col("`" + p.replace("`", "``") + "`").as(fd.name)
+      case (fd, None) => lit(null).cast(fd.dataType).as(fd.name)
+    }: _*)
+  }
+
+  override def commit(end: Offset): Unit = () // retention is vacuum's job
+
+  override def stop(): Unit = ()
+
+  override def toString: String = s"SnapshotStreamSource[$dir]"
+}
