@@ -315,13 +315,46 @@ class SnapshotStreamSource(spark: SparkSession, dir: String,
     val physSchema = StructType(pairs.collect { case (fd, Some(p)) =>
       fd.copy(name = p, nullable = true) })
     val root = new org.apache.hadoop.fs.Path(dir)
-    val qualified = {
-      val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
-      val q = fs.makeQualified(root)
-      files.map(rel => new org.apache.hadoop.fs.Path(q, rel).toString)
-    }
-    val base = org.apache.spark.sql.graft.StreamingScanBridge
-      .streamingParquetDf(spark, physSchema, qualified)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val qroot = fs.makeQualified(root)
+    def qualify(rels: Seq[String]): Seq[String] =
+      rels.map(rel => new org.apache.hadoop.fs.Path(qroot, rel).toString)
+    def lc(s: String) = s.toLowerCase(java.util.Locale.ROOT)
+    val bridge = org.apache.spark.sql.graft.StreamingScanBridge
+    val base =
+      if (man.partitionBy.isEmpty)
+        bridge.streamingParquetDf(spark, physSchema, qualify(files))
+      else {
+        // partition columns live in the file PATHS — scan each
+        // partition group's files once, attach the typed partition
+        // literals, union (balanced): the batch equivalent of
+        // Snapshots.readPhysical, streaming-flagged
+        val partLc = man.partitionBy.map(lc).toSet
+        val dataSchema = StructType(physSchema.filterNot(fd => partLc(lc(fd.name))))
+        val groups = files
+          .groupBy(Snapshots.partitionValuesOf(_, man.partitionBy))
+          .toSeq.sortBy(_._1.toString())
+        if (groups.isEmpty) bridge.emptyStreamingDf(spark, physSchema)
+        else {
+          var frames = groups.map { case (pvals, fsOfGroup) =>
+            val g = bridge.streamingParquetDf(spark, dataSchema, qualify(fsOfGroup))
+            val withParts = pvals.foldLeft(g) { case (d, (phys, vOpt)) =>
+              physSchema.find(fd => lc(fd.name) == lc(phys)) match {
+                case Some(fd) => d.withColumn(fd.name, vOpt match {
+                  case Some(s) => lit(s).cast(fd.dataType)
+                  case None => lit(null).cast(fd.dataType)
+                })
+                case None => d
+              }
+            }
+            withParts.select(physSchema.fields.toSeq.map(fd =>
+              col("`" + fd.name.replace("`", "``") + "`")): _*)
+          }
+          while (frames.size > 1)
+            frames = frames.grouped(2).map(_.reduce(_.unionByName(_))).toSeq
+          frames.head
+        }
+      }
     base.select(pairs.map {
       case (fd, Some(p)) => col("`" + p.replace("`", "``") + "`").as(fd.name)
       case (fd, None) => lit(null).cast(fd.dataType).as(fd.name)

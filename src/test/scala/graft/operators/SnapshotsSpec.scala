@@ -974,6 +974,107 @@ class SnapshotsSpec extends SparkSpec {
       "history byte totals must come from the manifest alone, never per-file stats")
   }
 
+  // ---- partitioned snapshot tables (r15) ---------------------------
+
+  private def partDf(rows: (Long, String, Long)*) =
+    rows.toDF("id", "src", "n")
+
+  test("partitioned commit: hive layout, typed reconstitution, appends inherit, NULLs round-trip") {
+    val dir = fresh()
+    Snapshots.commit(
+      partDf((1L, "web", 10L), (2L, "api", 20L), (3L, null, 30L)),
+      dir, partitionBy = Seq("src")) // v0
+    // hive-style value dirs under the version dir
+    assert(Files.exists(java.nio.file.Paths.get(dir, "data", "v000000", "src=web")))
+    assert(Files.exists(java.nio.file.Paths.get(dir, "data", "v000000",
+      "src=__HIVE_DEFAULT_PARTITION__")))
+    // reads reconstitute the partition column with its declared type
+    val r0 = Snapshots.read(spark, dir)
+    assert(r0.schema("src").dataType === org.apache.spark.sql.types.StringType)
+    assert(r0.select("id", "src", "n").as[(Long, String, Long)].collect().toSet
+      === Set((1L, "web", 10L), (2L, "api", 20L), (3L, null, 30L)))
+    // appends inherit the layout without restating it
+    Snapshots.commitAppend(partDf((4L, "web", 40L)), dir) // v1
+    assert(Files.exists(java.nio.file.Paths.get(dir, "data", "v000001", "src=web")),
+      "appends inherit the hive partition layout")
+    assert(Snapshots.read(spark, dir).count() === 4L)
+    // time travel unaffected
+    assert(Snapshots.read(spark, dir, 0L).count() === 3L)
+  }
+
+  test("partition pruning is EXACT: a partition-column predicate opens only its partition's files") {
+    val dir = fresh()
+    Snapshots.commit(
+      partDf((1L, "web", 1L), (2L, "api", 2L), (3L, "web", 3L), (4L, null, 4L)),
+      dir, partitionBy = Seq("src"))
+    val pruned = Snapshots.read(spark, dir, predicate = Some(col("src") === "web"))
+    assert(pruned.inputFiles.forall(_.contains("src=web")),
+      s"only web files may open, got: ${pruned.inputFiles.mkString(", ")}")
+    assert(pruned.select("id").as[Long].collect().sorted.toSeq === Seq(1L, 3L))
+    // IS NULL keeps exactly the hive-null partition
+    val nulls = Snapshots.read(spark, dir, predicate = Some(col("src").isNull))
+    assert(nulls.inputFiles.forall(_.contains("__HIVE_DEFAULT_PARTITION__")))
+    assert(nulls.select("id").as[Long].collect().toSeq === Seq(4L))
+    // IS NOT NULL must NOT prune value partitions (the footer-stats
+    // all-null trap: partition cols are path-only, never in footers)
+    assert(Snapshots.read(spark, dir, predicate = Some(col("src").isNotNull))
+      .select("id").as[Long].collect().sorted.toSeq === Seq(1L, 2L, 3L))
+  }
+
+  test("whole-partition COW delete is a manifest edit: no file opened, no data written") {
+    val dir = fresh()
+    Snapshots.commit(
+      partDf((1L, "web", 1L), (2L, "spam", 2L), (3L, "api", 3L), (4L, null, 4L)),
+      dir, partitionBy = Seq("src"))
+    val before = Snapshots.manifestAt(dir, 0L)
+    val v = Snapshots.deleteWhere(spark, dir, col("src") === "spam")
+    assert(v === 1L)
+    // manifest-only: the new version wrote NO data directory at all
+    assert(!Files.exists(java.nio.file.Paths.get(dir, "data", "v000001")),
+      "a whole-partition delete must not write data files")
+    val after = Snapshots.manifestAt(dir, 1L)
+    assert(after.files.toSet.subsetOf(before.files.toSet),
+      "survivors carry BY REFERENCE")
+    assert(before.files.toSet.diff(after.files.toSet)
+      .forall(_.contains("src=spam")), "exactly the spam partition dropped")
+    // NULL partition rows survive (pred NULL => kept, SQL DELETE)
+    assert(Snapshots.read(spark, dir).select("id").as[Long].collect().sorted.toSeq
+      === Seq(1L, 3L, 4L))
+    // a predicate touching non-partition columns falls back to the
+    // rewrite path and still answers correctly
+    Snapshots.deleteWhere(spark, dir, col("src") === "web" && col("n") > 0L)
+    assert(Snapshots.read(spark, dir).select("id").as[Long].collect().sorted.toSeq
+      === Seq(3L, 4L))
+  }
+
+  test("renaming a partition column is metadata-only; reads and pruning follow the new name") {
+    val dir = fresh()
+    Snapshots.commit(partDf((1L, "web", 1L), (2L, "api", 2L)),
+      dir, partitionBy = Seq("src"))
+    Snapshots.renameColumn(dir, "src", "origin") // paths still spell src=
+    val r = Snapshots.read(spark, dir, predicate = Some(col("origin") === "api"))
+    assert(r.columns.toSeq === Seq("id", "origin", "n"))
+    assert(r.inputFiles.forall(_.contains("src=api")), "pruning through the rename")
+    assert(r.select("id").as[Long].collect().toSeq === Seq(2L))
+    // and the streaming source delivers reconstituted values under the new name
+    val cp = fresh()
+    import org.apache.spark.sql.streaming.Trigger
+    val got = scala.collection.mutable.ArrayBuffer[(Long, String)]()
+    val q = spark.readStream.format("graft-snapshots").load(dir)
+      .writeStream.option("checkpointLocation", cp)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        got.synchronized {
+          got ++= b.select("id", "origin").collect()
+            .map(x => (x.getLong(0), x.getString(1)))
+        }
+        ()
+      }.start()
+    q.awaitTermination()
+    assert(got.sorted.toSeq === Seq((1L, "web"), (2L, "api")).sorted,
+      "the streaming source reconstitutes partition values")
+  }
+
   test("changelog below the retention floor gives the vacuumed diagnostic, not a raw missing-version error") {
     val dir = fresh()
     Snapshots.commit(df(1), dir) // v0
