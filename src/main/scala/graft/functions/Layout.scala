@@ -27,6 +27,26 @@ object Layout {
     }.reduce(_ bitwiseOR _)
   }
 
+  /** N-column Z-order (Morton) key: bit i of column j lands at
+    * position `i * k + j`, using the low `63 / k` bits of each
+    * non-negative key (k = 2 → 31 bits per column, k = 3 → 21,
+    * k = 4 → 15). Same rectangle-covering property as [[zorderKey]],
+    * generalized — callers normalize each column into the bit budget
+    * first (see [[graft.operators.Snapshots.compact]]'s zOrderBy).
+    * Builtin shift/mask ops only: whole-stage codegen'd. */
+  def zorderKeyN(cols: Seq[Column]): Column = {
+    val k = cols.size
+    require(k >= 2 && k <= 4, s"zorderKeyN interleaves 2..4 columns, got $k")
+    val bits = 63 / k
+    val mask = (1L << bits) - 1
+    cols.zipWithIndex.map { case (c, j) =>
+      val lc = c.bitwiseAND(lit(mask))
+      (0 until bits).map { i =>
+        shiftleft(shiftright(lc, i).bitwiseAND(lit(1L)), i * k + j)
+      }.reduce(_ bitwiseOR _)
+    }.reduce(_ bitwiseOR _)
+  }
+
   /** The same interleave as DuckDB SQL over column expressions `a`
     * and `b` (spliced term-for-term so engine results are
     * bit-identical).

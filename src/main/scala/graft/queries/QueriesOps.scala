@@ -1229,6 +1229,58 @@ object QueriesOps {
       |ORDER BY doc_id""".stripMargin
 
   // ---------------------------------------------------------------
+  // snapshot_merge: MERGE INTO on the snapshot log (r15)
+  // ---------------------------------------------------------------
+
+  /** [[graft.operators.Snapshots.merge]] end to end: a key-unique
+    * documents table (deduplicated by doc_id — the merge exactness
+    * contract, and robust to the fuzz harness's appended duplicate
+    * docs) takes one CDC-shaped batch that UPDATES every doc_id
+    * divisible by 10, TOMBSTONE-DELETES those divisible by 15, and
+    * INSERTS shifted copies of those divisible by 11. The insert
+    * offset is divisible by 15 on purpose: the tombstone predicate
+    * sees the same residue on the inserted ids, so "incoming = source
+    * minus tombstones" reads identically in both engines. Oracle: the
+    * three-armed UNION of survivors / updated / inserted. Files whose
+    * key range cannot intersect the batch carry by reference
+    * (SnapshotsSpec asserts the file-level law; equality here gates
+    * the row-level semantics incl. NULL keys never matching). */
+  def snapshotMerge(s: SparkSession, d: String): DataFrame = {
+    GraftSession.tune(s)
+    val dir = sessionScratch("snapmerge", d, "documents") { dir =>
+      val t = docs(s, d).groupBy(col("doc_id"))
+        .agg(min(col("source")).as("source"), min(col("n_chars")).as("n_chars"))
+        .repartitionByRange(8, col("doc_id")).sortWithinPartitions(col("doc_id"))
+      graft.operators.Snapshots.commit(t, dir) // v0: key-unique, clustered
+      val updates = t
+        .filter(col("doc_id") % 10 === 0 || col("doc_id") % 15 === 0)
+        .withColumn("n_chars", col("n_chars") + lit(5000L))
+      val inserts = t
+        .filter(col("doc_id") % 11 === 0 && col("doc_id") < 1000000L)
+        .withColumn("doc_id", col("doc_id") + lit(99999990L))
+      graft.operators.Snapshots.merge(s, dir, updates.unionByName(inserts),
+        "doc_id", deleteWhenMatched = Some(col("doc_id") % 15 === 0))
+    }
+    graft.operators.Snapshots.read(s, dir)
+      .orderBy(col("doc_id").asc_nulls_last, col("source"), col("n_chars"))
+  }
+
+  val snapshotMergeSql: String =
+    """WITH t AS (
+      |  SELECT doc_id, min(source) AS source, min(n_chars) AS n_chars
+      |  FROM documents GROUP BY doc_id)
+      |SELECT doc_id, source, n_chars FROM t
+      |  WHERE doc_id IS NULL OR (doc_id % 10 <> 0 AND doc_id % 15 <> 0)
+      |UNION ALL
+      |SELECT doc_id, source, n_chars + 5000 AS n_chars FROM t
+      |  WHERE doc_id % 10 = 0 AND doc_id % 15 <> 0
+      |UNION ALL
+      |SELECT doc_id + 99999990 AS doc_id, source, n_chars FROM t
+      |  WHERE doc_id % 11 = 0 AND doc_id < 1000000
+      |    AND (doc_id + 99999990) % 15 <> 0
+      |ORDER BY doc_id, source, n_chars""".stripMargin
+
+  // ---------------------------------------------------------------
   // snapshot_stream_read: the full lakehouse loop (r15)
   // ---------------------------------------------------------------
 
@@ -1444,6 +1496,7 @@ object QueriesOps {
     "snapshot_pruned_read" -> (snapshotPrunedRead _),
     "snapshot_cow_dml" -> (snapshotCowDml _),
     "snapshot_stream_read" -> (snapshotStreamRead _),
+    "snapshot_merge" -> (snapshotMerge _),
     "delete_by_key" -> (deleteByKeyQuery _),
     "doc_pii" -> (docPii _),
     "doc_pii_redact" -> (docPiiRedact _))
@@ -1470,6 +1523,7 @@ object QueriesOps {
     "snapshot_pruned_read" -> snapshotPrunedReadSql,
     "snapshot_cow_dml" -> snapshotCowDmlSql,
     "snapshot_stream_read" -> snapshotStreamReadSql,
+    "snapshot_merge" -> snapshotMergeSql,
     "delete_by_key" -> deleteByKeySql,
     "doc_pii" -> docPiiSql,
     "doc_pii_redact" -> docPiiRedactSql)

@@ -1075,6 +1075,112 @@ class SnapshotsSpec extends SparkSpec {
       "the streaming source reconstitutes partition values")
   }
 
+  // ---- MERGE INTO (r15) --------------------------------------------
+
+  test("merge: matched rows replace or tombstone-delete, unmatched insert, non-intersecting files carry byte-identically") {
+    val dir = fresh()
+    // 4 range-disjoint files: keys 0-24, 25-49, 50-74, 75-99
+    val base = (0L until 100L).toDF("id")
+      .withColumn("payload", concat(lit("old-"), col("id")))
+      .repartitionByRange(4, col("id")).sortWithinPartitions(col("id"))
+    Snapshots.commit(base, dir) // v0
+    val before = Snapshots.manifestAt(dir, 0L)
+    // source touches only keys in [60, 70] plus inserts at 200+, so
+    // the low-range files can never intersect the source key range
+    val source = Seq(
+      (60L, "upd-60"), (61L, "upd-61"), // matched updates
+      (70L, "DEAD"), // matched tombstone
+      (200L, "new-200"), (201L, "DEAD") // unmatched insert + no-op tombstone
+    ).toDF("id", "payload")
+    val v = Snapshots.merge(spark, dir, source, "id",
+      deleteWhenMatched = Some(col("payload") === "DEAD"))
+    assert(v === 1L)
+    val after = Snapshots.manifestAt(dir, 1L)
+    val carried = before.files.toSet.intersect(after.files.toSet)
+    assert(carried.nonEmpty, "non-intersecting files must carry by reference")
+    val r = Snapshots.read(spark, dir)
+    assert(r.filter(col("id") === 60L).select("payload").as[String].head() === "upd-60")
+    assert(r.filter(col("id") === 61L).select("payload").as[String].head() === "upd-61")
+    assert(r.filter(col("id") === 70L).count() === 0L, "matched tombstone deletes")
+    assert(r.filter(col("id") === 200L).select("payload").as[String].head() === "new-200")
+    assert(r.filter(col("id") === 201L).count() === 0L, "unmatched tombstone is a no-op")
+    assert(r.filter(col("id") === 5L).select("payload").as[String].head() === "old-5")
+    assert(r.count() === 100L, "100 - 1 deleted + 1 inserted")
+    // time travel intact
+    assert(Snapshots.read(spark, dir, 0L).count() === 100L)
+  }
+
+  test("merge prunes by the source key range: a tight batch rewrites only intersecting files") {
+    val dir = fresh()
+    val base = (0L until 100L).toDF("id")
+      .withColumn("payload", concat(lit("old-"), col("id")))
+      .repartitionByRange(4, col("id")).sortWithinPartitions(col("id"))
+    Snapshots.commit(base, dir)
+    val before = Snapshots.manifestAt(dir, 0L)
+    // a single source key: exactly one file's range can hold it
+    Snapshots.merge(spark, dir,
+      Seq((10L, "u10")).toDF("id", "payload"), "id")
+    val after = Snapshots.manifestAt(dir, 1L)
+    val rewritten = before.files.toSet.diff(after.files.toSet)
+    assert(rewritten.size === 1,
+      s"only the file covering key 10 may rewrite, got ${rewritten.mkString(", ")}")
+    assert(Snapshots.read(spark, dir).count() === 100L)
+  }
+
+  test("merge refuses a stale expectedVersion and a schema-mismatched source") {
+    val dir = fresh()
+    Snapshots.commit(df(1, 2), dir) // v0
+    Snapshots.commitAppend(df(3), dir) // v1
+    val e = intercept[IllegalArgumentException](
+      Snapshots.merge(spark, dir, df(9), "id", expectedVersion = Some(0L)))
+    assert(e.getMessage.contains("concurrent commit"), e.getMessage)
+    val e2 = intercept[IllegalArgumentException](
+      Snapshots.merge(spark, dir, Seq(1L).toDF("id"), "id"))
+    assert(e2.getMessage.contains("exactly the table's columns"), e2.getMessage)
+    // NULL source keys never match: they insert, target NULL-free rows survive
+    val src = Seq((java.lang.Long.valueOf(99L), "p99"), (null: java.lang.Long, "pnull"))
+      .toDF("id", "payload")
+    Snapshots.merge(spark, dir, src, "id")
+    val r = Snapshots.read(spark, dir)
+    assert(r.count() === 5L, "3 survivors + 2 inserts (99 unmatched, NULL never matches)")
+    assert(r.filter(col("id").isNull).count() === 1L)
+  }
+
+  test("z-order compact: selective predicates on EVERY clustered column skip files; lexicographic only helps the leading one") {
+    val dir = fresh()
+    // a 64x64 (x, y) grid — under lexicographic clusterBy(x) every
+    // file spans ALL y values; under z-order both columns get tight
+    // rectangles
+    val grid = spark.range(0, 128L * 128L).toDF("i")
+      .withColumn("x", col("i") % 128)
+      .withColumn("y", floor(col("i") / 128).cast("long"))
+      .drop("i")
+    Snapshots.commit(grid, dir) // v0
+    Snapshots.compact(spark, dir, clusterBy = Seq("x"), targetFileBytes = 2L << 10) // v1: lex
+    val lexMan = Snapshots.manifestAt(dir, 1L)
+    Snapshots.compact(spark, dir, zOrderBy = Seq("x", "y"), targetFileBytes = 2L << 10) // v2: z
+    val zMan = Snapshots.manifestAt(dir, 2L)
+    assert(lexMan.files.size >= 4 && zMan.files.size >= 4,
+      s"need real file counts to compare (lex ${lexMan.files.size}, z ${zMan.files.size})")
+    // row multiset preserved through both rewrites
+    assert(Snapshots.read(spark, dir, 2L).groupBy("x").count().collect()
+      .forall(_.getLong(1) === 128L))
+    assert(Snapshots.read(spark, dir, 2L).count() === 16384L)
+    def opened(version: Long, pred: org.apache.spark.sql.Column): Int =
+      Snapshots.read(spark, dir, version, predicate = Some(pred)).inputFiles.length
+    // leading column: both layouts skip
+    assert(opened(2L, col("x") === 7L) < zMan.files.size)
+    // SECOND column: z-order must open strictly fewer files than the
+    // lexicographic layout (which cannot skip on y at all)
+    val lexY = opened(1L, col("y") === 7L)
+    val zY = opened(2L, col("y") === 7L)
+    assert(zY < lexY,
+      s"z-order must prune on the second cluster column: z=$zY vs lex=$lexY")
+    // equality preserved under pruning on both layouts
+    assert(Snapshots.read(spark, dir, 2L, Some(col("y") === 7L))
+      .count() === 128L)
+  }
+
   test("changelog below the retention floor gives the vacuumed diagnostic, not a raw missing-version error") {
     val dir = fresh()
     Snapshots.commit(df(1), dir) // v0
