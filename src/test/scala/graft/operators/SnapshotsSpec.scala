@@ -39,11 +39,10 @@ class SnapshotsSpec extends SparkSpec {
     assert(Snapshots.read(spark, dir, 2).select("id").as[Long].collect().toSet === Set(4L, 5L, 6L))
   }
 
-  private def manifestFiles(dir: String, v: Long): Seq[String] = {
-    val m = java.nio.file.Paths.get(dir).resolve(f"_v$v%06d.manifest")
-    new String(java.nio.file.Files.readAllBytes(m)).split("\n")
-      .filter(l => l.nonEmpty && !l.startsWith("#")).toSeq
-  }
+  /** The version's RESOLVED file list — folded across delta manifests
+    * (r15), exactly what a reader scans. */
+  private def manifestFiles(dir: String, v: Long): Seq[String] =
+    Snapshots.manifestAt(dir, v).files
 
   test("a new commit never touches the files an old version references") {
     val dir = fresh()
@@ -1179,6 +1178,70 @@ class SnapshotsSpec extends SparkSpec {
     // equality preserved under pruning on both layouts
     assert(Snapshots.read(spark, dir, 2L, Some(col("y") === 7L))
       .count() === 128L)
+  }
+
+  // ---- delta manifests + checkpoints (r15) -------------------------
+
+  private def rawManifestBytes(dir: String, v: Long): Long =
+    Files.size(java.nio.file.Paths.get(dir, f"_v$v%06d.manifest"))
+
+  test("manifest growth bound: appends write O(per-commit) delta manifests, renames O(1); checkpoints cut the chain; fold == full") {
+    val dir = fresh()
+    Snapshots.commit(df(1L to 8L: _*).coalesce(1), dir) // v0: full
+    (1 to 25).foreach { i =>
+      Snapshots.commitAppend(df(100L + i).coalesce(1), dir)
+    }
+    // deltas stay flat while the folded list grows linearly
+    val d5 = rawManifestBytes(dir, 5L)
+    val d15 = rawManifestBytes(dir, 15L)
+    assert(math.abs(d15 - d5) < d5 / 2,
+      s"delta manifests must not grow with table size: v5=$d5 B, v15=$d15 B")
+    assert(Snapshots.manifestAt(dir, 15L).files.size === 16,
+      "folded list grows even though the manifest does not")
+    // the chain cap forced at least one FULL checkpoint inside 25 appends
+    val checkpoints = (1L to 25L).filter(v => Snapshots.manifestAt(dir, v).depth == 0)
+    assert(checkpoints.nonEmpty, "a checkpoint manifest must cut the chain")
+    val cp = checkpoints.head
+    assert(rawManifestBytes(dir, cp) > 3 * d5,
+      "the checkpoint manifest carries the full list")
+    // every version reads identically to its recomputed content, and
+    // the folded manifest equals what a full manifest records
+    assert(Snapshots.read(spark, dir).select("id").as[Long].collect().sorted.toSeq
+      === ((1L to 8L) ++ (101L to 125L)).sorted)
+    assert(Snapshots.countFromManifest(dir) === Some(33L),
+      "folded stats answer metadata counts exactly")
+    // a rename is a metadata-only O(1) delta: far smaller than even an
+    // append delta (no file lines, no stats lines)
+    Snapshots.renameColumn(dir, "payload", "body")
+    val renameV = Snapshots.currentVersion(dir)
+    if (Snapshots.manifestAt(dir, renameV).depth > 0)
+      assert(rawManifestBytes(dir, renameV) < d5,
+        "metadata-only rename must not restate the file list")
+    assert(Snapshots.read(spark, dir).columns.toSeq === Seq("id", "body"))
+  }
+
+  test("vacuum demotes still-referenced doomed bases instead of deleting them; survivors stay readable") {
+    val dir = fresh()
+    Snapshots.commit(df(1, 2).coalesce(1), dir) // v0: full (a delta base)
+    Snapshots.commitAppend(df(3).coalesce(1), dir) // v1: delta on v0
+    Snapshots.commitAppend(df(4).coalesce(1), dir) // v2: delta on v1
+    Snapshots.vacuum(dir, keepFrom = 2L)
+    // v0/v1 are gone as VERSIONS...
+    intercept[Exception](Snapshots.read(spark, dir, 0L))
+    assert(Snapshots.earliestVersion(dir) === 2L)
+    // ...but v2 (a delta whose chain bottoms out at v0) still folds
+    assert(Snapshots.read(spark, dir, 2L).select("id").as[Long].collect().sorted.toSeq
+      === Seq(1L, 2L, 3L, 4L))
+    assert(Files.exists(java.nio.file.Paths.get(dir, "_b000000.basemanifest")),
+      "the doomed base is demoted, not deleted")
+    // a checkpointing commit cuts the chain; the next vacuum reclaims
+    // the now-unreferenced demoted bases
+    Snapshots.commit(Snapshots.read(spark, dir), dir) // v3: full rewrite
+    Snapshots.vacuum(dir, keepFrom = 3L)
+    assert(!Files.exists(java.nio.file.Paths.get(dir, "_b000000.basemanifest")),
+      "unreferenced demoted bases are reclaimed")
+    assert(Snapshots.read(spark, dir).select("id").as[Long].collect().sorted.toSeq
+      === Seq(1L, 2L, 3L, 4L))
   }
 
   test("changelog below the retention floor gives the vacuumed diagnostic, not a raw missing-version error") {
