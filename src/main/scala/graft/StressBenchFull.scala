@@ -77,6 +77,13 @@ object StressBenchFull {
       // through the pruned manifest)
       "snapshot_pruned_read" -> docReplicas,
       "snapshot_cow_dml" -> docReplicas,
+      // r15: same scratch shape — the lakehouse stream loop and the
+      // COW merge build from the scaled documents (the timed big run
+      // includes the ONE-TIME session-scratch build: the ×26 stream /
+      // merge itself, which is exactly the linear work the gate
+      // should budget at docReplicas)
+      "snapshot_stream_read" -> docReplicas,
+      "snapshot_merge" -> docReplicas,
       "delete_by_key" -> evReplicas)
 
     // Pair-join family: shuffle bytes asserted alongside wall time. A

@@ -593,11 +593,12 @@ object Queries {
         count(lit(1)).cast("double")).as("recall"),
         sum(coalesce(col("hit"), lit(0L))).as("hits"),
         count(lit(1)).as("n"))
-    val w = Window
-      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
-    perQuery
-      .withColumn("micro",
-        sum(col("hits")).over(w).cast("double") / sum(col("n")).over(w).cast("double"))
+    // corpus-wide micro recall as a broadcast 1-row aggregate, not a
+    // partitionless window (which would single-partition a
+    // corpus-sized query set)
+    val micro = perQuery.agg(
+      (sum(col("hits")).cast("double") / sum(col("n")).cast("double")).as("micro"))
+    perQuery.crossJoin(broadcast(micro))
       .select(col("query_id"),
         (col("recall") >= lit(0.1)).as("probe_recall_ok"),
         (col("micro") >= lit(0.3)).as("corpus_recall_ok"))
