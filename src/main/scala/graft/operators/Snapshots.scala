@@ -148,17 +148,25 @@ object Snapshots {
   }
 
   /** Does version `v`'s manifest exist right now? ([[graft.sources.SnapshotStreamSource]]
-    * distinguishes "vacuumed away" from "torn" with this.) */
-  private[graft] def versionExists(dir: String, v: Long): Boolean = {
+    * distinguishes "vacuumed away" from "torn" with this.)
+    * `orDemoted = true` also accepts a base manifest [[vacuum]]
+    * demoted (`_b*.basemanifest`) — the streaming source's
+    * change-detection walk resolves those so a vacuum can never HIDE
+    * a rewrite that the delta chain still records (review r15). */
+  private[graft] def versionExists(dir: String, v: Long,
+                                   orDemoted: Boolean = false): Boolean = {
     val f = fsFor(dir)
-    f.exists(manifestPath(rootOf(f, dir), v))
+    val root = rootOf(f, dir)
+    f.exists(manifestPath(root, v)) ||
+      (orDemoted && f.exists(basePath(root, v)))
   }
 
   /** Version `v`'s resolved manifest (the streaming source's accessor
-    * — same parse [[read]] uses). */
-  private[graft] def manifestAt(dir: String, v: Long): Manifest = {
+    * — same parse [[read]] uses); `orDemoted` as in [[versionExists]]. */
+  private[graft] def manifestAt(dir: String, v: Long,
+                                orDemoted: Boolean = false): Manifest = {
     val f = fsFor(dir)
-    readManifest(f, rootOf(f, dir), v)
+    readManifest(f, rootOf(f, dir), v, allowBase = orDemoted)
   }
 
   /** Smallest still-retained version (-1 for an empty table) — moves
@@ -341,6 +349,34 @@ object Snapshots {
     }
   }
 
+  /** The header line every manifest (full or delta) shares — ONE
+    * builder so a future field can never fork the format between the
+    * two writers (review r15). */
+  private def headerFor(schema: StructType, colMap: Seq[ColumnId],
+                        maxColId: Int, txn: Option[(String, Long)],
+                        retired: Seq[String], partitionBy: Seq[String]): String = {
+    val hwm = colMap.foldLeft(maxColId)((x, c) => math.max(x, c.id))
+    "#graft-manifest v=3 schema=" +
+      Base64.getEncoder.encodeToString(schema.json.getBytes(StandardCharsets.UTF_8)) +
+      (if (colMap.isEmpty) "" else " cols=" + encodeColMap(colMap)) +
+      (if (hwm == 0) "" else s" maxcol=$hwm") +
+      txn.fold("") { case (a, b) => s" txn=${b64s(a)}:$b" } +
+      (if (retired.isEmpty) "" else " retired=" + b64s(retired.map(b64s).mkString("|"))) +
+      (if (partitionBy.isEmpty) ""
+       else " partby=" + b64s(partitionBy.map(b64s).mkString("|")))
+  }
+
+  /** Per-file `#stats` / `#size` lines, indexed into `files`. */
+  private def fileLines(files: Seq[String],
+                        stats: Map[String, SnapshotStats.FileStats],
+                        sizes: Map[String, Long]): Seq[String] =
+    files.iterator.zipWithIndex
+      .flatMap { case (rel, i) => stats.get(rel).map(SnapshotStats.encodeLine(i, _)) }
+      .toSeq ++
+      files.iterator.zipWithIndex
+        .flatMap { case (rel, i) => sizes.get(rel).map(len => s"#size $i $len") }
+        .toSeq
+
   private def publish(f: FileSystem, root: Path, v: Long,
                       files: Seq[String], schema: StructType,
                       colMap: Seq[ColumnId] = Seq.empty,
@@ -350,25 +386,10 @@ object Snapshots {
                       retired: Seq[String] = Seq.empty,
                       sizes: Map[String, Long] = Map.empty,
                       partitionBy: Seq[String] = Seq.empty): Unit = {
-    val m = manifestPath(root, v)
-    val hwm = colMap.foldLeft(maxColId)((x, c) => math.max(x, c.id))
-    val header = "#graft-manifest v=3 schema=" +
-      Base64.getEncoder.encodeToString(schema.json.getBytes(StandardCharsets.UTF_8)) +
-      (if (colMap.isEmpty) "" else " cols=" + encodeColMap(colMap)) +
-      (if (hwm == 0) "" else s" maxcol=$hwm") +
-      txn.fold("") { case (a, b) => s" txn=${b64s(a)}:$b" } +
-      (if (retired.isEmpty) "" else " retired=" + b64s(retired.map(b64s).mkString("|"))) +
-      (if (partitionBy.isEmpty) ""
-       else " partby=" + b64s(partitionBy.map(b64s).mkString("|")))
-    val statsLines = files.iterator.zipWithIndex
-      .flatMap { case (rel, i) => stats.get(rel).map(SnapshotStats.encodeLine(i, _)) }
-      .toSeq
-    val sizeLines = files.iterator.zipWithIndex
-      .flatMap { case (rel, i) => sizes.get(rel).map(len => s"#size $i $len") }
-      .toSeq
-    val body = ((header +: files) ++ statsLines ++ sizeLines :+
+    val header = headerFor(schema, colMap, maxColId, txn, retired, partitionBy)
+    val body = ((header +: files) ++ fileLines(files, stats, sizes) :+
       s"#end ${files.length}").mkString("\n")
-    writeManifestAtomic(f, root, v, m, body)
+    writeManifestAtomic(f, root, v, manifestPath(root, v), body)
   }
 
   /** Delta-chain length cap: a commit whose chain would exceed this
@@ -394,24 +415,10 @@ object Snapshots {
                            sizes: Map[String, Long],
                            maxColId: Int, txn: Option[(String, Long)],
                            retired: Seq[String], partitionBy: Seq[String]): Unit = {
-    val hwm = colMap.foldLeft(maxColId)((x, c) => math.max(x, c.id))
-    val header = "#graft-manifest v=3 schema=" +
-      Base64.getEncoder.encodeToString(schema.json.getBytes(StandardCharsets.UTF_8)) +
-      (if (colMap.isEmpty) "" else " cols=" + encodeColMap(colMap)) +
-      (if (hwm == 0) "" else s" maxcol=$hwm") +
-      txn.fold("") { case (a, b) => s" txn=${b64s(a)}:$b" } +
-      (if (retired.isEmpty) "" else " retired=" + b64s(retired.map(b64s).mkString("|"))) +
-      (if (partitionBy.isEmpty) ""
-       else " partby=" + b64s(partitionBy.map(b64s).mkString("|"))) +
+    val header = headerFor(schema, colMap, maxColId, txn, retired, partitionBy) +
       s" base=$baseV depth=$depth"
-    val statsLines = adds.iterator.zipWithIndex
-      .flatMap { case (rel, i) => stats.get(rel).map(SnapshotStats.encodeLine(i, _)) }
-      .toSeq
-    val sizeLines = adds.iterator.zipWithIndex
-      .flatMap { case (rel, i) => sizes.get(rel).map(len => s"#size $i $len") }
-      .toSeq
     val removeLines = removes.map(r => s"#remove $r")
-    val body = ((header +: adds) ++ removeLines ++ statsLines ++ sizeLines :+
+    val body = ((header +: adds) ++ removeLines ++ fileLines(adds, stats, sizes) :+
       s"#end ${adds.length}").mkString("\n")
     writeManifestAtomic(f, root, v, manifestPath(root, v), body)
   }
@@ -881,16 +888,20 @@ object Snapshots {
     * the stream's own and is swept immediately. A manifest-less dir
     * WITHOUT the sentinel is presumed to be a live batch commit: the
     * attempt fails loudly (Spark retries the micro-batch; once the
-    * batch publishes, the retry lands on the next version) unless the
-    * dir's entire subtree is over an hour quiet — the same age gate
-    * [[vacuum]] applies to orphans — in which case it is a crashed
-    * BATCH commit's orphan and is reclaimed. The one residual window:
-    * a stream attempt that crashes after starting its data write but
-    * before the sentinel lands recovers via the age gate (up to 1 h
-    * of loud retries) instead of immediately — slow recovery, never
-    * data loss. Stale sentinels of PUBLISHED versions (crash between
-    * publish and sentinel cleanup) are inert litter; vacuum sweeps
-    * them.
+    * batch publishes, the retry lands on the next version). The
+    * stream itself NEVER deletes a no-sentinel dir — not even an aged
+    * one: a giant batch commit can legitimately spend hours between
+    * its data write and its publish (footer-stats job), and an
+    * automatic age-gated sweep running every trigger would delete its
+    * data (review r15; the same gate is acceptable in [[vacuum]]
+    * because vacuum is an explicit operator action with the subtree-
+    * mtime guard, not an always-on background race). A crashed BATCH
+    * commit's orphan therefore wedges the stream until the operator
+    * runs [[vacuum]] — loud retries, never data loss; the residual
+    * crash window of the stream's own attempt (data write started,
+    * sentinel not yet landed) resolves the same way. Stale sentinels
+    * of PUBLISHED versions (crash between publish and sentinel
+    * cleanup) are inert litter; vacuum sweeps them.
     */
   def streamAppendBatch(df: DataFrame, batchId: Long, dir: String,
                         appId: String = "stream"): Option[Long] = {
@@ -905,14 +916,12 @@ object Snapshots {
         // provably OUR crashed attempt (see contract): sweep + retry
         f.delete(dataDir, true)
         f.delete(sentinel, false)
-      } else if (newestMtime(f, f.getFileStatus(dataDir)) <
-          System.currentTimeMillis() - 3600L * 1000) {
-        f.delete(dataDir, true) // a crashed BATCH commit's aged orphan
       } else {
         throw new IllegalStateException(
           s"version $v data dir exists without a manifest and without a " +
-            "stream sentinel — a concurrent batch commit is likely mid-publish; " +
-            "retrying after it publishes (or after the 1h orphan age gate)")
+            "stream sentinel — either a concurrent batch commit is mid-publish " +
+            "(the retry lands on the next version once it does) or a batch " +
+            "commit crashed there; run vacuum to reclaim aged orphans")
       }
     }
     val committed = appendInternal(df, dir, expectedVersion = None,
@@ -1016,21 +1025,44 @@ object Snapshots {
         // clusterBy tightens only its leading column. Linear min/max
         // scaling (not rank): skewed data degrades bucket balance but
         // never soundness — footer stats record what actually landed.
-        import org.apache.spark.sql.functions.{floor => sfloor, max => smax, min => smin}
+        import org.apache.spark.sql.functions.{floor => sfloor, greatest, least,
+          max => smax, min => smin, nanvl, unix_date, unix_micros}
         val k = zOrderBy.size
         val bits = 63 / k
         val span = (1L << bits) - 1
-        val zcols = zOrderBy.map(c => quoted(c).cast("double"))
+        // date/timestamp columns numericize through their epoch units —
+        // a plain cast("double") is an ILLEGAL cast for both under
+        // Spark 4 (review r15); NTZ reinterprets through TIMESTAMP,
+        // which is monotone, all the bucketing needs
+        def numeric(c: String): org.apache.spark.sql.Column = {
+          val dt = schema.find(fd => sameCol(fd.name, c)).get.dataType
+          dt match {
+            case org.apache.spark.sql.types.DateType =>
+              unix_date(quoted(c)).cast("double")
+            case org.apache.spark.sql.types.TimestampType =>
+              unix_micros(quoted(c)).cast("double")
+            case org.apache.spark.sql.types.TimestampNTZType =>
+              unix_micros(quoted(c).cast("timestamp")).cast("double")
+            case _ => quoted(c).cast("double")
+          }
+        }
+        val zcols = zOrderBy.map(numeric)
         val aggs = zcols.flatMap(c => Seq(smin(c), smax(c)))
         val mm = current.agg(aggs.head, aggs.tail: _*).head()
         val normalized = zOrderBy.zip(zcols).zipWithIndex.map {
           case ((_, c), i) =>
-            val (lo, hi) =
-              (if (mm.isNullAt(2 * i)) 0.0 else mm.getDouble(2 * i),
-                if (mm.isNullAt(2 * i + 1)) 0.0 else mm.getDouble(2 * i + 1))
+            def finite(d: Double) = if (d.isNaN || d.isInfinite) 0.0 else d
+            val lo = if (mm.isNullAt(2 * i)) 0.0 else finite(mm.getDouble(2 * i))
+            val hi = if (mm.isNullAt(2 * i + 1)) 0.0 else finite(mm.getDouble(2 * i + 1))
             val width = math.max(hi - lo, java.lang.Double.MIN_NORMAL)
+            // NaN -> 0 (nanvl), ±Inf clamped into [0, span] — without
+            // the guards the long cast THROWS under default-on ANSI
+            // (review r15); degraded rows cluster at the origin, which
+            // is sound (stats record what actually landed)
+            val zraw = (c - lit(lo)) / lit(width) * lit(span.toDouble)
             org.apache.spark.sql.functions.coalesce(
-              sfloor((c - lit(lo)) / lit(width) * lit(span.toDouble)).cast("long"),
+              sfloor(least(greatest(nanvl(zraw, lit(0.0)), lit(0.0)),
+                lit(span.toDouble))).cast("long"),
               lit(0L)) // NULLs cluster at the origin
         }
         val zkey = graft.functions.Layout.zorderKeyN(normalized)
@@ -1147,31 +1179,47 @@ object Snapshots {
     else {
       val physSchema = physSchemaOpt.getOrElse(throw new IllegalStateException(
         "partitioned manifests always record a schema"))
-      val partLc = man.partitionBy.map(lc).toSet
-      val dataSchema = StructType(physSchema.filterNot(fd => partLc(lc(fd.name))))
-      def fieldOf(phys: String): Option[StructField] =
-        physSchema.find(fd => lc(fd.name) == lc(phys))
-      val groups = files.groupBy(partitionValuesOf(_, man.partitionBy))
-        .toSeq.sortBy(_._1.toString())
-      if (groups.isEmpty) readAs(spark, root, Seq.empty, Some(physSchema))
-      else {
-        var frames: Seq[DataFrame] = groups.map { case (pvals, fs) =>
-          val base = readAs(spark, root, fs, Some(dataSchema))
-          val withParts = pvals.foldLeft(base) { case (d, (phys, vOpt)) =>
-            fieldOf(phys) match {
-              case Some(fd) => d.withColumn(fd.name, vOpt match {
-                case Some(s) => lit(s).cast(fd.dataType)
-                case None => lit(null).cast(fd.dataType)
-              })
-              case None => d
-            }
+      partitionedScan(man, files, physSchema,
+        scan = (dataSchema, fs) => readAs(spark, root, fs, Some(dataSchema)),
+        empty = sc => readAs(spark, root, Seq.empty, Some(sc)))
+    }
+  }
+
+  /** The ONE partition-reconstitution shape both the batch reader and
+    * the streaming source use (review r15 dedup): group `files` by
+    * partition tuple, scan each group's non-partition columns through
+    * `scan`, attach the typed partition literals, project the full
+    * physical schema, union balanced (log plan depth in the live
+    * partition count). */
+  private[graft] def partitionedScan(man: Manifest, files: Seq[String],
+                                     physSchema: StructType,
+                                     scan: (StructType, Seq[String]) => DataFrame,
+                                     empty: StructType => DataFrame): DataFrame = {
+    def lc(s: String) = s.toLowerCase(java.util.Locale.ROOT)
+    val partLc = man.partitionBy.map(lc).toSet
+    val dataSchema = StructType(physSchema.filterNot(fd => partLc(lc(fd.name))))
+    def fieldOf(phys: String): Option[StructField] =
+      physSchema.find(fd => lc(fd.name) == lc(phys))
+    val groups = files.groupBy(partitionValuesOf(_, man.partitionBy))
+      .toSeq.sortBy(_._1.toString())
+    if (groups.isEmpty) empty(physSchema)
+    else {
+      var frames: Seq[DataFrame] = groups.map { case (pvals, fs) =>
+        val base = scan(dataSchema, fs)
+        val withParts = pvals.foldLeft(base) { case (d, (phys, vOpt)) =>
+          fieldOf(phys) match {
+            case Some(fd) => d.withColumn(fd.name, vOpt match {
+              case Some(s) => lit(s).cast(fd.dataType)
+              case None => lit(null).cast(fd.dataType)
+            })
+            case None => d
           }
-          withParts.select(physSchema.fields.toSeq.map(fd => quoted(fd.name)): _*)
         }
-        while (frames.size > 1)
-          frames = frames.grouped(2).map(_.reduce(_.unionByName(_))).toSeq
-        frames.head
+        withParts.select(physSchema.fields.toSeq.map(fd => quoted(fd.name)): _*)
       }
+      while (frames.size > 1)
+        frames = frames.grouped(2).map(_.reduce(_.unionByName(_))).toSeq
+      frames.head
     }
   }
 
@@ -1365,7 +1413,10 @@ object Snapshots {
         val partLogical = prev.partitionBy.flatMap(p =>
           map.find(c => lc(c.physical) == lc(p)).map(c => lc(c.logical))).toSet
         if (predicateCols(pred).forall(partLogical.contains))
-          return partitionDelete(spark, dir, pred, expectedVersion)
+          // hand over the manifest this gate already resolved (a
+          // delta fold is up to DeltaChainLimit manifest GETs — don't
+          // pay it twice per delete, review r15)
+          return partitionDelete(spark, dir, pred, expectedVersion, cur, prev)
       }
     }
     rewriteWhere(spark, dir, pred, expectedVersion)(survivors =>
@@ -1399,14 +1450,20 @@ object Snapshots {
     * partitions' files await [[vacuum]]. */
   private def partitionDelete(spark: SparkSession, dir: String,
                               pred: org.apache.spark.sql.Column,
-                              expectedVersion: Option[Long]): Long = {
+                              expectedVersion: Option[Long],
+                              readAt: Long, prev: Manifest): Long = {
     import org.apache.spark.sql.Row
     import org.apache.spark.sql.types.LongType
     def lc(s: String) = s.toLowerCase(java.util.Locale.ROOT)
     val f = fsFor(dir)
     val root = rootOf(f, dir)
     val v = nextVersion(dir, expectedVersion)
-    val prev = readManifest(f, root, v - 1)
+    // `prev` was resolved by the caller at version `readAt`; if the
+    // table moved in between, refuse exactly like a stale
+    // expectedVersion would (optimistic concurrency, never stale data)
+    require(v - 1 == readAt,
+      s"concurrent commit: table moved from $readAt to ${v - 1} while " +
+        "planning the partition delete — rebase and retry")
     val schema = prev.schema.getOrElse(throw new IllegalStateException(
       "partitioned manifests always record a schema"))
     val map = colMapOf(prev)

@@ -51,11 +51,15 @@ import graft.operators.Snapshots
   *  - `ignoreChanges=true`: deliver the rewritten files — surviving
   *    rows of rewritten files ARE re-delivered (at-least-once for
   *    those rows, the documented Delta tradeoff).
-  * Change detection reads the (start, end] manifests pairwise when
-  * they still exist; a vacuumed-away intermediate manifest skips the
-  * check for that step — sound, because a replayed batch was already
-  * validated when it first ran, and a LIVE batch's manifests are by
-  * definition retained (vacuum keeps >= the current version).
+  * Change detection reads the (start, end] manifests pairwise —
+  * INCLUDING manifests vacuum demoted to delta-chain fold fodder, so
+  * a vacuum between triggers can never hide a rewrite from the walk.
+  * Only history reclaimed past a full CHECKPOINT manifest (a consumer
+  * lagging more than the delta chain) is unverifiable, and the source
+  * then refuses loudly instead of guessing (ignoreChanges overrides;
+  * the engine's restart-initialization replay of an already-committed
+  * batch — recognizable by its vacuumed END manifest — is exempt,
+  * since its result is discarded).
   *
   * SCHEMA is captured at stream start (the streaming contract: fixed
   * for the query's life) and columns are paired against each batch's
@@ -212,25 +216,34 @@ class SnapshotStreamSource(spark: SparkSession, dir: String,
   }
 
   /** Versions in [from, to] that REMOVED files (COW DML / compact),
-    * detected pairwise on still-retained manifests — the walk starts
-    * one version EARLIER so `from` itself gets its predecessor pair.
-    * A vacuumed-away manifest skips the check for the adjacent steps
-    * (best-effort there, exactly like Delta past its log retention). */
-  private def changeVersionsIn(from: Long, to: Long): Set[Long] = {
+    * detected pairwise — the walk starts one version EARLIER so
+    * `from` itself gets its predecessor pair, and it resolves
+    * manifests [[Snapshots.vacuum]] DEMOTED to fold fodder
+    * (`orDemoted`): vacuum keeps every delta chain's bases alive
+    * precisely so a vacuum between triggers can never HIDE a rewrite
+    * from this walk (review r15). Also reports whether EVERY step was
+    * verifiable: a step whose predecessor is gone entirely (history
+    * reclaimed past a checkpoint manifest — the consumer lagged more
+    * than the chain) cannot be certified append-only. */
+  private def changeVersionsIn(from: Long, to: Long): (Set[Long], Boolean) = {
     val out = Set.newBuilder[Long]
+    var verified = 0L
     var prev: Option[Snapshots.Manifest] = None
     var prevV = -2L
     (math.max(from - 1, 0L) to to).foreach { v =>
-      if (Snapshots.versionExists(dir, v)) {
-        val man = Snapshots.manifestAt(dir, v)
-        if (v >= from && prevV == v - 1) prev.foreach { p =>
-          val cur = man.files.toSet
-          if (!p.files.forall(cur.contains)) out += v
+      if (Snapshots.versionExists(dir, v, orDemoted = true)) {
+        val man = Snapshots.manifestAt(dir, v, orDemoted = true)
+        if (v >= from && prevV == v - 1) {
+          verified += 1
+          prev.foreach { p =>
+            val cur = man.files.toSet
+            if (!p.files.forall(cur.contains)) out += v
+          }
         }
         prev = Some(man); prevV = v
       } else { prev = None; prevV = -2L }
     }
-    out.result()
+    (out.result(), verified == math.max(0L, to - math.max(from, 1L) + 1))
   }
 
   override def getBatch(start: Option[Offset], end: Offset): DataFrame = {
@@ -245,8 +258,9 @@ class SnapshotStreamSource(spark: SparkSession, dir: String,
     // manifests reference them, so vacuum kept them) and the file set
     // is IDENTICAL to the original batch's — exact resume, no manifest
     // history needed.
+    val endVacuumed = !Snapshots.versionExists(dir, endV)
     val man =
-      if (Snapshots.versionExists(dir, endV)) Snapshots.manifestAt(dir, endV)
+      if (!endVacuumed) Snapshots.manifestAt(dir, endV)
       else {
         val cur = Snapshots.currentVersion(dir)
         require(cur >= 0, s"snapshot table $dir has no committed versions left")
@@ -262,8 +276,14 @@ class SnapshotStreamSource(spark: SparkSession, dir: String,
           if (startingVersion.equalsIgnoreCase("latest")) creationVersion
           else startingVersion.toLong - 1 // change feed from exactly V on
         }
-        val changed = changeVersionsIn(boundary + 1, endV)
-        if (changed.nonEmpty && !skipChange && !ignoreChanges)
+        val (changed, fullyAttributed) = changeVersionsIn(boundary + 1, endV)
+        // A vacuumed END manifest can only be the engine's restart
+        // initialization of an already-committed batch (see the `man`
+        // fallback above) — its result is discarded, so the strict
+        // checks are waived there; everywhere else they hold even
+        // across a vacuum, because vacuum demotes delta-chain bases
+        // instead of deleting them and the walk above resolves those.
+        if (!endVacuumed && changed.nonEmpty && !skipChange && !ignoreChanges)
           throw new IllegalStateException(
             s"version(s) ${changed.toSeq.sorted.mkString(", ")} of $dir " +
               "rewrote existing rows (COW delete/update or compact) — a " +
@@ -271,6 +291,14 @@ class SnapshotStreamSource(spark: SparkSession, dir: String,
               "exactly-once. Pass skipChangeCommits=true to skip rewritten " +
               "files (deletes/updates unobserved) or ignoreChanges=true to " +
               "re-deliver surviving rows of rewritten files")
+        if (!endVacuumed && !fullyAttributed && !ignoreChanges)
+          throw new IllegalStateException(
+            s"history in ($boundary, $endV] of $dir was reclaimed past a " +
+              "checkpoint manifest (the stream lagged more than the delta " +
+              "chain), so append-only delivery cannot be verified — pass " +
+              "ignoreChanges=true to proceed (surviving rows of any rewrite " +
+              "would re-deliver) or re-bootstrap from the earliest retained " +
+              "snapshot")
         man.files.filter { rel =>
           val fv = fileVersion(rel)
           fv > boundary && fv <= endV && !(skipChange && changed.contains(fv))
@@ -324,37 +352,14 @@ class SnapshotStreamSource(spark: SparkSession, dir: String,
     val base =
       if (man.partitionBy.isEmpty)
         bridge.streamingParquetDf(spark, physSchema, qualify(files))
-      else {
-        // partition columns live in the file PATHS — scan each
-        // partition group's files once, attach the typed partition
-        // literals, union (balanced): the batch equivalent of
-        // Snapshots.readPhysical, streaming-flagged
-        val partLc = man.partitionBy.map(lc).toSet
-        val dataSchema = StructType(physSchema.filterNot(fd => partLc(lc(fd.name))))
-        val groups = files
-          .groupBy(Snapshots.partitionValuesOf(_, man.partitionBy))
-          .toSeq.sortBy(_._1.toString())
-        if (groups.isEmpty) bridge.emptyStreamingDf(spark, physSchema)
-        else {
-          var frames = groups.map { case (pvals, fsOfGroup) =>
-            val g = bridge.streamingParquetDf(spark, dataSchema, qualify(fsOfGroup))
-            val withParts = pvals.foldLeft(g) { case (d, (phys, vOpt)) =>
-              physSchema.find(fd => lc(fd.name) == lc(phys)) match {
-                case Some(fd) => d.withColumn(fd.name, vOpt match {
-                  case Some(s) => lit(s).cast(fd.dataType)
-                  case None => lit(null).cast(fd.dataType)
-                })
-                case None => d
-              }
-            }
-            withParts.select(physSchema.fields.toSeq.map(fd =>
-              col("`" + fd.name.replace("`", "``") + "`")): _*)
-          }
-          while (frames.size > 1)
-            frames = frames.grouped(2).map(_.reduce(_.unionByName(_))).toSeq
-          frames.head
-        }
-      }
+      else
+        // partition columns live in the file PATHS — the shared
+        // reconstitution shape (Snapshots.partitionedScan), with the
+        // per-group scan streaming-flagged
+        Snapshots.partitionedScan(man, files, physSchema,
+          scan = (dataSchema, fs) =>
+            bridge.streamingParquetDf(spark, dataSchema, qualify(fs)),
+          empty = sc => bridge.emptyStreamingDf(spark, sc))
     base.select(pairs.map {
       case (fd, Some(p)) => col("`" + p.replace("`", "``") + "`").as(fd.name)
       case (fd, None) => lit(null).cast(fd.dataType).as(fd.name)

@@ -872,12 +872,15 @@ class SnapshotsSpec extends SparkSpec {
     assert(e.getMessage.contains("concurrent batch commit"), e.getMessage)
     assert(Files.exists(inflight.resolve("part-batch.parquet")),
       "the batch commit's in-flight data must NOT be deleted")
-    // once the dir is over the age gate it is a crashed batch orphan:
-    // the stream reclaims the version and proceeds
+    // the stream NEVER age-sweeps a no-sentinel dir itself (a giant
+    // live batch commit can be hours between write and publish —
+    // review r15); reclamation is vacuum's explicit, subtree-gated job
     val aged = java.nio.file.attribute.FileTime.fromMillis(
       System.currentTimeMillis() - 2 * 3600 * 1000L)
     Files.setLastModifiedTime(inflight.resolve("part-batch.parquet"), aged)
     Files.setLastModifiedTime(inflight, aged)
+    intercept[IllegalStateException](Snapshots.streamAppendBatch(df(3), 1L, dir))
+    Snapshots.vacuum(dir, keepFrom = 0L) // operator action reclaims the orphan
     assert(Snapshots.streamAppendBatch(df(3), 1L, dir) === Some(1L))
     assert(Snapshots.read(spark, dir).select("id").as[Long].collect().sorted.toSeq
       === Seq(1L, 2L, 3L))

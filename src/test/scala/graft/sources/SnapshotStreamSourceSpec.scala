@@ -153,6 +153,27 @@ class SnapshotStreamSourceSpec extends SparkSpec {
       === Seq(3L, 4L))
   }
 
+  test("a VACUUMED change version still refuses / attributes: demoted chain bases keep the walk honest (review r15)") {
+    val dir = fresh()
+    val cp = fresh()
+    Snapshots.commit(df(1, 2, 3), dir) // v0
+    assert(drain(dir, cp).flatten.size === 3) // cursor at 0
+    Snapshots.deleteWhere(spark, dir, col("id") === 2) // v1: COW rewrite
+    Snapshots.commitAppend(df(9), dir) // v2: append
+    // vacuum everything below the current version: v0 and v1 are gone
+    // as versions, but v2's delta chain keeps them as demoted bases —
+    // the rewrite must NOT slip past the default-mode check
+    Snapshots.vacuum(dir, keepFrom = 2L)
+    val e = intercept[StreamingQueryException](drain(dir, cp))
+    assert(e.getCause.getMessage.contains("rewrote existing rows"),
+      s"a vacuumed change version must still refuse: ${e.getCause.getMessage}")
+    // and skipChangeCommits still ATTRIBUTES the rewrite through the
+    // demoted manifests: only the append delivers
+    val skipped = drain(dir, cp, Map("skipChangeCommits" -> "true"))
+    assert(skipped.flatten.map(_._1).sorted === Seq(9L),
+      "attribution through demoted bases: rewritten files skipped, append delivered")
+  }
+
   test("schema-add mid-stream: old captured schema keeps working, new column invisible") {
     val dir = fresh()
     val cp = fresh()
