@@ -110,7 +110,8 @@ object Snapshots {
                             sizes: Map[String, Long] = Map.empty,
                             partitionBy: Seq[String] = Seq.empty,
                             base: Option[Long] = None,
-                            depth: Int = 0)
+                            depth: Int = 0,
+                            op: Option[String] = None)
 
   private def hconf(): Configuration =
     SparkSession.getActiveSession
@@ -285,6 +286,11 @@ object Snapshots {
         .collectFirst { case s if s.startsWith("depth=") =>
           s.stripPrefix("depth=").toInt }
         .getOrElse(0)
+      // operation label (r15): what kind of commit produced this
+      // version — surfaced by [[history]] (DESCRIBE HISTORY parity)
+      val op = headerParts
+        .collectFirst { case s if s.startsWith("op=") =>
+          unb64s(s.stripPrefix("op=")) }
       val adds = lines.tail.filter(l => l.nonEmpty && !l.startsWith("#")).toSeq
       val removes = lines.iterator
         .filter(_.startsWith("#remove "))
@@ -319,7 +325,7 @@ object Snapshots {
       base match {
         case None =>
           Manifest(adds, schema, colMap, stats, maxColId, txn, retired, sizes,
-            partitionBy, base = None, depth = 0)
+            partitionBy, base = None, depth = 0, op = op)
         case Some(b) =>
           // FOLD: base's folded state minus removes plus adds — the
           // relative order (survivors first, in base order, then adds)
@@ -333,7 +339,7 @@ object Snapshots {
             (bm.stats -- removed) ++ stats,
             maxColId, txn, retired,
             (bm.sizes -- removed) ++ sizes,
-            partitionBy, base = Some(b), depth = depth)
+            partitionBy, base = Some(b), depth = depth, op = op)
       }
     } else if (lines.exists(l => l.nonEmpty && l.startsWith("#"))) {
       // a '#' line without the full v2 header can only be a manifest
@@ -354,7 +360,8 @@ object Snapshots {
     * two writers (review r15). */
   private def headerFor(schema: StructType, colMap: Seq[ColumnId],
                         maxColId: Int, txn: Option[(String, Long)],
-                        retired: Seq[String], partitionBy: Seq[String]): String = {
+                        retired: Seq[String], partitionBy: Seq[String],
+                        op: String): String = {
     val hwm = colMap.foldLeft(maxColId)((x, c) => math.max(x, c.id))
     "#graft-manifest v=3 schema=" +
       Base64.getEncoder.encodeToString(schema.json.getBytes(StandardCharsets.UTF_8)) +
@@ -363,7 +370,8 @@ object Snapshots {
       txn.fold("") { case (a, b) => s" txn=${b64s(a)}:$b" } +
       (if (retired.isEmpty) "" else " retired=" + b64s(retired.map(b64s).mkString("|"))) +
       (if (partitionBy.isEmpty) ""
-       else " partby=" + b64s(partitionBy.map(b64s).mkString("|")))
+       else " partby=" + b64s(partitionBy.map(b64s).mkString("|"))) +
+      (if (op.isEmpty) "" else s" op=${b64s(op)}")
   }
 
   /** Per-file `#stats` / `#size` lines, indexed into `files`. */
@@ -385,8 +393,9 @@ object Snapshots {
                       txn: Option[(String, Long)] = None,
                       retired: Seq[String] = Seq.empty,
                       sizes: Map[String, Long] = Map.empty,
-                      partitionBy: Seq[String] = Seq.empty): Unit = {
-    val header = headerFor(schema, colMap, maxColId, txn, retired, partitionBy)
+                      partitionBy: Seq[String] = Seq.empty,
+                      op: String = ""): Unit = {
+    val header = headerFor(schema, colMap, maxColId, txn, retired, partitionBy, op)
     val body = ((header +: files) ++ fileLines(files, stats, sizes) :+
       s"#end ${files.length}").mkString("\n")
     writeManifestAtomic(f, root, v, manifestPath(root, v), body)
@@ -414,8 +423,9 @@ object Snapshots {
                            stats: Map[String, SnapshotStats.FileStats],
                            sizes: Map[String, Long],
                            maxColId: Int, txn: Option[(String, Long)],
-                           retired: Seq[String], partitionBy: Seq[String]): Unit = {
-    val header = headerFor(schema, colMap, maxColId, txn, retired, partitionBy) +
+                           retired: Seq[String], partitionBy: Seq[String],
+                           op: String = ""): Unit = {
+    val header = headerFor(schema, colMap, maxColId, txn, retired, partitionBy, op) +
       s" base=$baseV depth=$depth"
     val removeLines = removes.map(r => s"#remove $r")
     val body = ((header +: adds) ++ removeLines ++ fileLines(adds, stats, sizes) :+
@@ -745,7 +755,8 @@ object Snapshots {
     val (files, stats, sizes) = writeWithStats(df, map, f, root, v,
       partByPhys = partByPhys)
     publish(f, root, v, files, df.schema, map, stats, idFloor, txn = None,
-      retired = retired, sizes = sizes, partitionBy = partByPhys)
+      retired = retired, sizes = sizes, partitionBy = partByPhys,
+      op = "commit")
     v
   }
 
@@ -790,12 +801,15 @@ object Snapshots {
     // growth bound (judge r14 #6): an append publishes a DELTA
     // manifest of O(its own files), not O(table files) — until the
     // chain cap forces a full checkpoint manifest
+    val opLabel = if (txn.isDefined) "stream-append" else "append"
     if (v > 0 && deltaOk(prev))
       publishDelta(f, root, v, v - 1, prev.depth + 1, files, Seq.empty,
-        schema, map, stats, sizes, prev.maxColId, txn, retired, prev.partitionBy)
+        schema, map, stats, sizes, prev.maxColId, txn, retired, prev.partitionBy,
+        op = opLabel)
     else
       publish(f, root, v, prev.files ++ files, schema, map, prev.stats ++ stats,
-        prev.maxColId, txn, retired, prev.sizes ++ sizes, prev.partitionBy)
+        prev.maxColId, txn, retired, prev.sizes ++ sizes, prev.partitionBy,
+        op = opLabel)
     v
   }
 
@@ -1079,7 +1093,7 @@ object Snapshots {
       partByPhys = prev.partitionBy)
     publish(f, root, v, files, schema, map, stats, prev.maxColId,
       txn = None, retired = prev.retired, sizes = sizes,
-      partitionBy = prev.partitionBy)
+      partitionBy = prev.partitionBy, op = "compact")
     v
   }
 
@@ -1113,11 +1127,11 @@ object Snapshots {
     if (deltaOk(prev))
       publishDelta(f, root, v, v - 1, prev.depth + 1, Seq.empty, Seq.empty,
         newSchema, map, Map.empty, Map.empty, prev.maxColId, txn = None,
-        retired = prev.retired, partitionBy = prev.partitionBy)
+        retired = prev.retired, partitionBy = prev.partitionBy, op = "rename")
     else
       publish(f, root, v, prev.files, newSchema, map, prev.stats, prev.maxColId,
         txn = None, retired = prev.retired, sizes = prev.sizes,
-        partitionBy = prev.partitionBy)
+        partitionBy = prev.partitionBy, op = "rename")
     v
   }
 
@@ -1419,7 +1433,7 @@ object Snapshots {
           return partitionDelete(spark, dir, pred, expectedVersion, cur, prev)
       }
     }
-    rewriteWhere(spark, dir, pred, expectedVersion)(survivors =>
+    rewriteWhere(spark, dir, pred, expectedVersion, op = "delete")(survivors =>
       survivors.filter(!org.apache.spark.sql.functions.coalesce(
         pred, lit(false))))
   }
@@ -1497,12 +1511,12 @@ object Snapshots {
       publishDelta(f, root, v, v - 1, prev.depth + 1, Seq.empty,
         prev.files.filter(doomedFiles), schema, map, Map.empty, Map.empty,
         prev.maxColId, txn = None, retired = prev.retired,
-        partitionBy = prev.partitionBy)
+        partitionBy = prev.partitionBy, op = "delete")
     else
       publish(f, root, v, prev.files.filterNot(doomedFiles), schema, map,
         prev.stats -- doomedFiles, prev.maxColId, txn = None,
         retired = prev.retired, sizes = prev.sizes -- doomedFiles,
-        partitionBy = prev.partitionBy)
+        partitionBy = prev.partitionBy, op = "delete")
     v
   }
 
@@ -1518,7 +1532,7 @@ object Snapshots {
                   set: Map[String, org.apache.spark.sql.Column],
                   expectedVersion: Option[Long] = None): Long = {
     require(set.nonEmpty, "updateWhere needs at least one assignment")
-    rewriteWhere(spark, dir, pred, expectedVersion) { touched =>
+    rewriteWhere(spark, dir, pred, expectedVersion, op = "update") { touched =>
       val hit = org.apache.spark.sql.functions.coalesce(pred, lit(false))
       val out = touched.schema.fields.toSeq.map { fd =>
         set.find { case (n, _) => sameCol(n, fd.name) } match {
@@ -1628,12 +1642,12 @@ object Snapshots {
       if (deltaOk(prev))
         publishDelta(f, root, v, v - 1, prev.depth + 1, files, touched,
           schema, map, stats, sizes, prev.maxColId, txn = None,
-          retired = prev.retired, partitionBy = prev.partitionBy)
+          retired = prev.retired, partitionBy = prev.partitionBy, op = "merge")
       else
         publish(f, root, v, untouched ++ files, schema, map,
           (prev.stats -- touched) ++ stats, prev.maxColId, txn = None,
           retired = prev.retired, sizes = (prev.sizes -- touched) ++ sizes,
-          partitionBy = prev.partitionBy)
+          partitionBy = prev.partitionBy, op = "merge")
       v
     } finally src.unpersist(blocking = false)
   }
@@ -1644,7 +1658,8 @@ object Snapshots {
     */
   private def rewriteWhere(spark: SparkSession, dir: String,
                            pred: org.apache.spark.sql.Column,
-                           expectedVersion: Option[Long])(
+                           expectedVersion: Option[Long],
+                           op: String)(
       transform: DataFrame => DataFrame): Long = {
     val f = fsFor(dir)
     val root = rootOf(f, dir)
@@ -1675,12 +1690,13 @@ object Snapshots {
     if (deltaOk(prev))
       publishDelta(f, root, v, v - 1, prev.depth + 1, files, touched,
         schema, map, stats, sizes, prev.maxColId, txn = None,
-        retired = prev.retired, partitionBy = prev.partitionBy)
+        retired = prev.retired, partitionBy = prev.partitionBy, op = op)
     else
       publish(f, root, v, untouchedFiles ++ files, schema, map,
         (prev.stats -- touched) ++ stats, prev.maxColId,
         txn = None, retired = prev.retired,
-        sizes = (prev.sizes -- touched) ++ sizes, partitionBy = prev.partitionBy)
+        sizes = (prev.sizes -- touched) ++ sizes, partitionBy = prev.partitionBy,
+        op = op)
     v
   }
 
@@ -1722,10 +1738,50 @@ object Snapshots {
         else null
       (v, man.files.size, rowCount, bytes,
         man.schema.map(_.fields.length).getOrElse(-1),
-        man.txn.map(_._1).orNull, man.txn.map(t => java.lang.Long.valueOf(t._2)).orNull)
+        man.txn.map(_._1).orNull, man.txn.map(t => java.lang.Long.valueOf(t._2)).orNull,
+        man.op.orNull)
     }
     rows.toDF("version", "files", "rows", "bytes", "columns",
-      "stream_app_id", "stream_batch_id")
+      "stream_app_id", "stream_batch_id", "operation")
+  }
+
+  /** RESTORE the table to `version`'s exact content as a NEW commit —
+    * a pure manifest operation, the Delta `RESTORE TABLE ... VERSION
+    * AS OF` mechanism: the new version lists the target version's
+    * files (with their stats and sizes), schema, column mapping, and
+    * partition layout BY REFERENCE — zero data is read or written, at
+    * any table size. History after the bad commits stays readable
+    * until vacuumed (a restore is an append to history, never an
+    * erasure), the id high-water mark carries forward so columns
+    * created after `version` keep their retired ids, and optimistic
+    * concurrency applies as for any commit.
+    *
+    * A streaming source reading this table treats the restore as the
+    * rewrite it is (files vanish relative to the pre-restore head) and
+    * refuses by default — consumers of a rewound table re-bootstrap,
+    * which is the only sound interpretation. */
+  def restore(dir: String, version: Long,
+              expectedVersion: Option[Long] = None): Long = {
+    val f = fsFor(dir)
+    val root = rootOf(f, dir)
+    val v = nextVersion(dir, expectedVersion)
+    require(v > 0, s"no committed version in $dir")
+    val target = readManifest(f, root, version)
+    val prev = readManifest(f, root, v - 1)
+    val schema = target.schema.getOrElse(throw new IllegalArgumentException(
+      s"version $version is a legacy v1 manifest with no recorded schema — " +
+        "restore needs a schema-bearing target"))
+    val targetMap = colMapOf(target)
+    // retire every physical the CURRENT head uses that the restored
+    // mapping does not — the lifetime-uniqueness invariant survives
+    // the rewind (a post-restore column add can never collide with a
+    // rolled-back column's physical)
+    val retired = retireDropped(prev.retired, colMapOf(prev), targetMap)
+    publish(f, root, v, target.files, schema, targetMap, target.stats,
+      math.max(prev.maxColId, targetMap.foldLeft(0)((m, c) => math.max(m, c.id))),
+      txn = None, retired = retired, sizes = target.sizes,
+      partitionBy = target.partitionBy, op = "restore")
+    v
   }
 
   /** Exact row count answered from the MANIFEST ALONE — zero data or

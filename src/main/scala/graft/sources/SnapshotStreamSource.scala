@@ -79,7 +79,8 @@ object SnapshotStreamSource {
 
   private val VersionRe = """\{\s*"version"\s*:\s*(-?\d+)\s*\}""".r
 
-  private[sources] def versionOf(o: Offset): Long = o match {
+  private[sources] def versionOf(
+      o: org.apache.spark.sql.connector.read.streaming.Offset): Long = o match {
     case SnapshotSourceOffset(v) => v
     case s: SerializedOffset => parseJson(s.json)
     case other => parseJson(other.json)
@@ -143,14 +144,18 @@ class SnapshotStreamSourceProvider extends StreamSourceProvider with DataSourceR
     require(!(skipChange && ignoreChanges),
       "pass at most one of skipChangeCommits / ignoreChanges")
     val starting = opts.getOrElse("startingversion", "earliest")
+    val maxFiles = opts.get("maxfilespertrigger").map(_.toInt)
+    maxFiles.foreach(m => require(m > 0, "maxFilesPerTrigger must be > 0"))
     new SnapshotStreamSource(sqlContext.sparkSession, dir,
-      schema.getOrElse(latestSchema(dir)), starting, skipChange, ignoreChanges)
+      schema.getOrElse(latestSchema(dir)), starting, skipChange, ignoreChanges,
+      maxFiles)
   }
 }
 
 class SnapshotStreamSource(spark: SparkSession, dir: String,
                            captured: StructType, startingVersion: String,
-                           skipChange: Boolean, ignoreChanges: Boolean)
+                           skipChange: Boolean, ignoreChanges: Boolean,
+                           maxFilesPerTrigger: Option[Int] = None)
     extends Source
     with org.apache.spark.sql.connector.read.streaming.SupportsTriggerAvailableNow {
   import SnapshotStreamSource._
@@ -169,12 +174,43 @@ class SnapshotStreamSource(spark: SparkSession, dir: String,
   override def getDefaultReadLimit: org.apache.spark.sql.connector.read.streaming.ReadLimit =
     org.apache.spark.sql.connector.read.streaming.ReadLimit.allAvailable()
 
+  /** The last end version this source PLANNED — fallback progression
+    * when the engine passes a null start (first trigger); within one
+    * run it keeps [[maxFilesPerTrigger]] advancing monotonically, and
+    * across restarts the engine's checkpointed start takes over. */
+  private var lastPlannedEnd: Option[Long] = None
+
   override def latestOffset(start: org.apache.spark.sql.connector.read.streaming.Offset,
                             limit: org.apache.spark.sql.connector.read.streaming.ReadLimit)
       : org.apache.spark.sql.connector.read.streaming.Offset = {
     val cur = Snapshots.currentVersion(dir)
     val capped = availableNowCap.fold(cur)(math.min(cur, _))
-    if (capped < 0) null else SnapshotSourceOffset(capped)
+    if (capped < 0) return null
+    maxFilesPerTrigger match {
+      case None => SnapshotSourceOffset(capped)
+      case Some(mx) =>
+        // RATE LIMIT (the Delta maxFilesPerTrigger shape): admit the
+        // longest version range whose file contribution — attributed
+        // by data-dir version from the head manifest, the same
+        // accounting getBatch delivers by — fits the budget. Always
+        // at least one version per trigger (a single version larger
+        // than the budget cannot be split below a commit).
+        val startV = Option(start).map(versionOf)
+          .orElse(lastPlannedEnd).getOrElse(-1L)
+        if (capped <= startV) return SnapshotSourceOffset(capped)
+        val byV: Map[Long, Int] = Snapshots.manifestAt(dir, capped)
+          .files.groupBy(fileVersion).map { case (k, fs) => k -> fs.size }
+        var e = startV + 1
+        var budget = mx - byV.getOrElse(e, 0)
+        var next = e + 1
+        while (next <= capped && budget >= byV.getOrElse(next, 0)) {
+          budget -= byV.getOrElse(next, 0)
+          e = next
+          next += 1
+        }
+        lastPlannedEnd = Some(e)
+        SnapshotSourceOffset(e)
+    }
   }
 
   override def reportLatestOffset(): org.apache.spark.sql.connector.read.streaming.Offset = {

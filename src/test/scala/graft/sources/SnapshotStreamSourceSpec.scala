@@ -174,6 +174,49 @@ class SnapshotStreamSourceSpec extends SparkSpec {
       "attribution through demoted bases: rewritten files skipped, append delivered")
   }
 
+  test("maxFilesPerTrigger chunks catch-up into bounded micro-batches, exactly-once overall (r15)") {
+    val dir = fresh()
+    val cp = fresh()
+    Snapshots.commit(df(1).coalesce(1), dir) // v0: 1 file
+    (2 to 6).foreach(i => Snapshots.commitAppend(df(i.toLong).coalesce(1), dir)) // v1..v5
+    val batches = drain(dir, cp, Map("maxFilesPerTrigger" -> "2"))
+    val nonEmpty = batches.filter(_.nonEmpty)
+    assert(nonEmpty.size >= 3,
+      s"6 one-file versions at 2 files/trigger need >= 3 batches, got ${batches.map(_.size)}")
+    assert(nonEmpty.forall(_.size <= 2),
+      s"no batch may exceed the file budget: ${batches.map(_.size)}")
+    assert(batches.flatten.map(_._1).sorted === (1L to 6L),
+      "rate limiting must not lose or duplicate rows")
+    // a later restart resumes rate-limited from the checkpoint
+    Snapshots.commitAppend(df(7).coalesce(1), dir)
+    Snapshots.commitAppend(df(8).coalesce(1), dir)
+    Snapshots.commitAppend(df(9).coalesce(1), dir)
+    val resumed = drain(dir, cp, Map("maxFilesPerTrigger" -> "2"))
+    assert(resumed.flatten.map(_._1).sorted === Seq(7L, 8L, 9L))
+    assert(resumed.filter(_.nonEmpty).forall(_.size <= 2))
+  }
+
+  test("restore rewinds the table metadata-only; the stream refuses the rewind as the rewrite it is (r15)") {
+    val dir = fresh()
+    val cp = fresh()
+    Snapshots.commit(df(1, 2), dir) // v0
+    assert(drain(dir, cp).flatten.size === 2)
+    Snapshots.commitAppend(df(3), dir) // v1: the "bad" commit
+    val v = Snapshots.restore(dir, 0L) // v2 = v0's content, by reference
+    assert(v === 2L)
+    assert(Snapshots.read(spark, dir).select("id").as[Long].collect().sorted.toSeq
+      === Seq(1L, 2L), "restored content equals the target version")
+    // no data written: the restore version has no data dir
+    assert(!Files.exists(java.nio.file.Paths.get(dir, "data", "v000002")))
+    // the stream saw v1's file appear and then vanish: a rewrite
+    val e = intercept[StreamingQueryException](drain(dir, cp))
+    assert(e.getCause.getMessage.contains("rewrote existing rows"), e.getCause.getMessage)
+    // history labels the operations
+    val ops = Snapshots.history(spark, dir).select("version", "operation")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(ops(0L) === "commit" && ops(1L) === "append" && ops(2L) === "restore")
+  }
+
   test("schema-add mid-stream: old captured schema keeps working, new column invisible") {
     val dir = fresh()
     val cp = fresh()
