@@ -84,6 +84,7 @@ object StressBenchFull {
       // should budget at docReplicas)
       "snapshot_stream_read" -> docReplicas,
       "snapshot_merge" -> docReplicas,
+      "snapshot_time_partitioned" -> evReplicas,
       "delete_by_key" -> evReplicas)
 
     // Pair-join family: shuffle bytes asserted alongside wall time. A

@@ -1281,6 +1281,46 @@ object QueriesOps {
       |ORDER BY doc_id, source, n_chars""".stripMargin
 
   // ---------------------------------------------------------------
+  // snapshot_time_partitioned: PARTITION BY time under the log (r15)
+  // ---------------------------------------------------------------
+
+  /** The reference's commented `PARTITION BY toYYYYMM(timestamp)`
+    * (consumer/clickhouse/init-db.sh:20-36) realized under the
+    * transaction log: events committed into a time-bucketed
+    * partitioned snapshot table (week = integer-divided epoch nanos —
+    * pure long arithmetic, bit-identical in both engines, no timezone
+    * surface), then ONE partition read back through the log with a
+    * partition predicate. The pruner opens only that partition's
+    * files (the exact point-stat law SnapshotsSpec asserts via
+    * inputFiles); equality here gates the row-level semantics,
+    * including NULL-timestamp rows landing in the hive NULL partition
+    * and staying out of every week-equality read in both engines. */
+  def snapshotTimePartitioned(s: SparkSession, d: String): DataFrame = {
+    GraftSession.tune(s)
+    val dir = sessionScratch("snaptimepart", d, "events") { dir =>
+      val e = ev(s, d)
+        .select(col("event_id"), col("ts_ns"), col("event_type"), col("value"))
+        .withColumn("week", expr("ts_ns div 604800000000000"))
+      graft.operators.Snapshots.commit(e, dir, partitionBy = Seq("week"))
+    }
+    val minWeek = graft.operators.Snapshots.read(s, dir)
+      .agg(min(col("week"))).head().getLong(0)
+    graft.operators.Snapshots.read(s, dir,
+        predicate = Some(col("week") === lit(minWeek)))
+      .orderBy(col("event_id").asc_nulls_last, col("ts_ns").asc_nulls_last,
+        col("event_type").asc_nulls_last, col("value").asc_nulls_last)
+  }
+
+  val snapshotTimePartitionedSql: String =
+    """WITH e AS (
+      |  SELECT event_id, epoch_ns(ts) AS ts_ns, event_type, value,
+      |         epoch_ns(ts) // 604800000000000 AS week
+      |  FROM events)
+      |SELECT event_id, ts_ns, event_type, value, week FROM e
+      |WHERE week = (SELECT min(week) FROM e)
+      |ORDER BY event_id, ts_ns, event_type, value""".stripMargin
+
+  // ---------------------------------------------------------------
   // snapshot_stream_read: the full lakehouse loop (r15)
   // ---------------------------------------------------------------
 
@@ -1497,6 +1537,7 @@ object QueriesOps {
     "snapshot_cow_dml" -> (snapshotCowDml _),
     "snapshot_stream_read" -> (snapshotStreamRead _),
     "snapshot_merge" -> (snapshotMerge _),
+    "snapshot_time_partitioned" -> (snapshotTimePartitioned _),
     "delete_by_key" -> (deleteByKeyQuery _),
     "doc_pii" -> (docPii _),
     "doc_pii_redact" -> (docPiiRedact _))
@@ -1524,6 +1565,7 @@ object QueriesOps {
     "snapshot_cow_dml" -> snapshotCowDmlSql,
     "snapshot_stream_read" -> snapshotStreamReadSql,
     "snapshot_merge" -> snapshotMergeSql,
+    "snapshot_time_partitioned" -> snapshotTimePartitionedSql,
     "delete_by_key" -> deleteByKeySql,
     "doc_pii" -> docPiiSql,
     "doc_pii_redact" -> docPiiRedactSql)
