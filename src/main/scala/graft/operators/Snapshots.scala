@@ -170,6 +170,37 @@ object Snapshots {
     readManifest(f, rootOf(f, dir), v, allowBase = orDemoted)
   }
 
+  /** How many files version `v`'s commit ADDED — read from the
+    * manifest's own file lines WITHOUT folding its delta chain (a
+    * delta's lines ARE its adds; a full manifest's lines with the
+    * version's own data-dir prefix are its adds). None when the
+    * manifest (and any demoted base) is gone. The streaming source's
+    * rate limiter budgets with this: O(1) manifest read per candidate
+    * version, and it matches what getBatch attributes to the version
+    * (review r15 — budgeting from the HEAD manifest zeroed versions
+    * whose files were later rewritten). */
+  private[graft] def addedFileCount(dir: String, v: Long): Option[Int] = {
+    val f = fsFor(dir)
+    val root = rootOf(f, dir)
+    val p =
+      if (f.exists(manifestPath(root, v))) Some(manifestPath(root, v))
+      else if (f.exists(basePath(root, v))) Some(basePath(root, v))
+      else None
+    p.flatMap { path =>
+      try {
+        val lines = new String(readBytes(f, path), StandardCharsets.UTF_8)
+          .split("\n", -1)
+        val fileLines = (if (lines.nonEmpty && lines.head.startsWith("#graft-manifest"))
+          lines.toSeq.tail else lines.toSeq)
+          .filter(l => l.nonEmpty && !l.startsWith("#"))
+        val isDelta = lines.nonEmpty && lines.head.contains(" base=")
+        val prefix = f"data/v$v%06d/"
+        Some(if (isDelta) fileLines.size
+        else fileLines.count(_.startsWith(prefix)))
+      } catch { case _: java.io.IOException => None }
+    }
+  }
+
   /** Smallest still-retained version (-1 for an empty table) — moves
     * up as [[vacuum]] drops history; [[processNewVersions]] uses it
     * to bootstrap fresh consumers and to detect vacuumed-away gaps. */

@@ -1287,9 +1287,11 @@ object QueriesOps {
   /** The reference's commented `PARTITION BY toYYYYMM(timestamp)`
     * (consumer/clickhouse/init-db.sh:20-36) realized under the
     * transaction log: events committed into a time-bucketed
-    * partitioned snapshot table (week = integer-divided epoch nanos —
-    * pure long arithmetic, bit-identical in both engines, no timezone
-    * surface), then ONE partition read back through the log with a
+    * partitioned snapshot table (week = FLOOR-divided epoch nanos via
+    * [[Tables.tsNsFloorDiv]] — Spark's `div` truncates toward zero
+    * and diverges from DuckDB's `//` on pre-epoch timestamps, the
+    * exact off-by-one that helper exists for; pure long arithmetic,
+    * no timezone surface), then ONE partition read back with a
     * partition predicate. The pruner opens only that partition's
     * files (the exact point-stat law SnapshotsSpec asserts via
     * inputFiles); equality here gates the row-level semantics,
@@ -1300,7 +1302,7 @@ object QueriesOps {
     val dir = sessionScratch("snaptimepart", d, "events") { dir =>
       val e = ev(s, d)
         .select(col("event_id"), col("ts_ns"), col("event_type"), col("value"))
-        .withColumn("week", expr("ts_ns div 604800000000000"))
+        .withColumn("week", expr(Tables.tsNsFloorDiv(604800000000000L)))
       graft.operators.Snapshots.commit(e, dir, partitionBy = Seq("week"))
     }
     val minWeek = graft.operators.Snapshots.read(s, dir)

@@ -190,23 +190,34 @@ class SnapshotStreamSource(spark: SparkSession, dir: String,
       case None => SnapshotSourceOffset(capped)
       case Some(mx) =>
         // RATE LIMIT (the Delta maxFilesPerTrigger shape): admit the
-        // longest version range whose file contribution — attributed
-        // by data-dir version from the head manifest, the same
-        // accounting getBatch delivers by — fits the budget. Always
-        // at least one version per trigger (a single version larger
-        // than the budget cannot be split below a commit).
-        val startV = Option(start).map(versionOf)
-          .orElse(lastPlannedEnd).getOrElse(-1L)
+        // longest version range whose file contribution fits the
+        // budget. Contribution = each candidate version's OWN added
+        // files, read fold-free from its manifest (review r15:
+        // head-manifest attribution zeroed versions whose files a
+        // later rewrite reattributed, letting one batch blow the
+        // budget). Always at least one version per trigger (a single
+        // version larger than the budget cannot split below a
+        // commit). The walk starts at the DELIVERY boundary, never
+        // version 0 — `latest` / numeric starting modes skip dead
+        // history instead of burning empty triggers over it
+        // (review r15).
+        val modeBoundary =
+          if (startingVersion.equalsIgnoreCase("latest")) creationVersion
+          else if (startingVersion.equalsIgnoreCase("earliest")) -1L
+          else startingVersion.toLong - 1
+        val startV = math.max(
+          Option(start).map(versionOf).orElse(lastPlannedEnd).getOrElse(-1L),
+          modeBoundary)
         if (capped <= startV) return SnapshotSourceOffset(capped)
-        val byV: Map[Long, Int] = Snapshots.manifestAt(dir, capped)
-          .files.groupBy(fileVersion).map { case (k, fs) => k -> fs.size }
+        def cost(v: Long): Int = Snapshots.addedFileCount(dir, v).getOrElse(0)
         var e = startV + 1
-        var budget = mx - byV.getOrElse(e, 0)
+        var budget = mx - cost(e)
         var next = e + 1
-        while (next <= capped && budget >= byV.getOrElse(next, 0)) {
-          budget -= byV.getOrElse(next, 0)
-          e = next
-          next += 1
+        var open = true
+        while (open && next <= capped) {
+          val c = cost(next) // one manifest read per candidate
+          if (budget >= c) { budget -= c; e = next; next += 1 }
+          else open = false
         }
         lastPlannedEnd = Some(e)
         SnapshotSourceOffset(e)
@@ -261,6 +272,18 @@ class SnapshotStreamSource(spark: SparkSession, dir: String,
     * verifiable: a step whose predecessor is gone entirely (history
     * reclaimed past a checkpoint manifest — the consumer lagged more
     * than the chain) cannot be certified append-only. */
+  /** Commits provably incapable of removing files — certifiable from
+    * their own `op=` label alone when the predecessor manifest is
+    * gone (vacuum reclaimed history up to a CHECKPOINT manifest: the
+    * checkpoint's predecessor is no delta base, so it was deleted,
+    * not demoted — which previously wedged a perfectly caught-up
+    * consumer with a false "lagged" diagnostic, review r15). The
+    * change family (commit/compact/delete/update/merge/restore)
+    * attributes the same way, so skipChangeCommits keeps working. */
+  private val AppendOps = Set("append", "stream-append", "rename")
+  private val ChangeOps = Set("commit", "compact", "delete", "update",
+    "merge", "restore")
+
   private def changeVersionsIn(from: Long, to: Long): (Set[Long], Boolean) = {
     val out = Set.newBuilder[Long]
     var verified = 0L
@@ -269,11 +292,17 @@ class SnapshotStreamSource(spark: SparkSession, dir: String,
     (math.max(from - 1, 0L) to to).foreach { v =>
       if (Snapshots.versionExists(dir, v, orDemoted = true)) {
         val man = Snapshots.manifestAt(dir, v, orDemoted = true)
-        if (v >= from && prevV == v - 1) {
-          verified += 1
-          prev.foreach { p =>
-            val cur = man.files.toSet
-            if (!p.files.forall(cur.contains)) out += v
+        if (v >= from) {
+          if (prevV == v - 1) {
+            verified += 1
+            prev.foreach { p =>
+              val cur = man.files.toSet
+              if (!p.files.forall(cur.contains)) out += v
+            }
+          } else man.op match { // predecessor gone: certify by label
+            case Some(o) if AppendOps.contains(o) => verified += 1
+            case Some(o) if ChangeOps.contains(o) => verified += 1; out += v
+            case _ => () // unlabeled (pre-r15): genuinely unverifiable
           }
         }
         prev = Some(man); prevV = v
@@ -294,9 +323,19 @@ class SnapshotStreamSource(spark: SparkSession, dir: String,
     // manifests reference them, so vacuum kept them) and the file set
     // is IDENTICAL to the original batch's — exact resume, no manifest
     // history needed.
-    val endVacuumed = !Snapshots.versionExists(dir, endV)
+    // Resolve the end manifest THROUGH vacuum demotion (review r15):
+    // a WAL-pending batch whose end version was demoted between crash
+    // and restart is a LIVE batch — its result IS delivered — so it
+    // must read the true end manifest and keep every strictness check
+    // (running them on a replayed committed batch is consistent too:
+    // same options, same verdict as the original run). Only a truly
+    // unresolvable end (deleted beyond the delta chain) takes the
+    // waived head fallback, and that shape can only be the engine's
+    // discarded restart initialization or a consumer so far behind
+    // that re-bootstrap is the only sound move anyway.
+    val endVacuumed = !Snapshots.versionExists(dir, endV, orDemoted = true)
     val man =
-      if (!endVacuumed) Snapshots.manifestAt(dir, endV)
+      if (!endVacuumed) Snapshots.manifestAt(dir, endV, orDemoted = true)
       else {
         val cur = Snapshots.currentVersion(dir)
         require(cur >= 0, s"snapshot table $dir has no committed versions left")

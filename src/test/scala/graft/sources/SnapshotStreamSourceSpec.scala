@@ -194,6 +194,35 @@ class SnapshotStreamSourceSpec extends SparkSpec {
     val resumed = drain(dir, cp, Map("maxFilesPerTrigger" -> "2"))
     assert(resumed.flatten.map(_._1).sorted === Seq(7L, 8L, 9L))
     assert(resumed.filter(_.nonEmpty).forall(_.size <= 2))
+    // latest + rate limit: the budget walk starts at the delivery
+    // boundary, so dead history is skipped instead of crawled through
+    // empty budget-sized triggers (review r15)
+    val cpLatest = fresh()
+    val latestBatches = drain(dir, cpLatest,
+      Map("startingVersion" -> "latest", "maxFilesPerTrigger" -> "1"))
+    assert(latestBatches.flatten.isEmpty && latestBatches.size <= 2,
+      s"latest must jump to head, got ${latestBatches.size} batches")
+  }
+
+  test("a caught-up stream survives vacuum-to-a-checkpoint: op labels certify predecessor-less steps (review r15)") {
+    val dir = fresh()
+    val cp = fresh()
+    Snapshots.commit(df(0).coalesce(1), dir) // v0: full
+    (1 to 20).foreach(i => Snapshots.commitAppend(df(i.toLong).coalesce(1), dir))
+    assert(drain(dir, cp).flatten.size === 21) // cursor at v20
+    Snapshots.commitAppend(df(21L).coalesce(1), dir) // v21: chain cap -> FULL, op=append
+    assert(Snapshots.manifestAt(dir, 21L).depth === 0, "v21 must be a checkpoint")
+    Snapshots.vacuum(dir, keepFrom = 21L) // v20 is no delta base: deleted outright
+    assert(!Files.exists(java.nio.file.Paths.get(dir, "_v000020.manifest")))
+    val resumed = drain(dir, cp)
+    assert(resumed.flatten.map(_._1) === Seq(21L),
+      "the append-checkpoint certifies by its op label; no false 'lagged' refusal")
+    // ...and a CHANGE op without a predecessor still refuses (attributed by label)
+    graft.GraftSession.tune(spark)
+    Snapshots.compact(spark, dir) // v22: full, op=compact
+    Snapshots.vacuum(dir, keepFrom = 22L)
+    val e = intercept[StreamingQueryException](drain(dir, cp))
+    assert(e.getCause.getMessage.contains("rewrote existing rows"), e.getCause.getMessage)
   }
 
   test("restore rewinds the table metadata-only; the stream refuses the rewind as the rewrite it is (r15)") {
