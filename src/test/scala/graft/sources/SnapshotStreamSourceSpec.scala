@@ -246,6 +246,29 @@ class SnapshotStreamSourceSpec extends SparkSpec {
     assert(ops(0L) === "commit" && ops(1L) === "append" && ops(2L) === "restore")
   }
 
+  test("micro-batches are real parquet scans: column pruning and filter pushdown reach the file scan") {
+    val dir = fresh()
+    val cp = fresh()
+    Snapshots.commit(df(1, 2, 3), dir)
+    // narrow BEFORE writeStream: the streaming query's own plan is
+    // where pruning/pushdown must land (foreachBatch receives a
+    // pre-materialized RDD wrapper by engine design)
+    val q = spark.readStream.format("graft-snapshots").load(dir)
+      .filter(col("id") === 2L).select("id")
+      .writeStream.option("checkpointLocation", cp)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .foreachBatch { (b: DataFrame, _: Long) => b.collect(); () }
+      .start()
+    q.awaitTermination()
+    val sw = new java.io.ByteArrayOutputStream()
+    Console.withOut(new java.io.PrintStream(sw)) { q.explain() }
+    val plan = sw.toString
+    assert(plan.contains("ReadSchema: struct<id:bigint>"),
+      s"column pruning must reach the parquet scan:\n$plan")
+    assert(plan.contains("PushedFilters: [IsNotNull(id), EqualTo(id,2)]"),
+      s"the filter must push into the scan:\n$plan")
+  }
+
   test("schema-add mid-stream: old captured schema keeps working, new column invisible") {
     val dir = fresh()
     val cp = fresh()
