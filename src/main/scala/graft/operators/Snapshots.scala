@@ -179,7 +179,19 @@ object Snapshots {
     * version, and it matches what getBatch attributes to the version
     * (review r15 — budgeting from the HEAD manifest zeroed versions
     * whose files were later rewritten). */
-  private[graft] def addedFileCount(dir: String, v: Long): Option[Int] = {
+  private[graft] def addedFileCount(dir: String, v: Long): Option[Int] =
+    addedCost(dir, v).map(_._1)
+
+  /** (file count, byte total) version `v`'s commit ADDED, read from
+    * the manifest's own file + `#size` lines WITHOUT folding its
+    * delta chain — ONE manifest read serves both of the streaming
+    * source's rate-limit budgets (`maxFilesPerTrigger` counts files,
+    * `maxBytesPerTrigger` sums the r15 `#size` lines; zero filesystem
+    * metadata RPCs either way). Files without a recorded size
+    * (pre-r15 lineage) contribute 0 bytes — byte admission degrades
+    * to advisory for those versions while the file budget stays
+    * exact. None when the manifest (and any demoted base) is gone. */
+  private[graft] def addedCost(dir: String, v: Long): Option[(Int, Long)] = {
     val f = fsFor(dir)
     val root = rootOf(f, dir)
     val p =
@@ -190,13 +202,26 @@ object Snapshots {
       try {
         val lines = new String(readBytes(f, path), StandardCharsets.UTF_8)
           .split("\n", -1)
-        val fileLines = (if (lines.nonEmpty && lines.head.startsWith("#graft-manifest"))
+        val adds = (if (lines.nonEmpty && lines.head.startsWith("#graft-manifest"))
           lines.toSeq.tail else lines.toSeq)
           .filter(l => l.nonEmpty && !l.startsWith("#"))
+          .toIndexedSeq
         val isDelta = lines.nonEmpty && lines.head.contains(" base=")
         val prefix = f"data/v$v%06d/"
-        Some(if (isDelta) fileLines.size
-        else fileLines.count(_.startsWith(prefix)))
+        def owns(i: Int): Boolean = isDelta || adds(i).startsWith(prefix)
+        val files =
+          if (isDelta) adds.size else adds.count(_.startsWith(prefix))
+        val bytes = lines.iterator
+          .filter(_.startsWith("#size "))
+          .flatMap { l =>
+            val parts = l.split(" ")
+            if (parts.length == 3 && parts(1).forall(_.isDigit))
+              scala.util.Try((parts(1).toInt, parts(2).toLong)).toOption
+            else None
+          }
+          .collect { case (i, len) if i >= 0 && i < adds.length && owns(i) => len }
+          .sum
+        Some((files, bytes))
       } catch { case _: java.io.IOException => None }
     }
   }
@@ -1274,7 +1299,7 @@ object Snapshots {
     * (min == max == the file's path-derived value, all-null for the
     * hive NULL marker), so a predicate on a partition column prunes
     * exactly — before stats, before footers, before any task. */
-  private def pruneFiles(man: Manifest, pred: org.apache.spark.sql.Column): Seq[String] = {
+  private[graft] def pruneFiles(man: Manifest, pred: org.apache.spark.sql.Column): Seq[String] = {
     val schema = man.schema.getOrElse(return man.files)
     if (man.stats.isEmpty && man.partitionBy.isEmpty) return man.files
     def lc(s: String) = s.toLowerCase(java.util.Locale.ROOT)
@@ -2211,12 +2236,28 @@ object Snapshots {
       val n = st.getPath.getName
       if (st.isFile && n.endsWith(".stream")) {
         // stale stream-ownership sentinel (see [[streamSentinel]]):
-        // inert once its version published or its attempt aged out
+        // inert once its version published. An UNPUBLISHED sentinel
+        // may still guard a LIVE attempt even when the sentinel file
+        // itself has aged — the attempt can legitimately spend hours
+        // between data write and publish (footer-stats job), and
+        // deleting its sentinel would strip the ownership proof, so a
+        // later crash leaves a no-sentinel orphan that wedges the
+        // stream instead of self-recovering (advisor r15). Sweep an
+        // unpublished sentinel only when its data dir is gone too, or
+        // when the dir's whole SUBTREE has aged out — the same
+        // newestMtime guard the orphan data-dir sweep below uses.
         val base = n.stripSuffix(".stream")
         val published = base.startsWith("v") && base.drop(1).forall(_.isDigit) &&
           f.exists(manifestPath(root, base.drop(1).toLong))
-        if (published || st.getModificationTime < cutoff)
-          f.delete(st.getPath, false)
+        if (published) f.delete(st.getPath, false)
+        else if (st.getModificationTime < cutoff) {
+          val attemptDir = new Path(dataRoot, base)
+          val attemptAged =
+            try !f.exists(attemptDir) ||
+              newestMtime(f, f.getFileStatus(attemptDir)) < cutoff
+            catch { case _: java.io.FileNotFoundException => true }
+          if (attemptAged) f.delete(st.getPath, false)
+        }
       } else {
         val ver = if (n.startsWith("v") && n.length > 1 &&
           n.drop(1).forall(_.isDigit)) Some(n.drop(1).toLong) else None

