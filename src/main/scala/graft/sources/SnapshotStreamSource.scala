@@ -371,7 +371,12 @@ class SnapshotStreamSource(spark: SparkSession, dir: String,
             verified += 1
             prev.foreach { p =>
               val cur = man.files.toSet
-              if (!p.files.forall(cur.contains)) out += v
+              // removed files OR a changed deletion vector on a
+              // carried file (r16): a DV delete rewrites no file but
+              // removes already-delivered ROWS — same change family
+              if (!p.files.forall(cur.contains) ||
+                  p.files.exists(rel => cur.contains(rel) &&
+                    p.dvs.get(rel) != man.dvs.get(rel))) out += v
             }
           } else man.op match { // predecessor gone: certify by label
             case Some(o) if AppendOps.contains(o) => verified += 1
@@ -474,11 +479,18 @@ class SnapshotStreamSource(spark: SparkSession, dir: String,
         Snapshots.manifestAt(dir, cur)
       }
     val startV: Option[Long] = start.map(versionOf)
-    val files: Seq[String] = startV match {
+    startV match {
       case None if startingVersion.equalsIgnoreCase("earliest") =>
-        // bootstrap: the full snapshot at the first offset
-        man.files.filter(fileVersion(_) <= endV)
-      case _ =>
+        // bootstrap: the full snapshot at the first offset — the
+        // table's STATE, so deletion vectors anti-apply here (r16);
+        // change-feed batches below deliver each version's appended
+        // files AS WRITTEN instead (rows a later DV deleted are part
+        // of the append that delivered them — the Delta semantics)
+        return readAsCaptured(man, man.files.filter(fileVersion(_) <= endV),
+          applyDvs = true)
+      case _ => ()
+    }
+    val files: Seq[String] = {
         val boundary = startV.getOrElse {
           if (startingVersion.equalsIgnoreCase("latest")) creationVersion
           else startingVersion.toLong - 1 // change feed from exactly V on
@@ -518,8 +530,12 @@ class SnapshotStreamSource(spark: SparkSession, dir: String,
 
   /** Read `files` in their physical schema and project into the
     * captured schema — columns paired by stable id (by name against
-    * pre-mapping manifests), missing columns NULL, retypes refused. */
-  private def readAsCaptured(man: Snapshots.Manifest, files: Seq[String]): DataFrame = {
+    * pre-mapping manifests), missing columns NULL, retypes refused.
+    * `applyDvs` anti-applies the manifest's deletion vectors (the
+    * BOOTSTRAP snapshot wants table STATE; change-feed batches
+    * deliver appended files as written — see getBatch). */
+  private def readAsCaptured(man: Snapshots.Manifest, files: Seq[String],
+                             applyDvs: Boolean = false): DataFrame = {
     val endMap = Snapshots.colMapOf(man)
     val endSchema = man.schema
     // captured logical field -> the batch's physical column name
@@ -558,17 +574,38 @@ class SnapshotStreamSource(spark: SparkSession, dir: String,
       rels.map(rel => new org.apache.hadoop.fs.Path(qroot, rel).toString)
     def lc(s: String) = s.toLowerCase(java.util.Locale.ROOT)
     val bridge = org.apache.spark.sql.graft.StreamingScanBridge
-    val base =
+    val posCol = "__graft_dv_pos"
+    def withDv(df: DataFrame, dv: Option[Vector[Long]]): DataFrame = dv match {
+      case Some(pos) => df
+        .withColumn(posCol, col("_metadata.row_index"))
+        .filter(!col(posCol).isin(pos: _*))
+        .drop(posCol)
+      case None => df
+    }
+    def scanGroup(fs: Seq[String], dv: Option[Vector[Long]]): DataFrame =
       if (man.partitionBy.isEmpty)
-        bridge.streamingParquetDf(spark, physSchema, qualify(files))
+        withDv(bridge.streamingParquetDf(spark, physSchema, qualify(fs)), dv)
       else
         // partition columns live in the file PATHS — the shared
         // reconstitution shape (Snapshots.partitionedScan), with the
         // per-group scan streaming-flagged
-        Snapshots.partitionedScan(man, files, physSchema,
-          scan = (dataSchema, fs) =>
-            bridge.streamingParquetDf(spark, dataSchema, qualify(fs)),
+        Snapshots.partitionedScan(man, fs, physSchema,
+          scan = (dataSchema, f2) =>
+            withDv(bridge.streamingParquetDf(spark, dataSchema, qualify(f2)), dv),
           empty = sc => bridge.emptyStreamingDf(spark, sc))
+    val dirty = if (applyDvs) files.filter(rel =>
+      man.dvs.get(rel).exists(_.nonEmpty)) else Seq.empty
+    val base =
+      if (dirty.isEmpty) scanGroup(files, None)
+      else {
+        var frames: Seq[DataFrame] =
+          (Option(files.filterNot(dirty.toSet)).filter(_.nonEmpty)
+            .map(scanGroup(_, None)).toSeq) ++
+            dirty.map(rel => scanGroup(Seq(rel), Some(man.dvs(rel))))
+        while (frames.size > 1)
+          frames = frames.grouped(2).map(_.reduce(_.unionByName(_))).toSeq
+        frames.head
+      }
     base.select(pairs.map {
       case (fd, Some(p)) => col("`" + p.replace("`", "``") + "`").as(fd.name)
       case (fd, None) => lit(null).cast(fd.dataType).as(fd.name)

@@ -124,4 +124,68 @@ class IvfIndexSpec extends SparkSpec {
       .select("query_id", "rank", "neighbor_id").as[(Long, Int, Long)].collect().toSet
     assert(full === exact)
   }
+
+  test("append assigns new vectors to the frozen quantizer: all-cells search equals a rebuilt index (r16)") {
+    graft.GraftSession.tune(spark)
+    val emb = graft.tables.Tables.embeddings(spark, sfSmoke)
+    val first = emb.filter($"vec_id" % 2 === 0)
+    val increment = emb.filter($"vec_id" % 2 === 1)
+    val path = java.nio.file.Files.createTempDirectory("graft-ivf-app").toString
+    IvfIndex.save(IvfIndex.build(first, nCells = 6), path)
+    val drift = IvfIndex.append(spark, path, increment)
+    assert(drift.total === IvfIndex.load(spark, path).assigned.count())
+    val appended = IvfIndex.load(spark, path)
+    val queries = emb.filter($"vec_id" < 5)
+      .select($"vec_id".as("query_id"), $"embedding".as("query_vec"))
+    def res(ix: IvfIndex.Index) =
+      IvfIndex.search(ix, queries, kNeighbors = 5, nProbe = 6)
+        .select("query_id", "rank", "neighbor_id").as[(Long, Int, Long)]
+        .collect().toSet
+    // at nProbe = all cells, cell assignment cannot hide a neighbor:
+    // the appended index must equal a FULL rebuild (and brute force)
+    assert(res(appended) === res(IvfIndex.build(emb, nCells = 6)).map(identity),
+      "append must be search-equivalent to a rebuild at nProbe=all")
+    // assignment parity: every appended vector sits in the cell the
+    // search path itself would rank first for it (argmax cosine)
+    val cents = appended.centroids
+    appended.assigned.join(increment.select($"vec_id"), Seq("vec_id"), "left_semi")
+      .select($"vec_id", $"embedding", $"cell").as[(Long, Array[Float], Int)]
+      .collect().foreach { case (id, v, cell) =>
+        var best = -1; var bestSim = Double.MinValue
+        cents.zipWithIndex.foreach { case (c, i) =>
+          var dot = 0.0; var na = 0.0; var nb = 0.0; var k = 0
+          while (k < math.min(v.length, c.length)) {
+            dot += v(k) * c(k); na += v(k) * v(k); nb += c(k) * c(k); k += 1 }
+          val sim = dot / (math.sqrt(na) * math.sqrt(nb))
+          if (!sim.isNaN && sim > bestSim) { bestSim = sim; best = i }
+        }
+        assert(cell === best, s"vec $id assigned to $cell, nearest centroid is $best")
+      }
+    // IDEMPOTENT REPLAY: re-appending the same batch is a no-op
+    val before = IvfIndex.load(spark, path).assigned.count()
+    IvfIndex.append(spark, path, increment)
+    assert(IvfIndex.load(spark, path).assigned.count() === before,
+      "a crashed-and-retried append must not duplicate assignment rows")
+  }
+
+  test("append's drift gate recommends re-training when one cell swallows the increment (r16)") {
+    graft.GraftSession.tune(spark)
+    val emb = graft.tables.Tables.embeddings(spark, sfSmoke)
+    val path = java.nio.file.Files.createTempDirectory("graft-ivf-drift").toString
+    IvfIndex.save(IvfIndex.build(emb, nCells = 8), path)
+    assert(!IvfIndex.drift(spark, path).retrainRecommended,
+      "a freshly built index must not demand a retrain")
+    // an increment of near-identical vectors piles into ONE cell
+    val dim = emb.select($"embedding").as[Array[Float]].head().length
+    val skewed = (100000L to 100400L).toDF("vec_id")
+      .withColumn("embedding", org.apache.spark.sql.functions.typedlit(
+        Array.tabulate(dim)(i => if (i == 0) 1.0f else 0.001f).toSeq)
+        .cast(emb.schema("embedding").dataType))
+      .withColumn("label", org.apache.spark.sql.functions.lit(9)
+        .cast(emb.schema("label").dataType))
+      .select(emb.columns.map(org.apache.spark.sql.functions.col).toIndexedSeq: _*)
+    val drift = IvfIndex.append(spark, path, skewed)
+    assert(drift.retrainRecommended,
+      s"skew ${drift.skew} after a single-direction increment must trip the gate")
+  }
 }

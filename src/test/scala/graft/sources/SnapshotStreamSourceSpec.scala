@@ -354,6 +354,26 @@ class SnapshotStreamSourceSpec extends SparkSpec {
       Some(SnapshotSourceOffset(1L)), SnapshotSourceOffset(2L))
   }
 
+  test("a DV delete is a change commit: strict refuses, skipChangeCommits skips, fresh bootstrap sees state (r16)") {
+    val dir = fresh()
+    val cp = fresh()
+    Snapshots.commit(df(1, 2, 3, 4), dir) // v0
+    assert(drain(dir, cp).flatten.size === 4)
+    Snapshots.deleteWhere(spark, dir, col("id") === 2L,
+      deletionVectors = true) // v1: manifest-only, no file rewritten
+    Snapshots.commitAppend(df(9), dir) // v2
+    val e = intercept[StreamingQueryException](drain(dir, cp))
+    assert(e.getCause.getMessage.contains("rewrote existing rows"),
+      s"a DV delete removes delivered ROWS — strict mode must refuse: ${e.getCause.getMessage}")
+    // skipChangeCommits: the delete is unobserved, the append delivers
+    val skipped = drain(dir, cp, Map("skipChangeCommits" -> "true"))
+    assert(skipped.flatten.map(_._1).sorted === Seq(9L))
+    // a FRESH stream's bootstrap snapshot is table STATE: DVs applied
+    val fresh0 = drain(dir, fresh())
+    assert(fresh0.flatten.map(_._1).sorted === Seq(1L, 3L, 4L, 9L),
+      "bootstrap must not resurrect DV-deleted rows")
+  }
+
   test("schema-add mid-stream: old captured schema keeps working, new column invisible") {
     val dir = fresh()
     val cp = fresh()
