@@ -1447,6 +1447,37 @@ object QueriesOps {
       |WHERE doc_id >= 10 AND doc_id < 200
       |ORDER BY doc_id""".stripMargin
 
+  /** The SQL WRITE side (r16): CREATE TABLE through
+    * [[graft.sources.SnapshotCatalog]], two INSERT INTO statements
+    * (each landing as one manifest append commit — the blind-append
+    * path with auto-rebase), then a pure-SQL read back. Every byte of
+    * the table's content flowed through `spark.sql` DML, so equality
+    * gates the whole write bridge: schema alignment, NULL keys (the
+    * first INSERT's `OR doc_id IS NULL` arm), the commit lineage.
+    * NULLS LAST spelled explicitly — Spark's ASC default is NULLS
+    * FIRST, DuckDB's is NULLS LAST. */
+  def snapshotSqlInsert(s: SparkSession, d: String): DataFrame = {
+    GraftSession.tune(s)
+    val dir = sessionScratch("snapsqlins", d, "documents") { dir =>
+      val tbl = sqlCatalogTable(s, dir)
+      docs(s, d).select(col("doc_id"), col("source"), col("n_chars"))
+        .createOrReplaceTempView("graft_sql_insert_src")
+      s.sql(s"CREATE TABLE $tbl (doc_id BIGINT, source STRING, n_chars BIGINT)")
+      s.sql(s"""INSERT INTO $tbl SELECT doc_id, source, n_chars
+               | FROM graft_sql_insert_src
+               | WHERE doc_id % 2 = 0 OR doc_id IS NULL""".stripMargin)
+      s.sql(s"""INSERT INTO $tbl SELECT doc_id, source, n_chars
+               | FROM graft_sql_insert_src WHERE doc_id % 2 = 1""".stripMargin)
+    }
+    s.sql(s"""SELECT doc_id, source, n_chars FROM ${sqlCatalogTable(s, dir)}
+             | ORDER BY doc_id NULLS LAST, source NULLS LAST,
+             |          n_chars NULLS LAST""".stripMargin)
+  }
+
+  val snapshotSqlInsertSql: String =
+    """SELECT doc_id, source, n_chars FROM documents
+      |ORDER BY doc_id NULLS LAST, source NULLS LAST, n_chars NULLS LAST""".stripMargin
+
   /** SQL time travel — `VERSION AS OF 0` through the catalog's
     * version-pinned table resolution: the same lineage as
     * [[snapshotSqlRead]] read BEFORE the rename, so the query sees
@@ -1645,6 +1676,7 @@ object QueriesOps {
     "snapshot_dv_delete" -> (snapshotDvDelete _),
     "snapshot_sql_read" -> (snapshotSqlRead _),
     "snapshot_sql_travel" -> (snapshotSqlTravel _),
+    "snapshot_sql_insert" -> (snapshotSqlInsert _),
     "delete_by_key" -> (deleteByKeyQuery _),
     "doc_pii" -> (docPii _),
     "doc_pii_redact" -> (docPiiRedact _))
@@ -1676,6 +1708,7 @@ object QueriesOps {
     "snapshot_dv_delete" -> snapshotDvDeleteSql,
     "snapshot_sql_read" -> snapshotSqlReadSql,
     "snapshot_sql_travel" -> snapshotSqlTravelSql,
+    "snapshot_sql_insert" -> snapshotSqlInsertSql,
     "delete_by_key" -> deleteByKeySql,
     "doc_pii" -> docPiiSql,
     "doc_pii_redact" -> docPiiRedactSql)

@@ -44,7 +44,9 @@ import graft.operators.Snapshots
   */
 class SnapshotTable(spark: SparkSession, dir: String,
                     versionAsOf: Option[Long],
-                    userSchema: Option[StructType] = None) extends Table with SupportsRead {
+                    userSchema: Option[StructType] = None)
+    extends Table with SupportsRead
+    with org.apache.spark.sql.connector.catalog.SupportsWrite {
 
   /** Resolved at construction: the pinned version + its manifest. An
     * EMPTY directory is a valid (empty) table only when the caller
@@ -69,7 +71,8 @@ class SnapshotTable(spark: SparkSession, dir: String,
   override def schema(): StructType = logical
 
   override def capabilities(): util.Set[TableCapability] =
-    util.EnumSet.of(TableCapability.BATCH_READ)
+    util.EnumSet.of(TableCapability.BATCH_READ,
+      TableCapability.V1_BATCH_WRITE, TableCapability.TRUNCATE)
 
   override def partitioning(): Array[Transform] = {
     def lc(s: String) = s.toLowerCase(java.util.Locale.ROOT)
@@ -83,6 +86,49 @@ class SnapshotTable(spark: SparkSession, dir: String,
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new SnapshotScanBuilder(spark, dir, man, logical, colMap)
+
+  /** The WRITE side of the SQL face: `INSERT INTO graft.t ...` /
+    * `df.writeTo("graft.t").append()` land as a [[Snapshots.commitAppend]]
+    * (blind append: the r16 auto-rebase makes concurrent INSERTs from
+    * several sessions reconcile without caller retries), and
+    * `INSERT OVERWRITE` / `.truncateAndAppend()` as a full
+    * [[Snapshots.commit]] that inherits the table's partition layout.
+    * The V1 write bridge keeps every manifest invariant in ONE code
+    * path — footer stats, column mapping continuation, delta-manifest
+    * growth bound — instead of a parallel DSv2 writer. Writes always
+    * target the LIVE table head (SQL semantics), never a time-travel
+    * pin; inserting into a `VERSION AS OF` relation refuses. */
+  override def newWriteBuilder(info: org.apache.spark.sql.connector.write.LogicalWriteInfo)
+      : org.apache.spark.sql.connector.write.WriteBuilder = {
+    require(versionAsOf.isEmpty,
+      s"cannot write to a time-travel pinned version of $dir — " +
+        "writes go to the live table head")
+    new org.apache.spark.sql.connector.write.WriteBuilder
+        with org.apache.spark.sql.connector.write.SupportsTruncate {
+      private var overwrite = false
+      override def truncate(): org.apache.spark.sql.connector.write.WriteBuilder = {
+        overwrite = true; this
+      }
+      override def build(): org.apache.spark.sql.connector.write.Write =
+        new org.apache.spark.sql.connector.write.V1Write {
+          override def toInsertableRelation: org.apache.spark.sql.sources.InsertableRelation =
+            (data: org.apache.spark.sql.DataFrame, ow: Boolean) => {
+              val replace = overwrite || ow
+              // align BY NAME to the table schema (the engine resolves
+              // INSERT columns positionally against schema(); casts
+              // were applied upstream by its own analysis)
+              val aligned = data.select(logical.fields.toSeq.map(fd =>
+                data.col(fd.name)): _*)
+              val partitionLogical = man.partitionBy.flatMap(p =>
+                colMap.find(_.physical.equalsIgnoreCase(p)).map(_.logical))
+              if (replace)
+                Snapshots.commit(aligned, dir, partitionBy = partitionLogical)
+              else Snapshots.commitAppend(aligned, dir)
+              ()
+            }
+        }
+    }
+  }
 }
 
 /** Pushdown-aware builder: required columns prune the read schema,

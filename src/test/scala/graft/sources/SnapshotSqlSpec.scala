@@ -152,6 +152,44 @@ class SnapshotSqlSpec extends SparkSpec {
     assert(spark.sql("SELECT id FROM graft.ns.inner").as[Long].head() === 9L)
   }
 
+  test("INSERT INTO / INSERT OVERWRITE / writeTo land as manifest commits (r16 write side)") {
+    val base = fresh()
+    spark.conf.set("spark.sql.catalog.graft", classOf[SnapshotCatalog].getName)
+    spark.conf.set("spark.sql.catalog.graft.base", base)
+    spark.sql("CREATE TABLE graft.w (id BIGINT, v STRING)")
+    spark.sql("INSERT INTO graft.w VALUES (1, 'a'), (2, 'b')")
+    spark.sql("INSERT INTO graft.w VALUES (3, 'c')")
+    assert(Snapshots.currentVersion(base + "/w") === 2L,
+      "CREATE = v0, each INSERT = one append commit")
+    assert(spark.sql("SELECT id FROM graft.w ORDER BY id").as[Long].collect().toSeq
+      === Seq(1L, 2L, 3L))
+    assert(Snapshots.manifestAt(base + "/w", 2L).op === Some("append"))
+    // history survives: INSERT OVERWRITE is a new full commit, old
+    // versions stay readable (time travel over SQL writes)
+    spark.sql("INSERT OVERWRITE graft.w VALUES (9, 'z')")
+    assert(spark.sql("SELECT id FROM graft.w").as[Long].collect().toSeq === Seq(9L))
+    assert(spark.sql("SELECT count(*) AS n FROM graft.w VERSION AS OF 2")
+      .as[Long].head() === 3L)
+    // the DataFrameWriterV2 face
+    Seq((10L, "y")).toDF("id", "v").writeTo("graft.w").append()
+    assert(spark.sql("SELECT id FROM graft.w ORDER BY id").as[Long].collect().toSeq
+      === Seq(9L, 10L))
+    // time-travel relations refuse writes
+    val e = intercept[Exception] {
+      spark.sql("INSERT INTO graft.w VERSION AS OF 0 VALUES (0, 'x')")
+    }
+    assert(e.getMessage != null)
+    // partitioned SQL lifecycle: CREATE ... PARTITIONED BY + INSERT
+    spark.sql("CREATE TABLE graft.wp (id BIGINT, src STRING) PARTITIONED BY (src)")
+    spark.sql("INSERT INTO graft.wp VALUES (1, 'web'), (2, 'app')")
+    val files = Snapshots.manifestAt(base + "/wp", 1L).files
+    assert(files.nonEmpty && files.forall(f =>
+      f.contains("src=web") || f.contains("src=app")),
+      s"SQL inserts must inherit the hive partition layout: $files")
+    assert(spark.sql("SELECT id FROM graft.wp WHERE src = 'web'")
+      .as[Long].collect().toSeq === Seq(1L))
+  }
+
   test("the same format string still streams through the V1 source (dual-provider fallback)") {
     val dir = fresh()
     val cp = fresh()
