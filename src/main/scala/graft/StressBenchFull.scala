@@ -85,6 +85,15 @@ object StressBenchFull {
       "snapshot_stream_read" -> docReplicas,
       "snapshot_merge" -> docReplicas,
       "snapshot_time_partitioned" -> evReplicas,
+      // r16: scratch lineages over the scaled documents whose TIMED
+      // body scans the full ×26 table back (the DV-filtered read /
+      // the SQL read of the inserted table). snapshot_sql_read and
+      // snapshot_sql_travel stay UN-overridden on purpose: their
+      // fixed-range predicates prune to a bounded file set, so
+      // near-constant time at ×26 is exactly the law the gate should
+      // hold them to (r = 1).
+      "snapshot_dv_delete" -> docReplicas,
+      "snapshot_sql_insert" -> docReplicas,
       "delete_by_key" -> evReplicas)
 
     // Pair-join family: shuffle bytes asserted alongside wall time. A
