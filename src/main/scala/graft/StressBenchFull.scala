@@ -94,6 +94,7 @@ object StressBenchFull {
       // hold them to (r = 1).
       "snapshot_dv_delete" -> docReplicas,
       "snapshot_sql_insert" -> docReplicas,
+      "snapshot_sql_delete" -> docReplicas,
       "delete_by_key" -> evReplicas)
 
     // Pair-join family: shuffle bytes asserted alongside wall time. A

@@ -1013,11 +1013,22 @@ object Snapshots {
               partByPhys = prev.partitionBy)
             written = Some(AppendAttempt(v, fs, st, sz, prev.partitionBy, map))
           } catch {
+            // Two shapes of the same lost race, one treatment (the
+            // squat-wait above): the same-JVM claim race, and the
+            // cross-check window where the racer's directory appeared
+            // between our exists-check and the write START (the
+            // errorifexists pre-check then throws PATH_ALREADY_EXISTS
+            // — which can ONLY mean the dir predates our write, i.e.
+            // it is the racer's, never our own partial output).
             case e: IllegalStateException
                 if autoRebase && attempt < MaxAppendRebase && e.getMessage != null &&
                   e.getMessage.contains("being written by a concurrent commit") =>
-              // lost the same-JVM claim race: same treatment as the
-              // squat-wait above
+              attempt += 1
+              Thread.sleep(math.min(1000L, 50L * attempt))
+              retry = true
+            case e: org.apache.spark.sql.AnalysisException
+                if autoRebase && attempt < MaxAppendRebase &&
+                  e.getErrorClass == "PATH_ALREADY_EXISTS" =>
               attempt += 1
               Thread.sleep(math.min(1000L, 50L * attempt))
               retry = true

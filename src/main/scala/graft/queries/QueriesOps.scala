@@ -1478,6 +1478,32 @@ object QueriesOps {
     """SELECT doc_id, source, n_chars FROM documents
       |ORDER BY doc_id NULLS LAST, source NULLS LAST, n_chars NULLS LAST""".stripMargin
 
+  /** SQL DELETE (r16): the same all-SQL lineage as
+    * [[snapshotSqlInsert]] plus a `DELETE FROM ... WHERE` range —
+    * resolved through `SupportsDelete` into the log's copy-on-write
+    * delete (stats-pruned rewrite, prior versions retained). NULL
+    * doc_ids survive in both engines (a NULL condition deletes
+    * nothing — SQL semantics). */
+  def snapshotSqlDelete(s: SparkSession, d: String): DataFrame = {
+    GraftSession.tune(s)
+    val dir = sessionScratch("snapsqldel", d, "documents") { dir =>
+      val tbl = sqlCatalogTable(s, dir)
+      docs(s, d).select(col("doc_id"), col("source"), col("n_chars"))
+        .createOrReplaceTempView("graft_sql_delete_src")
+      s.sql(s"CREATE TABLE $tbl (doc_id BIGINT, source STRING, n_chars BIGINT)")
+      s.sql(s"INSERT INTO $tbl SELECT doc_id, source, n_chars FROM graft_sql_delete_src")
+      s.sql(s"DELETE FROM $tbl WHERE doc_id >= 100 AND doc_id < 250")
+    }
+    s.sql(s"""SELECT doc_id, source, n_chars FROM ${sqlCatalogTable(s, dir)}
+             | ORDER BY doc_id NULLS LAST, source NULLS LAST,
+             |          n_chars NULLS LAST""".stripMargin)
+  }
+
+  val snapshotSqlDeleteSql: String =
+    """SELECT doc_id, source, n_chars FROM documents
+      |WHERE doc_id IS NULL OR NOT (doc_id >= 100 AND doc_id < 250)
+      |ORDER BY doc_id NULLS LAST, source NULLS LAST, n_chars NULLS LAST""".stripMargin
+
   /** SQL time travel — `VERSION AS OF 0` through the catalog's
     * version-pinned table resolution: the same lineage as
     * [[snapshotSqlRead]] read BEFORE the rename, so the query sees
@@ -1677,6 +1703,7 @@ object QueriesOps {
     "snapshot_sql_read" -> (snapshotSqlRead _),
     "snapshot_sql_travel" -> (snapshotSqlTravel _),
     "snapshot_sql_insert" -> (snapshotSqlInsert _),
+    "snapshot_sql_delete" -> (snapshotSqlDelete _),
     "delete_by_key" -> (deleteByKeyQuery _),
     "doc_pii" -> (docPii _),
     "doc_pii_redact" -> (docPiiRedact _))
@@ -1709,6 +1736,7 @@ object QueriesOps {
     "snapshot_sql_read" -> snapshotSqlReadSql,
     "snapshot_sql_travel" -> snapshotSqlTravelSql,
     "snapshot_sql_insert" -> snapshotSqlInsertSql,
+    "snapshot_sql_delete" -> snapshotSqlDeleteSql,
     "delete_by_key" -> deleteByKeySql,
     "doc_pii" -> docPiiSql,
     "doc_pii_redact" -> docPiiRedactSql)

@@ -46,7 +46,8 @@ class SnapshotTable(spark: SparkSession, dir: String,
                     versionAsOf: Option[Long],
                     userSchema: Option[StructType] = None)
     extends Table with SupportsRead
-    with org.apache.spark.sql.connector.catalog.SupportsWrite {
+    with org.apache.spark.sql.connector.catalog.SupportsWrite
+    with org.apache.spark.sql.connector.catalog.SupportsDelete {
 
   /** Resolved at construction: the pinned version + its manifest. An
     * EMPTY directory is a valid (empty) table only when the caller
@@ -98,6 +99,34 @@ class SnapshotTable(spark: SparkSession, dir: String,
     * growth bound — instead of a parallel DSv2 writer. Writes always
     * target the LIVE table head (SQL semantics), never a time-travel
     * pin; inserting into a `VERSION AS OF` relation refuses. */
+  /** `DELETE FROM graft.t WHERE <cond>` — and, via the inherited
+    * `truncateTable`, `TRUNCATE TABLE` — through
+    * [[Snapshots.deleteWhere]]'s copy-on-write path: only files whose
+    * manifest stats may hold a matching row rewrite, the rest carry
+    * by reference, prior versions stay readable (time travel). COW
+    * rather than deletion vectors ON PURPOSE: a DV-carrying version
+    * refuses SQL reads until compacted, so a pure-SQL user would
+    * delete themselves out of their own table; DVs stay the Scala
+    * API's opt-in. The condition must translate EXACTLY to source
+    * filters ([[SnapshotBatchScan.exactColumnOf]]) — `canDeleteWhere`
+    * answers false otherwise and Spark refuses the statement instead
+    * of over-deleting. */
+  override def canDeleteWhere(filters: Array[Filter]): Boolean =
+    versionAsOf.isEmpty &&
+      org.apache.spark.sql.graft.SnapshotBatchScan.exactColumnOf(filters.toSeq).isDefined
+
+  override def deleteWhere(filters: Array[Filter]): Unit = {
+    require(versionAsOf.isEmpty,
+      s"cannot DELETE from a time-travel pinned version of $dir")
+    val cond = org.apache.spark.sql.graft.SnapshotBatchScan
+      .exactColumnOf(filters.toSeq)
+      .getOrElse(throw new UnsupportedOperationException(
+        s"DELETE condition ${filters.mkString(", ")} cannot be translated " +
+          "exactly — use Snapshots.deleteWhere for arbitrary predicates"))
+    Snapshots.deleteWhere(spark, dir, cond)
+    ()
+  }
+
   override def newWriteBuilder(info: org.apache.spark.sql.connector.write.LogicalWriteInfo)
       : org.apache.spark.sql.connector.write.WriteBuilder = {
     require(versionAsOf.isEmpty,

@@ -82,6 +82,8 @@ object SnapshotBatchScan {
       case sources.Or(l, r) =>
         for (lc <- filterToColumn(l); rc <- filterToColumn(r)) yield lc || rc
       case sources.Not(c) => filterToColumn(c).map(not)
+      case sources.AlwaysTrue() => Some(lit(true))
+      case sources.AlwaysFalse() => Some(lit(false))
       case _ => None
     }
   }
@@ -90,6 +92,19 @@ object SnapshotBatchScan {
     * translatable conjunct, ANDed (top-level relaxation — sound). */
   def pruneColumnOf(filters: Seq[sources.Filter]): Option[org.apache.spark.sql.Column] =
     filters.flatMap(filterToColumn).reduceOption(_ && _)
+
+  /** EXACT translation of a filter conjunction — None if ANY conjunct
+    * fails to translate. `SupportsDelete` needs this, never
+    * [[pruneColumnOf]]: dropping a conjunct there merely keeps more
+    * files, but dropping one from a DELETE condition would delete
+    * MORE rows. An empty conjunction is SQL's unconditioned DELETE /
+    * TRUNCATE: always true. */
+  def exactColumnOf(filters: Seq[sources.Filter]): Option[org.apache.spark.sql.Column] = {
+    val converted = filters.map(filterToColumn)
+    if (converted.exists(_.isEmpty)) None
+    else Some(converted.flatten.reduceOption(_ && _)
+      .getOrElse(org.apache.spark.sql.functions.lit(true)))
+  }
 
   /** Rewrite a source filter's attribute names logical → physical so
     * the parquet reader's row-group skipping sees the names the files

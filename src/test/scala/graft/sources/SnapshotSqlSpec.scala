@@ -190,6 +190,31 @@ class SnapshotSqlSpec extends SparkSpec {
       .as[Long].collect().toSeq === Seq(1L))
   }
 
+  test("DELETE FROM / TRUNCATE TABLE land as copy-on-write commits; untranslatable conditions refuse (r16)") {
+    val base = fresh()
+    spark.conf.set("spark.sql.catalog.graft", classOf[SnapshotCatalog].getName)
+    spark.conf.set("spark.sql.catalog.graft.base", base)
+    Snapshots.commit(df(1, 2, 3, 4, 5), base + "/del")
+    spark.sql("DELETE FROM graft.del WHERE id >= 4")
+    assert(spark.sql("SELECT id FROM graft.del ORDER BY id").as[Long].collect().toSeq
+      === Seq(1L, 2L, 3L))
+    assert(Snapshots.manifestAt(base + "/del", 1L).op === Some("delete"))
+    // time travel still serves the pre-delete state
+    assert(spark.sql("SELECT count(*) AS n FROM graft.del VERSION AS OF 0")
+      .as[Long].head() === 5L)
+    // an untranslatable condition refuses rather than over-deleting
+    val e = intercept[Exception] {
+      spark.sql("DELETE FROM graft.del WHERE id % 2 = 0")
+    }
+    assert(e.getMessage.toLowerCase.contains("delete"), e.getMessage)
+    assert(spark.sql("SELECT count(*) AS n FROM graft.del").as[Long].head() === 3L,
+      "a refused DELETE must not remove anything")
+    spark.sql("TRUNCATE TABLE graft.del")
+    assert(spark.sql("SELECT count(*) AS n FROM graft.del").as[Long].head() === 0L)
+    assert(Snapshots.currentVersion(base + "/del") === 2L,
+      "TRUNCATE is one more commit in the log, not an erasure")
+  }
+
   test("the same format string still streams through the V1 source (dual-provider fallback)") {
     val dir = fresh()
     val cp = fresh()
