@@ -93,12 +93,18 @@ object IvfIndex {
     * on ties: exactly [[rankCells]](v, centroids, 1), expressed as a
     * Column so assignment runs as one codegen'd projection with the
     * centroid matrix riding as literals (KBs — the same size class
-    * the search path broadcasts). */
+    * the search path broadcasts). The centroid literals stay DOUBLE
+    * precision ([[org.apache.spark.sql.graft.CosineSimilarity]] takes
+    * mixed float/double arrays and accumulates in double, and every
+    * float embedding element is exactly representable in double) — a
+    * float downcast here would let near-tie vectors land in a
+    * different cell than [[rankCells]] ranks first, silently degrading
+    * probe-limited recall (advisor r16). */
   private def cellColumn(emb: org.apache.spark.sql.Column,
                          centroids: Array[Array[Double]]): org.apache.spark.sql.Column = {
     val sims = array(centroids.toSeq.map { c =>
       coalesce(nanvl(
-        Similarity.cosine(emb, typedlit(c.map(_.toFloat).toSeq)),
+        Similarity.cosine(emb, typedlit(c.toSeq)),
         lit(Double.MinValue)), lit(Double.MinValue))
     }: _*)
     (array_position(sims, array_max(sims)) - 1).cast("int")

@@ -1032,6 +1032,19 @@ object Snapshots {
               attempt += 1
               Thread.sleep(math.min(1000L, 50L * attempt))
               retry = true
+            // budget exhausted with the squatter still unpublished: a
+            // crashed (never-publishing) writer's orphan dir, not a
+            // live race. Name the directory and the remedy instead of
+            // surfacing the raw write error (advisor r16).
+            case e @ (_: IllegalStateException |
+                      _: org.apache.spark.sql.AnalysisException)
+                if autoRebase && attempt >= MaxAppendRebase &&
+                  f.exists(dataDirPath(root, v)) && !f.exists(manifestPath(root, v)) =>
+              throw new IllegalStateException(
+                s"append to $dir waited out its retry budget on an " +
+                  s"unpublished data directory ${dataDirPath(root, v)} — " +
+                  "likely a crashed writer's orphan; run Snapshots.vacuum " +
+                  "to reclaim it, then re-run the append", e)
           }
         case Some(w) if w.v != v =>
           // REBASE: the head moved while publishing. Refuse when the
@@ -1831,10 +1844,21 @@ object Snapshots {
       quoted(physicalOf(map, fd.name)).as(fd.name)) ++
       Seq(col(DvPosCol), col(DvFileCol)): _*)
     val doomed = logical.filter(coalesce(pred, lit(false)))
-    def relOf(filePath: String): String =
-      touched.find(rel => filePath.endsWith("/" + rel)).getOrElse(
+    // `_metadata.file_path` is a URI-RENDERED string: hive-escaped
+    // partition dirs containing '%', spaces, etc. render with %XX
+    // escapes a raw-path suffix match would miss (advisor r16).
+    // Attribute through DECODED paths on both sides instead — the
+    // manifest side via the same Path(root, rel) qualification the
+    // scan planned with, the scanned side via java.net.URI.
+    val relByDecodedPath: Map[String, String] =
+      touched.map(rel => new Path(root, rel).toUri.getPath -> rel).toMap
+    def relOf(filePath: String): String = {
+      val decoded = scala.util.Try(new java.net.URI(filePath).getPath)
+        .toOption.filter(_ != null).getOrElse(filePath)
+      relByDecodedPath.getOrElse(decoded,
         throw new IllegalStateException(
           s"cannot attribute scanned file '$filePath' to a manifest entry"))
+    }
     val counts = doomed.groupBy(col(DvFileCol)).count().collect()
       .map(r => relOf(r.getString(0)) -> r.getLong(1)).toMap
     if (counts.isEmpty) return v - 1 // pruner over-approximated: no row matches

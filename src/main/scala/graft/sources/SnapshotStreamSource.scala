@@ -197,10 +197,23 @@ class SnapshotStreamSourceProvider extends StreamSourceProvider with DataSourceR
       throw new IllegalArgumentException(
         s"startingVersion must be 'earliest', 'latest' or a non-negative " +
           s"version number, got '$starting'")
-    val maxFiles = opts.get("maxfilespertrigger").map(_.toInt)
-    maxFiles.foreach(m => require(m > 0, "maxFilesPerTrigger must be > 0"))
-    val maxBytes = opts.get("maxbytespertrigger").map(_.toLong)
-    maxBytes.foreach(m => require(m > 0, "maxBytesPerTrigger must be > 0"))
+    // same at-definition validation for the rate-limit options: a
+    // non-numeric value must name the option, never surface as a bare
+    // NumberFormatException (advisor r16 — the exact failure shape the
+    // startingVersion hardening above set out to eliminate)
+    def numericOption[T](name: String)(parse: String => T): Option[T] =
+      opts.get(name.toLowerCase(java.util.Locale.ROOT)).map { raw =>
+        val v = scala.util.Try(parse(raw)).getOrElse(
+          throw new IllegalArgumentException(
+            s"$name must be a positive integer, got '$raw'"))
+        v
+      }
+    val maxFiles = numericOption("maxFilesPerTrigger")(_.toInt)
+    maxFiles.foreach(m => require(m > 0,
+      s"maxFilesPerTrigger must be > 0, got $m"))
+    val maxBytes = numericOption("maxBytesPerTrigger")(_.toLong)
+    maxBytes.foreach(m => require(m > 0,
+      s"maxBytesPerTrigger must be > 0, got $m"))
     new SnapshotStreamSource(sqlContext.sparkSession, dir,
       schema.getOrElse(latestSchema(dir)), starting, skipChange, ignoreChanges,
       maxFiles, maxBytes, Some(metadataPath))

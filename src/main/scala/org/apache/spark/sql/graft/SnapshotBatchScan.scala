@@ -251,15 +251,21 @@ class SnapshotFileIndex(spark: ClassicSession, dir: String,
 
   /** Typed partition values per distinct partition directory, parsed
     * from the SAME path-derived tuples the manifest reader uses —
-    * exact, and consistent with the stats pruner's point values. */
+    * exact, and consistent with the stats pruner's point values.
+    * The cast uses the SESSION timezone and the session's eval mode,
+    * matching `Snapshots.partitionedScan`'s `lit(s).cast(dt)` exactly
+    * (advisor r16): Spark spells hive partition paths in session
+    * time, so a hardcoded UTC would shift reconstituted timestamp
+    * instants in a non-UTC session, and LEGACY mode would silently
+    * null malformed values the Scala read path fails loudly on. */
   override def partitionSpec(): PartitionSpec = {
     if (man.partitionBy.isEmpty) PartitionSpec.emptySpec
     else {
+      val tz = spark.sessionState.conf.sessionLocalTimeZone
       def typedValue(raw: Option[String], dt: DataType): Any = raw match {
         case None => null
         case Some(s) =>
-          Cast(Literal(UTF8String.fromString(s), StringType), dt,
-            Some("UTC"), org.apache.spark.sql.catalyst.expressions.EvalMode.LEGACY)
+          Cast(Literal(UTF8String.fromString(s), StringType), dt, Some(tz))
             .eval(InternalRow.empty)
       }
       val dirs = statuses.map { case (rel, st) => rel -> st.getPath.getParent }
