@@ -128,20 +128,38 @@ class SnapshotStreamSourceProvider extends StreamSourceProvider with DataSourceR
 
   override def supportsExternalMetadata(): Boolean = true
 
+  /** Pin from reader options: `versionAsOf` (a version number) or
+    * `timestampAsOf` (epoch millis, or a `yyyy-MM-dd HH:mm:ss[.f]`
+    * local timestamp — resolved through the commit wall-clock each
+    * manifest records, r17). At most one. */
   private def versionOpt(
-      options: org.apache.spark.sql.util.CaseInsensitiveStringMap): Option[Long] =
-    Option(options.get("versionAsOf")).map { v =>
-      require(v.nonEmpty && v.forall(_.isDigit),
-        s"versionAsOf must be a non-negative version number, got '$v'")
-      v.toLong
-    }
+      options: org.apache.spark.sql.util.CaseInsensitiveStringMap,
+      dir: String): Option[Long] = {
+    val v = Option(options.get("versionAsOf"))
+    val t = Option(options.get("timestampAsOf"))
+    require(v.isEmpty || t.isEmpty,
+      "pass at most one of versionAsOf / timestampAsOf")
+    v.map { s =>
+      require(s.nonEmpty && s.forall(_.isDigit),
+        s"versionAsOf must be a non-negative version number, got '$s'")
+      s.toLong
+    }.orElse(t.map { s =>
+      val millis =
+        if (s.nonEmpty && s.forall(_.isDigit)) s.toLong
+        else scala.util.Try(java.sql.Timestamp.valueOf(s).getTime).getOrElse(
+          throw new IllegalArgumentException(
+            "timestampAsOf must be epoch millis or 'yyyy-MM-dd HH:mm:ss[.f]', " +
+              s"got '$s'"))
+      Snapshots.versionAtTimestamp(dir, millis)
+    })
+  }
 
   override def inferSchema(
       options: org.apache.spark.sql.util.CaseInsensitiveStringMap): StructType = {
     val dir = Option(options.get("path")).getOrElse(
       throw new IllegalArgumentException(
         s"$ShortName needs the table directory: .load(<dir>)"))
-    versionOpt(options) match {
+    versionOpt(options, dir) match {
       case Some(v) => Snapshots.manifestAt(dir, v).schema.getOrElse(
         throw new IllegalArgumentException(
           s"$dir version $v is a legacy manifest with no recorded schema"))
@@ -158,7 +176,7 @@ class SnapshotStreamSourceProvider extends StreamSourceProvider with DataSourceR
       throw new IllegalArgumentException(
         s"$ShortName needs the table directory: .load(<dir>)"))
     new SnapshotTable(org.apache.spark.sql.SparkSession.active, dir,
-      versionOpt(options), Option(schema))
+      versionOpt(options, dir), Option(schema))
   }
 
   private def latestSchema(dir: String): StructType = {

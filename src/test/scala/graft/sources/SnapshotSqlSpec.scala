@@ -285,6 +285,90 @@ class SnapshotSqlSpec extends SparkSpec {
       s"partition pruning must survive DV composition: $scanned")
   }
 
+  test("TIMESTAMP AS OF: latest commit at-or-before the timestamp; before-first-commit refuses (r17)") {
+    val base = fresh()
+    spark.conf.set("spark.sql.catalog.graft", classOf[SnapshotCatalog].getName)
+    spark.conf.set("spark.sql.catalog.graft.base", base)
+    try {
+      Snapshots.testClock = Some(() => 1000L)
+      Snapshots.commit(df(1, 2), base + "/tt") // v0 @ t=1000ms
+      Snapshots.testClock = Some(() => 2000L)
+      Snapshots.commitAppend(df(3), base + "/tt") // v1 @ t=2000ms
+      // between the two commits -> the EARLIER version
+      assert(spark.sql(
+        "SELECT id FROM graft.tt TIMESTAMP AS OF '1970-01-01 00:00:01.5' ORDER BY id")
+        .as[Long].collect().toSeq === Seq(1L, 2L))
+      // exactly at a commit -> that version
+      assert(spark.sql(
+        "SELECT id FROM graft.tt TIMESTAMP AS OF '1970-01-01 00:00:02' ORDER BY id")
+        .as[Long].collect().toSeq === Seq(1L, 2L, 3L))
+      // before the first retained commit -> loud refusal
+      val e = intercept[Exception] {
+        spark.sql(
+          "SELECT id FROM graft.tt TIMESTAMP AS OF '1970-01-01 00:00:00.5'").collect()
+      }
+      assert(e.getMessage.contains("earliest"), e.getMessage)
+      // the reader-option face: epoch millis and mutual exclusion
+      assert(spark.read.format("graft-snapshots")
+        .option("timestampAsOf", "1500").load(base + "/tt")
+        .select("id").as[Long].collect().sorted.toSeq === Seq(1L, 2L))
+      val both = intercept[Exception] {
+        spark.read.format("graft-snapshots")
+          .option("timestampAsOf", "1500").option("versionAsOf", "1")
+          .load(base + "/tt").collect()
+      }
+      assert(both.getMessage.contains("at most one"), both.getMessage)
+    } finally Snapshots.testClock = None
+  }
+
+  test("ALTER TABLE subset: ADD COLUMN / RENAME COLUMN / widening TYPE through pure SQL; the rest refuses (r17)") {
+    val base = fresh()
+    spark.conf.set("spark.sql.catalog.graft", classOf[SnapshotCatalog].getName)
+    spark.conf.set("spark.sql.catalog.graft.base", base)
+    val dir = base + "/alt"
+    Snapshots.commit(Seq((1, "a"), (2, "b")).toDF("id", "v"), dir) // v0: id INT
+    // ADD COLUMN: metadata-only, old rows read NULL
+    spark.sql("ALTER TABLE graft.alt ADD COLUMN score DOUBLE")
+    assert(Snapshots.manifestAt(dir, 1L).op === Some("add-column"))
+    assert(!Files.exists(java.nio.file.Paths.get(dir, "data", "v000001")),
+      "ADD COLUMN must write no data")
+    assert(spark.sql("SELECT id, score FROM graft.alt ORDER BY id")
+      .as[(Int, Option[Double])].collect().toSeq
+      === Seq((1, None), (2, None)))
+    // RENAME COLUMN: column mapping keeps serving old files' data
+    spark.sql("ALTER TABLE graft.alt RENAME COLUMN v TO label")
+    assert(spark.sql("SELECT label FROM graft.alt WHERE id = 1").as[String].head() === "a")
+    // widening TYPE change: old int values promote in the readers
+    spark.sql("ALTER TABLE graft.alt ALTER COLUMN id TYPE BIGINT")
+    assert(spark.sql("SELECT id FROM graft.alt ORDER BY id").as[Long].collect().toSeq
+      === Seq(1L, 2L))
+    // an INSERT after the evolution uses the new shape end-to-end
+    spark.sql("INSERT INTO graft.alt VALUES (3, 'c', 0.5)")
+    assert(spark.sql("SELECT id, label, score FROM graft.alt WHERE id = 3")
+      .as[(Long, String, Double)].head() === ((3L, "c", 0.5)))
+    // old versions still read in THEIR schema (time travel unbroken)
+    assert(spark.sql("SELECT v FROM graft.alt VERSION AS OF 0 ORDER BY v")
+      .as[String].collect().toSeq === Seq("a", "b"))
+    // refusals: narrowing dies in the engine's own up-cast check
+    // before reaching the catalog; a cross-family retype the engine
+    // WOULD allow (int -> string is a legal up-cast) hits OUR widen
+    // gate — the parquet readers can't promote it natively
+    val narrow = intercept[Exception] {
+      spark.sql("ALTER TABLE graft.alt ALTER COLUMN id TYPE INT")
+    }
+    assert(narrow.getMessage.toLowerCase.contains("not supported"), narrow.getMessage)
+    val crossFamily = intercept[Exception] {
+      spark.sql("ALTER TABLE graft.alt ALTER COLUMN id TYPE STRING")
+    }
+    assert(crossFamily.getMessage.contains("widening"), crossFamily.getMessage)
+    val drop = intercept[Exception] {
+      spark.sql("ALTER TABLE graft.alt DROP COLUMN score")
+    }
+    assert(drop.getMessage.toLowerCase.contains("not supported"), drop.getMessage)
+    assert(spark.sql("SELECT score FROM graft.alt WHERE id = 3").as[Double].head()
+      === 0.5, "a refused ALTER must not have changed anything")
+  }
+
   test("the same format string still streams through the V1 source (dual-provider fallback)") {
     val dir = fresh()
     val cp = fresh()
