@@ -44,6 +44,11 @@ object GraftSession {
   def build(master: String, shufflePartitions: String): SparkSession = {
     val s = SparkSession.builder()
       .master(master)
+      // analyzer-level extensions (SQL UPDATE/MERGE on snapshot
+      // tables resolve through a post-hoc rule — analyzer rules,
+      // unlike functions/optimizer rules, cannot be injected into a
+      // live session, so they ride the builder)
+      .config("spark.sql.extensions", "org.apache.spark.sql.graft.GraftExtensions")
       .config("spark.sql.shuffle.partitions", shufflePartitions)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")

@@ -988,7 +988,7 @@ object Snapshots {
     * publish — the window a concurrent commit races into. Specs use
     * it to make the append×append / append×compact reconciliation
     * deterministic instead of timing-dependent. */
-  private[operators] var testBeforePublish: Option[Long => Unit] = None
+  private[graft] var testBeforePublish: Option[Long => Unit] = None
 
   /** What an append attempt has durably on disk: the version its data
     * directory currently sits under, the recorded file/stats/sizes

@@ -42,8 +42,8 @@ import graft.operators.Snapshots
   * `DataStreamReader` uses to fall back (the Delta dual-provider
   * shape).
   */
-class SnapshotTable(spark: SparkSession, dir: String,
-                    versionAsOf: Option[Long],
+class SnapshotTable(spark: SparkSession, val dir: String,
+                    val versionAsOf: Option[Long],
                     userSchema: Option[StructType] = None)
     extends Table with SupportsRead
     with org.apache.spark.sql.connector.catalog.SupportsWrite

@@ -171,5 +171,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     GraftSqlFunctions.all.foreach(ext.injectFunction)
     ext.injectOptimizerRule(_ => CollapseIdempotentCalls)
+    // SQL UPDATE / MERGE INTO over snapshot tables (r17): post-hoc so
+    // the engine's own resolution has bound every reference first —
+    // the same slot Delta's PreprocessTableUpdate/Merge occupy
+    ext.injectPostHocResolutionRule(_ => ResolveSnapshotDml)
   }
 }

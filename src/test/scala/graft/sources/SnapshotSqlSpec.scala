@@ -369,6 +369,94 @@ class SnapshotSqlSpec extends SparkSpec {
       === 0.5, "a refused ALTER must not have changed anything")
   }
 
+  test("UPDATE graft.t SET ... WHERE ... lands as a copy-on-write update commit (r17)") {
+    val base = fresh()
+    spark.conf.set("spark.sql.catalog.graft", classOf[SnapshotCatalog].getName)
+    spark.conf.set("spark.sql.catalog.graft.base", base)
+    val dir = base + "/upd"
+    Snapshots.commit(df(1, 2, 3, 4, 5), dir) // v0
+    spark.sql("UPDATE graft.upd SET payload = concat(payload, '!') WHERE id >= 4")
+    assert(spark.sql("SELECT payload FROM graft.upd ORDER BY id")
+      .as[String].collect().toSeq === Seq("p1", "p2", "p3", "p4!", "p5!"))
+    assert(Snapshots.manifestAt(dir, 1L).op === Some("update"))
+    // prior version intact (time travel over SQL UPDATE)
+    assert(spark.sql("SELECT payload FROM graft.upd VERSION AS OF 0 WHERE id = 4")
+      .as[String].head() === "p4")
+    // unconditioned UPDATE hits every row
+    spark.sql("UPDATE graft.upd SET id = id + 100")
+    assert(spark.sql("SELECT min(id) AS m FROM graft.upd").as[Long].head() === 101L)
+    // a NULL-condition row is untouched (SQL semantics through the COW path)
+    val dir2 = base + "/updnull"
+    Snapshots.commit(df(1, 2).unionByName(
+      Seq((null.asInstanceOf[java.lang.Long], "keep"))
+        .toDF("id", "payload")), dir2)
+    spark.sql("UPDATE graft.updnull SET payload = 'hit' WHERE id < 10")
+    assert(spark.sql("SELECT payload FROM graft.updnull WHERE id IS NULL")
+      .as[String].head() === "keep")
+  }
+
+  test("MERGE INTO graft.t: SET */tombstone DELETE/INSERT *; insert-only merges refuse a racing commit (r17)") {
+    val base = fresh()
+    spark.conf.set("spark.sql.catalog.graft", classOf[SnapshotCatalog].getName)
+    spark.conf.set("spark.sql.catalog.graft.base", base)
+    val dir = base + "/m"
+    Snapshots.commit(df(1, 2, 3), dir) // v0: p1 p2 p3
+    Seq((2L, "P2", "U"), (3L, "dead", "D"), (4L, "P4", "U"))
+      .toDF("id", "payload", "op").createOrReplaceTempView("m_src")
+    spark.sql("""MERGE INTO graft.m t USING m_src s ON t.id = s.id
+                | WHEN MATCHED AND s.op = 'D' THEN DELETE
+                | WHEN MATCHED THEN UPDATE SET t.id = s.id, t.payload = s.payload
+                | WHEN NOT MATCHED THEN INSERT (id, payload) VALUES (s.id, s.payload)
+                |""".stripMargin)
+    assert(spark.sql("SELECT id, payload FROM graft.m ORDER BY id")
+      .as[(Long, String)].collect().toSeq
+      === Seq((1L, "p1"), (2L, "P2"), (4L, "P4")),
+      "1 survives, 2 replaced, 3 tombstoned, 4 inserted")
+    assert(Snapshots.manifestAt(dir, 1L).op === Some("merge"))
+    // the star spelling works too
+    Seq((5L, "P5")).toDF("id", "payload").createOrReplaceTempView("m_src2")
+    spark.sql("""MERGE INTO graft.m t USING m_src2 s ON t.id = s.id
+                | WHEN MATCHED THEN UPDATE SET *
+                | WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+    assert(spark.sql("SELECT count(*) AS n FROM graft.m").as[Long].head() === 4L)
+    // insert-only merge: matched rows survive UNTOUCHED
+    Seq((1L, "SHOULD-NOT-REPLACE"), (9L, "P9")).toDF("id", "payload")
+      .createOrReplaceTempView("m_src3")
+    spark.sql("""MERGE INTO graft.m t USING m_src3 s ON t.id = s.id
+                | WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+    assert(spark.sql("SELECT payload FROM graft.m WHERE id = 1").as[String].head()
+      === "p1", "insert-only MERGE must not replace matched rows")
+    assert(spark.sql("SELECT payload FROM graft.m WHERE id = 9").as[String].head()
+      === "P9")
+    // unsupported shapes refuse loudly, touching nothing
+    val partial = intercept[Exception] {
+      spark.sql("""MERGE INTO graft.m t USING m_src3 s ON t.id = s.id
+                  | WHEN MATCHED THEN UPDATE SET t.payload = s.payload""".stripMargin)
+    }
+    assert(partial.getMessage.contains("EVERY column"), partial.getMessage)
+    val bySource = intercept[Exception] {
+      spark.sql("""MERGE INTO graft.m t USING m_src3 s ON t.id = s.id
+                  | WHEN MATCHED THEN UPDATE SET *
+                  | WHEN NOT MATCHED BY SOURCE THEN DELETE""".stripMargin)
+    }
+    assert(bySource.getMessage.contains("NOT MATCHED BY SOURCE"), bySource.getMessage)
+    // a commit racing an insert-only merge refuses (OCC) instead of
+    // double-inserting under the anti-join's feet (the racer is a
+    // metadata-only rename so it publishes its manifest without
+    // touching the in-flight data dir — the pure version race)
+    Snapshots.testBeforePublish = Some { _ =>
+      Snapshots.testBeforePublish = None
+      Snapshots.renameColumn(dir, "payload", "payload_r")
+    }
+    try {
+      val e = intercept[Exception] {
+        spark.sql("""MERGE INTO graft.m t USING m_src3 s ON t.id = s.id
+                    | WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+      }
+      assert(e.getMessage.toLowerCase.contains("concurrent"), e.getMessage)
+    } finally Snapshots.testBeforePublish = None
+  }
+
   test("the same format string still streams through the V1 source (dual-provider fallback)") {
     val dir = fresh()
     val cp = fresh()
