@@ -374,6 +374,67 @@ class SnapshotStreamSourceSpec extends SparkSpec {
       "bootstrap must not resurrect DV-deleted rows")
   }
 
+  /** Drain in change-feed mode: rows come back as (id, change_type). */
+  private def drainCdf(dir: String, checkpoint: String): Seq[Seq[(Long, String)]] = {
+    val batches = mutable.ArrayBuffer[Seq[(Long, String)]]()
+    val q = spark.readStream.format("graft-snapshots")
+      .option("readChangeFeed", "true").load(dir)
+      .writeStream
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (b: DataFrame, _: Long) =>
+        val rows = b.select("id", "_change_type").collect()
+          .map(r => (r.getLong(0), r.getString(1))).toSeq
+        batches.synchronized { batches += rows }
+        ()
+      }
+      .start()
+    q.awaitTermination()
+    batches.toSeq
+  }
+
+  test("readChangeFeed: DV deletes deliver ROW-LEVEL removes; appends and bootstrap deliver inserts (r17)") {
+    val dir = fresh()
+    val cp = fresh()
+    Snapshots.commit(df(1, 2, 3, 4, 5, 6), dir) // v0
+    // bootstrap: every row an 'insert'
+    val first = drainCdf(dir, cp)
+    assert(first.flatten.sorted === (1L to 6L).map(_ -> "insert"),
+      s"bootstrap must mark every row 'insert', got ${first.flatten.sorted}")
+    // a DV delete + an append in the same catch-up window
+    Snapshots.deleteWhere(spark, dir, col("id") === 2L || col("id") === 4L,
+      deletionVectors = true) // v1: DV only
+    Snapshots.commitAppend(df(7), dir) // v2
+    assert(Snapshots.manifestAt(dir, 1L).dvs.exists(_._2.nonEmpty),
+      "lineage must actually carry DVs")
+    val inc = drainCdf(dir, cp)
+    assert(inc.flatten.sorted === Seq(2L -> "delete", 4L -> "delete", 7L -> "insert"),
+      s"DV commits must deliver their doomed rows as 'delete', got ${inc.flatten.sorted}")
+    // a SECOND DV delete delivers only the NEWLY-doomed row (the
+    // union in the manifest must not re-deliver v1's removes)
+    Snapshots.deleteWhere(spark, dir, col("id") === 6L, deletionVectors = true) // v3
+    val inc2 = drainCdf(dir, cp)
+    assert(inc2.flatten.sorted === Seq(6L -> "delete"),
+      s"only the range's own DV additions are removes, got ${inc2.flatten.sorted}")
+    assert(drainCdf(dir, cp).flatten.isEmpty, "caught up: nothing re-delivers")
+    // COW rewrites stay refusals in change-feed mode (their row-level
+    // diff is not recoverable from manifests)
+    Snapshots.deleteWhere(spark, dir, col("id") === 1L) // v4: COW rewrite
+    val e = intercept[StreamingQueryException](drainCdf(dir, cp))
+    assert(e.getCause.getMessage.contains("rewrote existing rows"),
+      s"got: ${e.getCause.getMessage}")
+    // option matrix: the skip/ignore escapes cannot combine with CDF
+    val both = intercept[Exception] {
+      spark.readStream.format("graft-snapshots")
+        .option("readChangeFeed", "true").option("ignoreChanges", "true")
+        .load(dir).writeStream.option("checkpointLocation", fresh())
+        .trigger(Trigger.AvailableNow())
+        .foreachBatch((_: DataFrame, _: Long) => ()).start().awaitTermination()
+    }
+    assert(both.getMessage.contains("readChangeFeed") ||
+      both.getCause != null && both.getCause.getMessage.contains("readChangeFeed"))
+  }
+
   test("schema-add mid-stream: old captured schema keeps working, new column invisible") {
     val dir = fresh()
     val cp = fresh()
