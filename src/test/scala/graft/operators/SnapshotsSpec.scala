@@ -1210,6 +1210,11 @@ class SnapshotsSpec extends SparkSpec {
     assert(byV(2L).getString(5) === "ing" && byV(2L).getLong(6) === 0L,
       "stream commits carry their txn record")
     assert(byV(0L).isNullAt(5), "batch commits have no txn")
+    // committed_at (r17): the TIMESTAMP-AS-OF instant, monotone along
+    // this sequential lineage, never NULL
+    val ts = Seq(0L, 1L, 2L).map(v => byV(v).getTimestamp(8).getTime)
+    assert(ts.forall(_ > 0L) && ts == ts.sorted,
+      s"committed_at must be present and monotone for sequential commits: $ts")
     assert(h.forall(_.getLong(3) > 0L), "referenced bytes")
     // vacuum shrinks the history to the retained versions
     Snapshots.vacuum(dir, keepFrom = 1L)
