@@ -175,5 +175,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // the engine's own resolution has bound every reference first —
     // the same slot Delta's PreprocessTableUpdate/Merge occupy
     ext.injectPostHocResolutionRule(_ => ResolveSnapshotDml)
+    // maintenance statements (DESCRIBE HISTORY / OPTIMIZE / VACUUM /
+    // RESTORE, r17) — the DeltaSqlParser shape: intercept the four
+    // graft-only verbs, delegate everything else verbatim
+    ext.injectParser((_, delegate) => new GraftSqlParser(delegate))
   }
 }

@@ -1,0 +1,191 @@
+/* Hosted under org.apache.spark.sql for private[sql] access
+ * (RunnableCommand, SessionState.catalogManager) — see JsonIsValid
+ * for the bridge rationale.
+ */
+package org.apache.spark.sql.graft
+
+import org.apache.spark.sql.{Row, SparkSession}
+import org.apache.spark.sql.catalyst.{FunctionIdentifier, TableIdentifier}
+import org.apache.spark.sql.catalyst.expressions.{Attribute, Expression}
+import org.apache.spark.sql.catalyst.parser.ParserInterface
+import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+import org.apache.spark.sql.catalyst.types.DataTypeUtils
+import org.apache.spark.sql.connector.catalog.Identifier
+import org.apache.spark.sql.execution.command.LeafRunnableCommand
+import org.apache.spark.sql.types._
+
+import graft.operators.Snapshots
+import graft.sources.{SnapshotCatalog, SnapshotTable}
+
+/** The MAINTENANCE statements of the snapshot SQL face (r17) — the
+  * four table operations Delta exposes through its own parser
+  * extension, re-expressed over the graft log:
+  *
+  * {{{
+  *   DESCRIBE HISTORY graft.t
+  *   OPTIMIZE graft.t [ZORDER BY (c1, c2)]
+  *   VACUUM graft.t [KEEP FROM <version>]      -- default: keep head
+  *   RESTORE TABLE graft.t TO VERSION AS OF <v>
+  * }}}
+  *
+  * A delegating [[ParserInterface]] (the Delta `DeltaSqlParser`
+  * shape): statements matching the grammar above become runnable
+  * commands; EVERYTHING else — including partial matches whose
+  * identifier fails to parse — falls through to the engine's own
+  * parser verbatim, so no vanilla SQL changes meaning. None of the
+  * four verbs exist in stock Spark SQL, so interception is
+  * collision-free; the commands verify at run time that the
+  * identifier resolves through a [[SnapshotCatalog]] and refuse
+  * loudly otherwise. Identifier text is parsed with the DELEGATE's
+  * `parseMultipartIdentifier`, so backquoting/quoting behave exactly
+  * like everywhere else in the session. */
+class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
+  import GraftSqlParser._
+
+  override def parsePlan(sqlText: String): LogicalPlan =
+    parseMaintenance(sqlText, delegate).getOrElse(delegate.parsePlan(sqlText))
+
+  override def parseExpression(sqlText: String): Expression =
+    delegate.parseExpression(sqlText)
+  override def parseTableIdentifier(sqlText: String): TableIdentifier =
+    delegate.parseTableIdentifier(sqlText)
+  override def parseFunctionIdentifier(sqlText: String): FunctionIdentifier =
+    delegate.parseFunctionIdentifier(sqlText)
+  override def parseMultipartIdentifier(sqlText: String): Seq[String] =
+    delegate.parseMultipartIdentifier(sqlText)
+  override def parseQuery(sqlText: String): LogicalPlan =
+    delegate.parseQuery(sqlText)
+  override def parseTableSchema(sqlText: String): StructType =
+    delegate.parseTableSchema(sqlText)
+  override def parseDataType(sqlText: String): DataType =
+    delegate.parseDataType(sqlText)
+  override def parseRoutineParam(sqlText: String): StructType =
+    delegate.parseRoutineParam(sqlText)
+}
+
+object GraftSqlParser {
+
+  private val DescribeHistoryRe =
+    """(?is)\s*DESC(?:RIBE)?\s+HISTORY\s+(.+?)\s*;?\s*""".r
+  private val OptimizeRe =
+    """(?is)\s*OPTIMIZE\s+(.+?)(?:\s+ZORDER\s+BY\s*\((.+?)\))?\s*;?\s*""".r
+  private val VacuumRe =
+    """(?is)\s*VACUUM\s+(.+?)(?:\s+KEEP\s+FROM\s+(\d+))?\s*;?\s*""".r
+  private val RestoreRe =
+    """(?is)\s*RESTORE\s+(?:TABLE\s+)?(.+?)\s+TO\s+VERSION\s+AS\s+OF\s+(\d+)\s*;?\s*""".r
+
+  /** The maintenance grammar, or None for anything else (the caller
+    * then delegates). An identifier that fails the delegate's own
+    * multipart parse also falls through — the engine's error message
+    * beats a regex's. */
+  private[graft] def parseMaintenance(sql: String,
+                                      delegate: ParserInterface): Option[LogicalPlan] = {
+    def ident(raw: String): Option[Seq[String]] =
+      scala.util.Try(delegate.parseMultipartIdentifier(raw.trim)).toOption
+    sql match {
+      case DescribeHistoryRe(raw) =>
+        ident(raw).map(SnapshotHistoryCommand)
+      case RestoreRe(raw, v) =>
+        ident(raw).map(SnapshotRestoreCommand(_, v.toLong))
+      case OptimizeRe(raw, zcols) =>
+        val cols = Option(zcols).map(_.split(",").toSeq.map(_.trim)
+          .filter(_.nonEmpty).flatMap(c =>
+            ident(c).map(_.last)))
+        ident(raw).map(SnapshotOptimizeCommand(_, cols.getOrElse(Seq.empty)))
+      case VacuumRe(raw, keep) =>
+        ident(raw).map(SnapshotVacuumCommand(_, Option(keep).map(_.toLong)))
+      case _ => None
+    }
+  }
+
+  /** Resolve `<catalog>.<ns...>.<table>` to its snapshot directory —
+    * refusing anything that is not a [[SnapshotCatalog]] table. */
+  private[graft] def resolveSnapshotDir(spark: SparkSession,
+                                        parts: Seq[String]): String = {
+    require(parts.length >= 2,
+      s"maintenance statements need a catalog-qualified table " +
+        s"(<catalog>.<table>), got '${parts.mkString(".")}'")
+    val cat =
+      try spark.sessionState.catalogManager.catalog(parts.head)
+      catch { case e: Exception => throw new IllegalArgumentException(
+        s"catalog '${parts.head}' is not registered — set " +
+          s"spark.sql.catalog.${parts.head} to graft.sources.SnapshotCatalog", e) }
+    cat match {
+      case sc: SnapshotCatalog =>
+        sc.loadTable(Identifier.of(
+          parts.slice(1, parts.length - 1).toArray, parts.last)) match {
+          case t: SnapshotTable => t.dir
+          case other => throw new IllegalStateException(
+            s"unexpected table type ${other.getClass} from SnapshotCatalog")
+        }
+      case other => throw new UnsupportedOperationException(
+        s"'${parts.head}' (${other.getClass.getSimpleName}) is not a graft " +
+          "SnapshotCatalog — DESCRIBE HISTORY / OPTIMIZE / VACUUM / RESTORE " +
+          "apply to snapshot tables only")
+    }
+  }
+}
+
+/** `DESCRIBE HISTORY graft.t` — [[Snapshots.history]]'s metadata-only
+  * per-version rows, newest first (one manifest fold per retained
+  * version; bounded by retention, never by data size). */
+case class SnapshotHistoryCommand(parts: Seq[String]) extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = DataTypeUtils.toAttributes(StructType(Seq(
+    StructField("version", LongType),
+    StructField("files", IntegerType),
+    StructField("rows", LongType),
+    StructField("bytes", LongType),
+    StructField("columns", IntegerType),
+    StructField("stream_app_id", StringType),
+    StructField("stream_batch_id", LongType),
+    StructField("operation", StringType),
+    StructField("committed_at", TimestampType))))
+
+  override def run(spark: SparkSession): Seq[Row] =
+    Snapshots.history(spark,
+      GraftSqlParser.resolveSnapshotDir(spark, parts)).collect().toSeq
+}
+
+/** `OPTIMIZE graft.t [ZORDER BY (c1, c2)]` — [[Snapshots.compact]]:
+  * rewrite the current content into few large files as a NEW version
+  * (time travel intact), z-order-clustered when asked so every
+  * clustered column's file ranges tighten. Returns the new version. */
+case class SnapshotOptimizeCommand(parts: Seq[String],
+                                   zOrderBy: Seq[String]) extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = DataTypeUtils.toAttributes(
+    StructType(Seq(StructField("version", LongType))))
+
+  override def run(spark: SparkSession): Seq[Row] = {
+    val dir = GraftSqlParser.resolveSnapshotDir(spark, parts)
+    val v =
+      if (zOrderBy.size == 1) Snapshots.compact(spark, dir, clusterBy = zOrderBy)
+      else Snapshots.compact(spark, dir, zOrderBy = zOrderBy)
+    Seq(Row(v))
+  }
+}
+
+/** `VACUUM graft.t [KEEP FROM <version>]` — [[Snapshots.vacuum]]:
+  * reclaim manifests and unreferenced files below the floor (default:
+  * the current head — keep only the latest version readable). */
+case class SnapshotVacuumCommand(parts: Seq[String],
+                                 keepFrom: Option[Long]) extends LeafRunnableCommand {
+  override def run(spark: SparkSession): Seq[Row] = {
+    val dir = GraftSqlParser.resolveSnapshotDir(spark, parts)
+    Snapshots.vacuum(dir, keepFrom.getOrElse(Snapshots.currentVersion(dir)))
+    Seq.empty
+  }
+}
+
+/** `RESTORE TABLE graft.t TO VERSION AS OF <v>` —
+  * [[Snapshots.restore]]: rewind to the version's exact content as a
+  * NEW commit, purely by manifest reference. Returns the new version. */
+case class SnapshotRestoreCommand(parts: Seq[String],
+                                  version: Long) extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = DataTypeUtils.toAttributes(
+    StructType(Seq(StructField("version", LongType))))
+
+  override def run(spark: SparkSession): Seq[Row] = {
+    val dir = GraftSqlParser.resolveSnapshotDir(spark, parts)
+    Seq(Row(Snapshots.restore(dir, version)))
+  }
+}

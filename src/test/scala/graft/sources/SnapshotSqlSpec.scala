@@ -457,6 +457,51 @@ class SnapshotSqlSpec extends SparkSpec {
     } finally Snapshots.testBeforePublish = None
   }
 
+  test("maintenance SQL: DESCRIBE HISTORY / OPTIMIZE / VACUUM / RESTORE through the parser extension (r17)") {
+    val base = fresh()
+    spark.conf.set("spark.sql.catalog.graft", classOf[SnapshotCatalog].getName)
+    spark.conf.set("spark.sql.catalog.graft.base", base)
+    val dir = base + "/mx"
+    Snapshots.commit((1L to 2000L).toDF("id")
+      .withColumn("payload", concat(lit("p"), col("id")))
+      .repartition(8), dir) // v0: 8 files
+    Snapshots.commitAppend(df(9001), dir) // v1
+    // DESCRIBE HISTORY: newest first, labeled, timestamped
+    val h = spark.sql("DESCRIBE HISTORY graft.mx").collect()
+    assert(h.map(_.getLong(0)).toSeq === Seq(1L, 0L), "newest first")
+    assert(h.head.getString(7) === "append" && !h.head.isNullAt(8),
+      "operation label + committed_at must ride through SQL")
+    // OPTIMIZE: fewer files, a NEW version labeled compact
+    val before = Snapshots.manifestAt(dir, 1L).files.size
+    val ov = spark.sql("OPTIMIZE graft.mx").as[Long].head()
+    assert(ov === 2L)
+    assert(Snapshots.manifestAt(dir, 2L).files.size < before,
+      "OPTIMIZE must shrink the file count")
+    assert(Snapshots.manifestAt(dir, 2L).op === Some("compact"))
+    assert(spark.sql("SELECT count(*) AS n FROM graft.mx").as[Long].head() === 2001L)
+    // OPTIMIZE ... ZORDER BY: clustered rewrite, rows preserved
+    spark.sql("OPTIMIZE graft.mx ZORDER BY (id)")
+    assert(spark.sql("SELECT count(*) AS n FROM graft.mx").as[Long].head() === 2001L)
+    // RESTORE: rewind to v1's exact content as a NEW commit
+    val rv = spark.sql("RESTORE TABLE graft.mx TO VERSION AS OF 1").as[Long].head()
+    assert(rv === 4L)
+    assert(Snapshots.manifestAt(dir, rv).op === Some("restore"))
+    assert(spark.sql("SELECT count(*) AS n FROM graft.mx").as[Long].head() === 2001L)
+    // VACUUM (default: keep the head): old manifests reclaimed,
+    // the restored head stays fully readable
+    spark.sql("VACUUM graft.mx")
+    assert(Snapshots.earliestVersion(dir) === rv,
+      "VACUUM must reclaim below the head")
+    assert(spark.sql("SELECT count(*) AS n FROM graft.mx").as[Long].head() === 2001L)
+    // delegation: vanilla SQL still parses through the same session
+    assert(spark.sql("SELECT 1 + 1 AS two").as[Int].head() === 2)
+    // a non-snapshot catalog refuses loudly at run time
+    val e = intercept[Exception] {
+      spark.sql("DESCRIBE HISTORY spark_catalog.default.nope").collect()
+    }
+    assert(e.getMessage.contains("SnapshotCatalog"), e.getMessage)
+  }
+
   test("the same format string still streams through the V1 source (dual-provider fallback)") {
     val dir = fresh()
     val cp = fresh()
