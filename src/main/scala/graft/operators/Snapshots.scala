@@ -177,10 +177,21 @@ object Snapshots {
     * Binding: the `ts=` wall-clock each commit stamps into its
     * manifest header; pre-r17 manifests fall back to the manifest
     * file's modification time (the Delta fallback — close, since a
-    * manifest is written once at publish). Only O(header) bytes per
-    * retained version are read — no delta-chain folds. Refuses
-    * (naming the earliest commit) when `tsMillis` predates the table;
-    * vacuumed-away versions are not candidates. */
+    * manifest is written once at publish). Only the HEADER LINE of
+    * each retained manifest is read (bounded stream read, no
+    * delta-chain folds, no full-body decode).
+    *
+    * Resolution applies Delta's commit-timestamp MONOTONICITY
+    * adjustment: walking versions ascending, each commit's effective
+    * time is `max(its stamp, every earlier version's)`. Without it, a
+    * skewed writer stamping an EARLIER wall-clock than its
+    * predecessor (multi-writer clock skew — a supported scenario)
+    * would let `TIMESTAMP AS OF t` resolve a version whose content
+    * includes changes nominally stamped after `t`. [[history]] shows
+    * the RAW stamps (the truthful record); this resolver is the
+    * consistent reading of them. Refuses (naming the earliest commit)
+    * when `tsMillis` predates the table; vacuumed-away versions are
+    * not candidates. */
   def versionAtTimestamp(dir: String, tsMillis: Long): Long = {
     val f = fsFor(dir)
     val root = rootOf(f, dir)
@@ -188,25 +199,52 @@ object Snapshots {
     require(vs.nonEmpty, s"no committed version in $dir")
     def commitTime(v: Long): Long = {
       val p = manifestPath(root, v)
-      val head = new String(readBytes(f, p), StandardCharsets.UTF_8)
-        .takeWhile(_ != '\n')
-      head.split("\\s+")
-        .collectFirst { case s if s.startsWith("ts=") &&
-            s.stripPrefix("ts=").forall(_.isDigit) =>
+      headerLine(f, p).split("\\s+")
+        .collectFirst { case s if s.startsWith("ts=") && {
+            val d = s.stripPrefix("ts=")
+            d.nonEmpty && d.forall(_.isDigit) } =>
           s.stripPrefix("ts=").toLong }
         .getOrElse(f.getFileStatus(p).getModificationTime)
     }
     var found = -1L
     var earliest = Long.MaxValue
+    var runningMax = Long.MinValue
     vs.foreach { v =>
-      val t = commitTime(v)
-      earliest = math.min(earliest, t)
-      if (t <= tsMillis && v > found) found = v
+      runningMax = math.max(runningMax, commitTime(v))
+      earliest = math.min(earliest, runningMax)
+      if (runningMax <= tsMillis && v > found) found = v
     }
     require(found >= 0,
       s"no version of $dir was committed at or before timestamp $tsMillis — " +
         s"the earliest retained commit is at $earliest")
     found
+  }
+
+  /** The first line of a manifest — a BOUNDED read (1 MB cap; the
+    * header carries the base64 schema, so very wide schemas need
+    * headroom — `ts=` sits at its end): [[versionAtTimestamp]] walks
+    * every retained version, and pulling each full manifest body
+    * (file lists, stats, DV lines — potentially MBs) through the
+    * driver to discard all but line one would turn a metadata lookup
+    * into a linear scan. A truncated-past-cap header simply misses
+    * `ts=` and takes the mtime fallback — never a wrong answer. */
+  private def headerLine(f: FileSystem, p: Path): String = {
+    val in = f.open(p)
+    try {
+      val buf = new Array[Byte](1024 * 1024)
+      var off = 0
+      var done = false
+      while (!done && off < buf.length) {
+        val n = in.read(buf, off, buf.length - off)
+        if (n < 0) done = true
+        else {
+          var i = off
+          while (i < off + n && buf(i) != '\n') i += 1
+          if (i < off + n) { off = i; done = true } else off += n
+        }
+      }
+      new String(buf, 0, off, StandardCharsets.UTF_8)
+    } finally in.close()
   }
 
   /** How many files version `v`'s commit ADDED — read from the
@@ -389,9 +427,13 @@ object Snapshots {
       // commit wall-clock millis (r17): `TIMESTAMP AS OF` resolution.
       // Format v3 tolerates absent fields — pre-r17 manifests fall
       // back to the manifest file's mtime in [[versionAtTimestamp]].
+      // A malformed/empty digit string is treated as ABSENT (the
+      // fallback), never a parse abort — a torn `ts=` tail must not
+      // make the whole manifest unreadable.
       val ts = headerParts
-        .collectFirst { case s if s.startsWith("ts=") &&
-            s.stripPrefix("ts=").forall(_.isDigit) =>
+        .collectFirst { case s if s.startsWith("ts=") && {
+            val d = s.stripPrefix("ts=")
+            d.nonEmpty && d.forall(_.isDigit) } =>
           s.stripPrefix("ts=").toLong }
       val adds = lines.tail.filter(l => l.nonEmpty && !l.startsWith("#")).toSeq
       val removes = lines.iterator
@@ -1513,6 +1555,70 @@ object Snapshots {
     v
   }
 
+  /** One supported schema change — the [[alterTable]] vocabulary. */
+  sealed trait SchemaChange
+  object SchemaChange {
+    /** New NULLABLE column appended at the end; fresh stable id. */
+    final case class AddColumn(name: String, dataType: DataType) extends SchemaChange
+    /** The column-mapping rename ([[renameColumn]] semantics). */
+    final case class RenameColumn(from: String, to: String) extends SchemaChange
+    /** Widening retype up the [[widens]] lattice. */
+    final case class WidenColumn(name: String, to: DataType) extends SchemaChange
+  }
+
+  /** Apply a SEQUENCE of schema changes as ONE metadata-only commit
+    * (r17): a multi-change `ALTER TABLE` either lands whole or not at
+    * all — per-change commits would leave the table half-altered when
+    * a later change fails validation or loses the version race
+    * (review r17). Validation runs over the folded intermediate
+    * state, so `RENAME a TO b` followed by `ADD COLUMN a` is legal in
+    * one statement and the re-added `a` still gets a fresh id/
+    * synthetic physical through [[continueMap]]. */
+  def alterTable(dir: String, changes: Seq[SchemaChange],
+                 expectedVersion: Option[Long] = None): Long = {
+    require(changes.nonEmpty, "alterTable needs at least one change")
+    val opLabel = changes match {
+      case Seq(_: SchemaChange.AddColumn) => "add-column"
+      case Seq(_: SchemaChange.RenameColumn) => "rename"
+      case Seq(_: SchemaChange.WidenColumn) => "widen"
+      case _ => "alter"
+    }
+    publishSchemaChange(dir, opLabel, expectedVersion) { (schema0, prev) =>
+      changes.foldLeft((schema0, colMapOf(prev))) { case ((schema, map), c) =>
+        c match {
+          case SchemaChange.AddColumn(name, dt) =>
+            require(!schema.fields.exists(fd => sameCol(fd.name, name)),
+              s"column '$name' already exists in $dir")
+            val ns = StructType(schema.fields :+
+              StructField(name, dt, nullable = true))
+            (ns, continueMap(map, ns, prev.maxColId, prev.retired.toSet))
+          case SchemaChange.RenameColumn(from, to) =>
+            val idx = schema.fields.indexWhere(fd => sameCol(fd.name, from))
+            require(idx >= 0,
+              s"no column '$from' in $dir (have: ${schema.fieldNames.mkString(", ")})")
+            require(!schema.fields.zipWithIndex.exists { case (fd, i) =>
+              i != idx && sameCol(fd.name, to) },
+              s"cannot rename '$from' to '$to': a column '$to' already exists")
+            (StructType(schema.fields.updated(idx,
+              schema.fields(idx).copy(name = to))),
+              map.map(cid =>
+                if (sameCol(cid.logical, from)) cid.copy(logical = to) else cid))
+          case SchemaChange.WidenColumn(name, to) =>
+            val idx = schema.fields.indexWhere(fd => sameCol(fd.name, name))
+            require(idx >= 0,
+              s"no column '$name' in $dir (have: ${schema.fieldNames.mkString(", ")})")
+            val from = schema.fields(idx).dataType
+            require(widens(from, to),
+              s"cannot retype '$name' ${from.simpleString} -> ${to.simpleString}: " +
+                "only widenings the parquet readers promote natively are " +
+                "supported (int->long lattice, float->double)")
+            (StructType(schema.fields.updated(idx,
+              schema.fields(idx).copy(dataType = to))), map)
+        }
+      }
+    }
+  }
+
   /** ADD COLUMN as a METADATA-ONLY commit (r17, judge r16 #5): the new
     * version lists the same files with the schema extended by one
     * NULLABLE field at the end — no file opened, no data written; old
@@ -1524,14 +1630,7 @@ object Snapshots {
     * here through [[graft.sources.SnapshotCatalog]]. */
   def addColumn(dir: String, name: String, dataType: DataType,
                 expectedVersion: Option[Long] = None): Long =
-    publishSchemaChange(dir, "add-column", expectedVersion) { (schema, prev) =>
-      require(!schema.fields.exists(fd => sameCol(fd.name, name)),
-        s"column '$name' already exists in $dir")
-      val newSchema = StructType(schema.fields :+
-        StructField(name, dataType, nullable = true))
-      (newSchema, continueMap(colMapOf(prev), newSchema, prev.maxColId,
-        prev.retired.toSet))
-    }
+    alterTable(dir, Seq(SchemaChange.AddColumn(name, dataType)), expectedVersion)
 
   /** Widening retype as a METADATA-ONLY commit (r17): the schema's
     * recorded type moves up the [[widens]] lattice (int→long,
@@ -1541,18 +1640,7 @@ object Snapshots {
     * refuse loudly, exactly like schema evolution. */
   def widenColumn(dir: String, name: String, to: DataType,
                   expectedVersion: Option[Long] = None): Long =
-    publishSchemaChange(dir, "widen", expectedVersion) { (schema, prev) =>
-      val idx = schema.fields.indexWhere(fd => sameCol(fd.name, name))
-      require(idx >= 0,
-        s"no column '$name' in $dir (have: ${schema.fieldNames.mkString(", ")})")
-      val from = schema.fields(idx).dataType
-      require(widens(from, to),
-        s"cannot retype '$name' ${from.simpleString} -> ${to.simpleString}: " +
-          "only widenings the parquet readers promote natively are supported " +
-          "(int->long lattice, float->double)")
-      (StructType(schema.fields.updated(idx,
-        schema.fields(idx).copy(dataType = to))), colMapOf(prev))
-    }
+    alterTable(dir, Seq(SchemaChange.WidenColumn(name, to)), expectedVersion)
 
   /** Read a specific version (default: latest) in its RECORDED
     * schema: a mixed-generation file list (appends after a column

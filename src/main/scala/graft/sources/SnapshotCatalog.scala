@@ -162,7 +162,11 @@ class SnapshotCatalog extends TableCatalog {
           "not supported — snapshot tables map top-level columns only")
       fieldNames(0)
     }
-    changes.foreach {
+    // translate (and shape-validate) EVERY change first, then land
+    // them as ONE metadata-only commit — a multi-column ALTER either
+    // applies whole or not at all; per-change commits left the table
+    // half-altered when a later change failed (review r17)
+    val ops: Seq[Snapshots.SchemaChange] = changes.map {
       case add: TableChange.AddColumn =>
         val name = topLevel(add.fieldNames(), "ADD COLUMN")
         require(add.isNullable,
@@ -173,19 +177,20 @@ class SnapshotCatalog extends TableCatalog {
             "new columns append at the end")
         require(add.defaultValue() == null,
           s"ADD COLUMN $name: column DEFAULT values are not supported")
-        Snapshots.addColumn(dir, name, add.dataType())
+        Snapshots.SchemaChange.AddColumn(name, add.dataType())
       case ren: TableChange.RenameColumn =>
-        Snapshots.renameColumn(dir,
+        Snapshots.SchemaChange.RenameColumn(
           topLevel(ren.fieldNames(), "RENAME COLUMN"), ren.newName())
       case upd: TableChange.UpdateColumnType =>
-        Snapshots.widenColumn(dir,
+        Snapshots.SchemaChange.WidenColumn(
           topLevel(upd.fieldNames(), "ALTER COLUMN TYPE"), upd.newDataType())
       case other =>
         throw new UnsupportedOperationException(
           s"ALTER TABLE change $other is not supported on snapshot tables — " +
             "supported: ADD COLUMN, RENAME COLUMN, widening ALTER COLUMN TYPE; " +
             "for anything else use the log's own API (Snapshots.*)")
-    }
+    }.toSeq
+    Snapshots.alterTable(dir, ops)
     loadTable(ident)
   }
 

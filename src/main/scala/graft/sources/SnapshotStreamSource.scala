@@ -97,6 +97,16 @@ object SnapshotStreamSource {
       s"not a $ShortName offset: $j")
   }
 
+  /** Boolean option parse that NAMES the option on a malformed value
+    * (the advisor-r16 at-definition rule, applied uniformly). */
+  private[sources] def booleanOption(name: String, raw: String): Boolean =
+    raw.trim.toLowerCase(java.util.Locale.ROOT) match {
+      case "true" => true
+      case "false" => false
+      case other => throw new IllegalArgumentException(
+        s"$name must be true or false, got '$other'")
+    }
+
   /** The version whose commit wrote this file — every writer in
     * [[Snapshots]] puts a commit's new files under `data/v<NNNNNN>/`.
     * A file outside that layout cannot be attributed to a version and
@@ -200,7 +210,8 @@ class SnapshotStreamSourceProvider extends StreamSourceProvider with DataSourceR
                             parameters: Map[String, String]): (String, StructType) = {
     val base = schema.getOrElse(latestSchema(tableDir(parameters)))
     val changeFeed = parameters.collectFirst {
-      case (k, v) if k.equalsIgnoreCase("readChangeFeed") => v.toBoolean
+      case (k, v) if k.equalsIgnoreCase("readChangeFeed") =>
+        booleanOption("readChangeFeed", v)
     }.getOrElse(false)
     val out =
       if (changeFeed && !base.fields.exists(_.name.equalsIgnoreCase(ChangeTypeCol)))
@@ -216,8 +227,10 @@ class SnapshotStreamSourceProvider extends StreamSourceProvider with DataSourceR
     val dir = tableDir(parameters)
     val opts = parameters.map { case (k, v) =>
       k.toLowerCase(java.util.Locale.ROOT) -> v }
-    val skipChange = opts.get("skipchangecommits").exists(_.toBoolean)
-    val ignoreChanges = opts.get("ignorechanges").exists(_.toBoolean)
+    val skipChange = opts.get("skipchangecommits")
+      .exists(booleanOption("skipChangeCommits", _))
+    val ignoreChanges = opts.get("ignorechanges")
+      .exists(booleanOption("ignoreChanges", _))
     require(!(skipChange && ignoreChanges),
       "pass at most one of skipChangeCommits / ignoreChanges")
     // CHANGE FEED (r17, judge r16 #7): deliver deletion-vector commits
@@ -226,7 +239,8 @@ class SnapshotStreamSourceProvider extends StreamSourceProvider with DataSourceR
     // merge-on-read DELETE path. Appends (and the bootstrap snapshot)
     // deliver _change_type='insert'. COW rewrites still refuse: their
     // row-level diff is not recoverable from the manifests alone.
-    val changeFeed = opts.get("readchangefeed").exists(_.toBoolean)
+    val changeFeed = opts.get("readchangefeed")
+      .exists(booleanOption("readChangeFeed", _))
     require(!(changeFeed && (skipChange || ignoreChanges)),
       "readChangeFeed cannot combine with skipChangeCommits / ignoreChanges")
     // validate startingVersion NOW: a typo must fail at stream

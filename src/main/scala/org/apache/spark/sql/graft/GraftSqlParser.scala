@@ -31,14 +31,16 @@ import graft.sources.{SnapshotCatalog, SnapshotTable}
   * A delegating [[ParserInterface]] (the Delta `DeltaSqlParser`
   * shape): statements matching the grammar above become runnable
   * commands; EVERYTHING else — including partial matches whose
-  * identifier fails to parse — falls through to the engine's own
-  * parser verbatim, so no vanilla SQL changes meaning. None of the
-  * four verbs exist in stock Spark SQL, so interception is
-  * collision-free; the commands verify at run time that the
-  * identifier resolves through a [[SnapshotCatalog]] and refuse
-  * loudly otherwise. Identifier text is parsed with the DELEGATE's
-  * `parseMultipartIdentifier`, so backquoting/quoting behave exactly
-  * like everywhere else in the session. */
+  * identifier fails to parse or is not CATALOG-QUALIFIED — falls
+  * through to the engine's own parser verbatim, so no vanilla SQL
+  * changes meaning (the qualification gate is what keeps
+  * `DESCRIBE history doc_id` — a column description of a table
+  * named `history` — vanilla). None of the four verbs exist in stock
+  * Spark SQL's lexer; the commands additionally verify at run time
+  * that the identifier resolves through a [[SnapshotCatalog]] and
+  * refuse loudly otherwise. Identifier text is parsed with the
+  * DELEGATE's `parseMultipartIdentifier`, so backquoting/quoting
+  * behave exactly like everywhere else in the session. */
 class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
   import GraftSqlParser._
 
@@ -75,23 +77,40 @@ object GraftSqlParser {
     """(?is)\s*RESTORE\s+(?:TABLE\s+)?(.+?)\s+TO\s+VERSION\s+AS\s+OF\s+(\d+)\s*;?\s*""".r
 
   /** The maintenance grammar, or None for anything else (the caller
-    * then delegates). An identifier that fails the delegate's own
-    * multipart parse also falls through — the engine's error message
-    * beats a regex's. */
+    * then delegates). Interception requires a CATALOG-QUALIFIED
+    * identifier (≥ 2 parts): maintenance statements only apply to
+    * catalog tables anyway, and the gate keeps vanilla statements
+    * that merely share a keyword — `DESCRIBE history doc_id`, the
+    * column description of a table named `history` — delegating
+    * untouched. An identifier that fails the delegate's own multipart
+    * parse also falls through (the engine's error message beats a
+    * regex's). */
   private[graft] def parseMaintenance(sql: String,
                                       delegate: ParserInterface): Option[LogicalPlan] = {
     def ident(raw: String): Option[Seq[String]] =
       scala.util.Try(delegate.parseMultipartIdentifier(raw.trim)).toOption
+        .filter(_.length >= 2)
     sql match {
       case DescribeHistoryRe(raw) =>
         ident(raw).map(SnapshotHistoryCommand)
       case RestoreRe(raw, v) =>
         ident(raw).map(SnapshotRestoreCommand(_, v.toLong))
       case OptimizeRe(raw, zcols) =>
-        val cols = Option(zcols).map(_.split(",").toSeq.map(_.trim)
-          .filter(_.nonEmpty).flatMap(c =>
-            ident(c).map(_.last)))
-        ident(raw).map(SnapshotOptimizeCommand(_, cols.getOrElse(Seq.empty)))
+        ident(raw).map { parts =>
+          // ZORDER columns must each parse as a SINGLE name — a
+          // malformed or qualified column refuses loudly rather than
+          // silently dropping out (a dropped column would silently
+          // change the clustering the user asked for)
+          val cols = Option(zcols).fold(Seq.empty[String]) {
+            _.split(",").toSeq.map(_.trim).filter(_.nonEmpty).map { c =>
+              scala.util.Try(delegate.parseMultipartIdentifier(c)).toOption
+                .filter(_.length == 1).map(_.head)
+                .getOrElse(throw new IllegalArgumentException(
+                  s"OPTIMIZE ... ZORDER BY wants plain column names, got '$c'"))
+            }
+          }
+          SnapshotOptimizeCommand(parts, cols)
+        }
       case VacuumRe(raw, keep) =>
         ident(raw).map(SnapshotVacuumCommand(_, Option(keep).map(_.toLong)))
       case _ => None

@@ -502,6 +502,65 @@ class SnapshotSqlSpec extends SparkSpec {
     assert(e.getMessage.contains("SnapshotCatalog"), e.getMessage)
   }
 
+  test("review r17 fixes: multi-change ALTER atomicity, vanilla DESCRIBE delegation, skewed-clock TIMESTAMP AS OF, ZORDER validation") {
+    val base = fresh()
+    spark.conf.set("spark.sql.catalog.graft", classOf[SnapshotCatalog].getName)
+    spark.conf.set("spark.sql.catalog.graft.base", base)
+    val dir = base + "/atom"
+    Snapshots.commit(df(1, 2), dir) // v0: (id, payload)
+    // multi-column ALTER lands as ONE commit
+    spark.sql("ALTER TABLE graft.atom ADD COLUMNS (a INT, b STRING)")
+    assert(Snapshots.currentVersion(dir) === 1L,
+      "a multi-column ALTER must be one atomic commit, not one per column")
+    assert(Snapshots.manifestAt(dir, 1L).op === Some("alter"))
+    assert(spark.sql("SELECT a, b FROM graft.atom").count() === 2L)
+    // a failing multi-change applies NOTHING (no half-altered table)
+    val e = intercept[Exception] {
+      spark.sql("ALTER TABLE graft.atom ADD COLUMNS (c INT, a INT)")
+    }
+    assert(e.getMessage != null)
+    assert(Snapshots.currentVersion(dir) === 1L &&
+      !Snapshots.manifestAt(dir, 1L).schema.get.fieldNames.contains("c"),
+      "a refused multi-change ALTER must leave no partial commit")
+    // vanilla DESCRIBE on a table literally named 'history' delegates
+    // (the unqualified-identifier gate): no interception, real output
+    df(7).createOrReplaceTempView("history")
+    assert(spark.sql("DESCRIBE history id").collect().nonEmpty,
+      "DESCRIBE <table-named-history> <col> must stay vanilla SQL")
+    // skewed-clock TIMESTAMP AS OF: a later commit stamping an EARLIER
+    // wall-clock reads under the monotone adjustment — time travel can
+    // never serve content from after the requested instant
+    val skew = base + "/skew"
+    try {
+      Snapshots.testClock = Some(() => 2000L)
+      Snapshots.commit(df(1), skew) // v0 @ 2000 (writer clock ahead)
+      Snapshots.testClock = Some(() => 1000L)
+      Snapshots.commitAppend(df(2), skew) // v1 stamped 1000 < v0
+      val mid = intercept[Exception] {
+        spark.sql("SELECT * FROM graft.skew TIMESTAMP AS OF '1970-01-01 00:00:01.5'")
+          .collect()
+      }
+      assert(mid.getMessage.contains("earliest"),
+        "no version may resolve before the adjusted earliest commit: " + mid.getMessage)
+      assert(spark.sql(
+        "SELECT count(*) AS n FROM graft.skew TIMESTAMP AS OF '1970-01-01 00:00:02'")
+        .as[Long].head() === 2L,
+        "at the adjusted instant, the LATEST consistent version serves")
+    } finally Snapshots.testClock = None
+    // ZORDER BY with a malformed column refuses instead of silently
+    // reclustering on the surviving columns
+    val z = intercept[Exception] {
+      spark.sql("OPTIMIZE graft.atom ZORDER BY (id, not a column)")
+    }
+    assert(z.getMessage.contains("plain column names"), z.getMessage)
+    // malformed boolean stream options name the option
+    val b = intercept[Exception] {
+      spark.readStream.format("graft-snapshots")
+        .option("readChangeFeed", "yes").load(dir)
+    }
+    assert(b.getMessage.contains("readChangeFeed"), b.getMessage)
+  }
+
   test("the same format string still streams through the V1 source (dual-provider fallback)") {
     val dir = fresh()
     val cp = fresh()
