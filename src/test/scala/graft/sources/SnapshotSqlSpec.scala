@@ -27,19 +27,31 @@ class SnapshotSqlSpec extends SparkSpec {
   private def df(ids: Long*): DataFrame =
     ids.toDF("id").withColumn("payload", concat(lit("p"), col("id")))
 
-  /** Files the executed plan's (sole) batch scan actually planned —
-    * the DSv2 twin of `DataFrame.inputFiles`. */
+  /** Files the executed plan's snapshot scans actually planned — the
+    * DSv2 twin of `DataFrame.inputFiles`. Descends through AQE's
+    * adaptive wrapper and query stages (plain `collect` stops at
+    * them) and reads each scan's POST-runtime-filter file list
+    * (`SnapshotScan.prunedFiles` — `BatchScanExec.inputPartitions`
+    * memoizes the PRE-filter plan, so it would hide dynamic file
+    * pruning). Executed first so runtime filters have fired. */
   private def scannedFiles(q: DataFrame): Seq[String] = {
-    q.collect() // force planning through the pushdown rules
-    q.queryExecution.executedPlan.collect {
-      case b: BatchScanExec =>
-        b.inputPartitions.flatMap {
-          case fp: FilePartition => fp.files.map(_.urlEncodedPath).toSeq
-          case dv: org.apache.spark.sql.graft.DvInputPartition =>
-            dv.inner.files.map(_.urlEncodedPath).toSeq
-          case _ => Seq.empty
-        }
-    }.flatten
+    q.collect() // force planning + runtime filtering
+    def walk(p: org.apache.spark.sql.execution.SparkPlan): Seq[String] = p match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        walk(a.executedPlan)
+      case s: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+        walk(s.plan)
+      case b: BatchScanExec => b.scan match {
+        case s: org.apache.spark.sql.graft.SnapshotScan => s.prunedFiles
+        case _ =>
+          b.inputPartitions.flatMap {
+            case fp: FilePartition => fp.files.map(_.urlEncodedPath).toSeq
+            case _ => Seq.empty
+          }
+      }
+      case other => other.children.flatMap(walk)
+    }
+    walk(q.queryExecution.executedPlan)
   }
 
   test("format read round-trips the latest version; versionAsOf time-travels") {
@@ -559,6 +571,38 @@ class SnapshotSqlSpec extends SparkSpec {
         .option("readChangeFeed", "yes").load(dir)
     }
     assert(b.getMessage.contains("readChangeFeed"), b.getMessage)
+  }
+
+  test("runtime file pruning: a selective broadcast-join filter prunes fact files at execution (r17)") {
+    val dir = fresh()
+    val wide = (1L to 4000L).toDF("id")
+      .withColumn("payload", concat(lit("p"), col("id")))
+      .repartitionByRange(8, col("id")).sortWithinPartitions(col("id"))
+    Snapshots.commit(wide, dir) // 8 id-clustered files with stats
+    val total = Snapshots.manifestAt(dir, 0L).files.size
+    assert(total >= 8)
+    val fact = spark.read.format("graft-snapshots").load(dir)
+    // the SELECTIVE dimension filter is what arms dynamic pruning —
+    // and it must survive to a real Filter node: a LocalRelation dim
+    // constant-folds the filter away and the engine never plants the
+    // pruning subquery, so the dim is parquet-backed
+    val dimDir = fresh()
+    Seq((150L, "keep"), (160L, "keep"), (9999L, "drop"))
+      .toDF("id", "tag").write.mode("overwrite").parquet(dimDir)
+    val dim = spark.read.parquet(dimDir).filter(col("tag") === "keep")
+    val joined = fact.join(dim, "id")
+    assert(joined.count() === 2, "join result must be exact")
+    // the runtime filter from the broadcast side must have pruned the
+    // fact scan through the manifest stats — not every file opened
+    val scanned = scannedFiles(joined)
+    assert(scanned.nonEmpty && scanned.size < total,
+      s"runtime filtering must skip fact files: ${scanned.size} of $total\n" +
+        joined.queryExecution.executedPlan.toString.take(3000))
+    // and on a DV-carrying version the composition still holds
+    Snapshots.deleteWhere(spark, dir, col("id") === 150L, deletionVectors = true)
+    val fact2 = spark.read.format("graft-snapshots").load(dir)
+    val joined2 = fact2.join(dim, "id")
+    assert(joined2.count() === 1, "the DV'd row must stay deleted under the join")
   }
 
   test("the same format string still streams through the V1 source (dual-provider fallback)") {
