@@ -220,30 +220,34 @@ object Snapshots {
     found
   }
 
-  /** The first line of a manifest — a BOUNDED read (1 MB cap; the
-    * header carries the base64 schema, so very wide schemas need
-    * headroom — `ts=` sits at its end): [[versionAtTimestamp]] walks
+  /** The first line of a manifest — reads ONLY up to the first
+    * newline, however long the header is: [[versionAtTimestamp]] walks
     * every retained version, and pulling each full manifest body
     * (file lists, stats, DV lines — potentially MBs) through the
     * driver to discard all but line one would turn a metadata lookup
-    * into a linear scan. A truncated-past-cap header simply misses
-    * `ts=` and takes the mtime fallback — never a wrong answer. */
+    * into a linear scan. The header is one line regardless of size
+    * (very wide schemas push `ts=` megabytes in), so the buffer GROWS
+    * until the newline instead of capping — a fixed cap silently
+    * dropped `ts=` past 1 MB, making TIMESTAMP AS OF take the mtime
+    * fallback while [[history]] (full read) reported the real stamp:
+    * the two faces disagreed on the same version (advisor r17). */
   private def headerLine(f: FileSystem, p: Path): String = {
     val in = f.open(p)
     try {
-      val buf = new Array[Byte](1024 * 1024)
-      var off = 0
+      val out = new java.io.ByteArrayOutputStream(64 * 1024)
+      val buf = new Array[Byte](64 * 1024)
       var done = false
-      while (!done && off < buf.length) {
-        val n = in.read(buf, off, buf.length - off)
+      while (!done) {
+        val n = in.read(buf)
         if (n < 0) done = true
         else {
-          var i = off
-          while (i < off + n && buf(i) != '\n') i += 1
-          if (i < off + n) { off = i; done = true } else off += n
+          var i = 0
+          while (i < n && buf(i) != '\n') i += 1
+          out.write(buf, 0, i)
+          if (i < n) done = true
         }
       }
-      new String(buf, 0, off, StandardCharsets.UTF_8)
+      new String(out.toByteArray, StandardCharsets.UTF_8)
     } finally in.close()
   }
 
@@ -1763,10 +1767,19 @@ object Snapshots {
       // the joined path keys doomed rows by FILE NAME (the last path
       // component): Spark-written part files are URL-safe and unique
       // within a version (job UUIDs), but verify rather than assume —
-      // a collision falls back to the per-file exact path
+      // a collision falls back to the per-file exact path, and so does
+      // any name that URI-rendering would ESCAPE (`_metadata.file_path`
+      // is a URI-rendered string, so a raw name containing e.g. a space
+      // or '%' would never equal its rendered last segment and the
+      // anti-join would silently resurrect its deleted rows —
+      // advisor r17)
       val namesDistinct = dirty.map(fileNameOf).distinct.size == dirty.size
+      val namesUriSafe = dirty.map(fileNameOf).forall { n =>
+        scala.util.Try(
+          new java.net.URI(null, null, n, null).getRawPath == n).getOrElse(false)
+      }
       val dirtyDf =
-        if (dirty.size <= DvUnionScanLimit || !namesDistinct) {
+        if (dirty.size <= DvUnionScanLimit || !namesDistinct || !namesUriSafe) {
           var frames = dirty.map(rel =>
             scanGroup(Seq(rel), Some(man.dvs(rel)), keepMeta))
           while (frames.size > 1)

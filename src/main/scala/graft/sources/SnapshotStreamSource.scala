@@ -145,8 +145,13 @@ class SnapshotStreamSourceProvider extends StreamSourceProvider with DataSourceR
 
   /** Pin from reader options: `versionAsOf` (a version number) or
     * `timestampAsOf` (epoch millis, or a `yyyy-MM-dd HH:mm:ss[.f]`
-    * local timestamp — resolved through the commit wall-clock each
-    * manifest records, r17). At most one. */
+    * timestamp — resolved through the commit wall-clock each manifest
+    * records, r17). The string form parses in the SESSION timezone
+    * (`spark.sql.session.timeZone`), exactly as SQL `TIMESTAMP AS OF`
+    * literals resolve through the engine — `java.sql.Timestamp.valueOf`
+    * used the JVM default zone, so the same literal could pin
+    * different versions on the two faces of a non-UTC host
+    * (advisor r17). At most one of the two options. */
   private def versionOpt(
       options: org.apache.spark.sql.util.CaseInsensitiveStringMap,
       dir: String): Option[Long] = {
@@ -161,19 +166,41 @@ class SnapshotStreamSourceProvider extends StreamSourceProvider with DataSourceR
     }.orElse(t.map { s =>
       val millis =
         if (s.nonEmpty && s.forall(_.isDigit)) s.toLong
-        else scala.util.Try(java.sql.Timestamp.valueOf(s).getTime).getOrElse(
-          throw new IllegalArgumentException(
-            "timestampAsOf must be epoch millis or 'yyyy-MM-dd HH:mm:ss[.f]', " +
-              s"got '$s'"))
+        else {
+          val zone = org.apache.spark.sql.catalyst.util.DateTimeUtils
+            .getZoneId(org.apache.spark.sql.internal.SQLConf.get.sessionLocalTimeZone)
+          org.apache.spark.sql.catalyst.util.DateTimeUtils
+            .stringToTimestamp(
+              org.apache.spark.unsafe.types.UTF8String.fromString(s), zone)
+            .map(micros => math.floorDiv(micros, 1000L))
+            .getOrElse(throw new IllegalArgumentException(
+              "timestampAsOf must be epoch millis or 'yyyy-MM-dd HH:mm:ss[.f]', " +
+                s"got '$s'"))
+        }
       Snapshots.versionAtTimestamp(dir, millis)
     })
   }
+
+  /** `readChangeFeed` is a STREAMING option (the V1 source below): a
+    * batch read silently ignoring it would return plain rows with no
+    * `_change_type`, contrary to the refuse-loudly norm (advisor
+    * r17). Batch CDF over a version range is [[Snapshots.changelog]]'s
+    * job; name both escape hatches. */
+  private def rejectBatchChangeFeed(
+      options: org.apache.spark.sql.util.CaseInsensitiveStringMap): Unit =
+    if (Option(options.get("readChangeFeed"))
+        .exists(booleanOption("readChangeFeed", _)))
+      throw new UnsupportedOperationException(
+        s"readChangeFeed is a streaming option — use spark.readStream" +
+          s".format(\"$ShortName\") for the change feed, or " +
+          "Snapshots.changelog for a batch changelog over a version range")
 
   override def inferSchema(
       options: org.apache.spark.sql.util.CaseInsensitiveStringMap): StructType = {
     val dir = Option(options.get("path")).getOrElse(
       throw new IllegalArgumentException(
         s"$ShortName needs the table directory: .load(<dir>)"))
+    rejectBatchChangeFeed(options)
     versionOpt(options, dir) match {
       case Some(v) => Snapshots.manifestAt(dir, v).schema.getOrElse(
         throw new IllegalArgumentException(
@@ -190,6 +217,7 @@ class SnapshotStreamSourceProvider extends StreamSourceProvider with DataSourceR
     val dir = Option(options.get("path")).getOrElse(
       throw new IllegalArgumentException(
         s"$ShortName needs the table directory: .load(<dir>)"))
+    rejectBatchChangeFeed(options)
     new SnapshotTable(org.apache.spark.sql.SparkSession.active, dir,
       versionOpt(options, dir), Option(schema))
   }

@@ -183,14 +183,24 @@ case class SnapshotOptimizeCommand(parts: Seq[String],
   }
 }
 
-/** `VACUUM graft.t [KEEP FROM <version>]` — [[Snapshots.vacuum]]:
-  * reclaim manifests and unreferenced files below the floor (default:
-  * the current head — keep only the latest version readable). */
+/** `VACUUM graft.t KEEP FROM <version>` — [[Snapshots.vacuum]]:
+  * reclaim manifests and unreferenced files below the floor. The
+  * floor is REQUIRED: a bare `VACUUM graft.t` used to default to the
+  * current head, immediately and irreversibly reclaiming every prior
+  * version — users with Delta habits (where bare VACUUM keeps 7 days
+  * and never touches the log) would destroy all time travel with a
+  * no-arg statement (advisor r17). Refusing names the fix; callers
+  * who really want head-only retention spell it explicitly. */
 case class SnapshotVacuumCommand(parts: Seq[String],
                                  keepFrom: Option[Long]) extends LeafRunnableCommand {
   override def run(spark: SparkSession): Seq[Row] = {
     val dir = GraftSqlParser.resolveSnapshotDir(spark, parts)
-    Snapshots.vacuum(dir, keepFrom.getOrElse(Snapshots.currentVersion(dir)))
+    val floor = keepFrom.getOrElse(throw new IllegalArgumentException(
+      "VACUUM on a snapshot table requires an explicit retention floor: " +
+        s"VACUUM ${parts.mkString(".")} KEEP FROM <version> — a bare VACUUM " +
+        "would irreversibly reclaim every version below the current head " +
+        s"(${Snapshots.currentVersion(dir)}), destroying time travel/RESTORE"))
+    Snapshots.vacuum(dir, floor)
     Seq.empty
   }
 }

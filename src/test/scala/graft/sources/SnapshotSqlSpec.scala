@@ -330,6 +330,24 @@ class SnapshotSqlSpec extends SparkSpec {
           .load(base + "/tt").collect()
       }
       assert(both.getMessage.contains("at most one"), both.getMessage)
+      // the STRING form of the reader option parses in the SESSION
+      // timezone, so both faces pin the same version on any host
+      // (advisor r17: Timestamp.valueOf used the JVM default zone).
+      // At UTC-8, local 1969-12-31 16:00:01.5 == epoch 1500 ms -> v0.
+      val prevTz = spark.conf.get("spark.sql.session.timeZone")
+      try {
+        spark.conf.set("spark.sql.session.timeZone", "America/Los_Angeles")
+        assert(spark.read.format("graft-snapshots")
+          .option("timestampAsOf", "1969-12-31 16:00:01.5").load(base + "/tt")
+          .select("id").as[Long].collect().sorted.toSeq === Seq(1L, 2L))
+      } finally spark.conf.set("spark.sql.session.timeZone", prevTz)
+      // readChangeFeed on a BATCH read refuses loudly (advisor r17:
+      // it silently returned plain rows with no _change_type)
+      val cf = intercept[Exception] {
+        spark.read.format("graft-snapshots")
+          .option("readChangeFeed", "true").load(base + "/tt").collect()
+      }
+      assert(cf.getMessage.contains("streaming"), cf.getMessage)
     } finally Snapshots.testClock = None
   }
 
@@ -499,11 +517,18 @@ class SnapshotSqlSpec extends SparkSpec {
     assert(rv === 4L)
     assert(Snapshots.manifestAt(dir, rv).op === Some("restore"))
     assert(spark.sql("SELECT count(*) AS n FROM graft.mx").as[Long].head() === 2001L)
-    // VACUUM (default: keep the head): old manifests reclaimed,
+    // a BARE VACUUM refuses loudly (advisor r17: defaulting to the
+    // head irreversibly destroyed all time travel with a no-arg
+    // statement), naming the required KEEP FROM floor
+    val ve = intercept[Exception] { spark.sql("VACUUM graft.mx").collect() }
+    assert(ve.getMessage.contains("KEEP FROM"), ve.getMessage)
+    assert(Snapshots.earliestVersion(dir) === 0L,
+      "a refused VACUUM must reclaim nothing")
+    // VACUUM with an explicit floor: old manifests reclaimed,
     // the restored head stays fully readable
-    spark.sql("VACUUM graft.mx")
+    spark.sql(s"VACUUM graft.mx KEEP FROM $rv")
     assert(Snapshots.earliestVersion(dir) === rv,
-      "VACUUM must reclaim below the head")
+      "VACUUM must reclaim below the floor")
     assert(spark.sql("SELECT count(*) AS n FROM graft.mx").as[Long].head() === 2001L)
     // delegation: vanilla SQL still parses through the same session
     assert(spark.sql("SELECT 1 + 1 AS two").as[Int].head() === 2)
