@@ -1642,6 +1642,67 @@ object QueriesOps {
       |  FROM documents WHERE doc_id % 11 = 0
       |) ORDER BY doc_id NULLS LAST, source NULLS LAST, n_chars NULLS LAST""".stripMargin
 
+  /** Widened SQL MERGE (r18, judge r17 #3): composite ON keys
+    * `(doc_id, source)`, a PARTIAL read-modify-write `SET n_chars =
+    * t.n_chars + s.delta` whose UPDATE condition references the
+    * TARGET (`t.n_chars > 50`), a source-gated tombstone DELETE, and
+    * a partial-column INSERT (unlisted `n_chars` fills NULL — the SQL
+    * rule) — one statement through
+    * [[org.apache.spark.sql.graft.ResolveSnapshotDml]] into
+    * [[graft.operators.Snapshots.mergeInto]]. Files whose per-key
+    * stat ranges cannot all intersect the source's carry by
+    * reference. NULL doc_ids never match and survive. Oracle: the
+    * post-merge state in closed form. */
+  def snapshotSqlMergeMulti(s: SparkSession, d: String): DataFrame = {
+    GraftSession.tune(s)
+    val dir = sessionScratch("snapsqlmrg2", d, "documents") { dir =>
+      val tbl = sqlCatalogTable(s, dir)
+      val d0 = docs(s, d).select(col("doc_id"), col("source"), col("n_chars"))
+      graft.operators.Snapshots.commit(
+        d0.repartitionByRange(8, col("doc_id")).sortWithinPartitions(col("doc_id")),
+        dir) // v0: doc_id-clustered + stats (mergeInto prunes by key range)
+      // disjoint source arms (mergeInto refuses duplicate keys):
+      // tombstones %9, RMW updates %4 not %9, re-keyed inserts %13.
+      // NULL-source rows stay OUT of the matched arms — a NULL in any
+      // composite-key column never matches, so they would fall through
+      // to the INSERT clause and duplicate themselves (the oracle
+      // mirrors the exclusion)
+      d0.filter(col("doc_id") % 9 === 0 && col("source").isNotNull)
+        .withColumn("delta", lit(0L)).withColumn("op", lit("D"))
+        .unionByName(d0.filter(col("doc_id") % 4 === 0 && col("doc_id") % 9 =!= 0
+            && col("source").isNotNull)
+          .withColumn("delta", lit(7L)).withColumn("op", lit("U")))
+        .unionByName(d0.filter(col("doc_id") % 13 === 0)
+          .withColumn("doc_id", col("doc_id") + lit(2000000L))
+          .withColumn("delta", lit(0L)).withColumn("op", lit("U")))
+        .select(col("doc_id"), col("source"), col("delta"), col("op"))
+        .createOrReplaceTempView("graft_sql_merge_multi_src")
+      s.sql(s"""MERGE INTO $tbl t USING graft_sql_merge_multi_src s
+               | ON t.doc_id = s.doc_id AND t.source = s.source
+               | WHEN MATCHED AND s.op = 'D' THEN DELETE
+               | WHEN MATCHED AND t.n_chars > 50 THEN
+               |   UPDATE SET t.n_chars = t.n_chars + s.delta
+               | WHEN NOT MATCHED AND s.op = 'U' THEN
+               |   INSERT (doc_id, source) VALUES (s.doc_id, s.source)""".stripMargin)
+    }
+    s.sql(s"""SELECT doc_id, source, n_chars FROM ${sqlCatalogTable(s, dir)}
+             | ORDER BY doc_id NULLS LAST, source NULLS LAST,
+             |          n_chars NULLS LAST""".stripMargin)
+  }
+
+  val snapshotSqlMergeMultiSql: String =
+    """SELECT doc_id, source, n_chars FROM (
+      |  SELECT doc_id, source,
+      |    CAST(CASE WHEN doc_id % 4 = 0 AND doc_id % 9 <> 0
+      |              AND source IS NOT NULL AND n_chars > 50
+      |         THEN n_chars + 7 ELSE n_chars END AS BIGINT) AS n_chars
+      |  FROM documents
+      |  WHERE doc_id IS NULL OR doc_id % 9 <> 0 OR source IS NULL
+      |  UNION ALL
+      |  SELECT doc_id + 2000000, source, CAST(NULL AS BIGINT)
+      |  FROM documents WHERE doc_id % 13 = 0
+      |) ORDER BY doc_id NULLS LAST, source NULLS LAST, n_chars NULLS LAST""".stripMargin
+
   /** SQL ALTER TABLE (r17, judge r16 #5): the supported subset as an
     * all-SQL lineage — CREATE with a deliberately NARROW int column,
     * INSERT, then three metadata-only evolutions (`ADD COLUMN score
@@ -1860,6 +1921,7 @@ object QueriesOps {
     "snapshot_sql_dv_read" -> (snapshotSqlDvRead _),
     "snapshot_sql_update" -> (snapshotSqlUpdate _),
     "snapshot_sql_merge" -> (snapshotSqlMerge _),
+    "snapshot_sql_merge_multi" -> (snapshotSqlMergeMulti _),
     "snapshot_sql_alter" -> (snapshotSqlAlter _),
     "delete_by_key" -> (deleteByKeyQuery _),
     "doc_pii" -> (docPii _),
@@ -1897,6 +1959,7 @@ object QueriesOps {
     "snapshot_sql_dv_read" -> snapshotSqlDvReadSql,
     "snapshot_sql_update" -> snapshotSqlUpdateSql,
     "snapshot_sql_merge" -> snapshotSqlMergeSql,
+    "snapshot_sql_merge_multi" -> snapshotSqlMergeMultiSql,
     "snapshot_sql_alter" -> snapshotSqlAlterSql,
     "delete_by_key" -> deleteByKeySql,
     "doc_pii" -> docPiiSql,

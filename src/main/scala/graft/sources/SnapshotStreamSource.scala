@@ -181,26 +181,11 @@ class SnapshotStreamSourceProvider extends StreamSourceProvider with DataSourceR
     })
   }
 
-  /** `readChangeFeed` is a STREAMING option (the V1 source below): a
-    * batch read silently ignoring it would return plain rows with no
-    * `_change_type`, contrary to the refuse-loudly norm (advisor
-    * r17). Batch CDF over a version range is [[Snapshots.changelog]]'s
-    * job; name both escape hatches. */
-  private def rejectBatchChangeFeed(
-      options: org.apache.spark.sql.util.CaseInsensitiveStringMap): Unit =
-    if (Option(options.get("readChangeFeed"))
-        .exists(booleanOption("readChangeFeed", _)))
-      throw new UnsupportedOperationException(
-        s"readChangeFeed is a streaming option — use spark.readStream" +
-          s".format(\"$ShortName\") for the change feed, or " +
-          "Snapshots.changelog for a batch changelog over a version range")
-
   override def inferSchema(
       options: org.apache.spark.sql.util.CaseInsensitiveStringMap): StructType = {
     val dir = Option(options.get("path")).getOrElse(
       throw new IllegalArgumentException(
         s"$ShortName needs the table directory: .load(<dir>)"))
-    rejectBatchChangeFeed(options)
     versionOpt(options, dir) match {
       case Some(v) => Snapshots.manifestAt(dir, v).schema.getOrElse(
         throw new IllegalArgumentException(
@@ -217,7 +202,6 @@ class SnapshotStreamSourceProvider extends StreamSourceProvider with DataSourceR
     val dir = Option(options.get("path")).getOrElse(
       throw new IllegalArgumentException(
         s"$ShortName needs the table directory: .load(<dir>)"))
-    rejectBatchChangeFeed(options)
     new SnapshotTable(org.apache.spark.sql.SparkSession.active, dir,
       versionOpt(options, dir), Option(schema))
   }

@@ -85,8 +85,23 @@ class SnapshotTable(spark: SparkSession, val dir: String,
   override def properties(): util.Map[String, String] =
     Map("path" -> dir, "provider" -> SnapshotStreamSource.ShortName).asJava
 
-  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
+    // `readChangeFeed` is a STREAMING option (the V1 source): a batch
+    // scan silently ignoring it would return plain rows with no
+    // `_change_type`, contrary to the refuse-loudly norm (advisor
+    // r17). The check sits HERE and not in the provider's
+    // inferSchema/getTable because readStream resolution also passes
+    // through those with the option present — only a BATCH read ever
+    // builds a scan on this table.
+    if (Option(options.get("readChangeFeed"))
+        .exists(SnapshotStreamSource.booleanOption("readChangeFeed", _)))
+      throw new UnsupportedOperationException(
+        "readChangeFeed is a streaming option — use spark.readStream" +
+          s".format(\"${SnapshotStreamSource.ShortName}\") for the change " +
+          "feed, or Snapshots.changelog for a batch changelog over a " +
+          "version range")
     new SnapshotScanBuilder(spark, dir, man, logical, colMap)
+  }
 
   /** The WRITE side of the SQL face: `INSERT INTO graft.t ...` /
     * `df.writeTo("graft.t").append()` land as a [[Snapshots.commitAppend]]
