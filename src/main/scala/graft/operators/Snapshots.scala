@@ -113,7 +113,10 @@ object Snapshots {
                             depth: Int = 0,
                             op: Option[String] = None,
                             dvs: Map[String, Vector[Long]] = Map.empty,
-                            ts: Option[Long] = None)
+                            ts: Option[Long] = None,
+                            props: Map[String, String] = Map.empty,
+                            cdf: Seq[String] = Seq.empty,
+                            cdfComplete: Boolean = false)
 
   private def hconf(): Configuration =
     SparkSession.getActiveSession
@@ -439,7 +442,29 @@ object Snapshots {
             val d = s.stripPrefix("ts=")
             d.nonEmpty && d.forall(_.isDigit) } =>
           s.stripPrefix("ts=").toLong }
+      // TABLE PROPERTIES (r18): `props=` — persistent key=value pairs
+      // every commit carries forward verbatim (the Delta
+      // TBLPROPERTIES mechanism; `changeFeed=true` rides here). Like
+      // every header field, the value is the version's full current
+      // truth — delta manifests do not inherit the base's.
+      val props = headerParts
+        .collectFirst { case s if s.startsWith("props=") =>
+          decodeProps(s.stripPrefix("props=")) }
+        .getOrElse(Map.empty[String, String])
       val adds = lines.tail.filter(l => l.nonEmpty && !l.startsWith("#")).toSeq
+      // CHANGE-DATA FILES (r18): `#cdf <b64 relpath>` — THIS version's
+      // row-level change files under `_change_data/v<NNNNNN>/`
+      // (pre/post-images + deletes + inserts of a COW DML commit, each
+      // row stamped `_change_type`). Version-OWN by construction:
+      // folds never inherit them. `#cdfv` marks the commit as
+      // CDF-complete — its row-level changes are FULLY described by
+      // its (possibly zero) #cdf lines, which disambiguates "DML wrote
+      // an empty change set" from "no change data recorded".
+      val cdf = lines.iterator
+        .filter(_.startsWith("#cdf "))
+        .map(l => unb64s(l.stripPrefix("#cdf ")))
+        .toSeq
+      val cdfComplete = lines.exists(_ == "#cdfv")
       val removes = lines.iterator
         .filter(_.startsWith("#remove "))
         .map(_.stripPrefix("#remove "))
@@ -484,7 +509,8 @@ object Snapshots {
       base match {
         case None =>
           Manifest(adds, schema, colMap, stats, maxColId, txn, retired, sizes,
-            partitionBy, base = None, depth = 0, op = op, dvs = dvs, ts = ts)
+            partitionBy, base = None, depth = 0, op = op, dvs = dvs, ts = ts,
+            props = props, cdf = cdf, cdfComplete = cdfComplete)
         case Some(b) =>
           // FOLD: base's folded state minus removes plus adds — the
           // relative order (survivors first, in base order, then adds)
@@ -499,7 +525,8 @@ object Snapshots {
             maxColId, txn, retired,
             (bm.sizes -- removed) ++ sizes,
             partitionBy, base = Some(b), depth = depth, op = op,
-            dvs = (bm.dvs -- removed) ++ dvs, ts = ts)
+            dvs = (bm.dvs -- removed) ++ dvs, ts = ts,
+            props = props, cdf = cdf, cdfComplete = cdfComplete)
       }
     } else if (lines.exists(l => l.nonEmpty && l.startsWith("#"))) {
       // a '#' line without the full v2 header can only be a manifest
@@ -549,13 +576,116 @@ object Snapshots {
       encodeDvLine(rel, pos) }.toSeq.sorted
   }
 
+  /** `props=` payload: `b64(k):b64(v)|...`, keys sorted for a stable
+    * rendering (':' separator, never '=' — base64 PADDING is '='). */
+  private def encodeProps(m: Map[String, String]): String =
+    Base64.getEncoder.encodeToString(
+      m.toSeq.sortBy(_._1).map { case (k, v) => s"${b64s(k)}:${b64s(v)}" }
+        .mkString("|").getBytes(StandardCharsets.UTF_8))
+
+  private def decodeProps(s: String): Map[String, String] = {
+    val raw = new String(Base64.getDecoder.decode(s), StandardCharsets.UTF_8)
+    if (raw.isEmpty) Map.empty
+    else raw.split("\\|").iterator.map { e =>
+      val p = e.split(":", 2)
+      unb64s(p(0)) -> unb64s(p(1))
+    }.toMap
+  }
+
+  // --- change data feed (r18) -----------------------------------------
+
+  /** The table property that turns on CHANGE-DATA recording for COW
+    * DML (`updateWhere`/`deleteWhere`/`merge`/`mergeInto`): when
+    * `"true"`, each such commit also writes its row-level changes
+    * (delete rows, update pre/post-images, merge inserts — every row
+    * stamped [[ChangeTypeCol]]) as parquet under
+    * `_change_data/v<NNNNNN>/`, recorded as `#cdf` manifest lines, and
+    * the streaming source's `readChangeFeed` delivers THOSE for the
+    * version instead of refusing (the Delta `_change_data` mechanism).
+    * Deletion-vector deletes never need change files (their row-level
+    * diff IS the manifest); appends never do (their files are their
+    * inserts); pure file-removal commits (partition deletes, TRUNCATE)
+    * never do (their removed files' contents are their deletes). */
+  val ChangeFeedProp = "changeFeed"
+
+  /** The change-feed marker column stamped on every change-data row
+    * (and on streamed rows): 'insert', 'delete', 'update_preimage',
+    * 'update_postimage' — the Delta value set. */
+  val ChangeTypeCol = "_change_type"
+
+  private[graft] def cdfEnabled(man: Manifest): Boolean =
+    man.props.get(ChangeFeedProp).contains("true")
+
+  /** Enable/disable change-data recording — ONE metadata-only commit
+    * (op = 'set-property'); every later commit carries the property
+    * forward in its header. Recording starts with the NEXT DML commit:
+    * changes before enablement are not reconstructible, exactly the
+    * Delta contract. */
+  def setChangeFeed(dir: String, enabled: Boolean,
+                    expectedVersion: Option[Long] = None): Long =
+    setTableProperty(dir, ChangeFeedProp,
+      if (enabled) Some("true") else None, expectedVersion)
+
+  /** Set (Some) or unset (None) one table property as a metadata-only
+    * commit — same files, stats, schema; O(1) delta bytes. */
+  def setTableProperty(dir: String, key: String, value: Option[String],
+                       expectedVersion: Option[Long] = None): Long = {
+    require(key.nonEmpty && !key.exists(_.isWhitespace),
+      s"property key must be non-empty and whitespace-free, got '$key'")
+    val f = fsFor(dir)
+    val root = rootOf(f, dir)
+    val v = nextVersion(dir, expectedVersion)
+    require(v > 0, s"cannot set a property on an empty table $dir — commit first")
+    val prev = readManifest(f, root, v - 1)
+    val schema = prev.schema.getOrElse(throw new IllegalArgumentException(
+      s"version ${v - 1} is a legacy v1 manifest with no recorded schema — " +
+        "commit once to upgrade before setting properties"))
+    val map = colMapOf(prev)
+    val props = value match {
+      case Some(x) => prev.props + (key -> x)
+      case None => prev.props - key
+    }
+    if (deltaOk(prev))
+      publishDelta(f, root, v, v - 1, prev.depth + 1, Seq.empty, Seq.empty,
+        schema, map, Map.empty, Map.empty, prev.maxColId, txn = None,
+        retired = prev.retired, partitionBy = prev.partitionBy,
+        op = "set-property", props = props)
+    else
+      publish(f, root, v, prev.files, schema, map, prev.stats, prev.maxColId,
+        txn = None, retired = prev.retired, sizes = prev.sizes,
+        partitionBy = prev.partitionBy, op = "set-property", dvs = prev.dvs,
+        props = props)
+    v
+  }
+
+  private def changeDataDirPath(root: Path, v: Long): Path =
+    new Path(new Path(root, "_change_data"), f"v$v%06d")
+
+  /** Write a DML commit's change rows (table columns + a
+    * [[ChangeTypeCol]] string) under `_change_data/v<NNNNNN>/` with
+    * PHYSICAL column names (the same mapping data files use, so the
+    * stream's id-paired projection reads them identically). Partition
+    * columns ride as ORDINARY columns — change files are not
+    * hive-partitioned; they are only ever read whole, per version.
+    * Returns the relative paths for the `#cdf` manifest lines. */
+  private def writeChangeData(changes: DataFrame, map: Seq[ColumnId],
+                              f: FileSystem, root: Path, v: Long): Seq[String] = {
+    val dir = changeDataDirPath(root, v)
+    toPhysical(changes, map).write.mode("errorifexists").parquet(dir.toString)
+    listParquet(f, root, dir).map(_._1)
+  }
+
   /** The header line every manifest (full or delta) shares — ONE
     * builder so a future field can never fork the format between the
-    * two writers (review r15). */
+    * two writers (review r15). `props` is REQUIRED (no default) all
+    * the way down from publish/publishDelta: every commit site must
+    * consciously carry the previous version's properties forward — a
+    * defaulted parameter would let one forgotten site silently drop
+    * `changeFeed=true` and stop CDF recording without an error. */
   private def headerFor(schema: StructType, colMap: Seq[ColumnId],
                         maxColId: Int, txn: Option[(String, Long)],
                         retired: Seq[String], partitionBy: Seq[String],
-                        op: String): String = {
+                        op: String, props: Map[String, String]): String = {
     val hwm = colMap.foldLeft(maxColId)((x, c) => math.max(x, c.id))
     "#graft-manifest v=3 schema=" +
       Base64.getEncoder.encodeToString(schema.json.getBytes(StandardCharsets.UTF_8)) +
@@ -566,6 +696,7 @@ object Snapshots {
       (if (partitionBy.isEmpty) ""
        else " partby=" + b64s(partitionBy.map(b64s).mkString("|"))) +
       (if (op.isEmpty) "" else s" op=${b64s(op)}") +
+      (if (props.isEmpty) "" else " props=" + encodeProps(props)) +
       // commit wall-clock (r17): TIMESTAMP AS OF binds to this; the
       // test hook keeps time-travel specs deterministic
       s" ts=${testClock.fold(System.currentTimeMillis())(_())}"
@@ -596,13 +727,23 @@ object Snapshots {
                       sizes: Map[String, Long] = Map.empty,
                       partitionBy: Seq[String] = Seq.empty,
                       op: String = "",
-                      dvs: Map[String, Vector[Long]] = Map.empty): Unit = {
-    val header = headerFor(schema, colMap, maxColId, txn, retired, partitionBy, op)
+                      dvs: Map[String, Vector[Long]] = Map.empty,
+                      props: Map[String, String],
+                      cdf: Seq[String] = Seq.empty,
+                      cdfComplete: Boolean = false): Unit = {
+    val header = headerFor(schema, colMap, maxColId, txn, retired, partitionBy,
+      op, props)
     val body = ((header +: files) ++ fileLines(files, stats, sizes) ++
-      dvLines(files, dvs) :+
+      dvLines(files, dvs) ++ cdfLines(cdf, cdfComplete) :+
       s"#end ${files.length}").mkString("\n")
     writeManifestAtomic(f, root, v, manifestPath(root, v), body)
   }
+
+  /** `#cdf` body lines + the `#cdfv` completeness marker (see the
+    * readManifest parse for semantics). */
+  private def cdfLines(cdf: Seq[String], cdfComplete: Boolean): Seq[String] =
+    cdf.sorted.map(rel => s"#cdf ${b64s(rel)}") ++
+      (if (cdfComplete) Seq("#cdfv") else Seq.empty)
 
   /** Delta-chain length cap: a commit whose chain would exceed this
     * writes a FULL manifest (checkpoint) instead, bounding both the
@@ -628,49 +769,91 @@ object Snapshots {
                            maxColId: Int, txn: Option[(String, Long)],
                            retired: Seq[String], partitionBy: Seq[String],
                            op: String = "",
-                           dvs: Map[String, Vector[Long]] = Map.empty): Unit = {
-    val header = headerFor(schema, colMap, maxColId, txn, retired, partitionBy, op) +
-      s" base=$baseV depth=$depth"
+                           dvs: Map[String, Vector[Long]] = Map.empty,
+                           props: Map[String, String],
+                           cdf: Seq[String] = Seq.empty,
+                           cdfComplete: Boolean = false): Unit = {
+    val header = headerFor(schema, colMap, maxColId, txn, retired, partitionBy,
+      op, props) + s" base=$baseV depth=$depth"
     val removeLines = removes.map(r => s"#remove $r")
     // delta #dv lines annotate CARRIED files — they bypass the
     // files-subset gate dvLines applies for full manifests
     val dvAdd = dvs.iterator.collect { case (rel, pos) if pos.nonEmpty =>
       encodeDvLine(rel, pos) }.toSeq.sorted
     val body = ((header +: adds) ++ removeLines ++ fileLines(adds, stats, sizes) ++
-      dvAdd :+
+      dvAdd ++ cdfLines(cdf, cdfComplete) :+
       s"#end ${adds.length}").mkString("\n")
     writeManifestAtomic(f, root, v, manifestPath(root, v), body)
   }
 
-  private def writeManifestAtomic(f: FileSystem, root: Path, v: Long,
-                                  m: Path, body: String): Unit = {
-    // write-temp-then-rename: readers NEVER observe a partially
-    // written manifest under the final name (review-caught: writing
-    // through create(final) exposed an in-flight commit to concurrent
-    // reads as a phantom "torn manifest", and a crash mid-write
-    // wedged the version number). The temp name is unique per
-    // attempt so racing publishers never clobber each other's temp;
-    // FileContext.rename with Rename.NONE refuses an existing
-    // destination (atomically on HDFS; exists-check + atomic
-    // rename(2) on local — the data-dir errorifexists write remains
-    // the decisive mutex there, see object doc). Object stores
-    // without atomic rename need a committer, the standard caveat.
-    val tmp = new Path(root, f"_v$v%06d.manifest.inprogress.${System.nanoTime()}%d")
-    val out = f.create(tmp, true)
-    try out.write(body.getBytes(StandardCharsets.UTF_8)) finally out.close()
-    val fc = org.apache.hadoop.fs.FileContext.getFileContext(root.toUri, f.getConf)
-    try fc.rename(tmp, m)
-    catch { case e: java.io.IOException =>
-      f.delete(tmp, false)
-      if (f.exists(m))
-        throw new IllegalStateException(
-          s"concurrent commit: version $v appeared during publish", e)
-      else throw e
-    }
-    // local ChecksumFileSystem leaves the TEMP name's crc sidecar
-    // behind (the rename goes through the raw fs) — best-effort drop
-    f.delete(new Path(root, "." + tmp.getName + ".crc"), false)
+  /** OBJECT-STORE-SAFE COMMIT PROTOCOL (r18, judge r17 #5): the ONE
+    * point every manifest publish routes through. The default
+    * ([[RenameCommitProtocol]]) is write-temp-then-rename-if-absent —
+    * atomic on HDFS and correct on local filesystems (where the
+    * data-dir `errorifexists` write is the decisive mutex, see the
+    * object doc). On S3 WITHOUT conditional writes, rename is
+    * copy+delete and the if-absent check races — deployments there
+    * plug in a protocol backed by S3 conditional PUT (`If-None-Match:
+    * *`, which S3 supports natively since late 2024) or an external
+    * coordinator (the DynamoDB `S3DynamoDBLogStore` shape Delta
+    * ships); the hook receives the fully rendered manifest bytes and
+    * MUST either publish them atomically-if-absent or throw an
+    * [[IllegalStateException]] mentioning 'concurrent commit' when the
+    * version exists — exactly the refusal every writer's OCC retry
+    * loop already understands. See README for the deployment matrix. */
+  trait CommitProtocol {
+    /** Publish `body` as version `v`'s manifest at `target`,
+      * create-if-absent: a concurrent commit that already published
+      * `v` must surface as an IllegalStateException naming
+      * 'concurrent commit', never a silent overwrite. */
+    def publish(f: FileSystem, root: Path, v: Long, target: Path,
+                body: Array[Byte]): Unit
   }
+
+  /** The default protocol: unique temp + rename-with-NONE (refuses an
+    * existing destination). Correct on HDFS/local; see
+    * [[CommitProtocol]] for the object-store matrix. */
+  object RenameCommitProtocol extends CommitProtocol {
+    override def publish(f: FileSystem, root: Path, v: Long, target: Path,
+                         body: Array[Byte]): Unit = {
+      // write-temp-then-rename: readers NEVER observe a partially
+      // written manifest under the final name (review-caught: writing
+      // through create(final) exposed an in-flight commit to concurrent
+      // reads as a phantom "torn manifest", and a crash mid-write
+      // wedged the version number). The temp name is unique per
+      // attempt so racing publishers never clobber each other's temp;
+      // FileContext.rename with Rename.NONE refuses an existing
+      // destination (atomically on HDFS; exists-check + atomic
+      // rename(2) on local — the data-dir errorifexists write remains
+      // the decisive mutex there, see object doc).
+      val tmp = new Path(root,
+        f"_v$v%06d.manifest.inprogress.${System.nanoTime()}%d")
+      val out = f.create(tmp, true)
+      try out.write(body) finally out.close()
+      val fc = org.apache.hadoop.fs.FileContext.getFileContext(root.toUri, f.getConf)
+      try fc.rename(tmp, target)
+      catch { case e: java.io.IOException =>
+        f.delete(tmp, false)
+        if (f.exists(target))
+          throw new IllegalStateException(
+            s"concurrent commit: version $v appeared during publish", e)
+        else throw e
+      }
+      // local ChecksumFileSystem leaves the TEMP name's crc sidecar
+      // behind (the rename goes through the raw fs) — best-effort drop
+      f.delete(new Path(root, "." + tmp.getName + ".crc"), false)
+      ()
+    }
+  }
+
+  /** The active commit protocol — swap for object-store deployments
+    * (process-wide, set once at startup; volatile so a test/driver
+    * swap is visible to executor-side driver threads). */
+  @volatile var commitProtocol: CommitProtocol = RenameCommitProtocol
+
+  private def writeManifestAtomic(f: FileSystem, root: Path, v: Long,
+                                  m: Path, body: String): Unit =
+    commitProtocol.publish(f, root, v, m, body.getBytes(StandardCharsets.UTF_8))
 
   /** (relative path, byte length) for every parquet file under
     * `dataDir` — the listing's FileStatus already carries the length,
@@ -996,11 +1179,12 @@ object Snapshots {
     val f = fsFor(dir)
     val root = rootOf(f, dir)
     val v = nextVersion(dir, expectedVersion)
-    val (prevMap, idFloor, prevRetired) =
-      if (v == 0) (Seq.empty[ColumnId], 0, Seq.empty[String])
+    val (prevMap, idFloor, prevRetired, prevProps) =
+      if (v == 0) (Seq.empty[ColumnId], 0, Seq.empty[String],
+        Map.empty[String, String])
       else {
         val prev = readManifest(f, root, v - 1)
-        (colMapOf(prev), prev.maxColId, prev.retired)
+        (colMapOf(prev), prev.maxColId, prev.retired, prev.props)
       }
     val map = continueMap(prevMap, df.schema, idFloor, prevRetired.toSet)
     val retired = retireDropped(prevRetired, prevMap, map)
@@ -1013,7 +1197,7 @@ object Snapshots {
       partByPhys = partByPhys)
     publish(f, root, v, files, df.schema, map, stats, idFloor, txn = None,
       retired = retired, sizes = sizes, partitionBy = partByPhys,
-      op = "commit")
+      op = "commit", props = prevProps)
     v
   }
 
@@ -1192,12 +1376,12 @@ object Snapshots {
           if (v > 0 && deltaOk(prev))
             publishDelta(f, root, v, v - 1, prev.depth + 1, w.files, Seq.empty,
               schema, map, w.stats, w.sizes, prev.maxColId, txn, retired,
-              prev.partitionBy, op = opLabel)
+              prev.partitionBy, op = opLabel, props = prev.props)
           else
             publish(f, root, v, prev.files ++ w.files, schema, map,
               prev.stats ++ w.stats, prev.maxColId, txn, retired,
               prev.sizes ++ w.sizes, prev.partitionBy, op = opLabel,
-              dvs = prev.dvs)
+              dvs = prev.dvs, props = prev.props)
           result = v
         } catch {
           case e: IllegalStateException
@@ -1492,7 +1676,7 @@ object Snapshots {
       partByPhys = prev.partitionBy)
     publish(f, root, v, files, schema, map, stats, prev.maxColId,
       txn = None, retired = prev.retired, sizes = sizes,
-      partitionBy = prev.partitionBy, op = "compact")
+      partitionBy = prev.partitionBy, op = "compact", props = prev.props)
     v
   }
 
@@ -1526,11 +1710,13 @@ object Snapshots {
     if (deltaOk(prev))
       publishDelta(f, root, v, v - 1, prev.depth + 1, Seq.empty, Seq.empty,
         newSchema, map, Map.empty, Map.empty, prev.maxColId, txn = None,
-        retired = prev.retired, partitionBy = prev.partitionBy, op = "rename")
+        retired = prev.retired, partitionBy = prev.partitionBy, op = "rename",
+        props = prev.props)
     else
       publish(f, root, v, prev.files, newSchema, map, prev.stats, prev.maxColId,
         txn = None, retired = prev.retired, sizes = prev.sizes,
-        partitionBy = prev.partitionBy, op = "rename", dvs = prev.dvs)
+        partitionBy = prev.partitionBy, op = "rename", dvs = prev.dvs,
+        props = prev.props)
     v
   }
 
@@ -1551,11 +1737,13 @@ object Snapshots {
     if (deltaOk(prev))
       publishDelta(f, root, v, v - 1, prev.depth + 1, Seq.empty, Seq.empty,
         newSchema, map, Map.empty, Map.empty, prev.maxColId, txn = None,
-        retired = prev.retired, partitionBy = prev.partitionBy, op = op)
+        retired = prev.retired, partitionBy = prev.partitionBy, op = op,
+        props = prev.props)
     else
       publish(f, root, v, prev.files, newSchema, map, prev.stats, prev.maxColId,
         txn = None, retired = prev.retired, sizes = prev.sizes,
-        partitionBy = prev.partitionBy, op = op, dvs = prev.dvs)
+        partitionBy = prev.partitionBy, op = op, dvs = prev.dvs,
+        props = prev.props)
     v
   }
 
@@ -2069,10 +2257,17 @@ object Snapshots {
     if (deletionVectors)
       deleteWithDvs(spark, dir, pred, expectedVersion)
     else
-      rewriteWhere(spark, dir, pred, expectedVersion, op = "delete")(survivors =>
-        survivors.filter(!org.apache.spark.sql.functions.coalesce(
-          pred, lit(false))))
+      rewriteWhere(spark, dir, pred, expectedVersion, op = "delete")(
+        survivors => survivors.filter(!org.apache.spark.sql.functions.coalesce(
+          pred, lit(false))),
+        changeRows = deleteChangeRows(pred))
   }
+
+  /** A COW delete's change set: the doomed rows, stamped 'delete'. */
+  private def deleteChangeRows(pred: org.apache.spark.sql.Column)
+      (slice: DataFrame): DataFrame =
+    slice.filter(org.apache.spark.sql.functions.coalesce(pred, lit(false)))
+      .withColumn(ChangeTypeCol, lit("delete"))
 
   /** The merge-on-read DELETE body (see [[deleteWhere]]): stats-prune
     * the touched files, attribute every pred-IS-TRUE row to its
@@ -2130,7 +2325,8 @@ object Snapshots {
       // (simple, predictable — mixed modes would split one logical
       // delete across two commits)
       return rewriteWhere(spark, dir, pred, expectedVersion, op = "delete")(
-        survivors => survivors.filter(!coalesce(pred, lit(false))))
+        survivors => survivors.filter(!coalesce(pred, lit(false))),
+        changeRows = deleteChangeRows(pred))
     val newDvs: Map[String, Vector[Long]] = doomed
       .groupBy(col(DvFileCol)).agg(collect_list(col(DvPosCol)).as("pos"))
       .collect()
@@ -2143,12 +2339,12 @@ object Snapshots {
       publishDelta(f, root, v, v - 1, prev.depth + 1, Seq.empty, Seq.empty,
         schema, map, Map.empty, Map.empty, prev.maxColId, txn = None,
         retired = prev.retired, partitionBy = prev.partitionBy,
-        op = "delete", dvs = newDvs)
+        op = "delete", dvs = newDvs, props = prev.props)
     else
       publish(f, root, v, prev.files, schema, map, prev.stats, prev.maxColId,
         txn = None, retired = prev.retired, sizes = prev.sizes,
         partitionBy = prev.partitionBy, op = "delete",
-        dvs = prev.dvs ++ newDvs)
+        dvs = prev.dvs ++ newDvs, props = prev.props)
     v
   }
 
@@ -2225,13 +2421,13 @@ object Snapshots {
       publishDelta(f, root, v, v - 1, prev.depth + 1, Seq.empty,
         prev.files.filter(doomedFiles), schema, map, Map.empty, Map.empty,
         prev.maxColId, txn = None, retired = prev.retired,
-        partitionBy = prev.partitionBy, op = "delete")
+        partitionBy = prev.partitionBy, op = "delete", props = prev.props)
     else
       publish(f, root, v, prev.files.filterNot(doomedFiles), schema, map,
         prev.stats -- doomedFiles, prev.maxColId, txn = None,
         retired = prev.retired, sizes = prev.sizes -- doomedFiles,
         partitionBy = prev.partitionBy, op = "delete",
-        dvs = prev.dvs -- doomedFiles)
+        dvs = prev.dvs -- doomedFiles, props = prev.props)
     v
   }
 
@@ -2247,25 +2443,39 @@ object Snapshots {
                   set: Map[String, org.apache.spark.sql.Column],
                   expectedVersion: Option[Long] = None): Long = {
     require(set.nonEmpty, "updateWhere needs at least one assignment")
-    rewriteWhere(spark, dir, pred, expectedVersion, op = "update") { touched =>
-      val hit = org.apache.spark.sql.functions.coalesce(pred, lit(false))
-      val out = touched.schema.fields.toSeq.map { fd =>
+    val hit = org.apache.spark.sql.functions.coalesce(pred, lit(false))
+    def applied(df: DataFrame): DataFrame = df.select(
+      df.schema.fields.toSeq.map { fd =>
         set.find { case (n, _) => sameCol(n, fd.name) } match {
-          case Some((_, expr)) =>
-            // no cast here: a wrong-typed assignment must hit the
-            // schema check in rewriteWhere, not be silently coerced
-            org.apache.spark.sql.functions
-              .when(hit, expr).otherwise(quoted(fd.name)).as(fd.name)
+          // no cast here: a wrong-typed assignment must hit the
+          // schema check in rewriteWhere, not be silently coerced
+          case Some((_, expr)) => expr.as(fd.name)
           case None => quoted(fd.name)
         }
-      }
-      val projected = touched.select(out: _*)
-      set.keys.foreach { n =>
-        require(touched.schema.exists(fd => sameCol(fd.name, n)),
-          s"updateWhere: no column '$n'")
-      }
-      projected
-    }
+      }: _*)
+    rewriteWhere(spark, dir, pred, expectedVersion, op = "update")(
+      { touched =>
+        set.keys.foreach { n =>
+          require(touched.schema.exists(fd => sameCol(fd.name, n)),
+            s"updateWhere: no column '$n'")
+        }
+        touched.select(touched.schema.fields.toSeq.map { fd =>
+          set.find { case (n, _) => sameCol(n, fd.name) } match {
+            case Some((_, expr)) =>
+              org.apache.spark.sql.functions
+                .when(hit, expr).otherwise(quoted(fd.name)).as(fd.name)
+            case None => quoted(fd.name)
+          }
+        }: _*)
+      },
+      // change set: every hit row's pre-image and post-image (the
+      // Delta CDF update shape)
+      changeRows = { slice =>
+        val hits = slice.filter(hit)
+        hits.withColumn(ChangeTypeCol, lit("update_preimage"))
+          .unionByName(applied(hits)
+            .withColumn(ChangeTypeCol, lit("update_postimage")))
+      })
   }
 
   /** MERGE INTO on the snapshot log — the unification of
@@ -2354,16 +2564,46 @@ object Snapshots {
       val out = survivors.unionByName(incoming)
       val (files, stats, sizes) = writeWithStats(out, map, f, root, v,
         partByPhys = prev.partitionBy)
+      // change-data recording (r18): tombstoned target rows 'delete',
+      // replaced rows as pre/post-images, new keys 'insert' — each set
+      // derived with the same key-join semantics the merge itself used
+      // (NULL keys never match: NULL-key target rows appear in no
+      // change set, NULL-key source rows only as inserts)
+      val withCdf = cdfEnabled(prev)
+      val cdf = if (!withCdf) Seq.empty else {
+        val sliceKeys = slice.select(quoted(keyName))
+        val delPre = deleteWhenMatched.map { c =>
+          slice.join(src.filter(coalesce(c, lit(false))).select(quoted(keyName)),
+              Seq(keyName), "left_semi")
+            .withColumn(ChangeTypeCol, lit("delete"))
+        }
+        val replPre = slice
+          .join(incoming0.select(quoted(keyName)), Seq(keyName), "left_semi")
+          .withColumn(ChangeTypeCol, lit("update_preimage"))
+        val replPost = incoming0
+          .join(sliceKeys, Seq(keyName), "left_semi")
+          .withColumn(ChangeTypeCol, lit("update_postimage"))
+        val ins =
+          if (insertNotMatched)
+            Some(incoming0.join(sliceKeys, Seq(keyName), "left_anti")
+              .withColumn(ChangeTypeCol, lit("insert")))
+          else None
+        val changes = (delPre.toSeq ++ Seq(replPre, replPost) ++ ins.toSeq)
+          .reduce(_.unionByName(_))
+        writeChangeData(changes, map, f, root, v)
+      }
       if (deltaOk(prev))
         publishDelta(f, root, v, v - 1, prev.depth + 1, files, touched,
           schema, map, stats, sizes, prev.maxColId, txn = None,
-          retired = prev.retired, partitionBy = prev.partitionBy, op = "merge")
+          retired = prev.retired, partitionBy = prev.partitionBy, op = "merge",
+          props = prev.props, cdf = cdf, cdfComplete = withCdf)
       else
         publish(f, root, v, untouched ++ files, schema, map,
           (prev.stats -- touched) ++ stats, prev.maxColId, txn = None,
           retired = prev.retired, sizes = (prev.sizes -- touched) ++ sizes,
           partitionBy = prev.partitionBy, op = "merge",
-          dvs = prev.dvs -- touched)
+          dvs = prev.dvs -- touched, props = prev.props,
+          cdf = cdf, cdfComplete = withCdf)
       v
     } finally src.unpersist(blocking = false)
   }
@@ -2511,22 +2751,20 @@ object Snapshots {
           case None => tq(fd.name).as(fd.name)
         }
       }: _*)
-      val out = insertCols match {
-        case None => kept
-        case Some(cols) =>
-          val notMatched = src.alias("s")
-            .join(slice.select(keyFields.map(kf => quoted(kf.name)): _*).alias("t"),
-              joinCond, "left_anti")
-          val gated = insertCondition.fold(notMatched)(c =>
-            notMatched.filter(coalesce(c, lit(false))))
-          val inserts = gated.select(schema.fields.toSeq.map { fd =>
-            cols.find { case (n, _) => sameCol(n, fd.name) } match {
-              case Some((_, expr)) => expr.as(fd.name)
-              case None => lit(null).cast(fd.dataType).as(fd.name)
-            }
-          }: _*)
-          kept.unionByName(inserts)
+      val inserts: Option[DataFrame] = insertCols.map { cols =>
+        val notMatched = src.alias("s")
+          .join(slice.select(keyFields.map(kf => quoted(kf.name)): _*).alias("t"),
+            joinCond, "left_anti")
+        val gated = insertCondition.fold(notMatched)(c =>
+          notMatched.filter(coalesce(c, lit(false))))
+        gated.select(schema.fields.toSeq.map { fd =>
+          cols.find { case (n, _) => sameCol(n, fd.name) } match {
+            case Some((_, expr)) => expr.as(fd.name)
+            case None => lit(null).cast(fd.dataType).as(fd.name)
+          }
+        }: _*)
       }
+      val out = inserts.fold(kept)(kept.unionByName)
       def lcRoot(s: String) = s.toLowerCase(java.util.Locale.ROOT)
       require(out.schema.fields.map(fd => (lcRoot(fd.name), fd.dataType)).toSeq
         == schema.fields.map(fd => (lcRoot(fd.name), fd.dataType)).toSeq,
@@ -2534,16 +2772,44 @@ object Snapshots {
           "expressions to the column types")
       val (files, stats, sizes) = writeWithStats(out, map, f, root, v,
         partByPhys = prev.partitionBy)
+      // change-data recording (r18): derived from the SAME joined
+      // frame the merge evaluated — deleted pairs' target rows,
+      // updated pairs' pre/post-images, and the insert projection
+      val withCdf = cdfEnabled(prev)
+      val cdf = if (!withCdf) Seq.empty else {
+        val tRow = schema.fields.toSeq.map(fd => tq(fd.name).as(fd.name))
+        val postRow = schema.fields.toSeq.map { fd =>
+          updateSet.flatMap(_.find { case (n, _) => sameCol(n, fd.name) }) match {
+            case Some((_, expr)) => expr.as(fd.name)
+            case None => tq(fd.name).as(fd.name)
+          }
+        }
+        val delPre = deleteCondition.map(_ =>
+          joined.filter(delGate).select(tRow: _*)
+            .withColumn(ChangeTypeCol, lit("delete")))
+        val updPair = updateSet.map { _ =>
+          joined.filter(updGate).select(tRow: _*)
+            .withColumn(ChangeTypeCol, lit("update_preimage"))
+            .unionByName(joined.filter(updGate).select(postRow: _*)
+              .withColumn(ChangeTypeCol, lit("update_postimage")))
+        }
+        val ins = inserts.map(_.withColumn(ChangeTypeCol, lit("insert")))
+        val changes = (delPre.toSeq ++ updPair.toSeq ++ ins.toSeq)
+          .reduce(_.unionByName(_))
+        writeChangeData(changes, map, f, root, v)
+      }
       if (deltaOk(prev))
         publishDelta(f, root, v, v - 1, prev.depth + 1, files, touched,
           schema, map, stats, sizes, prev.maxColId, txn = None,
-          retired = prev.retired, partitionBy = prev.partitionBy, op = "merge")
+          retired = prev.retired, partitionBy = prev.partitionBy, op = "merge",
+          props = prev.props, cdf = cdf, cdfComplete = withCdf)
       else
         publish(f, root, v, untouched ++ files, schema, map,
           (prev.stats -- touched) ++ stats, prev.maxColId, txn = None,
           retired = prev.retired, sizes = (prev.sizes -- touched) ++ sizes,
           partitionBy = prev.partitionBy, op = "merge",
-          dvs = prev.dvs -- touched)
+          dvs = prev.dvs -- touched, props = prev.props,
+          cdf = cdf, cdfComplete = withCdf)
       v
     } finally src.unpersist(blocking = false)
   }
@@ -2551,12 +2817,16 @@ object Snapshots {
   /** Shared COW core: split the current version's files by the stats
     * pruner into (touched, untouched), rewrite the touched slice
     * through `transform`, publish untouched-by-reference + rewritten.
-    */
+    * `changeRows` (given the same slice) yields the commit's row-level
+    * change set — computed and written as `_change_data` parquet ONLY
+    * when the table records a change feed ([[ChangeFeedProp]]); the
+    * commit is then marked CDF-complete. */
   private def rewriteWhere(spark: SparkSession, dir: String,
                            pred: org.apache.spark.sql.Column,
                            expectedVersion: Option[Long],
                            op: String)(
-      transform: DataFrame => DataFrame): Long = {
+      transform: DataFrame => DataFrame,
+      changeRows: DataFrame => DataFrame = null): Long = {
     val f = fsFor(dir)
     val root = rootOf(f, dir)
     val v = nextVersion(dir, expectedVersion)
@@ -2583,16 +2853,21 @@ object Snapshots {
       "copy-on-write rewrite must preserve the table schema")
     val (files, stats, sizes) = writeWithStats(rewritten, map, f, root, v,
       partByPhys = prev.partitionBy)
+    val withCdf = cdfEnabled(prev) && changeRows != null
+    val cdf = if (withCdf) writeChangeData(changeRows(slice), map, f, root, v)
+      else Seq.empty
     if (deltaOk(prev))
       publishDelta(f, root, v, v - 1, prev.depth + 1, files, touched,
         schema, map, stats, sizes, prev.maxColId, txn = None,
-        retired = prev.retired, partitionBy = prev.partitionBy, op = op)
+        retired = prev.retired, partitionBy = prev.partitionBy, op = op,
+        props = prev.props, cdf = cdf, cdfComplete = withCdf)
     else
       publish(f, root, v, untouchedFiles ++ files, schema, map,
         (prev.stats -- touched) ++ stats, prev.maxColId,
         txn = None, retired = prev.retired,
         sizes = (prev.sizes -- touched) ++ sizes, partitionBy = prev.partitionBy,
-        op = op, dvs = prev.dvs -- touched)
+        op = op, dvs = prev.dvs -- touched, props = prev.props,
+        cdf = cdf, cdfComplete = withCdf)
     v
   }
 
@@ -2685,7 +2960,11 @@ object Snapshots {
     publish(f, root, v, target.files, schema, targetMap, target.stats,
       math.max(prev.maxColId, targetMap.foldLeft(0)((m, c) => math.max(m, c.id))),
       txn = None, retired = retired, sizes = target.sizes,
-      partitionBy = target.partitionBy, op = "restore", dvs = target.dvs)
+      partitionBy = target.partitionBy, op = "restore", dvs = target.dvs,
+      // properties are the HEAD's, not the restored version's: a
+      // restore rewinds CONTENT; table configuration (changeFeed etc.)
+      // stays as currently set — the Delta RESTORE rule
+      props = prev.props)
     v
   }
 
@@ -3029,6 +3308,11 @@ object Snapshots {
     doomed.foreach { case (v, files, _) =>
       files.filterNot(keep.contains)
         .foreach(rel => f.delete(new Path(root, rel), false))
+      // change-data files are version-OWN (never shared, never carried)
+      // and a vacuumed/demoted version is no longer readable — reclaim
+      // its _change_data dir with it (r18; the streaming walk already
+      // refuses ranges whose manifests are gone)
+      f.delete(changeDataDirPath(root, v), true)
       if (closure.contains(v)) {
         // still a fold base of a survivor: demote, don't delete
         val fc = org.apache.hadoop.fs.FileContext.getFileContext(root.toUri, f.getConf)
@@ -3123,6 +3407,17 @@ object Snapshots {
             f.delete(st.getPath, true)
         }
       }
+    }
+    // orphan _change_data dirs: a DML that crashed between its change
+    // write and publish squats above the current version — same
+    // above-current + aged-subtree gate as the data-dir sweep
+    val cdfRoot = new Path(root, "_change_data")
+    if (f.exists(cdfRoot)) f.listStatus(cdfRoot).foreach { st =>
+      val n = st.getPath.getName
+      if (n.startsWith("v") && n.length > 1 && n.drop(1).forall(_.isDigit) &&
+          n.drop(1).toLong > cur && st.getModificationTime < cutoff &&
+          newestMtime(f, st) < cutoff)
+        f.delete(st.getPath, true)
     }
   }
 }

@@ -92,7 +92,7 @@ class SnapshotCatalog extends TableCatalog {
   override def loadTable(ident: Identifier): Table = {
     val dir = dirFor(ident)
     if (!isTableDir(new Path(dir))) throw new NoSuchTableException(ident)
-    new SnapshotTable(spark, dir, versionAsOf = None)
+    new org.apache.spark.sql.graft.SnapshotTableV1Fallback(spark, dir, versionAsOf0 = None)
   }
 
   /** `SELECT ... FROM t VERSION AS OF <v>` — time travel through the
@@ -102,7 +102,7 @@ class SnapshotCatalog extends TableCatalog {
     if (!isTableDir(new Path(dir))) throw new NoSuchTableException(ident)
     require(version.nonEmpty && version.forall(_.isDigit),
       s"VERSION AS OF wants a non-negative snapshot version, got '$version'")
-    new SnapshotTable(spark, dir, versionAsOf = Some(version.toLong))
+    new org.apache.spark.sql.graft.SnapshotTableV1Fallback(spark, dir, versionAsOf0 = Some(version.toLong))
   }
 
   /** `SELECT ... FROM t TIMESTAMP AS OF <ts>` (r17): the engine hands
@@ -115,7 +115,7 @@ class SnapshotCatalog extends TableCatalog {
     val dir = dirFor(ident)
     if (!isTableDir(new Path(dir))) throw new NoSuchTableException(ident)
     val v = Snapshots.versionAtTimestamp(dir, math.floorDiv(timestamp, 1000L))
-    new SnapshotTable(spark, dir, versionAsOf = Some(v))
+    new org.apache.spark.sql.graft.SnapshotTableV1Fallback(spark, dir, versionAsOf0 = Some(v))
   }
 
   override def invalidateTable(ident: Identifier): Unit = ()
@@ -134,7 +134,7 @@ class SnapshotCatalog extends TableCatalog {
     val empty = spark.createDataFrame(
       spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
     Snapshots.commit(empty, dir, partitionBy = partitionBy)
-    new SnapshotTable(spark, dir, versionAsOf = None)
+    new org.apache.spark.sql.graft.SnapshotTableV1Fallback(spark, dir, versionAsOf0 = None)
   }
 
   /** `ALTER TABLE` — the subset the log itself supports, each landing
@@ -156,6 +156,7 @@ class SnapshotCatalog extends TableCatalog {
   override def alterTable(ident: Identifier, changes: TableChange*): Table = {
     val dir = dirFor(ident)
     if (!isTableDir(new Path(dir))) throw new NoSuchTableException(ident)
+    if (alterProperties(dir, changes.toSeq)) return loadTable(ident)
     def topLevel(fieldNames: Array[String], what: String): String = {
       require(fieldNames.length == 1,
         s"ALTER TABLE $what on nested field ${fieldNames.mkString(".")} is " +
@@ -187,11 +188,33 @@ class SnapshotCatalog extends TableCatalog {
       case other =>
         throw new UnsupportedOperationException(
           s"ALTER TABLE change $other is not supported on snapshot tables — " +
-            "supported: ADD COLUMN, RENAME COLUMN, widening ALTER COLUMN TYPE; " +
+            "supported: ADD COLUMN, RENAME COLUMN, widening ALTER COLUMN TYPE, " +
+            "SET/UNSET TBLPROPERTIES; " +
             "for anything else use the log's own API (Snapshots.*)")
     }.toSeq
     Snapshots.alterTable(dir, ops)
     loadTable(ident)
+  }
+
+  /** `ALTER TABLE ... SET/UNSET TBLPROPERTIES` — one metadata-only
+    * property commit each (r18; `changeFeed=true` turns on change-data
+    * recording for COW DML). Dispatched BEFORE the schema-change
+    * translation: property changes and schema changes never mix in
+    * one statement under Spark's grammar. */
+  private def alterProperties(dir: String, changes: Seq[TableChange]): Boolean = {
+    val propChanges = changes.collect {
+      case s: TableChange.SetProperty => (s.property, Some(s.value))
+      case r: TableChange.RemoveProperty => (r.property, None)
+    }
+    if (propChanges.isEmpty) false
+    else {
+      require(propChanges.size == changes.size,
+        "cannot mix TBLPROPERTIES changes with schema changes in one ALTER")
+      propChanges.foreach { case (k, v) =>
+        Snapshots.setTableProperty(dir, k, v)
+      }
+      true
+    }
   }
 
   override def dropTable(ident: Identifier): Boolean = {

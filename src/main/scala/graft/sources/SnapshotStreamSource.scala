@@ -72,10 +72,12 @@ import graft.operators.Snapshots
 object SnapshotStreamSource {
   val ShortName = "graft-snapshots"
 
-  /** The change-feed marker column (`readChangeFeed=true`):
-    * 'insert' for appended/bootstrap rows, 'delete' for rows a
-    * deletion-vector commit removed (r17). */
-  val ChangeTypeCol = "_change_type"
+  /** The change-feed marker column (`readChangeFeed=true`): 'insert'
+    * for appended/bootstrap rows, 'delete' for rows a deletion-vector
+    * commit (r17), a recorded COW delete, or a pure file removal
+    * removed, 'update_preimage'/'update_postimage' for recorded COW
+    * updates (r18) — one definition shared with the writer. */
+  val ChangeTypeCol: String = Snapshots.ChangeTypeCol
 
   /** "all rows <= version delivered" — the checkpointable cursor. */
   case class SnapshotSourceOffset(version: Long) extends Offset {
@@ -129,7 +131,8 @@ object SnapshotStreamSource {
   * does not advertise MICRO_BATCH_READ so `DataStreamReader` falls
   * back to the V1 source here. */
 class SnapshotStreamSourceProvider extends StreamSourceProvider with DataSourceRegister
-    with org.apache.spark.sql.connector.catalog.TableProvider {
+    with org.apache.spark.sql.connector.catalog.TableProvider
+    with org.apache.spark.sql.sources.StreamSinkProvider {
   import SnapshotStreamSource._
 
   override def shortName(): String = ShortName
@@ -138,6 +141,44 @@ class SnapshotStreamSourceProvider extends StreamSourceProvider with DataSourceR
     parameters.collectFirst { case (k, v) if k.equalsIgnoreCase("path") => v }
       .getOrElse(throw new IllegalArgumentException(
         s"$ShortName needs the table directory: .load(<dir>)"))
+
+  /** The V1 STREAMING SINK face (r18): `writeStream.toTable("graft.t")`
+    * (via [[SnapshotTable.v1Table]]) and
+    * `writeStream.format("graft-snapshots").option("path", dir)` land
+    * each micro-batch through [[Snapshots.streamAppendBatch]] — the
+    * exactly-once manifest-ledger append `foreachBatch(streamAppend)`
+    * already provides, now name-addressable. The writer identity for
+    * the idempotence ledger is, in order: an explicit `appId` option,
+    * the query's checkpoint location (stable across restarts — the
+    * natural identity), or the `streamAppend` default. */
+  override def createSink(sqlContext: SQLContext,
+                          parameters: Map[String, String],
+                          partitionColumns: Seq[String],
+                          outputMode: org.apache.spark.sql.streaming.OutputMode)
+      : org.apache.spark.sql.execution.streaming.Sink = {
+    val dir = tableDir(parameters)
+    require(outputMode == org.apache.spark.sql.streaming.OutputMode.Append(),
+      s"$ShortName sink supports Append output mode only, got $outputMode " +
+        "— aggregate to completion with foreachBatch + Snapshots.commit instead")
+    require(partitionColumns.isEmpty,
+      s"$ShortName sink: partitioning is fixed by the table's own layout — " +
+        "drop partitionBy from the stream writer")
+    val opts = parameters.map { case (k, v) =>
+      k.toLowerCase(java.util.Locale.ROOT) -> v }
+    val appId = opts.get("appid")
+      .orElse(opts.get("checkpointlocation"))
+      .getOrElse("stream")
+    new org.apache.spark.sql.execution.streaming.Sink {
+      override def addBatch(batchId: Long,
+                            data: org.apache.spark.sql.DataFrame): Unit = {
+        Snapshots.streamAppendBatch(
+          org.apache.spark.sql.graft.StreamingScanBridge.unstream(data),
+          batchId, dir, appId)
+        ()
+      }
+      override def toString: String = s"SnapshotSink[$dir]"
+    }
+  }
 
   // --- DSv2 TableProvider (batch reads) ----------------------------
 
@@ -202,7 +243,8 @@ class SnapshotStreamSourceProvider extends StreamSourceProvider with DataSourceR
     val dir = Option(options.get("path")).getOrElse(
       throw new IllegalArgumentException(
         s"$ShortName needs the table directory: .load(<dir>)"))
-    new SnapshotTable(org.apache.spark.sql.SparkSession.active, dir,
+    new org.apache.spark.sql.graft.SnapshotTableV1Fallback(
+      org.apache.spark.sql.SparkSession.active, dir,
       versionOpt(options, dir), Option(schema))
   }
 
@@ -452,23 +494,85 @@ class SnapshotStreamSource(spark: SparkSession, dir: String,
   private val ChangeOps = Set("commit", "compact", "delete", "update",
     "merge", "restore")
 
-  /** Walk (from-1, to] pairwise: `_1` = versions that REWROTE
-    * delivered rows (file removals, DV shrinks, or — outside
-    * change-feed mode — any DV change), `_2` = whether every version
-    * in range could be verified, `_3` = (change-feed mode only) the
-    * row positions deletion-vector commits ADDED on carried files in
-    * the range, merged per file — the row-level removes getBatch
-    * delivers as `_change_type='delete'` (r17, judge r16 #7). */
-  private def changeVersionsIn(from: Long, to: Long)
-      : (Set[Long], Boolean, Map[String, Vector[Long]]) = {
+  /** What the pairwise walk over (from-1, to] found (r18 — the walk
+    * grew from a 3-tuple when change-feed mode learned to DELIVER
+    * rewrites instead of refusing them):
+    *  - `changed`: versions that rewrote delivered rows and CANNOT be
+    *    delivered as row-level changes — the refusal set;
+    *  - `verified`: every version in range could be certified;
+    *  - `dvAdds`: row positions deletion-vector commits added on
+    *    carried files, merged per file ('delete' rows, r17);
+    *  - `cdfRows`: per CDF-complete DML version, its `#cdf` change
+    *    files (r18 — delivered as-marked instead of refusing);
+    *  - `removeOnly`: per pure-file-removal version (partition delete,
+    *    TRUNCATE, remove-only restore), the removed files and their
+    *    prior DVs — the files' surviving contents ARE the version's
+    *    deletes, reconstructed with zero change files;
+    *  - `specialAdds`: data files ADDED by versions whose own row
+    *    changes are delivered through cdf/neutral paths — excluded
+    *    from insert delivery (they are rewrites, not inserts);
+    *  - `appendAdds`: per ordinary version, its own added files —
+    *    used instead of end-manifest attribution when the range mixes
+    *    appends with rewrites (a later in-range rewrite removes an
+    *    earlier append's files from the end manifest, which would
+    *    silently drop their inserts). */
+  private case class RangeChanges(
+      changed: Set[Long], verified: Boolean,
+      dvAdds: Map[String, Vector[Long]],
+      cdfRows: Map[Long, Seq[String]],
+      removeOnly: Map[Long, (Seq[String], Map[String, Vector[Long]])],
+      specialAdds: Set[String],
+      appendAdds: Map[Long, Seq[String]]) {
+    def needsPerVersion: Boolean =
+      cdfRows.nonEmpty || removeOnly.nonEmpty || specialAdds.nonEmpty
+  }
+
+  private def changeVersionsIn(from: Long, to: Long): RangeChanges = {
     val out = Set.newBuilder[Long]
     val dvAdds = scala.collection.mutable.Map[String, Vector[Long]]()
+    val cdfRows = scala.collection.mutable.Map[Long, Seq[String]]()
+    val removeOnly =
+      scala.collection.mutable.Map[Long, (Seq[String], Map[String, Vector[Long]])]()
+    val specialAdds = Set.newBuilder[String]
+    val appendAdds = scala.collection.mutable.Map[Long, Seq[String]]()
     var verified = 0L
     var prev: Option[Snapshots.Manifest] = None
     var prevV = -2L
     (math.max(from - 1, 0L) to to).foreach { v =>
       if (Snapshots.versionExists(dir, v, orDemoted = true)) {
         val man = Snapshots.manifestAt(dir, v, orDemoted = true)
+        def ownAdds: Seq[String] = man.files.filter(fileVersion(_) == v)
+        /** The version rewrote rows — in change-feed mode, try the
+          * r18 delivery ladder before refusing; `p` (the predecessor)
+          * is needed only by the remove-only reconstruction. */
+        def classifyRewrite(p: Option[Snapshots.Manifest]): Unit =
+          if (!changeFeed) out += v
+          else if (man.op.contains("compact")) {
+            // row-neutral by the compact/OPTIMIZE contract: content is
+            // byte-equal before and after, so the change feed delivers
+            // NOTHING for it — but its rewritten files must not read
+            // as inserts
+            specialAdds ++= ownAdds
+          } else if (man.cdfComplete) {
+            cdfRows(v) = man.cdf
+            specialAdds ++= ownAdds
+          } else {
+            val adds = ownAdds
+            p match {
+              case Some(pm) if adds.isEmpty &&
+                  pm.files.filter(man.files.toSet).forall(rel =>
+                    pm.dvs.get(rel) == man.dvs.get(rel)) =>
+                // pure file removal: the removed files' surviving rows
+                // (prior DVs anti-applied) are exactly the deletes
+                val removed = {
+                  val cur = man.files.toSet
+                  pm.files.filterNot(cur)
+                }
+                removeOnly(v) = (removed,
+                  removed.flatMap(rel => pm.dvs.get(rel).map(rel -> _)).toMap)
+              case _ => out += v
+            }
+          }
         if (v >= from) {
           if (v == 0L) {
             // the table-creating commit has no predecessor and cannot
@@ -480,11 +584,12 @@ class SnapshotStreamSource(spark: SparkSession, dir: String,
             // (advisor r15). Certified here, outside BOTH the changed
             // set and the verified tally — the expected-count formula
             // below already excludes version 0 via max(from, 1).
+            appendAdds(v) = man.files.filter(fileVersion(_) == 0L)
           } else if (prevV == v - 1) {
             verified += 1
             prev.foreach { p =>
               val cur = man.files.toSet
-              if (!p.files.forall(cur.contains)) out += v
+              if (!p.files.forall(cur.contains)) classifyRewrite(Some(p))
               else {
                 // carried set intact: any DV drift is row-level.
                 // Outside change-feed mode it is a change commit
@@ -508,21 +613,26 @@ class SnapshotStreamSource(spark: SparkSession, dir: String,
                         dvAdds(rel) = (dvAdds.getOrElse(rel, Vector.empty) ++
                           added).distinct.sorted
                     }
+                    appendAdds(v) = ownAdds // DV commits may also append
                   } else out += v
-                }
+                } else appendAdds(v) = ownAdds
               }
             }
           } else man.op match { // predecessor gone: certify by label
-            case Some(o) if AppendOps.contains(o) => verified += 1
-            case Some(o) if ChangeOps.contains(o) => verified += 1; out += v
+            case Some(o) if AppendOps.contains(o) =>
+              verified += 1; appendAdds(v) = ownAdds
+            case Some(o) if ChangeOps.contains(o) =>
+              verified += 1; classifyRewrite(None)
             case _ => () // unlabeled (pre-r15): genuinely unverifiable
           }
         }
         prev = Some(man); prevV = v
       } else { prev = None; prevV = -2L }
     }
-    (out.result(), verified == math.max(0L, to - math.max(from, 1L) + 1),
-      dvAdds.toMap)
+    RangeChanges(out.result(),
+      verified == math.max(0L, to - math.max(from, 1L) + 1),
+      dvAdds.toMap, cdfRows.toMap, removeOnly.toMap,
+      specialAdds.result(), appendAdds.toMap)
   }
 
   /** End version of the last COMMITTED micro-batch, from the owning
@@ -631,49 +741,77 @@ class SnapshotStreamSource(spark: SparkSession, dir: String,
       if (startingVersion.equalsIgnoreCase("latest")) creationVersion
       else startingVersion.toLong - 1 // change feed from exactly V on
     }
-    val (changed, fullyAttributed, dvAdds) = changeVersionsIn(boundary + 1, endV)
-    val files: Seq[String] = {
-        // A vacuumed END manifest reaching this point was CERTIFIED
-        // against the engine's commit log above (or the caller opted
-        // out with ignoreChanges): it is a replay of an
-        // already-committed batch whose result the engine discards,
-        // so the strict checks are waived there. Everywhere else they
-        // hold even across a vacuum, because vacuum demotes
-        // delta-chain bases instead of deleting them and the walk
-        // above resolves those.
-        if (!endVacuumed && changed.nonEmpty && !skipChange && !ignoreChanges)
-          throw new IllegalStateException(
-            s"version(s) ${changed.toSeq.sorted.mkString(", ")} of $dir " +
-              "rewrote existing rows (COW delete/update or compact) — a " +
-              "streaming read over an append lineage cannot deliver them " +
-              "exactly-once. Pass skipChangeCommits=true to skip rewritten " +
-              "files (deletes/updates unobserved) or ignoreChanges=true to " +
-              "re-deliver surviving rows of rewritten files")
-        if (!endVacuumed && !fullyAttributed && !ignoreChanges)
-          throw new IllegalStateException(
-            s"history in ($boundary, $endV] of $dir was reclaimed past a " +
-              "checkpoint manifest (the stream lagged more than the delta " +
-              "chain), so append-only delivery cannot be verified — pass " +
-              "ignoreChanges=true to proceed (surviving rows of any rewrite " +
-              "would re-deliver) or re-bootstrap from the earliest retained " +
-              "snapshot")
+    val rc = changeVersionsIn(boundary + 1, endV)
+    // A vacuumed END manifest reaching this point was CERTIFIED
+    // against the engine's commit log above (or the caller opted
+    // out with ignoreChanges): it is a replay of an
+    // already-committed batch whose result the engine discards,
+    // so the strict checks are waived there. Everywhere else they
+    // hold even across a vacuum, because vacuum demotes
+    // delta-chain bases instead of deleting them and the walk
+    // above resolves those.
+    if (!endVacuumed && rc.changed.nonEmpty && !skipChange && !ignoreChanges)
+      throw new IllegalStateException(
+        s"version(s) ${rc.changed.toSeq.sorted.mkString(", ")} of $dir " +
+          "rewrote existing rows (COW delete/update or compact) — a " +
+          "streaming read over an append lineage cannot deliver them " +
+          "exactly-once. " + (if (changeFeed)
+            "Enable change-data recording (Snapshots.setChangeFeed) BEFORE " +
+              "such commits so the feed can deliver their row-level changes, or "
+          else "") +
+          "pass skipChangeCommits=true to skip rewritten " +
+          "files (deletes/updates unobserved) or ignoreChanges=true to " +
+          "re-deliver surviving rows of rewritten files")
+    if (!endVacuumed && !rc.verified && !ignoreChanges)
+      throw new IllegalStateException(
+        s"history in ($boundary, $endV] of $dir was reclaimed past a " +
+          "checkpoint manifest (the stream lagged more than the delta " +
+          "chain), so append-only delivery cannot be verified — pass " +
+          "ignoreChanges=true to proceed (surviving rows of any rewrite " +
+          "would re-deliver) or re-bootstrap from the earliest retained " +
+          "snapshot")
+    val files: Seq[String] =
+      if (changeFeed && rc.needsPerVersion && !endVacuumed)
+        // PER-VERSION insert attribution (r18): a later in-range
+        // rewrite removes an earlier append's files from the END
+        // manifest, so end-manifest attribution would silently drop
+        // those inserts — take each ordinary version's own adds from
+        // its own walked manifest instead (all verified present above)
+        rc.appendAdds.toSeq.sortBy(_._1).flatMap(_._2)
+      else
         man.files.filter { rel =>
           val fv = fileVersion(rel)
-          fv > boundary && fv <= endV && !(skipChange && changed.contains(fv))
+          fv > boundary && fv <= endV &&
+            !(skipChange && rc.changed.contains(fv)) &&
+            !(changeFeed && rc.specialAdds.contains(rel))
         }
-    }
     val inserts = withChangeType(readAsCaptured(man, files), "insert")
-    if (dvAdds.isEmpty) inserts
-    else {
+    var out = inserts
+    if (rc.dvAdds.nonEmpty) {
       // CHANGE FEED row-level removes (r17): the rows deletion-vector
       // commits in (start, end] doomed, read back from their (carried,
       // byte-identical) files by position and marked 'delete'. Earlier
       // DVs on the same file do NOT anti-apply here — only the range's
       // own additions are this batch's removes.
-      val deletes = withChangeType(
-        readAsCaptured(man, dvAdds.keys.toSeq, onlyDv = Some(dvAdds)), "delete")
-      inserts.unionByName(deletes)
+      out = out.unionByName(withChangeType(
+        readAsCaptured(man, rc.dvAdds.keys.toSeq, onlyDv = Some(rc.dvAdds)),
+        "delete"))
     }
+    // CHANGE-DATA files (r18): COW DML versions recorded under the
+    // changeFeed table property deliver their own written change rows
+    // — pre/post-images, deletes, merge inserts — as marked
+    rc.cdfRows.toSeq.sortBy(_._1).foreach { case (_, rels) =>
+      if (rels.nonEmpty) out = out.unionByName(readCdfAsCaptured(man, rels))
+    }
+    // pure file-removal versions (r18): the removed files' surviving
+    // rows (prior DVs anti-applied) ARE the version's deletes —
+    // reconstructed from the byte-identical files, no change data
+    rc.removeOnly.toSeq.sortBy(_._1).foreach { case (_, (removed, dvs)) =>
+      if (removed.nonEmpty)
+        out = out.unionByName(withChangeType(
+          readAsCaptured(man, removed, dropDv = Some(dvs)), "delete"))
+    }
+    out
   }
 
   /** Read `files` in their physical schema and project into the
@@ -681,10 +819,20 @@ class SnapshotStreamSource(spark: SparkSession, dir: String,
     * pre-mapping manifests), missing columns NULL, retypes refused.
     * `applyDvs` anti-applies the manifest's deletion vectors (the
     * BOOTSTRAP snapshot wants table STATE; change-feed batches
-    * deliver appended files as written — see getBatch). */
+    * deliver appended files as written — see getBatch). `dropDv`
+    * anti-applies an EXPLICIT per-file position map instead (the
+    * remove-only reconstruction uses the PREDECESSOR's DVs — rows a
+    * prior DV already deleted must not re-deliver as deletes).
+    * `extraCol` carries a string column present in the files (the
+    * change files' [[SnapshotStreamSource.ChangeTypeCol]]) through to
+    * the output; `flat` forces the non-hive-layout scan (change files
+    * store partition columns as ordinary columns). */
   private def readAsCaptured(man: Snapshots.Manifest, files: Seq[String],
                              applyDvs: Boolean = false,
-                             onlyDv: Option[Map[String, Vector[Long]]] = None)
+                             onlyDv: Option[Map[String, Vector[Long]]] = None,
+                             dropDv: Option[Map[String, Vector[Long]]] = None,
+                             extraCol: Option[String] = None,
+                             flat: Boolean = false)
       : DataFrame = {
     val endMap = Snapshots.colMapOf(man)
     val endSchema = man.schema
@@ -716,7 +864,9 @@ class SnapshotStreamSource(spark: SparkSession, dir: String,
       }
     }
     val physSchema = StructType(pairs.collect { case (fd, Some(p)) =>
-      fd.copy(name = p, nullable = true) })
+      fd.copy(name = p, nullable = true) } ++
+      extraCol.map(c => org.apache.spark.sql.types.StructField(
+        c, org.apache.spark.sql.types.StringType, nullable = true)))
     val root = new org.apache.hadoop.fs.Path(dir)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val qroot = fs.makeQualified(root)
@@ -740,7 +890,7 @@ class SnapshotStreamSource(spark: SparkSession, dir: String,
       }
     def scanGroup(fs: Seq[String], dv: Option[Vector[Long]],
                   keep: Boolean): DataFrame =
-      if (man.partitionBy.isEmpty)
+      if (man.partitionBy.isEmpty || flat)
         withDv(bridge.streamingParquetDf(spark, physSchema, qualify(fs)), dv, keep)
       else
         // partition columns live in the file PATHS — the shared
@@ -764,14 +914,15 @@ class SnapshotStreamSource(spark: SparkSession, dir: String,
           frames.head
         }
       case None =>
-        val dirty = if (applyDvs) files.filter(rel =>
-          man.dvs.get(rel).exists(_.nonEmpty)) else Seq.empty
+        val dvMap: Map[String, Vector[Long]] =
+          dropDv.getOrElse(if (applyDvs) man.dvs else Map.empty)
+        val dirty = files.filter(rel => dvMap.get(rel).exists(_.nonEmpty))
         if (dirty.isEmpty) scanGroup(files, None, keep = false)
         else {
           var frames: Seq[DataFrame] =
             (Option(files.filterNot(dirty.toSet)).filter(_.nonEmpty)
               .map(scanGroup(_, None, keep = false)).toSeq) ++
-              dirty.map(rel => scanGroup(Seq(rel), Some(man.dvs(rel)), keep = false))
+              dirty.map(rel => scanGroup(Seq(rel), Some(dvMap(rel)), keep = false))
           while (frames.size > 1)
             frames = frames.grouped(2).map(_.reduce(_.unionByName(_))).toSeq
           frames.head
@@ -780,8 +931,17 @@ class SnapshotStreamSource(spark: SparkSession, dir: String,
     base.select(pairs.map {
       case (fd, Some(p)) => col("`" + p.replace("`", "``") + "`").as(fd.name)
       case (fd, None) => lit(null).cast(fd.dataType).as(fd.name)
-    }: _*)
+    } ++ extraCol.map(c => col("`" + c + "`")): _*)
   }
+
+  /** Change-data files projected into the captured schema, their own
+    * `_change_type` carried through — read FLAT (change files store
+    * partition columns as ordinary columns) with the same stable-id
+    * pairing as every other read; the batch's end manifest's mapping
+    * applies because physical names never change. */
+  private def readCdfAsCaptured(man: Snapshots.Manifest,
+                                rels: Seq[String]): DataFrame =
+    readAsCaptured(man, rels, extraCol = Some(ChangeTypeCol), flat = true)
 
   override def commit(end: Offset): Unit = () // retention is vacuum's job
 

@@ -83,7 +83,10 @@ class SnapshotTable(spark: SparkSession, val dir: String,
   }
 
   override def properties(): util.Map[String, String] =
-    Map("path" -> dir, "provider" -> SnapshotStreamSource.ShortName).asJava
+    (man.props ++
+      Map("path" -> dir, "provider" -> SnapshotStreamSource.ShortName)).asJava
+
+
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
     // `readChangeFeed` is a STREAMING option (the V1 source): a batch

@@ -175,6 +175,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // the engine's own resolution has bound every reference first —
     // the same slot Delta's PreprocessTableUpdate/Merge occupy
     ext.injectPostHocResolutionRule(_ => ResolveSnapshotDml)
+    // readStream.table option pass-through (r18) — the DeltaAnalysis
+    // shape: rewrite the streaming V2 relation over a snapshot table
+    // into the V1 source WITH the reader options merged
+    ext.injectResolutionRule(session => ResolveSnapshotStreaming(session))
     // maintenance statements (DESCRIBE HISTORY / OPTIMIZE / VACUUM /
     // RESTORE, r17) — the DeltaSqlParser shape: intercept the four
     // graft-only verbs, delegate everything else verbatim

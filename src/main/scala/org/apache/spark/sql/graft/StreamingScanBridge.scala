@@ -43,4 +43,18 @@ object StreamingScanBridge {
     ClassicDataset.ofRows(cls,
       LocalRelation(DataTypeUtils.toAttributes(schema), Nil, isStreaming = true))
   }
+
+  /** Re-wrap the micro-batch DataFrame a V1 `Sink.addBatch` receives
+    * as a NON-streaming DataFrame over the SAME physical rows (the
+    * DeltaSink trick): the engine hands the sink a Dataset over its
+    * IncrementalExecution whose leaves are streaming-flagged, so any
+    * re-planning write (`df.write`, a snapshot commit) would refuse
+    * with "streaming sources must be executed with writeStream". The
+    * internalCreateDataFrame bridge executes the batch's plan ONCE
+    * and exposes its rows as an ordinary batch frame. */
+  def unstream(data: DataFrame): DataFrame = {
+    val cls = data.sparkSession.asInstanceOf[ClassicSession]
+    cls.internalCreateDataFrame(
+      data.queryExecution.toRdd, data.schema, isStreaming = false)
+  }
 }

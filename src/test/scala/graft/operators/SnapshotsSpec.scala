@@ -1527,4 +1527,49 @@ class SnapshotsSpec extends SparkSpec {
     // AT the floor is still exactly servable (strict-< boundary)
     Snapshots.changelog(spark, dir, 2L, "id", Seq("id", "payload")).collect()
   }
+
+  test("pluggable commit protocol (r18): every publish routes through the hook; a lost race still refuses with OCC semantics") {
+    val dir = fresh()
+    Snapshots.commit(df(1, 2), dir) // v0 through the default protocol
+    // a COUNTING wrapper proves the routing: every publish goes
+    // through the active protocol (manifest writes have no other path)
+    val calls = new java.util.concurrent.atomic.AtomicInteger(0)
+    val prev = Snapshots.commitProtocol
+    try {
+      Snapshots.commitProtocol = new Snapshots.CommitProtocol {
+        override def publish(f: org.apache.hadoop.fs.FileSystem,
+                             root: org.apache.hadoop.fs.Path, v: Long,
+                             target: org.apache.hadoop.fs.Path,
+                             body: Array[Byte]): Unit = {
+          calls.incrementAndGet()
+          Snapshots.RenameCommitProtocol.publish(f, root, v, target, body)
+        }
+      }
+      Snapshots.commitAppend(df(3), dir) // v1
+      Snapshots.renameColumn(dir, "payload", "body") // v2 (metadata-only)
+      assert(calls.get() >= 2,
+        "both the append and the rename must publish through the hook")
+      // LOST RACE: a protocol that loses every publish to a racer (the
+      // conditional-PUT 412 shape on an object store) must surface as
+      // the same 'concurrent commit' refusal the OCC retry loops
+      // understand — never a silent overwrite, never a torn table
+      Snapshots.commitProtocol = new Snapshots.CommitProtocol {
+        override def publish(f: org.apache.hadoop.fs.FileSystem,
+                             root: org.apache.hadoop.fs.Path, v: Long,
+                             target: org.apache.hadoop.fs.Path,
+                             body: Array[Byte]): Unit =
+          throw new IllegalStateException(
+            s"concurrent commit: version $v already published by a racer")
+      }
+      val e = intercept[Exception] {
+        Snapshots.renameColumn(dir, "body", "payload2")
+      }
+      assert(e.getMessage.contains("concurrent commit"), e.getMessage)
+      // nothing published, nothing torn: the table still reads at v2
+      assert(Snapshots.currentVersion(dir) === 2L)
+      Snapshots.commitProtocol = prev
+      assert(Snapshots.read(spark, dir).select("id").as[Long].collect().sorted
+        .toSeq === Seq(1L, 2L, 3L))
+    } finally Snapshots.commitProtocol = prev
+  }
 }

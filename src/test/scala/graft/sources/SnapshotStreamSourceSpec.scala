@@ -435,6 +435,133 @@ class SnapshotStreamSourceSpec extends SparkSpec {
       both.getCause != null && both.getCause.getMessage.contains("readChangeFeed"))
   }
 
+  /** Drain in change-feed mode with full rows: (id, payload, type). */
+  private def drainCdfRows(dir: String, checkpoint: String,
+                           starting: Option[String] = None)
+      : Seq[(Long, String, String)] = {
+    val rows = mutable.ArrayBuffer[(Long, String, String)]()
+    val reader = spark.readStream.format("graft-snapshots")
+      .option("readChangeFeed", "true")
+    val q = starting.fold(reader)(v => reader.option("startingVersion", v))
+      .load(dir)
+      .writeStream
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (b: DataFrame, _: Long) =>
+        val got = b.select("id", "payload", "_change_type").collect()
+          .map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSeq
+        rows.synchronized { rows ++= got }
+        ()
+      }
+      .start()
+    q.awaitTermination()
+    rows.toSeq
+  }
+
+  test("change-data feed (r18): recorded COW update/delete deliver row-level changes; layered COW+DV+append window exactly once") {
+    val dir = fresh()
+    val cp = fresh()
+    Snapshots.commit(df(1, 2, 3, 4, 5, 6), dir) // v0
+    Snapshots.setChangeFeed(dir, true) // v1: metadata-only property commit
+    assert(drainCdfRows(dir, cp).map(t => (t._1, t._3)).sorted
+      === (1L to 6L).map(_ -> "insert"),
+      "bootstrap after enablement: inserts only, the property commit adds nothing")
+    // ONE catch-up window layering: COW update, COW delete, append,
+    // DV delete — four versions, one batch, every change row-level
+    Snapshots.updateWhere(spark, dir, col("id") <= 2L,
+      Map("payload" -> concat(col("payload"), lit("!")))) // v2: cdf pre/post
+    Snapshots.deleteWhere(spark, dir, col("id") === 3L) // v3: cdf delete
+    Snapshots.commitAppend(df(7), dir) // v4: plain append
+    Snapshots.deleteWhere(spark, dir, col("id") === 5L,
+      deletionVectors = true) // v5: DV delete (manifest-recovered, no cdf)
+    val win = drainCdfRows(dir, cp).sorted
+    assert(win === Seq(
+      (1L, "p1", "update_preimage"), (1L, "p1!", "update_postimage"),
+      (2L, "p2", "update_preimage"), (2L, "p2!", "update_postimage"),
+      (3L, "p3", "delete"),
+      (5L, "p5", "delete"),
+      (7L, "p7", "insert")).sorted, s"got $win")
+    assert(drainCdfRows(dir, cp).isEmpty, "caught up: nothing re-delivers")
+    // compact / OPTIMIZE is row-neutral: the feed delivers NOTHING,
+    // and the rewritten files never read as inserts
+    Snapshots.compact(spark, dir) // v6
+    assert(drainCdfRows(dir, cp).isEmpty,
+      "compact must be invisible to the change feed")
+    // the change files themselves: recorded in the manifests,
+    // reclaimed by vacuum WITH their versions
+    assert(Snapshots.manifestAt(dir, 2L).cdfComplete &&
+      Snapshots.manifestAt(dir, 2L).cdf.nonEmpty,
+      "the COW update must have recorded #cdf lines")
+    val cdfDir = new java.io.File(dir, "_change_data/v000002")
+    assert(cdfDir.exists, "change files must live under _change_data/v<N>")
+    Snapshots.vacuum(dir, Snapshots.currentVersion(dir))
+    assert(!cdfDir.exists, "vacuum must reclaim change files with their version")
+    // an UNRECORDED COW rewrite still refuses, naming the fix
+    Snapshots.setChangeFeed(dir, false) // v7
+    Snapshots.deleteWhere(spark, dir, col("id") === 1L) // v8: no cdf
+    val e = intercept[StreamingQueryException](drainCdfRows(dir, cp))
+    assert(e.getCause.getMessage.contains("setChangeFeed"),
+      s"got: ${e.getCause.getMessage}")
+    // skipChangeCommits still opts out of the same lineage (no CDF)
+    val skipped = mutable.ArrayBuffer[Long]()
+    val q = spark.readStream.format("graft-snapshots")
+      .option("skipChangeCommits", "true").load(dir)
+      .writeStream.option("checkpointLocation", fresh())
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (b: DataFrame, _: Long) =>
+        val got = b.select("id").collect().map(_.getLong(0)).toSeq
+        skipped.synchronized { skipped ++= got }
+        ()
+      }.start()
+    q.awaitTermination()
+    assert(skipped.nonEmpty, "skipChangeCommits must keep streaming")
+  }
+
+  test("change-data feed (r18): pure file removals (partition delete) deliver their files' rows as deletes; per-version insert attribution") {
+    val dir = fresh()
+    val cp = fresh()
+    val base = Seq((1L, "a"), (2L, "a"), (3L, "b"), (4L, "b"))
+      .toDF("id", "grp")
+    Snapshots.commit(base, dir, partitionBy = Seq("grp")) // v0
+    Snapshots.setChangeFeed(dir, true) // v1
+    // stream from v0 explicitly: the feed replays history per version
+    val all = drainCdfRows2(dir, cp)
+    assert(all.map(t => (t._1, t._3)).sorted
+      === Seq(1L -> "insert", 2L -> "insert", 3L -> "insert", 4L -> "insert"))
+    // a whole-partition delete is manifest-only (zero change files) —
+    // the removed files' contents ARE the deletes
+    Snapshots.deleteWhere(spark, dir, col("grp") === "a") // v2: remove-only
+    assert(Snapshots.manifestAt(dir, 2L).cdf.isEmpty,
+      "partition delete must stay manifest-only (no change files)")
+    // ... and an append in the SAME window exercises per-version
+    // attribution (the rewrite removed v0 files from the end manifest)
+    Snapshots.commitAppend(Seq((9L, "c")).toDF("id", "grp"), dir) // v3
+    val win = drainCdfRows2(dir, cp).sorted
+    assert(win === Seq((1L, "a", "delete"), (2L, "a", "delete"),
+      (9L, "c", "insert")).sorted, s"got $win")
+    assert(drainCdfRows2(dir, cp).isEmpty, "exactly once")
+  }
+
+  /** drainCdfRows for the (id, grp) shape. */
+  private def drainCdfRows2(dir: String, checkpoint: String)
+      : Seq[(Long, String, String)] = {
+    val rows = mutable.ArrayBuffer[(Long, String, String)]()
+    val q = spark.readStream.format("graft-snapshots")
+      .option("readChangeFeed", "true").load(dir)
+      .writeStream
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (b: DataFrame, _: Long) =>
+        val got = b.select("id", "grp", "_change_type").collect()
+          .map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSeq
+        rows.synchronized { rows ++= got }
+        ()
+      }
+      .start()
+    q.awaitTermination()
+    rows.toSeq
+  }
+
   test("schema-add mid-stream: old captured schema keeps working, new column invisible") {
     val dir = fresh()
     val cp = fresh()
