@@ -105,6 +105,12 @@ object StressBenchFull {
       "snapshot_sql_merge" -> docReplicas,
       "snapshot_sql_dv_read" -> docReplicas,
       "snapshot_sql_alter" -> docReplicas,
+      // r18: same scratch shape — the timed big run pays the ×26
+      // lineage build (the composite-key RMW merge over the full
+      // corpus; the CDF lineage's COW update/delete + full change-feed
+      // stream back), linear in the corpus
+      "snapshot_sql_merge_multi" -> docReplicas,
+      "snapshot_cdf_stream" -> docReplicas,
       "delete_by_key" -> evReplicas)
 
     // Pair-join family: shuffle bytes asserted alongside wall time. A
