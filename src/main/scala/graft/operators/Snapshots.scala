@@ -632,6 +632,10 @@ object Snapshots {
                        expectedVersion: Option[Long] = None): Long = {
     require(key.nonEmpty && !key.exists(_.isWhitespace),
       s"property key must be non-empty and whitespace-free, got '$key'")
+    // these ride in the SAME properties() map the DSv2 resolution
+    // reads — a user property named 'path' would repoint every read
+    require(!key.equalsIgnoreCase("path") && !key.equalsIgnoreCase("provider"),
+      s"'$key' is a reserved table property")
     val f = fsFor(dir)
     val root = rootOf(f, dir)
     val v = nextVersion(dir, expectedVersion)

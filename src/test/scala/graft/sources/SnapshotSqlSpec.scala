@@ -630,6 +630,37 @@ class SnapshotSqlSpec extends SparkSpec {
       s"options must flow through readStream.table, got $got")
   }
 
+  test("TBLPROPERTIES through SQL (r18): SET/UNSET land as metadata-only property commits; reserved keys refuse") {
+    val base = fresh()
+    spark.conf.set("spark.sql.catalog.graft", classOf[SnapshotCatalog].getName)
+    spark.conf.set("spark.sql.catalog.graft.base", base)
+    val dir = base + "/tp"
+    Snapshots.commit(df(1, 2), dir) // v0
+    spark.sql("ALTER TABLE graft.tp SET TBLPROPERTIES('changeFeed'='true')")
+    assert(Snapshots.manifestAt(dir, 1L).props === Map("changeFeed" -> "true"))
+    assert(Snapshots.manifestAt(dir, 1L).op === Some("set-property"))
+    assert(Snapshots.manifestAt(dir, 1L).files
+      === Snapshots.manifestAt(dir, 0L).files, "metadata-only commit")
+    // visible through SHOW TBLPROPERTIES (table.properties())
+    val shown = spark.sql("SHOW TBLPROPERTIES graft.tp").collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(shown.get("changeFeed") === Some("true"), shown.toString)
+    // ...and the recorded flag actually drives CDF recording
+    Snapshots.deleteWhere(spark, dir, col("id") === 1L) // v2: COW + cdf
+    assert(Snapshots.manifestAt(dir, 2L).cdfComplete,
+      "a property set through SQL must turn on change-data recording")
+    // UNSET drops it; later commits carry the dropped state forward
+    spark.sql("ALTER TABLE graft.tp UNSET TBLPROPERTIES('changeFeed')")
+    assert(Snapshots.manifestAt(dir, 3L).props === Map.empty)
+    Snapshots.commitAppend(df(9), dir) // v4
+    assert(Snapshots.manifestAt(dir, 4L).props === Map.empty)
+    // reserved keys (the DSv2 resolution's own map) refuse
+    val e = intercept[Exception] {
+      spark.sql("ALTER TABLE graft.tp SET TBLPROPERTIES('path'='/elsewhere')")
+    }
+    assert(e.getMessage.contains("reserved"), e.getMessage)
+  }
+
   test("maintenance SQL: DESCRIBE HISTORY / OPTIMIZE / VACUUM / RESTORE through the parser extension (r17)") {
     val base = fresh()
     spark.conf.set("spark.sql.catalog.graft", classOf[SnapshotCatalog].getName)
