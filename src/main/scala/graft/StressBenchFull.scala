@@ -111,6 +111,7 @@ object StressBenchFull {
       // stream back), linear in the corpus
       "snapshot_sql_merge_multi" -> docReplicas,
       "snapshot_cdf_stream" -> docReplicas,
+      "snapshot_cdf_batch" -> docReplicas,
       "delete_by_key" -> evReplicas)
 
     // Pair-join family: shuffle bytes asserted alongside wall time. A

@@ -665,6 +665,165 @@ object Snapshots {
   private def changeDataDirPath(root: Path, v: Long): Path =
     new Path(new Path(root, "_change_data"), f"v$v%06d")
 
+  /** The batch-CDF version-attribution column: every change row
+    * carries the version that produced it, so a consumer can order
+    * and window changes (the Delta `_commit_version` column). */
+  val CommitVersionCol = "_commit_version"
+
+  /** BATCH change feed over [startingVersion, endingVersion] (r18) —
+    * the Delta `spark.read.option("readChangeFeed", ...)` semantics:
+    * each version's OWN row-level changes (no bootstrap; version 0's
+    * commit is its inserts), projected into the END version's schema
+    * by the stable column mapping (physical names never change, so a
+    * mid-range rename pairs exactly; columns added later read NULL in
+    * earlier versions' changes), each row stamped [[ChangeTypeCol]]
+    * and [[CommitVersionCol]]:
+    *
+    *  - appends / the table-creating commit → their added files as
+    *    'insert';
+    *  - deletion-vector commits → their range-added doomed rows as
+    *    'delete' (read by position from the byte-identical files);
+    *  - CDF-recorded DML commits → their `_change_data` rows as
+    *    written (pre/post-images, deletes, merge inserts);
+    *  - pure file removals (partition delete, TRUNCATE) → the removed
+    *    files' surviving rows as 'delete';
+    *  - compact / OPTIMIZE → nothing (row-neutral by contract);
+    *  - anything else (unrecorded COW rewrites, restores) refuses
+    *    loudly naming [[setChangeFeed]].
+    *
+    * Vacuumed-away versions inside the range refuse with the manifest
+    * reader's version-does-not-exist diagnostic — exact history
+    * cannot be reconstructed past retention, the same contract as the
+    * streaming walk. */
+  def changeFeed(spark: SparkSession, dir: String, startingVersion: Long,
+                 endingVersion: Option[Long] = None): DataFrame = {
+    val f = fsFor(dir)
+    val root = rootOf(f, dir)
+    val cur = currentVersion(dir)
+    require(cur >= 0, s"no committed version in $dir")
+    val to = endingVersion.getOrElse(cur)
+    require(startingVersion >= 0 && startingVersion <= to && to <= cur,
+      s"change-feed range [$startingVersion, $to] outside committed 0..$cur")
+    val toMan = manifestAt(dir, to, orDemoted = true)
+    val toSchema = toMan.schema.getOrElse(throw new IllegalArgumentException(
+      s"version $to of $dir is a legacy manifest with no recorded schema"))
+    val toMap = colMapOf(toMan)
+    Seq(ChangeTypeCol, CommitVersionCol).foreach { reserved =>
+      require(!toSchema.fieldNames.exists(_.equalsIgnoreCase(reserved)),
+        s"table $dir has a column named '$reserved' — rename it before " +
+          "reading the change feed")
+    }
+    /** Project a version's PHYSICAL-named frame into the end schema +
+      * markers — the stable-id pairing, via never-changing physical
+      * names. */
+    def project(df: DataFrame, changeType: Option[String], v: Long): DataFrame =
+      df.select(toSchema.fields.toSeq.map { fd =>
+        val phys = physicalOf(toMap, fd.name)
+        if (df.columns.exists(_.equalsIgnoreCase(phys))) quoted(phys).as(fd.name)
+        else lit(null).cast(fd.dataType).as(fd.name)
+      } ++ Seq(
+        changeType.map(lit(_)).getOrElse(quoted(ChangeTypeCol)).as(ChangeTypeCol),
+        lit(v).as(CommitVersionCol)): _*)
+    def refuse(v: Long): Nothing = throw new IllegalStateException(
+      s"version $v of $dir rewrote rows without recorded change data — " +
+        "enable Snapshots.setChangeFeed BEFORE such commits to read them " +
+        "as a change feed")
+    val frames = Seq.newBuilder[DataFrame]
+    var prev: Option[Manifest] =
+      if (startingVersion == 0) None
+      else if (versionExists(dir, startingVersion - 1, orDemoted = true))
+        Some(manifestAt(dir, startingVersion - 1, orDemoted = true))
+      else None // reclaimed past the chain: certify by op label below
+    (startingVersion to to).foreach { v =>
+      val man = manifestAt(dir, v, orDemoted = true)
+      def ownAdds: Seq[String] = man.files.filter(rel =>
+        graft.sources.SnapshotStreamSource.fileVersion(rel) == v)
+      def insertsOf(rels: Seq[String]): Unit =
+        if (rels.nonEmpty)
+          frames += project(readPhysical(spark, root, man, rels),
+            Some("insert"), v)
+      def cdfOf(): Unit = if (man.cdf.nonEmpty) {
+        val physSchema = StructType(
+          man.schema.getOrElse(toSchema).fields.map(fd =>
+            fd.copy(name = physicalOf(colMapOf(man), fd.name))) :+
+            StructField(ChangeTypeCol, StringType, nullable = true))
+        frames += project(readAs(spark, root, man.cdf, Some(physSchema)),
+          None, v)
+      }
+      (v, prev) match {
+        case (0L, _) => insertsOf(ownAdds) // table creation = inserts
+        case (_, Some(p)) =>
+          val curFiles = man.files.toSet
+          if (!p.files.forall(curFiles.contains)) {
+            // the version removed files: the r18 delivery ladder
+            if (man.op.contains("compact")) ()
+            else if (man.cdfComplete) cdfOf()
+            else {
+              val adds = ownAdds
+              val survivorsDvEqual = p.files.filter(curFiles).forall(rel =>
+                p.dvs.get(rel) == man.dvs.get(rel))
+              if (adds.isEmpty && survivorsDvEqual) {
+                val removed = p.files.filterNot(curFiles)
+                if (removed.nonEmpty)
+                  frames += project(
+                    readPhysical(spark, root, p.copy(files = removed), removed),
+                    Some("delete"), v)
+              } else refuse(v)
+            }
+          } else {
+            // carried set intact: row-level DV drift + any appends
+            val drifted = p.files.filter(rel => p.dvs.get(rel) != man.dvs.get(rel))
+            if (drifted.nonEmpty) {
+              val monotone = drifted.forall { rel =>
+                p.dvs.getOrElse(rel, Vector.empty).toSet
+                  .subsetOf(man.dvs.getOrElse(rel, Vector.empty).toSet)
+              }
+              if (!monotone) refuse(v) // restore resurrecting rows
+              drifted.foreach { rel =>
+                val before = p.dvs.getOrElse(rel, Vector.empty).toSet
+                val added = man.dvs.getOrElse(rel, Vector.empty).filterNot(before)
+                if (added.nonEmpty)
+                  frames += project(
+                    readPhysical(spark, root, man.copy(dvs = Map.empty),
+                      Seq(rel), keepMeta = true)
+                      .filter(col(DvPosCol).isin(added: _*))
+                      .drop(DvPosCol, DvFileCol),
+                    Some("delete"), v)
+              }
+            }
+            insertsOf(ownAdds)
+          }
+        case (_, None) => man.op match { // predecessor gone: by label
+          case Some(o) if AppendOpsBatch.contains(o) => insertsOf(ownAdds)
+          case Some("compact") => ()
+          case Some(_) if man.cdfComplete => cdfOf()
+          case _ => refuse(v)
+        }
+      }
+      prev = Some(man)
+    }
+    val out = frames.result()
+    if (out.isEmpty) {
+      val empty = StructType(toSchema.fields ++ Seq(
+        StructField(ChangeTypeCol, StringType, nullable = false),
+        StructField(CommitVersionCol, org.apache.spark.sql.types.LongType,
+          nullable = false)))
+      spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        empty)
+    } else {
+      var fs = out
+      while (fs.size > 1)
+        fs = fs.grouped(2).map(_.reduce(_.unionByName(_))).toSeq
+      fs.head
+    }
+  }
+
+  /** Commits provably append-only by their own label — the batch
+    * change feed's predecessor-gone certification (mirrors the
+    * streaming source's AppendOps). */
+  private val AppendOpsBatch = Set("append", "stream-append", "rename",
+    "set-property")
+
   /** Write a DML commit's change rows (table columns + a
     * [[ChangeTypeCol]] string) under `_change_data/v<NNNNNN>/` with
     * PHYSICAL column names (the same mapping data files use, so the

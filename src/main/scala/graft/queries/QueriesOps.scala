@@ -1388,33 +1388,38 @@ object QueriesOps {
     * manifest), the `_change_data` write/read round trip, and the
     * pre/post-image semantics. Oracle: the change feed in closed
     * form. */
+  /** The shared CDF scratch lineage (both CDF queries): v0 clustered
+    * commit, v1 enable, v2 COW update, v3 COW delete, v4 append, then
+    * the full change-feed streamed into `<dir>/dst`. */
+  private def buildCdfLineage(s: SparkSession, d: String, dir: String): Unit = {
+    val src = dir + "/src"
+    val base = docs(s, d).select(col("doc_id"), col("source"), col("n_chars"))
+    graft.operators.Snapshots.commit(
+      base.repartitionByRange(8, col("doc_id")).sortWithinPartitions(col("doc_id")),
+      src) // v0: clustered + stats
+    graft.operators.Snapshots.setChangeFeed(src, enabled = true) // v1
+    graft.operators.Snapshots.updateWhere(s, src,
+      col("doc_id") % 5 === 0,
+      Map("n_chars" -> (col("n_chars") + lit(1000L)))) // v2: CDF update
+    graft.operators.Snapshots.deleteWhere(s, src,
+      col("doc_id") >= 100 && col("doc_id") < 250) // v3: CDF delete
+    graft.operators.Snapshots.commitAppend(
+      base.filter(col("doc_id") % 17 === 0)
+        .withColumn("doc_id", col("doc_id") + lit(3000000L)), src) // v4
+    val q = s.readStream.format("graft-snapshots")
+      .option("readChangeFeed", "true").option("startingVersion", "0")
+      .load(src)
+      .writeStream
+      .option("checkpointLocation", dir + "/cp")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .foreachBatch(graft.operators.Snapshots.streamAppend(dir + "/dst"))
+      .start()
+    q.awaitTermination()
+  }
+
   def snapshotCdfStream(s: SparkSession, d: String): DataFrame = {
     GraftSession.tune(s)
-    val dir = sessionScratch("snapcdf", d, "documents") { dir =>
-      val src = dir + "/src"
-      val base = docs(s, d).select(col("doc_id"), col("source"), col("n_chars"))
-      graft.operators.Snapshots.commit(
-        base.repartitionByRange(8, col("doc_id")).sortWithinPartitions(col("doc_id")),
-        src) // v0: clustered + stats
-      graft.operators.Snapshots.setChangeFeed(src, enabled = true) // v1
-      graft.operators.Snapshots.updateWhere(s, src,
-        col("doc_id") % 5 === 0,
-        Map("n_chars" -> (col("n_chars") + lit(1000L)))) // v2: CDF update
-      graft.operators.Snapshots.deleteWhere(s, src,
-        col("doc_id") >= 100 && col("doc_id") < 250) // v3: CDF delete
-      graft.operators.Snapshots.commitAppend(
-        base.filter(col("doc_id") % 17 === 0)
-          .withColumn("doc_id", col("doc_id") + lit(3000000L)), src) // v4
-      val q = s.readStream.format("graft-snapshots")
-        .option("readChangeFeed", "true").option("startingVersion", "0")
-        .load(src)
-        .writeStream
-        .option("checkpointLocation", dir + "/cp")
-        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-        .foreachBatch(graft.operators.Snapshots.streamAppend(dir + "/dst"))
-        .start()
-      q.awaitTermination()
-    }
+    val dir = sessionScratch("snapcdf", d, "documents")(buildCdfLineage(s, d, _))
     graft.operators.Snapshots.read(s, dir + "/dst")
       .orderBy(col("doc_id").asc_nulls_last, col("source").asc_nulls_last,
         col("n_chars").asc_nulls_last, col("_change_type").asc_nulls_last)
@@ -1441,6 +1446,47 @@ object QueriesOps {
       |  FROM documents WHERE doc_id % 17 = 0
       |) ORDER BY doc_id NULLS LAST, source NULLS LAST, n_chars NULLS LAST,
       |           _change_type NULLS LAST""".stripMargin
+
+  /** BATCH change feed (r18): the SAME lineage as
+    * [[snapshotCdfStream]] (shared session-scratch), read back through
+    * [[graft.operators.Snapshots.changeFeed]] over [0, head] — each
+    * version's own changes with the `_commit_version` attribution a
+    * CDC consumer orders by (versions are deterministic: v0 commit,
+    * v2 update, v3 delete, v4 append; v1 is the property commit).
+    * Oracle: the same closed form with literal version numbers. */
+  def snapshotCdfBatch(s: SparkSession, d: String): DataFrame = {
+    GraftSession.tune(s)
+    val dir = sessionScratch("snapcdf", d, "documents")(buildCdfLineage(s, d, _))
+    graft.operators.Snapshots.changeFeed(s, dir + "/src", 0L)
+      .orderBy(col("doc_id").asc_nulls_last, col("source").asc_nulls_last,
+        col("n_chars").asc_nulls_last, col("_change_type").asc_nulls_last,
+        col("_commit_version").asc_nulls_last)
+  }
+
+  val snapshotCdfBatchSql: String =
+    """SELECT doc_id, source, n_chars, _change_type, _commit_version FROM (
+      |  SELECT doc_id, source, CAST(n_chars AS BIGINT) AS n_chars,
+      |         'insert' AS _change_type, CAST(0 AS BIGINT) AS _commit_version
+      |  FROM documents
+      |  UNION ALL
+      |  SELECT doc_id, source, CAST(n_chars AS BIGINT), 'update_preimage',
+      |         CAST(2 AS BIGINT)
+      |  FROM documents WHERE doc_id % 5 = 0
+      |  UNION ALL
+      |  SELECT doc_id, source, CAST(n_chars + 1000 AS BIGINT),
+      |         'update_postimage', CAST(2 AS BIGINT)
+      |  FROM documents WHERE doc_id % 5 = 0
+      |  UNION ALL
+      |  SELECT doc_id, source,
+      |    CAST(CASE WHEN doc_id % 5 = 0 THEN n_chars + 1000 ELSE n_chars END
+      |      AS BIGINT), 'delete', CAST(3 AS BIGINT)
+      |  FROM documents WHERE doc_id >= 100 AND doc_id < 250
+      |  UNION ALL
+      |  SELECT doc_id + 3000000, source, CAST(n_chars AS BIGINT), 'insert',
+      |         CAST(4 AS BIGINT)
+      |  FROM documents WHERE doc_id % 17 = 0
+      |) ORDER BY doc_id NULLS LAST, source NULLS LAST, n_chars NULLS LAST,
+      |           _change_type NULLS LAST, _commit_version NULLS LAST""".stripMargin
 
   // ---------------------------------------------------------------
   // snapshot_dv_delete: merge-on-read DELETE (r16)
@@ -1984,6 +2030,7 @@ object QueriesOps {
     "snapshot_cow_dml" -> (snapshotCowDml _),
     "snapshot_stream_read" -> (snapshotStreamRead _),
     "snapshot_cdf_stream" -> (snapshotCdfStream _),
+    "snapshot_cdf_batch" -> (snapshotCdfBatch _),
     "snapshot_merge" -> (snapshotMerge _),
     "snapshot_time_partitioned" -> (snapshotTimePartitioned _),
     "snapshot_dv_delete" -> (snapshotDvDelete _),
@@ -2023,6 +2070,7 @@ object QueriesOps {
     "snapshot_cow_dml" -> snapshotCowDmlSql,
     "snapshot_stream_read" -> snapshotStreamReadSql,
     "snapshot_cdf_stream" -> snapshotCdfStreamSql,
+    "snapshot_cdf_batch" -> snapshotCdfBatchSql,
     "snapshot_merge" -> snapshotMergeSql,
     "snapshot_time_partitioned" -> snapshotTimePartitionedSql,
     "snapshot_dv_delete" -> snapshotDvDeleteSql,

@@ -113,7 +113,7 @@ object SnapshotStreamSource {
     * [[Snapshots]] puts a commit's new files under `data/v<NNNNNN>/`.
     * A file outside that layout cannot be attributed to a version and
     * fails loudly rather than being silently re-delivered forever. */
-  private[sources] def fileVersion(rel: String): Long = {
+  private[graft] def fileVersion(rel: String): Long = {
     val parts = rel.split("/")
     if (parts.length >= 3 && parts(0) == "data" && parts(1).length > 1 &&
         parts(1).startsWith("v") && parts(1).drop(1).forall(_.isDigit))

@@ -99,10 +99,11 @@ class SnapshotTable(spark: SparkSession, val dir: String,
     if (Option(options.get("readChangeFeed"))
         .exists(SnapshotStreamSource.booleanOption("readChangeFeed", _)))
       throw new UnsupportedOperationException(
-        "readChangeFeed is a streaming option — use spark.readStream" +
-          s".format(\"${SnapshotStreamSource.ShortName}\") for the change " +
-          "feed, or Snapshots.changelog for a batch changelog over a " +
-          "version range")
+        "batch readChangeFeed resolves through the graft extensions " +
+          "(spark.sql.extensions=org.apache.spark.sql.graft.GraftExtensions " +
+          "+ a startingVersion option) or Snapshots.changeFeed directly; " +
+          "this session has neither — refusing rather than returning plain " +
+          "rows with no _change_type")
     new SnapshotScanBuilder(spark, dir, man, logical, colMap)
   }
 

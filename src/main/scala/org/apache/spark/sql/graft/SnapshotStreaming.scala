@@ -46,5 +46,33 @@ case class ResolveSnapshotStreaming(spark: SparkSession) extends Rule[LogicalPla
       val byName = s.output.map(a => a.name.toLowerCase -> a).toMap
       v1.copy(output = v1.output.map(a =>
         byName.getOrElse(a.name.toLowerCase, a)))
+
+    // BATCH change feed (r18): `spark.read.format("graft-snapshots")
+    // .option("readChangeFeed", true).option("startingVersion", v)
+    // .load(dir)` — the Delta batch-CDF surface. The scan builder
+    // refuses the option (a silently-plain read would be wrong), so
+    // in extension sessions this rule swaps the relation for
+    // [[graft.operators.Snapshots.changeFeed]]'s per-version change
+    // plan (schema = end version's + _change_type + _commit_version)
+    // BEFORE any parent resolves against the plain schema.
+    case r: org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation
+        if r.table.isInstanceOf[SnapshotTable] &&
+          Option(r.options.get("readChangeFeed"))
+            .exists(_.equalsIgnoreCase("true")) =>
+      val t = r.table.asInstanceOf[SnapshotTable]
+      val from = Option(r.options.get("startingVersion")).getOrElse(
+        throw new IllegalArgumentException(
+          "a batch readChangeFeed needs startingVersion (and optionally " +
+            "endingVersion) — the feed replays each version's own changes, " +
+            "there is no bootstrap"))
+      require(from.nonEmpty && from.forall(_.isDigit),
+        s"startingVersion must be a non-negative version, got '$from'")
+      val to = Option(r.options.get("endingVersion")).map { s2 =>
+        require(s2.nonEmpty && s2.forall(_.isDigit),
+          s"endingVersion must be a non-negative version, got '$s2'")
+        s2.toLong
+      }
+      graft.operators.Snapshots.changeFeed(spark, t.dir, from.toLong, to)
+        .queryExecution.analyzed
   }
 }

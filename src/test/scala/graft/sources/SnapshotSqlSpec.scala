@@ -349,13 +349,15 @@ class SnapshotSqlSpec extends SparkSpec {
           .option("timestampAsOf", "1969-12-31 16:00:01.5").load(base + "/tt")
           .select("id").as[Long].collect().sorted.toSeq === Seq(1L, 2L))
       } finally spark.conf.set("spark.sql.session.timeZone", prevTz)
-      // readChangeFeed on a BATCH read refuses loudly (advisor r17:
-      // it silently returned plain rows with no _change_type)
+      // readChangeFeed on a BATCH read without a version range refuses
+      // loudly naming startingVersion (advisor r17: it silently
+      // returned plain rows with no _change_type; r18 serves it WITH
+      // a range — see the batch change feed spec)
       val cf = intercept[Exception] {
         spark.read.format("graft-snapshots")
           .option("readChangeFeed", "true").load(base + "/tt").collect()
       }
-      assert(cf.getMessage.contains("streaming"), cf.getMessage)
+      assert(cf.getMessage.contains("startingVersion"), cf.getMessage)
     } finally Snapshots.testClock = None
   }
 
@@ -628,6 +630,58 @@ class SnapshotSqlSpec extends SparkSpec {
     q3.awaitTermination()
     assert(got.sorted === Seq((1L, "delete")),
       s"options must flow through readStream.table, got $got")
+  }
+
+  test("batch change feed (r18): per-version changes with _commit_version; mid-range rename pairs by stable ids; subranges; refusals") {
+    val dir = fresh()
+    Snapshots.commit(df(1, 2, 3), dir) // v0: inserts
+    Snapshots.setChangeFeed(dir, enabled = true) // v1: nothing
+    Snapshots.updateWhere(spark, dir, col("id") === 2L,
+      Map("payload" -> lit("P2"))) // v2: pre/post images
+    Snapshots.deleteWhere(spark, dir, col("id") === 3L) // v3: delete
+    Snapshots.renameColumn(dir, "payload", "body") // v4: metadata-only
+    Snapshots.commitAppend(Seq(7L).toDF("id").withColumn("body", lit("p7")),
+      dir) // v5: insert
+    Snapshots.deleteWhere(spark, dir, col("id") === 1L,
+      deletionVectors = true) // v6: DV delete
+    // the Scala API face — END schema (renamed column), versions ride
+    val got = Snapshots.changeFeed(spark, dir, 0L)
+      .select("id", "body", "_change_type", "_commit_version").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3)))
+      .sortBy(t => (t._4, t._1, t._3)).toSeq
+    assert(got === Seq(
+      (1L, "p1", "insert", 0L), (2L, "p2", "insert", 0L),
+      (3L, "p3", "insert", 0L),
+      (2L, "P2", "update_postimage", 2L), (2L, "p2", "update_preimage", 2L),
+      (3L, "p3", "delete", 3L),
+      (7L, "p7", "insert", 5L),
+      (1L, "p1", "delete", 6L)), got.toString)
+    // the spark.read face (extension-session rule) agrees
+    val viaRead = spark.read.format("graft-snapshots")
+      .option("readChangeFeed", "true").option("startingVersion", "0")
+      .load(dir)
+      .select("id", "body", "_change_type", "_commit_version").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3)))
+      .sortBy(t => (t._4, t._1, t._3)).toSeq
+    assert(viaRead === got, "the reader-option face must equal the Scala API")
+    // a SUBRANGE via endingVersion
+    val sub = spark.read.format("graft-snapshots")
+      .option("readChangeFeed", "true")
+      .option("startingVersion", "2").option("endingVersion", "3")
+      .load(dir).select("id", "_change_type").collect()
+      .map(r => (r.getLong(0), r.getString(1))).sorted.toSeq
+    assert(sub === Seq((2L, "update_preimage"), (2L, "update_postimage"),
+      (3L, "delete")).sorted)
+    // an UNRECORDED rewrite in range refuses naming the fix
+    Snapshots.setChangeFeed(dir, enabled = false) // v7
+    Snapshots.deleteWhere(spark, dir, col("id") === 2L) // v8: no cdf
+    val e = intercept[Exception] {
+      Snapshots.changeFeed(spark, dir, 7L).collect()
+    }
+    assert(e.getMessage.contains("setChangeFeed"), e.getMessage)
+    // compact stays invisible in batch CDF too
+    Snapshots.compact(spark, dir) // v9
+    assert(Snapshots.changeFeed(spark, dir, 9L).count() === 0L)
   }
 
   test("TBLPROPERTIES through SQL (r18): SET/UNSET land as metadata-only property commits; reserved keys refuse") {
