@@ -626,16 +626,29 @@ object Snapshots {
     setTableProperty(dir, ChangeFeedProp,
       if (enabled) Some("true") else None, expectedVersion)
 
-  /** Set (Some) or unset (None) one table property as a metadata-only
-    * commit — same files, stats, schema; O(1) delta bytes. */
+  /** Set (Some) or unset (None) one table property — see
+    * [[setTableProperties]]. */
   def setTableProperty(dir: String, key: String, value: Option[String],
-                       expectedVersion: Option[Long] = None): Long = {
-    require(key.nonEmpty && !key.exists(_.isWhitespace),
-      s"property key must be non-empty and whitespace-free, got '$key'")
-    // these ride in the SAME properties() map the DSv2 resolution
-    // reads — a user property named 'path' would repoint every read
-    require(!key.equalsIgnoreCase("path") && !key.equalsIgnoreCase("provider"),
-      s"'$key' is a reserved table property")
+                       expectedVersion: Option[Long] = None): Long =
+    setTableProperties(dir, Map(key -> value), expectedVersion)
+
+  /** Apply a whole property DELTA (key → Some(set) / None(unset)) as
+    * ONE metadata-only commit — same files, stats, schema; O(1) delta
+    * bytes. A multi-property `ALTER TABLE ... SET TBLPROPERTIES`
+    * applies whole or not at all (review r18 — per-key commits left a
+    * statement half-applied when a racer landed between them, the
+    * exact shape the r17 multi-column ALTER atomicity fix removed). */
+  def setTableProperties(dir: String, changes: Map[String, Option[String]],
+                         expectedVersion: Option[Long] = None): Long = {
+    require(changes.nonEmpty, "no property changes")
+    changes.keys.foreach { key =>
+      require(key.nonEmpty && !key.exists(_.isWhitespace),
+        s"property key must be non-empty and whitespace-free, got '$key'")
+      // these ride in the SAME properties() map the DSv2 resolution
+      // reads — a user property named 'path' would repoint every read
+      require(!key.equalsIgnoreCase("path") && !key.equalsIgnoreCase("provider"),
+        s"'$key' is a reserved table property")
+    }
     val f = fsFor(dir)
     val root = rootOf(f, dir)
     val v = nextVersion(dir, expectedVersion)
@@ -645,9 +658,9 @@ object Snapshots {
       s"version ${v - 1} is a legacy v1 manifest with no recorded schema — " +
         "commit once to upgrade before setting properties"))
     val map = colMapOf(prev)
-    val props = value match {
-      case Some(x) => prev.props + (key -> x)
-      case None => prev.props - key
+    val props = changes.foldLeft(prev.props) {
+      case (acc, (k, Some(x))) => acc + (k -> x)
+      case (acc, (k, None)) => acc - k
     }
     if (deltaOk(prev))
       publishDelta(f, root, v, v - 1, prev.depth + 1, Seq.empty, Seq.empty,
@@ -762,7 +775,15 @@ object Snapshots {
               val adds = ownAdds
               val survivorsDvEqual = p.files.filter(curFiles).forall(rel =>
                 p.dvs.get(rel) == man.dvs.get(rel))
-              if (adds.isEmpty && survivorsDvEqual) {
+              // PURE removal requires cur ⊆ prev too: a RESTORE that
+              // resurrects an older version's files would otherwise
+              // classify here and deliver only the removals, silently
+              // omitting the reappeared rows (review r18)
+              val noResurrection = {
+                val pf = p.files.toSet
+                man.files.forall(pf.contains)
+              }
+              if (adds.isEmpty && survivorsDvEqual && noResurrection) {
                 val removed = p.files.filterNot(curFiles)
                 if (removed.nonEmpty)
                   frames += project(
@@ -2607,12 +2628,17 @@ object Snapshots {
                   expectedVersion: Option[Long] = None): Long = {
     require(set.nonEmpty, "updateWhere needs at least one assignment")
     val hit = org.apache.spark.sql.functions.coalesce(pred, lit(false))
-    def applied(df: DataFrame): DataFrame = df.select(
+    /** ONE assignment-resolution site (review r18 — the transform and
+      * the post-image projection duplicated it): each column's value
+      * under `wrap` (identity for an all-hit frame, `when(hit, _)` for
+      * the in-place rewrite). No cast: a wrong-typed assignment must
+      * hit rewriteWhere's schema check, never be silently coerced. */
+    def applied(df: DataFrame)(
+        wrap: (org.apache.spark.sql.Column, StructField) => org.apache.spark.sql.Column)
+        : DataFrame = df.select(
       df.schema.fields.toSeq.map { fd =>
         set.find { case (n, _) => sameCol(n, fd.name) } match {
-          // no cast here: a wrong-typed assignment must hit the
-          // schema check in rewriteWhere, not be silently coerced
-          case Some((_, expr)) => expr.as(fd.name)
+          case Some((_, expr)) => wrap(expr, fd).as(fd.name)
           case None => quoted(fd.name)
         }
       }: _*)
@@ -2622,21 +2648,15 @@ object Snapshots {
           require(touched.schema.exists(fd => sameCol(fd.name, n)),
             s"updateWhere: no column '$n'")
         }
-        touched.select(touched.schema.fields.toSeq.map { fd =>
-          set.find { case (n, _) => sameCol(n, fd.name) } match {
-            case Some((_, expr)) =>
-              org.apache.spark.sql.functions
-                .when(hit, expr).otherwise(quoted(fd.name)).as(fd.name)
-            case None => quoted(fd.name)
-          }
-        }: _*)
+        applied(touched)((expr, fd) => org.apache.spark.sql.functions
+          .when(hit, expr).otherwise(quoted(fd.name)))
       },
       // change set: every hit row's pre-image and post-image (the
       // Delta CDF update shape)
       changeRows = { slice =>
         val hits = slice.filter(hit)
         hits.withColumn(ChangeTypeCol, lit("update_preimage"))
-          .unionByName(applied(hits)
+          .unionByName(applied(hits)((expr, _) => expr)
             .withColumn(ChangeTypeCol, lit("update_postimage")))
       })
   }
@@ -2850,7 +2870,13 @@ object Snapshots {
     try {
       if (src.isEmpty) return v - 1 // empty merge batch: no-op
       if (updateSet.isDefined || deleteCondition.isDefined) {
-        val dup = src.groupBy(keyFields.map(kf => quoted(kf.name)): _*)
+        // NULL-key rows are excluded: a NULL in any key column never
+        // matches a target row, so several of them are NOT ambiguous —
+        // they all flow to the INSERT clause (review r18; SQL/Delta
+        // only refuse multiple MATCHED source rows)
+        val dup = src
+          .filter(keyFields.map(kf => quoted(kf.name).isNotNull).reduce(_ && _))
+          .groupBy(keyFields.map(kf => quoted(kf.name)): _*)
           .agg(scount(lit(1)).as("__n")).filter(col("__n") > 1).limit(1).count()
         require(dup == 0,
           s"mergeInto source has duplicate keys (${keys.mkString(", ")}) — a " +

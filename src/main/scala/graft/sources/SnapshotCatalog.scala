@@ -210,9 +210,9 @@ class SnapshotCatalog extends TableCatalog {
     else {
       require(propChanges.size == changes.size,
         "cannot mix TBLPROPERTIES changes with schema changes in one ALTER")
-      propChanges.foreach { case (k, v) =>
-        Snapshots.setTableProperty(dir, k, v)
-      }
+      // ONE commit for the whole statement — atomic like the r17
+      // multi-column ALTER (review r18)
+      Snapshots.setTableProperties(dir, propChanges.toMap)
       true
     }
   }

@@ -165,9 +165,20 @@ class SnapshotStreamSourceProvider extends StreamSourceProvider with DataSourceR
         "drop partitionBy from the stream writer")
     val opts = parameters.map { case (k, v) =>
       k.toLowerCase(java.util.Locale.ROOT) -> v }
+    // REFUSE when no durable identity is derivable (review r18): a
+    // shared literal default would make two independent queries
+    // writing the same table share one dedupe ledger and silently
+    // drop each other's batch ids as 'replays'; a random identity
+    // would silently break exactly-once across restarts instead.
+    // A conf-derived or temp checkpoint does not reach these options,
+    // so the writer must name one of the two explicitly.
     val appId = opts.get("appid")
       .orElse(opts.get("checkpointlocation"))
-      .getOrElse("stream")
+      .getOrElse(throw new IllegalArgumentException(
+        s"the $ShortName sink needs a durable writer identity for its " +
+          "exactly-once ledger — set .option(\"checkpointLocation\", ...) " +
+          "on the writer (the usual identity) or an explicit " +
+          ".option(\"appId\", ...)"))
     new org.apache.spark.sql.execution.streaming.Sink {
       override def addBatch(batchId: Long,
                             data: org.apache.spark.sql.DataFrame): Unit = {
@@ -559,7 +570,11 @@ class SnapshotStreamSource(spark: SparkSession, dir: String,
           } else {
             val adds = ownAdds
             p match {
+              // pure file removal requires cur ⊆ prev too: a RESTORE
+              // resurrecting an older version's files must refuse, not
+              // deliver only the removals (review r18)
               case Some(pm) if adds.isEmpty &&
+                  man.files.forall(pm.files.toSet.contains) &&
                   pm.files.filter(man.files.toSet).forall(rel =>
                     pm.dvs.get(rel) == man.dvs.get(rel)) =>
                 // pure file removal: the removed files' surviving rows

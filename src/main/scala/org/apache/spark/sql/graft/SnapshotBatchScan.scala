@@ -296,7 +296,8 @@ case class DvInputPartition(inner: FilePartition, doomed: Array[Long])
   * de-columnarizing the clean 99% of the table. */
 class DvReaderFactory(cleanFactory: PartitionReaderFactory,
                       dirtyFactory: PartitionReaderFactory,
-                      rowSchema: StructType, idxPos: Int)
+                      rowSchema: StructType, idxPos: Int,
+                      columnar: Boolean)
     extends PartitionReaderFactory {
 
   private val outSchema = StructType(
@@ -336,16 +337,14 @@ class DvReaderFactory(cleanFactory: PartitionReaderFactory,
       case other => cleanFactory.createColumnarReader(other)
     }
 
-  override def supportColumnarReads(partition: InputPartition): Boolean =
-    partition match {
-      case _: DvInputPartition =>
-        DvColumnarReader.copyable(outSchema) &&
-          // the dirty delegate must itself decode vectorized, or there
-          // is no batch to filter
-          dirtyFactory.supportColumnarReads(
-            partition.asInstanceOf[DvInputPartition].inner)
-      case other => cleanFactory.supportColumnarReads(other)
-    }
+  /** ONE uniform answer for EVERY partition of the batch — Spark's
+    * DataSourceV2ScanExecBase REQUIRES homogeneity ('Cannot mix
+    * row-based and columnar input partitions'), so a per-side answer
+    * (clean columnar, dirty row — e.g. a nested-typed schema the
+    * copy-filter cannot rebuild) would crash the scan at planning
+    * instead of falling back to rows (review r18). The composed batch
+    * precomputes the conjunction over both delegates. */
+  override def supportColumnarReads(partition: InputPartition): Boolean = columnar
 }
 
 object DvColumnarReader {
@@ -475,28 +474,42 @@ class DvColumnarReader(delegate: PartitionReader[org.apache.spark.sql.vectorized
   * growth lands in tasks, where it belongs. */
 class DvComposedBatch(clean: Batch, dirty: DirtyScanHalf) extends Batch {
 
-  override def planInputPartitions(): Array[InputPartition] = {
-    val cleanParts = clean.planInputPartitions()
-    val dirtyParts = dirty.scan.toBatch.planInputPartitions().flatMap {
+  private lazy val cleanParts: Array[InputPartition] = clean.planInputPartitions()
+
+  private lazy val dirtyParts: Array[DvInputPartition] =
+    dirty.scan.toBatch.planInputPartitions().flatMap {
       case fp: FilePartition =>
         fp.files.map { pf =>
           val doomed = dirty.dvByPath.getOrElse(pf.filePath,
             throw new IllegalStateException(
               s"planned dirty file ${pf.filePath} has no deletion vector " +
                 "attribution — refusing rather than resurrecting deleted rows"))
-          DvInputPartition(FilePartition(0, Array(pf)), doomed): InputPartition
+          DvInputPartition(FilePartition(0, Array(pf)), doomed)
         }
       case other =>
         throw new IllegalStateException(
           s"ParquetScan planned a non-file partition: $other")
     }
-    cleanParts ++ dirtyParts
-  }
 
-  override def createReaderFactory(): PartitionReaderFactory =
-    new DvReaderFactory(clean.createReaderFactory(),
-      dirty.scan.toBatch.createReaderFactory(),
-      dirty.rowSchema, dirty.idxPos)
+  override def planInputPartitions(): Array[InputPartition] =
+    cleanParts ++ dirtyParts
+
+  override def createReaderFactory(): PartitionReaderFactory = {
+    val cleanFactory = clean.createReaderFactory()
+    val dirtyFactory = dirty.scan.toBatch.createReaderFactory()
+    val outSchema = StructType(dirty.rowSchema.fields.zipWithIndex
+      .collect { case (f, i) if i != dirty.idxPos => f })
+    // the batch's ONE columnar decision (see DvReaderFactory): every
+    // side must be batch-capable — the copy-filter's type set, the
+    // dirty delegate's vectorized reader, AND the clean delegate's
+    // (ParquetPartitionReaderFactory's answer is partition-independent,
+    // so probing one partition per side decides for all)
+    val columnar = DvColumnarReader.copyable(outSchema) &&
+      dirtyParts.headOption.forall(p => dirtyFactory.supportColumnarReads(p.inner)) &&
+      cleanParts.headOption.forall(cleanFactory.supportColumnarReads)
+    new DvReaderFactory(cleanFactory, dirtyFactory,
+      dirty.rowSchema, dirty.idxPos, columnar)
+  }
 }
 
 /** A [[Scan]] that delegates execution to a vectorized [[ParquetScan]]

@@ -632,6 +632,67 @@ class SnapshotSqlSpec extends SparkSpec {
       s"options must flow through readStream.table, got $got")
   }
 
+  test("review r18 fixes: nested-typed DV reads fall back to rows whole-scan; restore in a CDF range refuses; atomic multi-property ALTER; NULL-key merge sources; sink identity") {
+    val base = fresh()
+    spark.conf.set("spark.sql.catalog.graft", classOf[SnapshotCatalog].getName)
+    spark.conf.set("spark.sql.catalog.graft.base", base)
+    // 1. NESTED column + DV: the copy-filter cannot rebuild arrays, so
+    // the whole composed scan must answer ONE (row-based) decision —
+    // a per-side split would crash Spark's homogeneity require
+    val nd = base + "/nested"
+    Seq((1L, Seq(1L, 2L)), (2L, Seq(3L)), (3L, Seq.empty[Long]))
+      .toDF("id", "xs").createOrReplaceTempView("nested_src")
+    Snapshots.commit(spark.table("nested_src"), nd)
+    Snapshots.deleteWhere(spark, nd, col("id") === 2L, deletionVectors = true)
+    val got = spark.read.format("graft-snapshots").load(nd)
+      .select("id").as[Long].collect().sorted.toSeq
+    assert(got === Seq(1L, 3L),
+      "nested-typed DV versions must read correctly (row fallback)")
+    // 2. a RESTORE inside a change-feed range refuses (it resurrects
+    // rows — not expressible as CDC), never delivers removals alone
+    val rd = base + "/resur"
+    Snapshots.commit(df(1, 2, 3), rd) // v0
+    Snapshots.setChangeFeed(rd, enabled = true) // v1
+    Snapshots.deleteWhere(spark, rd, col("id") === 2L) // v2: recorded COW
+    Snapshots.restore(rd, 0L) // v3: id=2 resurrects
+    val re = intercept[Exception] { Snapshots.changeFeed(spark, rd, 3L).collect() }
+    assert(re.getMessage.contains("setChangeFeed") ||
+      re.getMessage.contains("rewrote"), re.getMessage)
+    // 3. multi-property ALTER lands as ONE commit (atomicity)
+    val pd = base + "/props2"
+    Snapshots.commit(df(1), pd) // v0
+    spark.sql(
+      "ALTER TABLE graft.props2 SET TBLPROPERTIES('changeFeed'='true','team'='x')")
+    assert(Snapshots.currentVersion(pd) === 1L,
+      "a multi-property ALTER must be one atomic commit")
+    assert(Snapshots.manifestAt(pd, 1L).props
+      === Map("changeFeed" -> "true", "team" -> "x"))
+    // 4. NULL-key source rows are NOT 'duplicates' (they never match —
+    // they all insert), even several of them
+    val md = base + "/mnull"
+    spark.sql("CREATE TABLE graft.mnull (id BIGINT, grp STRING, n BIGINT)")
+    spark.sql("INSERT INTO graft.mnull VALUES (1, 'a', 10)")
+    Seq((Some(1L), "a", 100L), (None, "z", 1L), (None, "z", 2L))
+      .toDF("id", "grp", "n").createOrReplaceTempView("mnull_src")
+    spark.sql("""MERGE INTO graft.mnull t USING mnull_src s
+                | ON t.id = s.id AND t.grp = s.grp
+                | WHEN MATCHED THEN UPDATE SET t.n = s.n
+                | WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+    val rows = spark.sql("SELECT id, n FROM graft.mnull ORDER BY n").collect()
+      .map(r => (if (r.isNullAt(0)) -1L else r.getLong(0), r.getLong(1))).toSeq
+    assert(rows === Seq((-1L, 1L), (-1L, 2L), (1L, 100L)),
+      s"NULL-key rows must insert, the matched row must update: $rows")
+    // 5. the streaming sink refuses when no durable writer identity is
+    // derivable (two queries sharing a literal default would silently
+    // drop each other's batches as replays)
+    val sink = intercept[Exception] {
+      new SnapshotStreamSourceProvider().createSink(
+        spark.sqlContext, Map("path" -> (base + "/s")), Seq.empty,
+        org.apache.spark.sql.streaming.OutputMode.Append())
+    }
+    assert(sink.getMessage.contains("identity"), sink.getMessage)
+  }
+
   test("batch change feed (r18): per-version changes with _commit_version; mid-range rename pairs by stable ids; subranges; refusals") {
     val dir = fresh()
     Snapshots.commit(df(1, 2, 3), dir) // v0: inserts
