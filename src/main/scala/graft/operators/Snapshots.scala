@@ -167,6 +167,15 @@ object Snapshots {
       (orDemoted && f.exists(basePath(root, v)))
   }
 
+  /** The current head's resolved manifest — the public metadata card
+    * DESCRIBE DETAIL reads (file list, sizes, stats, partitioning,
+    * properties, DVs, change files). */
+  def currentManifest(dir: String): Manifest = {
+    val v = currentVersion(dir)
+    require(v >= 0, s"no committed version in $dir")
+    manifestAt(dir, v)
+  }
+
   /** Version `v`'s resolved manifest (the streaming source's accessor
     * — same parse [[read]] uses); `orDemoted` as in [[versionExists]]. */
   private[graft] def manifestAt(dir: String, v: Long,

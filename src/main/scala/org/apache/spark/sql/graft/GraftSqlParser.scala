@@ -69,12 +69,16 @@ object GraftSqlParser {
 
   private val DescribeHistoryRe =
     """(?is)\s*DESC(?:RIBE)?\s+HISTORY\s+(.+?)\s*;?\s*""".r
+  private val DescribeDetailRe =
+    """(?is)\s*DESC(?:RIBE)?\s+DETAIL\s+(.+?)\s*;?\s*""".r
   private val OptimizeRe =
     """(?is)\s*OPTIMIZE\s+(.+?)(?:\s+ZORDER\s+BY\s*\((.+?)\))?\s*;?\s*""".r
   private val VacuumRe =
     """(?is)\s*VACUUM\s+(.+?)(?:\s+KEEP\s+FROM\s+(\d+))?\s*;?\s*""".r
   private val RestoreRe =
     """(?is)\s*RESTORE\s+(?:TABLE\s+)?(.+?)\s+TO\s+VERSION\s+AS\s+OF\s+(\d+)\s*;?\s*""".r
+  private val RestoreTsRe =
+    """(?is)\s*RESTORE\s+(?:TABLE\s+)?(.+?)\s+TO\s+TIMESTAMP\s+AS\s+OF\s+'([^']+)'\s*;?\s*""".r
 
   /** The maintenance grammar, or None for anything else (the caller
     * then delegates). Interception requires a CATALOG-QUALIFIED
@@ -93,8 +97,12 @@ object GraftSqlParser {
     sql match {
       case DescribeHistoryRe(raw) =>
         ident(raw).map(SnapshotHistoryCommand)
+      case DescribeDetailRe(raw) =>
+        ident(raw).map(SnapshotDetailCommand)
       case RestoreRe(raw, v) =>
         ident(raw).map(SnapshotRestoreCommand(_, v.toLong))
+      case RestoreTsRe(raw, ts) =>
+        ident(raw).map(SnapshotRestoreTsCommand(_, ts))
       case OptimizeRe(raw, zcols) =>
         ident(raw).map { parts =>
           // ZORDER columns must each parse as a SINGLE name — a
@@ -216,5 +224,80 @@ case class SnapshotRestoreCommand(parts: Seq[String],
   override def run(spark: SparkSession): Seq[Row] = {
     val dir = GraftSqlParser.resolveSnapshotDir(spark, parts)
     Seq(Row(Snapshots.restore(dir, version)))
+  }
+}
+
+/** `RESTORE TABLE graft.t TO TIMESTAMP AS OF '<ts>'` (r18) — the
+  * timestamp resolves through the commit wall-clock each manifest
+  * records ([[Snapshots.versionAtTimestamp]]); the string parses in
+  * the SESSION timezone, exactly like `SELECT ... TIMESTAMP AS OF`. */
+case class SnapshotRestoreTsCommand(parts: Seq[String],
+                                    ts: String) extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = DataTypeUtils.toAttributes(
+    StructType(Seq(StructField("version", LongType))))
+
+  override def run(spark: SparkSession): Seq[Row] = {
+    val dir = GraftSqlParser.resolveSnapshotDir(spark, parts)
+    val millis =
+      if (ts.nonEmpty && ts.forall(_.isDigit)) ts.toLong
+      else {
+        val zone = org.apache.spark.sql.catalyst.util.DateTimeUtils
+          .getZoneId(spark.sessionState.conf.sessionLocalTimeZone)
+        org.apache.spark.sql.catalyst.util.DateTimeUtils
+          .stringToTimestamp(
+            org.apache.spark.unsafe.types.UTF8String.fromString(ts), zone)
+          .map(micros => math.floorDiv(micros, 1000L))
+          .getOrElse(throw new IllegalArgumentException(
+            "RESTORE ... TO TIMESTAMP AS OF wants epoch millis or " +
+              s"'yyyy-MM-dd HH:mm:ss[.f]', got '$ts'"))
+      }
+    Seq(Row(Snapshots.restore(dir, Snapshots.versionAtTimestamp(dir, millis))))
+  }
+}
+
+/** `DESCRIBE DETAIL graft.t` (r18) — the table's current-state card
+  * (the Delta DESCRIBE DETAIL shape), answered from ONE manifest
+  * read: version, commit instant, file/byte/row tallies (NULL when
+  * the manifest cannot answer exactly — pre-r15 sizes, stats-less
+  * files), partition columns under their LOGICAL names, properties,
+  * and the live deletion-vector/change-data footprint. */
+case class SnapshotDetailCommand(parts: Seq[String]) extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = DataTypeUtils.toAttributes(StructType(Seq(
+    StructField("format", StringType),
+    StructField("location", StringType),
+    StructField("version", LongType),
+    StructField("committed_at", TimestampType),
+    StructField("num_files", IntegerType),
+    StructField("size_bytes", LongType),
+    StructField("rows", LongType),
+    StructField("num_columns", IntegerType),
+    StructField("partition_columns", ArrayType(StringType)),
+    StructField("properties", MapType(StringType, StringType)),
+    StructField("dv_files", IntegerType),
+    StructField("change_data_files", IntegerType))))
+
+  override def run(spark: SparkSession): Seq[Row] = {
+    val dir = GraftSqlParser.resolveSnapshotDir(spark, parts)
+    val v = Snapshots.currentVersion(dir)
+    val man = Snapshots.currentManifest(dir)
+    def lc(s: String) = s.toLowerCase(java.util.Locale.ROOT)
+    // colMap empty = pre-mapping identity (physical == logical)
+    val partLogical = man.partitionBy.map(p =>
+      man.colMap.find(c => lc(c.physical) == lc(p)).map(_.logical).getOrElse(p))
+    val bytes: java.lang.Long =
+      if (man.files.forall(man.sizes.contains))
+        java.lang.Long.valueOf(man.files.iterator.map(man.sizes(_)).sum)
+      else null
+    val rows: java.lang.Long =
+      if (man.files.isEmpty) java.lang.Long.valueOf(0L)
+      else if (man.files.forall(man.stats.contains))
+        java.lang.Long.valueOf(man.files.iterator.map(man.stats(_).rows).sum -
+          man.dvs.valuesIterator.map(_.size.toLong).sum)
+      else null
+    val committedAt = man.ts
+      .map(ms => new java.sql.Timestamp(ms)).orNull
+    Seq(Row("graft-snapshots", dir, v, committedAt, man.files.size, bytes,
+      rows, man.schema.map(_.length).getOrElse(0), partLogical,
+      man.props, man.dvs.count(_._2.nonEmpty), man.cdf.size))
   }
 }

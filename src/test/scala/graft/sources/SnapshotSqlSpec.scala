@@ -632,6 +632,39 @@ class SnapshotSqlSpec extends SparkSpec {
       s"options must flow through readStream.table, got $got")
   }
 
+  test("DESCRIBE DETAIL + RESTORE TO TIMESTAMP (r18): one-manifest table card; session-tz timestamp restore") {
+    val base = fresh()
+    spark.conf.set("spark.sql.catalog.graft", classOf[SnapshotCatalog].getName)
+    spark.conf.set("spark.sql.catalog.graft.base", base)
+    val dir = base + "/dd"
+    try {
+      Snapshots.testClock = Some(() => 1000L)
+      Snapshots.commit(Seq((1L, "web"), (2L, "app")).toDF("id", "src"), dir,
+        partitionBy = Seq("src")) // v0 @ 1000ms
+      Snapshots.testClock = Some(() => 2000L)
+      Snapshots.setChangeFeed(dir, enabled = true) // v1 @ 2000ms
+      val d = spark.sql("DESCRIBE DETAIL graft.dd").collect().head
+      assert(d.getString(0) === "graft-snapshots")
+      assert(d.getLong(2) === 1L, "current version")
+      assert(d.getTimestamp(3).getTime === 2000L, "commit instant from ts=")
+      assert(d.getInt(4) === 2, "one file per partition")
+      assert(!d.isNullAt(5) && d.getLong(5) > 0L, "manifest-recorded bytes")
+      assert(d.getLong(6) === 2L, "exact rows from stats")
+      assert(d.getSeq[String](8) === Seq("src"), "LOGICAL partition columns")
+      assert(d.getMap[String, String](9).get("changeFeed").contains("true"))
+      // RESTORE ... TO TIMESTAMP AS OF resolves through the commit
+      // wall-clock like SELECT's time travel (session tz)
+      Snapshots.testClock = Some(() => 3000L)
+      Snapshots.commitAppend(Seq((9L, "web")).toDF("id", "src"), dir) // v2 @ 3000
+      val rv = spark.sql(
+        "RESTORE TABLE graft.dd TO TIMESTAMP AS OF '1970-01-01 00:00:02.5'")
+        .as[Long].head()
+      assert(rv === 3L)
+      assert(spark.sql("SELECT count(*) AS n FROM graft.dd").as[Long].head() === 2L,
+        "the restore target is the version at-or-before the timestamp (v1)")
+    } finally Snapshots.testClock = None
+  }
+
   test("review r18 fixes: nested-typed DV reads fall back to rows whole-scan; restore in a CDF range refuses; atomic multi-property ALTER; NULL-key merge sources; sink identity") {
     val base = fresh()
     spark.conf.set("spark.sql.catalog.graft", classOf[SnapshotCatalog].getName)

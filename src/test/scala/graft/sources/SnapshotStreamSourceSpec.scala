@@ -517,6 +517,47 @@ class SnapshotStreamSourceSpec extends SparkSpec {
     assert(skipped.nonEmpty, "skipChangeCommits must keep streaming")
   }
 
+  test("change-data feed (r18): MERGE commits record tombstones, pre/post-images, and inserts; both merge faces") {
+    val dir = fresh()
+    val cp = fresh()
+    Snapshots.commit(df(1, 2, 3), dir) // v0
+    Snapshots.setChangeFeed(dir, true) // v1
+    assert(drainCdfRows(dir, cp).map(_._1).sorted === Seq(1L, 2L, 3L))
+    // keyed-replace merge (the Scala CDC-upsert face): 1 replaced,
+    // 2 tombstoned, 9 inserted, 3 untouched
+    Seq((1L, "P1", "U"), (2L, "dead", "D"), (9L, "P9", "U"))
+      .toDF("id", "payload", "op").createOrReplaceTempView("cdfm_src")
+    Snapshots.merge(spark, dir,
+      spark.table("cdfm_src").select(col("id"), col("payload")),
+      key = "id",
+      deleteWhenMatched = Some(lit(false)), // tombstones handled below
+      insertNotMatched = true) // v2 — replaces 1, inserts 9
+    val w1 = drainCdfRows(dir, cp).sorted
+    assert(w1 === Seq(
+      (1L, "p1", "update_preimage"), (1L, "P1", "update_postimage"),
+      (2L, "p2", "update_preimage"), (2L, "dead", "update_postimage"),
+      (9L, "P9", "insert")).sorted, s"got $w1")
+    // general mergeInto via SQL: tombstone + partial RMW + conditional
+    // insert in ONE statement, against the same path through the catalog
+    spark.conf.set("spark.sql.catalog.graft", classOf[SnapshotCatalog].getName)
+    spark.conf.set("spark.sql.catalog.graft.base",
+      new java.io.File(dir).getParent)
+    val tbl = s"graft.`${new java.io.File(dir).getName}`"
+    Seq((3L, "!", "U"), (9L, "", "D"), (20L, "p20", "U"))
+      .toDF("id", "suffix", "op").createOrReplaceTempView("cdfm_src2")
+    spark.sql(s"""MERGE INTO $tbl t USING cdfm_src2 s ON t.id = s.id
+                | WHEN MATCHED AND s.op = 'D' THEN DELETE
+                | WHEN MATCHED THEN UPDATE SET t.payload = concat(t.payload, s.suffix)
+                | WHEN NOT MATCHED AND s.op = 'U' THEN INSERT (id, payload)
+                |   VALUES (s.id, s.suffix)""".stripMargin)
+    val w2 = drainCdfRows(dir, cp).sorted
+    assert(w2 === Seq(
+      (3L, "p3", "update_preimage"), (3L, "p3!", "update_postimage"),
+      (9L, "P9", "delete"),
+      (20L, "p20", "insert")).sorted, s"got $w2")
+    assert(drainCdfRows(dir, cp).isEmpty, "caught up")
+  }
+
   test("change-data feed (r18): pure file removals (partition delete) deliver their files' rows as deletes; per-version insert attribution") {
     val dir = fresh()
     val cp = fresh()
