@@ -176,6 +176,12 @@ object Snapshots {
     manifestAt(dir, v)
   }
 
+  /** Version `v`'s resolved manifest — the public by-version twin of
+    * [[currentManifest]] (consumers needing a CONSISTENT
+    * (version, manifest) pair resolve the version once and read
+    * through this; two head resolutions can straddle a commit). */
+  def manifestOf(dir: String, v: Long): Manifest = manifestAt(dir, v)
+
   /** Version `v`'s resolved manifest (the streaming source's accessor
     * — same parse [[read]] uses); `orDemoted` as in [[versionExists]]. */
   private[graft] def manifestAt(dir: String, v: Long,
@@ -801,6 +807,14 @@ object Snapshots {
               } else refuse(v)
             }
           } else {
+            // files neither carried from the predecessor nor added by
+            // this version are RESURRECTED (a superset restore) —
+            // reappearance is not expressible as CDC (review r18: the
+            // subset guard alone missed this shape)
+            val pSet = p.files.toSet
+            if (man.files.exists(rel =>
+                !pSet(rel) && graft.sources.SnapshotStreamSource.fileVersion(rel) != v))
+              refuse(v)
             // carried set intact: row-level DV drift + any appends
             val drifted = p.files.filter(rel => p.dvs.get(rel) != man.dvs.get(rel))
             if (drifted.nonEmpty) {
@@ -851,8 +865,11 @@ object Snapshots {
   /** Commits provably append-only by their own label — the batch
     * change feed's predecessor-gone certification (mirrors the
     * streaming source's AppendOps). */
+  // KEEP IN SYNC with SnapshotStreamSource.AppendOps (review r18 —
+  // a divergence makes the two faces certify predecessor-less
+  // versions differently)
   private val AppendOpsBatch = Set("append", "stream-append", "rename",
-    "set-property")
+    "alter", "set-property")
 
   /** Write a DML commit's change rows (table columns + a
     * [[ChangeTypeCol]] string) under `_change_data/v<NNNNNN>/` with

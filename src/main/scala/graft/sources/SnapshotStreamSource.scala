@@ -501,7 +501,11 @@ class SnapshotStreamSource(spark: SparkSession, dir: String,
     * consumer with a false "lagged" diagnostic, review r15). The
     * change family (commit/compact/delete/update/merge/restore)
     * attributes the same way, so skipChangeCommits keeps working. */
-  private val AppendOps = Set("append", "stream-append", "rename")
+  // KEEP IN SYNC with Snapshots.AppendOpsBatch (the batch change
+  // feed's twin) — a divergence makes the two faces certify
+  // predecessor-less versions differently (review r18)
+  private val AppendOps = Set("append", "stream-append", "rename",
+    "alter", "set-property")
   private val ChangeOps = Set("commit", "compact", "delete", "update",
     "merge", "restore")
 
@@ -604,7 +608,16 @@ class SnapshotStreamSource(spark: SparkSession, dir: String,
             verified += 1
             prev.foreach { p =>
               val cur = man.files.toSet
+              // files neither carried from the predecessor nor added
+              // by this version are RESURRECTED (a superset restore) —
+              // reappearance is not expressible as CDC, so the version
+              // is a change commit even though nothing was removed
+              // (review r18: the subset guard alone missed this shape)
+              lazy val pSet = p.files.toSet
+              def foreign = man.files.exists(rel =>
+                !pSet(rel) && fileVersion(rel) != v)
               if (!p.files.forall(cur.contains)) classifyRewrite(Some(p))
+              else if (foreign) out += v
               else {
                 // carried set intact: any DV drift is row-level.
                 // Outside change-feed mode it is a change commit

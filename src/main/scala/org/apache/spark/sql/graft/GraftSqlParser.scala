@@ -278,8 +278,11 @@ case class SnapshotDetailCommand(parts: Seq[String]) extends LeafRunnableCommand
 
   override def run(spark: SparkSession): Seq[Row] = {
     val dir = GraftSqlParser.resolveSnapshotDir(spark, parts)
+    // ONE head resolution: resolving the version and the manifest
+    // separately can straddle a concurrent commit and report an
+    // internally inconsistent card (review r18)
     val v = Snapshots.currentVersion(dir)
-    val man = Snapshots.currentManifest(dir)
+    val man = Snapshots.manifestOf(dir, v)
     def lc(s: String) = s.toLowerCase(java.util.Locale.ROOT)
     // colMap empty = pre-mapping identity (physical == logical)
     val partLogical = man.partitionBy.map(p =>

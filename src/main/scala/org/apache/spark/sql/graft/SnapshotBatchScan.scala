@@ -504,8 +504,9 @@ class DvComposedBatch(clean: Batch, dirty: DirtyScanHalf) extends Batch {
     // dirty delegate's vectorized reader, AND the clean delegate's
     // (ParquetPartitionReaderFactory's answer is partition-independent,
     // so probing one partition per side decides for all)
-    val columnar = DvColumnarReader.copyable(outSchema) &&
-      dirtyParts.headOption.forall(p => dirtyFactory.supportColumnarReads(p.inner)) &&
+    val columnar = (dirtyParts.isEmpty ||
+        (DvColumnarReader.copyable(outSchema) &&
+          dirtyFactory.supportColumnarReads(dirtyParts.head.inner))) &&
       cleanParts.headOption.forall(cleanFactory.supportColumnarReads)
     new DvReaderFactory(cleanFactory, dirtyFactory,
       dirty.rowSchema, dirty.idxPos, columnar)

@@ -691,6 +691,20 @@ class SnapshotSqlSpec extends SparkSpec {
     val re = intercept[Exception] { Snapshots.changeFeed(spark, rd, 3L).collect() }
     assert(re.getMessage.contains("setChangeFeed") ||
       re.getMessage.contains("rewrote"), re.getMessage)
+    // ...including the SUPERSET shape: a pure-removal version followed
+    // by a restore that only RE-ADDS its files (nothing removed, no
+    // own adds) — review r18: the subset guard alone delivered nothing
+    val rd2 = base + "/resur2"
+    Snapshots.commit(Seq((1L, "a"), (2L, "b")).toDF("id", "grp"), rd2,
+      partitionBy = Seq("grp")) // v0
+    Snapshots.setChangeFeed(rd2, enabled = true) // v1
+    Snapshots.deleteWhere(spark, rd2, col("grp") === "a") // v2: remove-only
+    Snapshots.restore(rd2, 0L) // v3: grp='a' file resurrects, removes none
+    val re2 = intercept[Exception] { Snapshots.changeFeed(spark, rd2, 3L).collect() }
+    assert(re2.getMessage.contains("setChangeFeed"), re2.getMessage)
+    assert(Snapshots.changeFeed(spark, rd2, 0L, Some(2L))
+      .filter(col("_change_type") === "delete").count() === 1L,
+      "the range BELOW the restore still serves")
     // 3. multi-property ALTER lands as ONE commit (atomicity)
     val pd = base + "/props2"
     Snapshots.commit(df(1), pd) // v0

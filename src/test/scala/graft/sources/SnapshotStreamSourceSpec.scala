@@ -581,6 +581,14 @@ class SnapshotStreamSourceSpec extends SparkSpec {
     assert(win === Seq((1L, "a", "delete"), (2L, "a", "delete"),
       (9L, "c", "insert")).sorted, s"got $win")
     assert(drainCdfRows2(dir, cp).isEmpty, "exactly once")
+    // a SUPERSET restore (files only REAPPEAR — nothing removed, no
+    // own adds) must refuse, not silently deliver nothing: the
+    // resurrected rows are not expressible as CDC (review r18)
+    Snapshots.restore(dir, 1L) // v4: grp='a' files resurrect
+    val e = intercept[StreamingQueryException](drainCdfRows2(dir, cp))
+    assert(e.getCause.getMessage.contains("rewrote") ||
+      e.getCause.getMessage.contains("setChangeFeed"),
+      s"got: ${e.getCause.getMessage}")
   }
 
   /** drainCdfRows for the (id, grp) shape. */
