@@ -27,6 +27,15 @@ object GraftSession {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     spark.conf.set("spark.sql.adaptive.enabled", "true")
+    // AQE rewrites a planned sort-merge join to a shuffled-hash join
+    // when EVERY post-shuffle partition of the build side measures
+    // under this cap (optimization guide §3.1) — skips both sort
+    // passes (table_diff's full-outer, the dedup anti-joins). Runtime
+    // decision on measured bytes, so scale-safe: an over-cap partition
+    // keeps the spilling sort-merge path. 64 MiB ≈ the default
+    // advisory partition size, far under executor task memory.
+    spark.conf.set(
+      "spark.sql.adaptive.maxShuffledHashJoinLocalMapThreshold", "64m")
     // SQL names for graft's native expressions (json_is_valid,
     // simhash64, cosine_similarity, ...) — idempotent
     org.apache.spark.sql.graft.GraftSqlFunctions.register(spark)
@@ -53,6 +62,9 @@ object GraftSession {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.adaptive.enabled", "true")
+      // see tune(): runtime SMJ -> shuffled-hash rewrite on measured
+      // per-partition bytes (guide §3.1)
+      .config("spark.sql.adaptive.maxShuffledHashJoinLocalMapThreshold", "64m")
       .config("spark.ui.enabled", "false")
       // the default 100-entry generated-class cache thrashes once the
       // 83-query harness is in play (every eviction = a full Janino

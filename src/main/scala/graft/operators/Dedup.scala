@@ -421,14 +421,20 @@ object Dedup {
     // + Jaccard verify) twice at the edges checkpoint (judge-caught:
     // at 100 TB that is a second full-corpus pass)
     val p = pairs.select(col("id_a"), col("id_b")).localCheckpoint(true)
+    // edges is a LAZY view over the checkpointed pairs (r18): the
+    // union + column swap costs one cached-block read per iteration,
+    // while the former second eager checkpoint cost a full extra job
+    // per query just to avoid that re-projection. p stays persisted
+    // until convergence so the view always reads cached blocks.
     val edges = p
       .unionByName(p.select(col("id_b").as("id_a"), col("id_a").as("id_b")))
       .toDF("src", "dst")
-      .localCheckpoint(true)
-    p.unpersist()
+    // lazy initial-label checkpoint (r18): the first iteration's
+    // changed-flag collect materializes it inside the same job — an
+    // eager one here was one more driver-paced job per query
     var labels = docs
       .select(col(idCol).as("id"), col(idCol).cast("long").as("lbl"))
-      .localCheckpoint(true)
+      .localCheckpoint(false)
     var converged = false
     var iter = 0
     while (!converged && iter < maxIters) {
@@ -456,7 +462,7 @@ object Dedup {
       converged = !changed
       iter += 1
     }
-    edges.unpersist()
+    p.unpersist()
     // propagation needs O(component diameter) rounds; returning
     // partially-propagated labels would be SILENTLY wrong (one
     // component, several cluster ids) — fail loudly instead

@@ -110,7 +110,12 @@ object Queries {
     */
   def q6IngestAccepted(s: SparkSession, d: String): DataFrame =
     IngestPipeline
-      .accepted(ev(s, d), Tables.activeKeys(s, d), Some(lit(receivedAtMicros)))
+      // JSON validity + from_json over every props payload is the
+      // per-row cost here; parallelize the single-split bench scan so
+      // the parse doesn't run on one core (guide §2.5; no-op on a
+      // multi-split layout)
+      .accepted(Tables.parallelizeSingleSplitScan(ev(s, d), col("event_id")),
+        Tables.activeKeys(s, d), Some(lit(receivedAtMicros)))
       .orderBy(col("event_id"))
 
   /** `json_type(props) = 'OBJECT'` mirrors the pipeline's
@@ -142,7 +147,11 @@ object Queries {
     */
   def q7PricingSummary(s: SparkSession, d: String): DataFrame = {
     GraftSession.tune(s)
-    val l = Tables.lineitem(s, d)
+    // 600k rows × 6 decimal/double aggregates is compute-bound; on the
+    // single-split bench file the whole partial-agg pass would run on
+    // one core (guide §2.5) — no-op on a multi-split layout
+    val l = Tables.parallelizeSingleSplitScan(
+      Tables.lineitem(s, d), col("l_orderkey"))
     val discPrice = col("l_extendedprice") * (lit(1.0) - col("l_discount"))
     val charge = discPrice * (lit(1.0) + col("l_tax"))
     l.groupBy(col("l_returnflag"), col("l_linestatus"))
@@ -1353,7 +1362,10 @@ object Queries {
     Tables.customer(s, d).filter(col("c_mktsegment") === "BUILDING")
       .join(Tables.orders(s, d), col("c_custkey") === col("o_custkey"))
       .filter(col("o_orderdate") < lit(cutoff).cast("timestamp_ntz"))
-      .join(Tables.lineitem(s, d), col("o_orderkey") === col("l_orderkey"))
+      // fact-side scan parallelism (guide §2.5): the join probe +
+      // revenue math over 600k rows otherwise runs on one core
+      .join(Tables.parallelizeSingleSplitScan(Tables.lineitem(s, d),
+        col("l_orderkey")), col("o_orderkey") === col("l_orderkey"))
       .filter(col("l_shipdate") > lit(cutoff).cast("timestamp_ntz"))
       .groupBy(col("o_orderkey"), col("o_orderpriority"))
       .agg(sum((col("l_extendedprice") * (lit(1.0) - col("l_discount")))
@@ -1439,6 +1451,10 @@ object Queries {
     * JOIN over the same checkpoint table.
     */
   def q36AsofBucketed(s: SparkSession, d: String): DataFrame = {
+    // NO scan-parallelizing repartition here (measured r18): the
+    // checkpoint aggregate's partial agg already collapses rows before
+    // its exchange, so a pre-repartition adds a full-table shuffle
+    // without removing one (sweep: 1.13 s -> 2.09 s)
     val e = ev(s, d)
     val left = e.select(
       col("event_id"), col("event_type"), expr(Tables.tsUsExpr).as("ts_us"))
@@ -2214,9 +2230,12 @@ object Queries {
       (-2L, "Multiple emails: a.b@test.org and c_d@mail.co plus host 192.168.1.100"),
       (-3L, "no pii in this row at all")).toDF("doc_id", "text")
     // repartition before six regex passes over every text: the
-    // single-row-group bench file otherwise pins them to one thread
+    // single-row-group bench file otherwise pins them to one thread.
+    // Count is the session's parallelism (r18), not a constant 32
+    // tuned for the local bench — at any core count the regex work
+    // spreads over every core.
     val all = docs(s, d).select(col("doc_id"), col("text")).unionByName(planted)
-      .repartition(32, col("doc_id"))
+      .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
     val redacted = regexp_replace(
       regexp_replace(
         regexp_replace(col("text"), emailRe, "[EMAIL]"),

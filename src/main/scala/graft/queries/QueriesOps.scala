@@ -88,7 +88,14 @@ object QueriesOps {
     */
   def fuzzyJoin(s: SparkSession, d: String): DataFrame = {
     GraftSession.tune(s)
-    val cust = Tables.customer(s, d).select(col("c_custkey"), col("c_name"))
+    // the deletion-neighborhood explode (27 substrings + xxhash64 per
+    // name) and the levenshtein verify inside the broadcast-join probe
+    // are the per-row cost; heal the single-split scan ONCE here so
+    // all three derivations (probes ×2, dict) run on every core
+    // (guide §2.5; no-op on a multi-split layout)
+    val cust = Tables.parallelizeSingleSplitScan(
+      Tables.customer(s, d).select(col("c_custkey"), col("c_name")),
+      col("c_custkey"))
     // 1-indexed corruption position: always inside the 9-digit zone
     val pos = (col("c_custkey") % 9 + 10).cast("int")
     val subbed = cust.filter(col("c_custkey") % 7 === 0)
@@ -303,8 +310,13 @@ object QueriesOps {
     // per-component decimal work would otherwise run single-threaded
     // (measured: the whole query sat at ~2.9 s regardless of plan
     // shape because every variant bottlenecked on that one task)
+    // count = session parallelism (r18), not a constant 32 tuned for
+    // the local bench; the split-probing helper is deliberately NOT
+    // used here — `comps` is referenced ~6x per training pass and the
+    // probe's per-reference planning cost outweighed the win (sweep:
+    // emb_pq_codes 1.50 s -> 1.82 s with the probe)
     def comps = Tables.embeddingsFinite(s, d)
-      .repartition(32, col("vec_id"))
+      .repartition(s.sparkContext.defaultParallelism, col("vec_id"))
       .select(col("vec_id"), posexplode(col("embedding")).as(Seq("dim", "v")))
       .select(col("vec_id"), floor(col("dim") / 16).cast("long").as("m"),
         col("dim").cast("long").as("dim"), col("v").cast("double").as("v"))
@@ -500,7 +512,9 @@ object QueriesOps {
     * is exactly one pass over the text bytes.
     */
   def docHashClassifier(s: SparkSession, d: String): DataFrame =
-    docs(s, d)
+    // one md5 per token per row is compute-bound — heal the
+    // single-split bench scan (guide §2.5; no-op on multi-split input)
+    Tables.parallelizeSingleSplitScan(docs(s, d), col("doc_id"))
       .select(col("doc_id"),
         size(split(col("text"), " ")).cast("long").as("n_tokens"),
         expr("""aggregate(split(text, ' '), 0L, (acc, t) ->
@@ -869,7 +883,11 @@ object QueriesOps {
   def q57ScalarSubquery(s: SparkSession, d: String): DataFrame = {
     GraftSession.tune(s)
     Tables.orders(s, d).createOrReplaceTempView("orders_v57")
-    Tables.lineitem(s, d).createOrReplaceTempView("lineitem_v57")
+    // the decorrelated per-orderkey aggregate scans every lineitem row
+    // — heal the single-split scan under the view (guide §2.5); the
+    // SQL text (and so the decorrelation path exercised) is unchanged
+    Tables.parallelizeSingleSplitScan(Tables.lineitem(s, d), col("l_orderkey"))
+      .createOrReplaceTempView("lineitem_v57")
     s.sql("""
       SELECT o_orderkey, o_totalprice
       FROM orders_v57 o

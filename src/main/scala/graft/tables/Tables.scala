@@ -198,6 +198,33 @@ object Tables {
     * exact because the low three nano digits are zero in both
     * engines.
     */
+  /** Heal single-split input skew (optimization guide §2.5: "one huge
+    * unsplittable file ... repartition immediately after the read").
+    * The driver testdata ships every table as ONE parquet file with
+    * ONE row group, so a scan stage plans as a single task and all
+    * per-row compute (decimal aggregation, JSON parsing, regex) runs
+    * on one core regardless of `local[N]`. When the planned scan has
+    * materially fewer splits than the session's parallelism, insert
+    * one deterministic hash repartition on `key` so the compute above
+    * it runs on every core.
+    *
+    * Scale-adaptive by construction, not a local[32] constant: the
+    * partition count is the session's `defaultParallelism`, and on a
+    * real multi-file layout (a 100 TB table is thousands of splits —
+    * `splits >= parallelism/2` holds) this is a NO-OP, so no shuffle
+    * is ever added where the scan already parallelizes. Per-query
+    * opt-in rather than inside the loaders: queries whose downstream
+    * work is a cheap scan-side kernel measurably LOSE from the extra
+    * exchange (the round-9 dedup_minhash measurement), so only the
+    * compute-bound shapes route through this.
+    */
+  def parallelizeSingleSplitScan(df: DataFrame, key: org.apache.spark.sql.Column): DataFrame = {
+    val p = df.sparkSession.sparkContext.defaultParallelism
+    // .rdd plans the scan without running a job; its partition count
+    // is the split count the scheduler would use
+    if (df.rdd.getNumPartitions * 2 <= p) df.repartition(p, key) else df
+  }
+
   def eventsNorm(s: SparkSession, d: String): DataFrame = {
     import org.apache.spark.sql.types.{LongType, TimestampType, TimestampNTZType}
     val raw = events(s, d)

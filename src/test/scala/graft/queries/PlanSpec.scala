@@ -513,10 +513,13 @@ class PlanSpec extends SparkSpec {
         p.take(1200))
   }
 
-  test("doc_hash_classifier: scoring is map-side — no exchange before the final sort") {
+  test("doc_hash_classifier: scoring is map-side — no exchange beyond the scan heal + final sort") {
     val p = plan(QueriesOps.docHashClassifier(spark, sfSmoke))
-    // exactly the sort's range exchange; scoring adds no shuffle
-    assert("Exchange".r.findAllIn(p).size === 1, p.take(1200))
+    // r18: exactly the single-split scan-heal hash exchange (guide
+    // §2.5 — the md5-per-token HOF otherwise runs on one core; a
+    // no-op on multi-split layouts) plus the sort's range exchange;
+    // the SCORING itself still adds no shuffle
+    assert("Exchange".r.findAllIn(p).size <= 2, p.take(1200))
     assert(!p.contains("Generate"),
       "HOF aggregate must not explode tokens into rows\n" + p.take(1200))
   }
