@@ -334,8 +334,12 @@ object Dedup {
     // self-join sides) and the md5-per-shingle fingerprint scan
     // dominates — without the cache the corpus would be re-scanned
     // and re-hashed per branch. Session-owned lifetime, same policy
-    // as [[minhashPairs]].
-    val fps = docs
+    // as [[minhashPairs]]. The md5 kernel is expensive enough that
+    // the single-split scan heal pays for its exchange (unlike the
+    // xxhash ShingleHashes cache in minhashPairs — measured r18, the
+    // docRedact regex trade, not the round-9 one).
+    val fps = graft.tables.Tables.parallelizeSingleSplitScan(
+      docs.select(col(idCol), col(textCol)), col(idCol))
       .select(col(idCol).as("id"),
         explode(winnowFingerprints(col(textCol), n, w)).as("fp"))
       .cache()

@@ -315,11 +315,17 @@ object QueriesOps {
     // used here — `comps` is referenced ~6x per training pass and the
     // probe's per-reference planning cost outweighed the win (sweep:
     // emb_pq_codes 1.50 s -> 1.82 s with the probe)
-    def comps = Tables.embeddingsFinite(s, d)
+    // cached (r18): the component table feeds the seed collect, both
+    // sides of the Lloyd means job, and the final encode — uncached,
+    // each re-runs the scan + repartition exchange + posexplode
+    // (~dims× row blow-up). Session-owned lifetime, same policy as
+    // Dedup.minhashPairs (harness mains clearCache between runs).
+    val comps = Tables.embeddingsFinite(s, d)
       .repartition(s.sparkContext.defaultParallelism, col("vec_id"))
       .select(col("vec_id"), posexplode(col("embedding")).as(Seq("dim", "v")))
       .select(col("vec_id"), floor(col("dim") / 16).cast("long").as("m"),
         col("dim").cast("long").as("dim"), col("v").cast("double").as("v"))
+      .cache()
     val codeIdx = 0 until 8
 
     // The codebook is CONSTANT-SIZE (8 codes x 64 dims = 512 doubles)
@@ -1960,7 +1966,9 @@ object QueriesOps {
     */
   def docPii(s: SparkSession, d: String): DataFrame = {
     GraftSession.tune(s)
-    docs(s, d)
+    // three regex extract passes per row — the docRedact shape; heal
+    // the single-split bench scan (guide §2.5; no-op on multi-split)
+    Tables.parallelizeSingleSplitScan(docs(s, d), col("doc_id"))
       .select(col("doc_id"), expr(piiPlantSql).as("t"))
       .select(col("doc_id"),
         size(regexp_extract_all(col("t"), lit(PiiEmailRe), lit(0)))
@@ -1999,7 +2007,9 @@ object QueriesOps {
     */
   def docPiiRedact(s: SparkSession, d: String): DataFrame = {
     GraftSession.tune(s)
-    docs(s, d)
+    // three regex replace passes per row — the docRedact shape; heal
+    // the single-split bench scan (guide §2.5; no-op on multi-split)
+    Tables.parallelizeSingleSplitScan(docs(s, d), col("doc_id"))
       .select(col("doc_id"), expr(piiPlantSql).as("t"))
       .select(col("doc_id"),
         regexp_replace(

@@ -548,12 +548,15 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("In(lang"), p.take(1500))
   }
 
-  test("doc_pii: detection and redaction are one scan-side projection — no join, no explode, one exchange (the sort's)") {
+  test("doc_pii: detection and redaction are one scan-side projection — no join, no explode, no exchange beyond the scan heal + sort") {
     for (df <- Seq(QueriesOps.docPii(spark, sfSmoke),
                    QueriesOps.docPiiRedact(spark, sfSmoke))) {
       val p = plan(df)
       assert(!p.contains("Join") && !p.contains("Generate"), p.take(1200))
-      assert("Exchange".r.findAllIn(p).size === 1, p.take(1200))
+      // r18: the single-split scan-heal hash exchange (guide §2.5 —
+      // three regex passes per row otherwise run on one core; a no-op
+      // on multi-split layouts) plus the sort's range exchange
+      assert("Exchange".r.findAllIn(p).size <= 2, p.take(1200))
     }
   }
 
